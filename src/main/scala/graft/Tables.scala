@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loader for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * Each table is one parquet file under the scale-factor dir. At 100 TB these
+  * would be multi-file partitioned datasets; `spark.read.parquet` handles both
+  * shapes identically, and every query in this library addresses tables through
+  * this single chokepoint so a production deployment can swap in catalog tables
+  * (or bucketed / partitioned layouts) without touching operator code.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Tables small enough to broadcast at any realistic scale factor (TPC-H
+    * dims `region`/`nation` are constant-size; `supplier`/`part`/`customer`
+    * grow with SF but stay broadcastable far longer than the fact tables).
+    * Only `region` and `nation` are unconditionally broadcast in query code;
+    * everything else is left to AQE's size-based join selection.
+    */
+  val tinyDims: Set[String] = Set("region", "nation")
+
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
+      // rejects; read it as raw long nanos and convert. Micros truncation is
+      // lossless for every registered query (no sub-microsecond semantics).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
+}

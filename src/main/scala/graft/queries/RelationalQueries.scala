@@ -1,0 +1,564 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Generic relational operator layer.
+  *
+  * Each query demonstrates one operator family from SURVEY.md §2 (predicates
+  * P1-P8, joins J1-J7, aggregates A1-A9, scalar functions F*, window analogs)
+  * re-expressed as an idiomatic Spark DataFrame plan over the driver-generated
+  * testdata tables, with an ANSI-SQL oracle for the DuckDB correctness gate.
+  *
+  * Scale notes (100 TB discipline applied throughout):
+  *  - every aggregate is a partial-aggregable built-in (map-side combine free);
+  *  - `region`/`nation` joins are explicitly `broadcast()`; other dimension
+  *    joins are left to AQE size-based selection;
+  *  - money sums go through DECIMAL(18,8): exact, order-independent addition
+  *    (a plain double sum is non-deterministic across partition orders and
+  *    would flake the oracle hash at high SF), cast back to double at the end;
+  *  - every query ends in a deterministic ORDER BY so output is reproducible.
+  */
+object RelationalQueries {
+
+  /** Exact decimal sum of a (possibly computed) double column, as double. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,8)")).cast("double")
+  private val DSUM = "CAST(SUM(CAST(%s AS DECIMAL(18,8))) AS DOUBLE)"
+
+  // ---------------------------------------------------------------- headline
+
+  /** TPC-H Q1 shape: P5 date filter + A5 grouped aggregation (covSonar
+    * `essence` scan + group-by analog). Pure map-side-combinable aggregates;
+    * the only shuffle is the tiny post-aggregation exchange on (flag,status).
+    */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${DSUM.format("l_quantity")} AS sum_qty,
+       |  ${DSUM.format("l_extendedprice")} AS sum_base_price,
+       |  ${DSUM.format("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+       |  ${DSUM.format("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+       |  ${DSUM.format("l_quantity")} / COUNT(*) AS avg_qty,
+       |  COUNT(*) AS count_order
+       |FROM lineitem WHERE l_shipdate <= '1998-09-02'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3 shape: selective dimension filter + 3-way join + top-k.
+    * customer(filtered) is small → AQE broadcasts it; the orders⨝lineitem
+    * join shuffles on orderkey (both sides partition-prunable on the date
+    * predicates before the shuffle). Deterministic tie-break on orderkey.
+    */
+  def q3TopOrders(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord  = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-03-15"))
+    val li   = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-03-15"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    s"""SELECT l_orderkey, o_orderdate,
+       |  ${DSUM.format("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < '1998-03-15' AND l_shipdate > '1998-03-15'
+       |GROUP BY l_orderkey, o_orderdate
+       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 shape: snowflake join with explicitly broadcast tiny dims
+    * (region, nation). The co-located customer/supplier nation equality is a
+    * post-join filter, exactly as Q5 specifies.
+    */
+  def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val region = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
+    val nation = broadcast(t(s, dir, "nation"))
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(nation, col("s_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1999-01-01"))
+      .groupBy("n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5Sql: String =
+    s"""SELECT n_name, ${DSUM.format("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM customer JOIN orders ON c_custkey = o_custkey
+       |  JOIN lineitem ON o_orderkey = l_orderkey
+       |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA' AND o_orderdate >= '1996-01-01' AND o_orderdate < '1999-01-01'
+       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ------------------------------------------------------------- predicates
+
+  /** P1: IN-list include (covSonar `--lineage L1 L2` style). */
+  def p1Isin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  val p1Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE c_mktsegment IN ('BUILDING','MACHINERY') ORDER BY c_custkey""".stripMargin
+
+  /** P1 negated: `^`-prefixed exclusion list (NOT IN). Safe from
+    * three-valued-logic surprises because the column is never NULL —
+    * mirroring covSonar's ''-default columns (SURVEY §7.4.5).
+    */
+  def p1NotIn(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .filter(!col("c_mktsegment").isin("BUILDING", "MACHINERY", "AUTOMOBILE"))
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  val p1NotSql: String =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE c_mktsegment NOT IN ('BUILDING','MACHINERY','AUTOMOBILE') ORDER BY c_custkey""".stripMargin
+
+  /** P2 + P3: equality plus numeric (ct-style) range, conjunctive. */
+  def p2p3EqRange(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .filter(col("c_acctbal") >= 100.0 && col("c_acctbal") <= 5000.0)
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === "NATION_7")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+
+  val p2p3Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_acctbal >= 100.0 AND c_acctbal <= 5000.0 AND n_name = 'NATION_7' ORDER BY c_custkey""".stripMargin
+
+  /** P4: zip-prefix semantics — OR-joined include prefixes, AND-joined
+    * negated exclude prefix (covSonar `--zip 0177 ^0178`).
+    */
+  def p4Prefix(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter((col("p_name").startsWith("large") || col("p_name").startsWith("small"))
+        && !col("p_name").startsWith("large w"))
+      .select("p_partkey", "p_name")
+      .orderBy("p_partkey")
+
+  val p4Sql: String =
+    """SELECT p_partkey, p_name FROM part
+      |WHERE (p_name LIKE 'large%' OR p_name LIKE 'small%') AND p_name NOT LIKE 'large w%'
+      |ORDER BY p_partkey""".stripMargin
+
+  /** P5: date ranges — multiple OR-joined BETWEEN ranges (covSonar `--date
+    * a:b c:d`), grouped count per status.
+    */
+  def p5DateRanges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderdate").between(lit("1996-01-01"), lit("1996-06-30"))
+        || col("o_orderdate").between(lit("1998-01-01"), lit("1998-06-30")))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("o_orderstatus")
+
+  val p5Sql: String =
+    """SELECT o_orderstatus, COUNT(*) AS cnt FROM orders
+      |WHERE o_orderdate BETWEEN '1996-01-01' AND '1996-06-30'
+      |   OR o_orderdate BETWEEN '1998-01-01' AND '1998-06-30'
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** P6: profile membership over array<string> — covSonar's flagship
+    * predicate. AND within an include group, OR across groups, AND-NOT for
+    * excludes: (spark ∧ join) ∨ stream, minus slow. `array_contains` over a
+    * split column keeps the whole predicate inside whole-stage codegen.
+    */
+  def p6TokenMembership(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    t(s, dir, "documents")
+      .withColumn("toks", toks)
+      .filter(((array_contains(col("toks"), "spark") && array_contains(col("toks"), "join"))
+        || array_contains(col("toks"), "stream"))
+        && !array_contains(col("toks"), "slow"))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  val p6Sql: String =
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE ((list_contains(string_split(text,' '),'spark') AND list_contains(string_split(text,' '),'join'))
+      |    OR list_contains(string_split(text,' '),'stream'))
+      |  AND NOT list_contains(string_split(text,' '),'slow')
+      |ORDER BY doc_id""".stripMargin
+
+  /** P7: frameshift-flag analog — emptiness/size test on a derived array. */
+  def p7ArraySize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 60)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("lang")
+
+  val p7Sql: String =
+    """SELECT lang, COUNT(*) AS cnt FROM documents
+      |WHERE len(string_split(text,' ')) >= 60 GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** P8: count-mode projection (`match --count`): predicate + COUNT(*). */
+  def p8CountMode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment") === "HOUSEHOLD" && col("o_orderstatus") === "O")
+      .agg(count(lit(1)).as("cnt"))
+
+  val p8Sql: String =
+    """SELECT COUNT(*) AS cnt FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'HOUSEHOLD' AND o_orderstatus = 'O'""".stripMargin
+
+  // ------------------------------------------------------------------ joins
+
+  /** J1: essence-view analog — left join fact ⟕ dim keeping unmatched rows. */
+  def j1LeftJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"), "left")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("c_name"), col("c_mktsegment"))
+      .orderBy("o_orderkey")
+
+  val j1Sql: String =
+    """SELECT o_orderkey, o_orderstatus, c_name, c_mktsegment
+      |FROM orders LEFT JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey""".stripMargin
+
+  /** J2: dna_view analog — two-hop left-join chain fact ⟕ bridge ⟕ dim. */
+  def j2ChainJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").filter(col("l_linenumber") === 1)
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"), "left")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"), "left")
+      .select(col("l_orderkey"), col("l_partkey"), col("o_orderstatus"), col("c_mktsegment"))
+      .orderBy("l_orderkey", "l_partkey")
+
+  val j2Sql: String =
+    """SELECT l_orderkey, l_partkey, o_orderstatus, c_mktsegment
+      |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+      |  LEFT JOIN customer ON o_custkey = c_custkey
+      |WHERE l_linenumber = 1 ORDER BY l_orderkey, l_partkey""".stripMargin
+
+  /** J6/A9: restore-gather analog — per-group ordered collect_list folded to
+    * a deterministic string (covSonar applies variants in position order).
+    */
+  def j6GatherSorted(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(concat_ws(",",
+        expr("transform(sort_array(collect_list(l_linenumber)), x -> cast(x as string))")).as("lines"),
+        count(lit(1)).as("n"))
+      .orderBy("l_orderkey")
+
+  val j6Sql: String =
+    """SELECT l_orderkey, string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS lines,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
+  /** J7/R4: lineage-wildcard analog — DISTINCT + LIKE feeding a semi-join
+    * (the reference collects the list to the driver; a left-semi join keeps
+    * the same semantics without a driver round-trip — better at scale).
+    */
+  def j7WildcardSemi(s: SparkSession, dir: String): DataFrame = {
+    val wanted = t(s, dir, "part").select("p_type").distinct()
+      .filter(col("p_type").like("%ECO%"))
+    t(s, dir, "part")
+      .join(broadcast(wanted), Seq("p_type"), "left_semi")
+      .select("p_partkey", "p_name", "p_type")
+      .orderBy("p_partkey")
+  }
+
+  val j7Sql: String =
+    """SELECT p_partkey, p_name, p_type FROM part
+      |WHERE p_type IN (SELECT DISTINCT p_type FROM part WHERE p_type LIKE '%ECO%')
+      |ORDER BY p_partkey""".stripMargin
+
+  // ------------------------------------------------------------- aggregates
+
+  /** A4: COUNT(DISTINCT …) with an emptiness guard, as in covSonar info. */
+  def a4CountDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .agg(countDistinct(col("c_mktsegment")).as("n_segments"),
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        count(lit(1)).as("n_customers"))
+
+  val a4Sql: String =
+    """SELECT COUNT(DISTINCT c_mktsegment) AS n_segments, COUNT(DISTINCT c_nationkey) AS n_nations,
+      |  COUNT(*) AS n_customers FROM customer""".stripMargin
+
+  /** A6: min/max over timestamps (imported/date bounds in covSonar info). */
+  def a6MinMax(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .agg(min(col("o_orderdate")).as("first_date"), max(col("o_orderdate")).as("last_date"),
+        min(col("o_totalprice")).cast("double").as("min_price"),
+        max(col("o_totalprice")).cast("double").as("max_price"))
+
+  val a6Sql: String =
+    """SELECT MIN(o_orderdate) AS first_date, MAX(o_orderdate) AS last_date,
+      |  CAST(MIN(o_totalprice) AS DOUBLE) AS min_price, CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+      |FROM orders""".stripMargin
+
+  /** A7: metadata-coverage — one pass of conditional counts over many
+    * columns (covSonar loops per field; one aggregate pass is the Spark way).
+    */
+  def a7Coverage(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+        count(when(col("event_type") === "error", 1)).as("n_error"),
+        count(when(col("value") > 50.0, 1)).as("n_high_value"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  val a7Sql: String =
+    """SELECT COUNT(*) AS n_events,
+      |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+      |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+      |  COUNT(CASE WHEN value > 50.0 THEN 1 END) AS n_high_value,
+      |  COUNT(DISTINCT user_id) AS n_users FROM events""".stripMargin
+
+  // ---------------------------------------------------- windows / streaming
+
+  /** W1: VCF genotype-numbering analog — row_number per partition by first
+    * appearance (SURVEY §2.6). Keep first 3 orders per customer.
+    */
+  def w1RowNumber(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  val w1Sql: String =
+    """SELECT o_custkey, o_orderkey, rn FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  /** W2: running per-user event total — deterministic frame order so the
+    * sequential double addition is bit-identical across engines.
+    */
+  def w2RunningSum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("running_value", sum(col("value")).over(w))
+      .select("user_id", "event_id", "running_value")
+      .orderBy("user_id", "event_id")
+  }
+
+  val w2Sql: String =
+    """SELECT user_id, event_id,
+      |  SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  /** Streaming analog: tumbling 1-hour event-time window aggregation. The
+    * identical plan runs under Structured Streaming with a watermark (see
+    * graft.streaming); here it is exercised in batch for the oracle.
+    */
+  def sTumblingWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("cnt"), col("sum_value"))
+      .orderBy("bucket", "event_type")
+
+  val sTumblingSql: String =
+    s"""SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket, event_type, COUNT(*) AS cnt,
+       |  ${DSUM.format("value")} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
+
+  // ------------------------------------------------------- scalar functions
+
+  /** F1/F5: harmonize analog — trim/upper/translate normalization chain. */
+  def f1Harmonize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"),
+        upper(translate(trim(col("c_name")), "#", "_")).as("norm_name"))
+      .orderBy("c_custkey")
+
+  val f1Sql: String =
+    """SELECT c_custkey, UPPER(TRANSLATE(TRIM(c_name), '#', '_')) AS norm_name
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** F2: content-hash (seguid analog) — md5 digest of the document text. */
+  def f2ContentHash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"))
+      .orderBy("doc_id")
+
+  val f2Sql: String =
+    "SELECT doc_id, md5(text) AS text_md5 FROM documents ORDER BY doc_id"
+
+  /** F10: variant-type classifier analog — CASE WHEN ladder + grouped count. */
+  def f10Classifier(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .withColumn("qty_class",
+        when(col("l_quantity") <= 10, "SMALL")
+          .when(col("l_quantity") <= 30, "MEDIUM")
+          .otherwise("LARGE"))
+      .groupBy("qty_class")
+      .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("qty_class")
+
+  val f10Sql: String =
+    s"""SELECT CASE WHEN l_quantity <= 10 THEN 'SMALL' WHEN l_quantity <= 30 THEN 'MEDIUM'
+       |  ELSE 'LARGE' END AS qty_class, COUNT(*) AS cnt, ${DSUM.format("l_extendedprice")} AS sum_price
+       |FROM lineitem GROUP BY 1 ORDER BY qty_class""".stripMargin
+
+  /** F11: ID-dedup analog — split, distinct, sort, re-join to string. */
+  def f11DistinctJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        array_join(array_sort(array_distinct(split(col("text"), " "))), ";").as("vocab"))
+      .orderBy("doc_id")
+
+  val f11Sql: String =
+    """SELECT doc_id, array_to_string(list_sort(list_distinct(string_split(text,' '))), ';') AS vocab
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Semi-structured extraction from the events `props` JSON-ish payload via
+    * regexp (portable across both engines without a JSON extension).
+    */
+  def fJsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k"))
+      .orderBy("event_id")
+
+  val fJsonSql: String =
+    """SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------- mutation analogs (K6 / K7)
+
+  /** K6: remove-with-GC analog — anti-join delete of a derived key set
+    * (orders of the bottom-balance customers), then orphan count.
+    */
+  def k6AntiJoinDelete(s: SparkSession, dir: String): DataFrame = {
+    val doomed = t(s, dir, "customer").filter(col("c_acctbal") < 0.0).select(col("c_custkey"))
+    t(s, dir, "orders")
+      .join(doomed, col("o_custkey") === col("c_custkey"), "left_anti")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("remaining"))
+      .orderBy("o_orderstatus")
+  }
+
+  val k6Sql: String =
+    """SELECT o_orderstatus, COUNT(*) AS remaining FROM orders
+      |WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_acctbal < 0.0)
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** K7: metadata-update analog — left join against an updates relation and
+    * COALESCE(new, old) per column (covSonar UPDATE genome SET …).
+    */
+  def k7CoalesceUpdate(s: SparkSession, dir: String): DataFrame = {
+    val updates = t(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
+      .select(col("o_orderkey").as("u_orderkey"), lit("0-ESCALATED").as("u_priority"))
+    t(s, dir, "orders")
+      .join(updates, col("o_orderkey") === col("u_orderkey"), "left")
+      .select(col("o_orderkey"),
+        coalesce(col("u_priority"), col("o_orderpriority")).as("o_orderpriority"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("o_orderpriority")
+  }
+
+  val k7Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS cnt FROM (
+      |  SELECT COALESCE(u.u_priority, o.o_orderpriority) AS o_orderpriority
+      |  FROM orders o LEFT JOIN (
+      |    SELECT o_orderkey AS u_orderkey, '0-ESCALATED' AS u_priority
+      |    FROM orders WHERE o_totalprice > 300000.0) u
+      |  ON o.o_orderkey = u.u_orderkey)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // -------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_top_orders" -> (q3TopOrders _),
+    "q5_region_revenue" -> (q5RegionRevenue _),
+    "p1_isin" -> (p1Isin _),
+    "p1_notin" -> (p1NotIn _),
+    "p2p3_eq_range" -> (p2p3EqRange _),
+    "p4_prefix" -> (p4Prefix _),
+    "p5_date_ranges" -> (p5DateRanges _),
+    "p6_token_membership" -> (p6TokenMembership _),
+    "p7_array_size" -> (p7ArraySize _),
+    "p8_count_mode" -> (p8CountMode _),
+    "j1_left_join" -> (j1LeftJoin _),
+    "j2_chain_join" -> (j2ChainJoin _),
+    "j6_gather_sorted" -> (j6GatherSorted _),
+    "j7_wildcard_semi" -> (j7WildcardSemi _),
+    "a4_count_distinct" -> (a4CountDistinct _),
+    "a6_min_max" -> (a6MinMax _),
+    "a7_coverage" -> (a7Coverage _),
+    "w1_row_number" -> (w1RowNumber _),
+    "w2_running_sum" -> (w2RunningSum _),
+    "s_tumbling_window" -> (sTumblingWindow _),
+    "f1_harmonize" -> (f1Harmonize _),
+    "f2_content_hash" -> (f2ContentHash _),
+    "f10_classifier" -> (f10Classifier _),
+    "f11_distinct_join" -> (f11DistinctJoin _),
+    "f_json_extract" -> (fJsonExtract _),
+    "k6_antijoin_delete" -> (k6AntiJoinDelete _),
+    "k7_coalesce_update" -> (k7CoalesceUpdate _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q3_top_orders" -> q3Sql,
+    "q5_region_revenue" -> q5Sql,
+    "p1_isin" -> p1Sql,
+    "p1_notin" -> p1NotSql,
+    "p2p3_eq_range" -> p2p3Sql,
+    "p4_prefix" -> p4Sql,
+    "p5_date_ranges" -> p5Sql,
+    "p6_token_membership" -> p6Sql,
+    "p7_array_size" -> p7Sql,
+    "p8_count_mode" -> p8Sql,
+    "j1_left_join" -> j1Sql,
+    "j2_chain_join" -> j2Sql,
+    "j6_gather_sorted" -> j6Sql,
+    "j7_wildcard_semi" -> j7Sql,
+    "a4_count_distinct" -> a4Sql,
+    "a6_min_max" -> a6Sql,
+    "a7_coverage" -> a7Sql,
+    "w1_row_number" -> w1Sql,
+    "w2_running_sum" -> w2Sql,
+    "s_tumbling_window" -> sTumblingSql,
+    "f1_harmonize" -> f1Sql,
+    "f2_content_hash" -> f2Sql,
+    "f10_classifier" -> f10Sql,
+    "f11_distinct_join" -> f11Sql,
+    "f_json_extract" -> fJsonSql,
+    "k6_antijoin_delete" -> k6Sql,
+    "k7_coalesce_update" -> k7Sql,
+  )
+}

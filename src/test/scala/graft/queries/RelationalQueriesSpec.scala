@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RelationalQueriesSpec extends SparkSpec {
+
+  test("every registered query runs at sf0.001 and has an oracle or is rows-only") {
+    RelationalQueries.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      // All relational queries are oracle-backed.
+      assert(RelationalQueries.oracles.contains(name), s"$name lacks an oracle")
+      val n = df.count()
+      assert(n >= 0, s"$name failed to execute")
+    }
+  }
+
+  test("q1 aggregates are internally consistent") {
+    val rows = RelationalQueries.q1PricingSummary(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sumQty = r.getAs[Double]("sum_qty")
+      val avgQty = r.getAs[Double]("avg_qty")
+      val n = r.getAs[Long]("count_order")
+      assert(math.abs(sumQty / n - avgQty) < 1e-6)
+      assert(r.getAs[Double]("sum_disc_price") <= r.getAs[Double]("sum_base_price"))
+      assert(r.getAs[Double]("sum_charge") >= r.getAs[Double]("sum_disc_price"))
+    }
+  }
+
+  test("q3 returns at most 10 rows ordered by revenue desc") {
+    val rows = RelationalQueries.q3TopOrders(spark, sf).collect()
+    assert(rows.length <= 10)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.sameElements(revs.sortBy(-_)))
+  }
+
+  test("p6 token membership honors include-AND / OR-group / exclude semantics") {
+    import spark.implicits._
+    val got = RelationalQueries.p6TokenMembership(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+    val expect = docs.collect {
+      case (id, tk) if ((tk("spark") && tk("join")) || tk("stream")) && !tk("slow") => id
+    }.toSet
+    assert(got == expect)
+  }
+
+  test("w1 keeps at most 3 rows per customer, numbered from 1") {
+    val rows = RelationalQueries.w1RowNumber(spark, sf).collect()
+    val byCust = rows.groupBy(_.getAs[Long]("o_custkey"))
+    byCust.values.foreach { rs =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getAs[Int]("rn")).sorted.sameElements(1 to rs.length))
+    }
+  }
+
+  test("queries and oracleSql keys line up in SparkEntry") {
+    val q = graft.SparkEntry.queries.keySet
+    val o = graft.SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracle-only keys: ${o.diff(q)}")
+  }
+}

@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate (dev tool only — the shipped
+library is pure Scala/Spark; this script exists to catch oracle drift before
+the driver does).
+
+Usage: python3 tools/crosscheck.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
+matching SQL from oracle_sql.json in DuckDB against <sfDir>/*.parquet, sorts
+columns by name, canonicalizes values, and reports match/mismatch per query.
+"""
+import json, sys, glob, math
+import duckdb
+import pandas as pd
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(9)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for p in glob.glob(f"{sf_dir}/*.parquet"):
+        name = p.split("/")[-1].replace(".parquet", "")
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        pdir = f"{out_dir}/{name}"
+        try:
+            spark_df = canon(pd.concat([pd.read_parquet(f) for f in
+                                        sorted(glob.glob(f"{pdir}/*.parquet"))]))
+        except Exception as e:
+            print(f"FAIL {name}: no spark output ({e})"); n_bad += 1; continue
+        try:
+            duck_df = canon(con.sql(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}"); n_bad += 1; continue
+        if list(spark_df.columns) != list(duck_df.columns):
+            print(f"FAIL {name}: columns {list(spark_df.columns)} vs {list(duck_df.columns)}")
+            n_bad += 1; continue
+        if len(spark_df) != len(duck_df):
+            print(f"FAIL {name}: rows {len(spark_df)} vs {len(duck_df)}"); n_bad += 1; continue
+        if not spark_df.equals(duck_df):
+            neq = (spark_df != duck_df) & ~(spark_df.isna() & duck_df.isna())
+            bad_cols = [c for c in spark_df.columns if neq[c].any()]
+            print(f"FAIL {name}: value mismatch in {bad_cols}")
+            for c in bad_cols[:2]:
+                i = neq[c].idxmax()
+                print(f"   row {i} col {c}: spark={spark_df[c][i]!r} duck={duck_df[c][i]!r}")
+            n_bad += 1; continue
+        print(f"ok   {name} ({len(spark_df)} rows)"); n_ok += 1
+    print(f"== {n_ok} ok, {n_bad} failed ==")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
