@@ -23,14 +23,22 @@ object Tables {
     */
   val tinyDims: Set[String] = Set("region", "nation")
 
+  /** Runtime confs every entry point (Verify/Bench/specs) sets at session
+    * construction. events.ts is parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects; this reads it as raw long nanos instead.
+    */
+  def configure(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-      // rejects; read it as raw long nanos and convert. Micros truncation is
-      // lossless for every registered query (no sub-microsecond semantics).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      configure(spark) // defensive for externally-built sessions; idempotent
+      // Integer `div` (not `/`, which is double division: epoch nanos exceed
+      // double's 2^53 exact range and would round ~12% of rows 1µs off vs
+      // exact truncation). Micros truncation itself is lossless for every
+      // registered query (no sub-microsecond semantics).
       spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+        .withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000L)"))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 }

@@ -448,11 +448,13 @@ object RelationalQueries {
   def fJsonExtract(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .select(col("event_id"),
-        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k"))
+        // try_cast: a non-matching props row yields regexp_extract = '' and
+        // ANSI CAST(''AS int) throws; try_cast gives NULL, as does the oracle.
+        expr("try_cast(regexp_extract(props, '\"k\": (\\\\d+)', 1) AS int)").as("k"))
       .orderBy("event_id")
 
   val fJsonSql: String =
-    """SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k
+    """SELECT event_id, TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k
       |FROM events ORDER BY event_id""".stripMargin
 
   // ------------------------------------------- mutation analogs (K6 / K7)

@@ -11,8 +11,9 @@ class RelationalQueriesSpec extends SparkSpec {
       assert(df.columns.nonEmpty, s"$name has no columns")
       // All relational queries are oracle-backed.
       assert(RelationalQueries.oracles.contains(name), s"$name lacks an oracle")
-      val n = df.count()
-      assert(n >= 0, s"$name failed to execute")
+      // Every registered relational query matches rows at sf0.001 — an empty
+      // result here means a predicate or join key regressed.
+      assert(fn(spark, sf).count() > 0, s"$name returned no rows at sf0.001")
     }
   }
 

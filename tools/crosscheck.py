@@ -11,6 +11,7 @@ columns by name, canonicalizes values, and reports match/mismatch per query.
 """
 import json, sys, glob, math
 import duckdb
+import numpy as np
 import pandas as pd
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -18,11 +19,29 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
-        elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(9)
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
-    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    # Sort on a rounded view so near-equal floats land in the same order in
+    # both frames, but keep full-precision values for the isclose compare.
+    key = df.copy()
+    for c in key.columns:
+        if pd.api.types.is_float_dtype(key[c]):
+            key[c] = key[c].round(6)
+    order = key.sort_values(by=list(key.columns)).index
+    return df.loc[order].reset_index(drop=True)
+
+def frames_equal(a: pd.DataFrame, b: pd.DataFrame) -> bool:
+    """Column-wise equality: floats via isclose (round-then-equals flakes on
+    values straddling a rounding boundary), everything else exact."""
+    for c in a.columns:
+        if pd.api.types.is_float_dtype(a[c]):
+            if not np.allclose(a[c], b[c], rtol=1e-9, atol=1e-12, equal_nan=True):
+                return False
+        else:
+            neq = (a[c] != b[c]) & ~(a[c].isna() & b[c].isna())
+            if neq.any():
+                return False
+    return True
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -47,7 +66,7 @@ def main(sf_dir, out_dir):
             n_bad += 1; continue
         if len(spark_df) != len(duck_df):
             print(f"FAIL {name}: rows {len(spark_df)} vs {len(duck_df)}"); n_bad += 1; continue
-        if not spark_df.equals(duck_df):
+        if not frames_equal(spark_df, duck_df):
             neq = (spark_df != duck_df) & ~(spark_df.isna() & duck_df.isna())
             bad_cols = [c for c in spark_df.columns if neq[c].any()]
             print(f"FAIL {name}: value mismatch in {bad_cols}")
