@@ -15,13 +15,18 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     graft.queries.RelationalQueries.q1PricingSummary(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * training-data pipeline operator families (dedup / similarity / text
+    * analysis / multimodal / sessionization).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.RelationalQueries.queries
+    graft.queries.RelationalQueries.queries ++
+      graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    graft.queries.RelationalQueries.oracles
+    graft.queries.RelationalQueries.oracles ++
+      graft.queries.PipelineQueries.oracles
 }

@@ -1,0 +1,535 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Large-scale training-data pipeline operators over the `documents` and
+  * `embeddings` tables: deduplication (exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard, embedding-cosine), similarity search (brute-force top-k baseline
+  * plus an LSH-bucketed scale path), text analysis (language-ID heuristic,
+  * quality scoring, token counting, fingerprinting), multimodal binary
+  * metadata plumbing, and event sessionization.
+  *
+  * Every operator is expressed as a declarative DataFrame plan with a DuckDB
+  * oracle. Cross-engine determinism rules used throughout:
+  *  - shared randomness (MinHash permutations, LSH hyperplanes) is derived
+  *    from md5 / a fixed-seed xorshift generator and embedded as literals in
+  *    BOTH the Spark plan and the oracle SQL;
+  *  - float similarity scores are computed in double and rounded to 6
+  *    decimals on both engines before any ordering or comparison;
+  *  - every output ends in a deterministic ORDER BY.
+  *
+  * Scale notes (the 100 TB discipline):
+  *  - nothing here does an unblocked O(n²) comparison except the explicitly
+  *    labeled brute-force baselines (`d5`, `sim1`); the production paths are
+  *    the LSH band-join (`d2`), the blocked pair join (`d4`), and the
+  *    bucketed ANN (`sim2`), all of which shuffle on a compact key whose
+  *    group sizes are bounded by design (band width / block size / bucket
+  *    count are the knobs);
+  *  - per-document feature extraction (shingling, hashing, scoring) is pure
+  *    narrow map work inside whole-stage codegen — no UDFs, no collects;
+  *  - signature computation (`d3`) is explode → partial-aggregable SUMs, so
+  *    map-side combine keeps the shuffle proportional to docs × 32 counters,
+  *    not tokens.
+  */
+object PipelineQueries {
+
+  // ------------------------------------------------------------ shared bits
+
+  /** Distinct 3-word shingles per document (the unit for MinHash/Jaccard). */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      .withColumn("sh", expr(
+        "array_distinct(transform(sequence(0, size(w)-3), " +
+          "i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"))
+      .select("doc_id", "sh")
+
+  private val shingleSqlCte: String =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(w)-2),
+      |         i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s
+      |       FROM w WHERE len(w) >= 3)""".stripMargin
+
+  /** Embedding vectors as doubles + L2 norm (floats widened first so both
+    * engines multiply identical doubles).
+    */
+  private def embVec(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+
+  private val embSqlCte: String =
+    """e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e)""".stripMargin
+
+  private def dotCol(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(len($a)), i -> $a[i+1] * $b[i+1]))"
+
+  // ------------------------------------------------- D1: exact deduplication
+
+  /** Exact dedup: canonical representative per content hash. At scale this is
+    * one hash-partitioned window (equivalently groupBy + self-join); the hash
+    * key keeps the shuffle narrow regardless of document size.
+    */
+  def d1ExactDedup(s: SparkSession, dir: String): DataFrame = {
+    val byHash = Window.partitionBy("h")
+    t(s, dir, "documents")
+      .withColumn("h", md5(col("text")))
+      .withColumn("canonical_id", min("doc_id").over(byHash))
+      .select(col("doc_id"), col("canonical_id"),
+        (col("doc_id") =!= col("canonical_id")).cast("int").as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  val d1Sql: String =
+    """SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+      |  CAST(doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS INT) AS is_dup
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------- D2: MinHash + LSH
+
+  private val MinhashPerms = 8
+  private val BandPairs = Seq((0, 1), (2, 3), (4, 5), (6, 7))
+
+  /** MinHash + LSH near-dup detection: shingle → 8-permutation MinHash
+    * signature (min of seeded md5 over the shingle set) → 4 bands of 2 →
+    * band-key equi-join for candidate pairs → exact Jaccard verification at
+    * threshold 0.5. The only shuffles are the band-key join (group sizes =
+    * collision rate, tunable via band shape) and the final dedup — never an
+    * all-pairs product. At 100 TB the band join is the canonical LSH plan;
+    * skewed mega-bands would be salted or capped.
+    */
+  def d2MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+    val sigCols = (0 until MinhashPerms).map { i =>
+      array_min(transform(col("sh"), x => md5(concat(lit(s"$i:"), x)))).as(s"h$i")
+    }
+    val sig = sh.select(col("doc_id") +: sigCols: _*)
+    val bandCols = BandPairs.map { case (a, b) => md5(concat(col(s"h$a"), col(s"h$b"))) }
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+    val cand = bands.select(col("doc_id").as("doc_a"), col("bk"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("bk")), Seq("bk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
+      // integer ppm (not a rounded double): ratios of small ints can land
+      // exactly on a 6-decimal rounding tie, where engines disagree by 1 ulp
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("uni", size(array_union(col("sa"), col("sb"))).cast("long"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("(1000000L * inter) div uni").as("jaccard_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val d2Sql: String = {
+    val sigExprs = (0 until MinhashPerms)
+      .map(i => s"list_min(list_transform(s, x -> md5('$i:' || x))) AS h$i").mkString(",\n  ")
+    val bandExprs = BandPairs.map { case (a, b) => s"md5(h$a || h$b)" }.mkString(", ")
+    s"""WITH $shingleSqlCte,
+       |sig AS (SELECT doc_id,
+       |  $sigExprs
+       |  FROM sh),
+       |bands AS (SELECT doc_id, unnest([$bandExprs]) AS bk FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+       |j AS (SELECT doc_a, doc_b,
+       |        len(list_intersect(x.s, y.s))::BIGINT AS inter,
+       |        len(list_distinct(x.s || y.s))::BIGINT AS uni
+       |      FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b)
+       |SELECT doc_a, doc_b, (1000000 * inter) // uni AS jaccard_ppm
+       |FROM j WHERE inter * 2 >= uni ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ------------------------------------------------------------ D3: SimHash
+
+  /** 32-bit SimHash per document from per-token md5 bits: explode tokens,
+    * 32 partial-aggregable signed counters, sign → bit. Map-side combine
+    * reduces the shuffle to one 32-counter row per document regardless of
+    * document length — the property that makes SimHash the streaming-friendly
+    * near-dup signature at scale.
+    */
+  def d3Simhash(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+      .withColumn("h", md5(col("tk")))
+    val bitSums = for { p <- 1 to 8; b <- 0 to 3 } yield
+      sum(when(shiftright(conv(substring(col("h"), p, 1), 16, 10).cast("int"), b)
+        .bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s_${p}_$b")
+    val weights = for { p <- 1 to 8; b <- 0 to 3 } yield
+      when(col(s"s_${p}_$b") > 0, lit(1L << (4 * (8 - p) + b))).otherwise(lit(0L))
+    tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), weights.reduce(_ + _).cast("long").as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val d3Sql: String = {
+    val bitSums = (for { p <- 1 to 8; b <- 0 to 3 } yield
+      s"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, $p, 1)) - 1) // ${1 << b}) % 2 = 1" +
+        s" THEN 1 ELSE -1 END) AS s_${p}_$b").mkString(",\n  ")
+    val weights = (for { p <- 1 to 8; b <- 0 to 3 } yield
+      s"CASE WHEN s_${p}_$b > 0 THEN ${1L << (4 * (8 - p) + b)} ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
+       |bits AS (SELECT doc_id,
+       |  $bitSums
+       |  FROM tok GROUP BY doc_id)
+       |SELECT doc_id, ($weights)::BIGINT AS simhash FROM bits ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------- D4: blocked n-gram Jaccard
+
+  /** Character-4-gram Jaccard near-dup over pairs blocked by `lang`: the
+    * blocking key bounds the pair space (at scale: block on lang × length
+    * bucket × cheap sketch, or feed LSH candidates instead of blocks). The
+    * join is a shuffle on the block key; gram sets travel once.
+    */
+  def d4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir, "documents")
+      .filter(length(col("text")) >= 4)
+      .select(col("doc_id"), col("lang"), expr(
+        "array_distinct(transform(sequence(1, length(text)-3), i -> substring(text, i, 4)))").as("g"))
+    g.select(col("lang"), col("doc_id").as("doc_a"), col("g").as("ga"))
+      .join(g.select(col("lang"), col("doc_id").as("doc_b"), col("g").as("gb")), Seq("lang"))
+      .filter(col("doc_a") < col("doc_b"))
+      // integer ppm: see d2 — rounded-double ratios of small ints tie-flake
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("uni", size(array_union(col("ga"), col("gb"))).cast("long"))
+      .filter(col("inter") * 5 >= col("uni") * 3)
+      .select(col("doc_a"), col("doc_b"), col("lang"),
+        expr("(1000000L * inter) div uni").as("jaccard_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val d4Sql: String =
+    """WITH g AS (SELECT doc_id, lang,
+      |  list_distinct(list_transform(range(len(text)-3), i -> text[i+1:i+4])) AS g
+      |  FROM documents WHERE len(text) >= 4),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+      |        len(list_intersect(a.g, b.g))::BIGINT AS inter,
+      |        len(list_distinct(a.g || b.g))::BIGINT AS uni
+      |      FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, lang, (1000000 * inter) // uni AS jaccard_ppm
+      |FROM p WHERE inter * 5 >= uni * 3 ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------- D5: embedding-cosine nearest dup
+
+  /** Brute-force exact nearest neighbor per vector (the cosine near-dup
+    * baseline and the ground truth for `sim2`). Quadratic by construction —
+    * at 100 TB this is replaced by the bucketed path below; kept because
+    * every ANN rollout needs the exact baseline for recall measurement.
+    */
+  def d5EmbeddingNn(s: SparkSession, dir: String): DataFrame = {
+    val a = embVec(s, dir)
+    val b = a.select(col("vec_id").as("nn_id"), col("v").as("vb"), col("nrm").as("nb"))
+    val top = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nn_id"))
+    a.crossJoin(b).filter(col("vec_id") =!= col("nn_id"))
+      .withColumn("cos", round(dotCol("v", "vb") / (col("nrm") * col("nb")), 6))
+      .withColumn("rnk", row_number().over(top))
+      .filter(col("rnk") === 1)
+      .select("vec_id", "nn_id", "cos")
+      .orderBy("vec_id")
+  }
+
+  val d5Sql: String =
+    s"""WITH $embSqlCte,
+       |p AS (SELECT a.vec_id, b.vec_id AS nn_id,
+       |        round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cos
+       |      FROM n a JOIN n b ON a.vec_id != b.vec_id),
+       |r AS (SELECT vec_id, nn_id, cos,
+       |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id) AS rnk FROM p)
+       |SELECT vec_id, nn_id, cos FROM r WHERE rnk = 1 ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------- SIM1: brute-force top-k ANN
+
+  /** Brute-force cosine top-3 for a query set (vec_id < 10): broadcast the
+    * tiny query side against the full corpus — one narrow scan, no shuffle of
+    * the corpus. This is the exact-search baseline ANN variants are measured
+    * against.
+    */
+  def sim1CosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val all = embVec(s, dir)
+    val q = broadcast(all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")))
+    val top = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    q.crossJoin(all.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(dotCol("qv", "cv") / (col("qn") * col("cn")), 6))
+      .withColumn("rnk", row_number().over(top))
+      .filter(col("rnk") <= 3)
+      .select("query_id", "neighbor_id", "rnk", "cos")
+      .orderBy("query_id", "rnk")
+  }
+
+  val sim1Sql: String =
+    s"""WITH $embSqlCte,
+       |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |        round(${dotSql("q.v", "c.v")} / (q.nrm * c.nrm), 6) AS cos
+       |      FROM n q JOIN n c ON q.vec_id != c.vec_id WHERE q.vec_id < 10),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM p)
+       |SELECT query_id, neighbor_id, rnk, cos FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+
+  // --------------------------------------------- SIM2: LSH-bucketed ANN
+
+  /** Fixed random hyperplanes, shared between the Spark plan and the oracle
+    * as literals (xorshift64*, fixed seed — both engines parse the identical
+    * shortest-round-trip decimal to the same double).
+    */
+  private[queries] val planes: Array[Array[Double]] = {
+    var state = 0x9E3779B97F4A7C15L
+    def next(): Double = {
+      state ^= state << 13; state ^= state >>> 7; state ^= state << 17
+      (state >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    Array.fill(4, 64)(next())
+  }
+
+  /** Random-hyperplane LSH ANN: 4 signed projections → 16 buckets; queries
+    * probe only their own bucket. The corpus shuffles once on the bucket key;
+    * per-bucket candidate lists are corpus/16 on average — the knob that
+    * takes this from 500 vectors to 10^9 (more planes → smaller buckets,
+    * multiprobe for recall). Compare against `sim1` for recall.
+    */
+  def sim2LshAnn(s: SparkSession, dir: String): DataFrame = {
+    def planeDot(p: Int): Column =
+      aggregate(zip_with(col("v"), array(planes(p).map(lit): _*), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+    val bucketed = embVec(s, dir).withColumn("bucket",
+      (0 until 4).map(p => when(planeDot(p) > 0, lit(1 << p)).otherwise(lit(0))).reduce(_ + _).cast("long"))
+    val q = bucketed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
+    val c = bucketed.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"), col("bucket"))
+    val top = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(dotCol("qv", "cv") / (col("qn") * col("cn")), 6))
+      .withColumn("rnk", row_number().over(top))
+      .filter(col("rnk") <= 3)
+      .select("query_id", "neighbor_id", "rnk", "cos")
+      .orderBy("query_id", "rnk")
+  }
+
+  val sim2Sql: String = {
+    val planeRows = planes.zipWithIndex
+      .map { case (pl, p) => s"($p, [${pl.mkString(", ")}]::DOUBLE[])" }.mkString(",\n  ")
+    s"""WITH $embSqlCte,
+       |planes(p, pl) AS (VALUES
+       |  $planeRows),
+       |bk AS (SELECT vec_id,
+       |         SUM(CASE WHEN ${dotSql("v", "pl")} > 0 THEN (1 << p) ELSE 0 END)::BIGINT AS bucket
+       |       FROM n CROSS JOIN planes GROUP BY vec_id),
+       |c AS (SELECT n.vec_id, v, nrm, bucket FROM n JOIN bk USING (vec_id)),
+       |p AS (SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
+       |        round(${dotSql("q.v", "c2.v")} / (q.nrm * c2.nrm), 6) AS cos
+       |      FROM c q JOIN c c2 ON q.bucket = c2.bucket AND q.vec_id != c2.vec_id
+       |      WHERE q.vec_id < 10),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM p)
+       |SELECT query_id, neighbor_id, rnk, cos FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+  }
+
+  // ------------------------------------------------- X1: language-ID score
+
+  /** Language-ID heuristic: function-word hit ratio (the 1-feature core of
+    * n-gram language ID; a real model adds more feature sets, same plan
+    * shape — pure narrow map work).
+    */
+  def x1Langid(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("stop_ratio", round(
+        expr("size(filter(w, x -> x = 'the' OR x = 'a'))").cast("double") / size(col("w")), 6))
+      .select(col("doc_id"), col("stop_ratio"),
+        when(col("stop_ratio") >= 0.08, "en").otherwise("und").as("pred_lang"))
+      .orderBy("doc_id")
+
+  val x1Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |r AS (SELECT doc_id,
+      |        round(len(list_filter(w, x -> x = 'the' OR x = 'a'))::DOUBLE / len(w), 6) AS stop_ratio
+      |      FROM w)
+      |SELECT doc_id, stop_ratio, CASE WHEN stop_ratio >= 0.08 THEN 'en' ELSE 'und' END AS pred_lang
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- X2: quality scoring
+
+  /** Quality score from length, mean word length, and type-token ratio —
+    * the standard cheap pre-filter before expensive pipeline stages. Scores
+    * are parts-per-million BIGINTs computed with half-up integer division:
+    * rounded-double ratios of small integers can land exactly on a rounding
+    * tie where engines disagree by 1 ulp; integer arithmetic never does.
+    * quality = 0.4·min(n_words/50,1) + 0.3·ttr + 0.3·min(mean_wlen/8,1).
+    */
+  def x2Quality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n", size(col("w")).cast("long"))
+      .withColumn("l", expr("aggregate(w, 0L, (acc, x) -> acc + length(x))"))
+      .withColumn("d", size(array_distinct(col("w"))).cast("long"))
+      .select(col("doc_id"), col("n").as("n_words"),
+        expr("(2000000L * l + n) div (2L * n)").as("mean_wlen_ppm"),
+        expr("(2000000L * d + n) div (2L * n)").as("ttr_ppm"),
+        (least(col("n") * 8000L, lit(400000L))
+          + expr("(600000L * d + n) div (2L * n)")
+          + least(expr("(75000L * l + n) div (2L * n)"), lit(300000L))).as("quality_ppm"))
+      .orderBy("doc_id")
+
+  val x2Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |m AS (SELECT doc_id, len(w)::BIGINT AS n,
+      |        list_sum(list_transform(w, x -> len(x)))::BIGINT AS l,
+      |        len(list_distinct(w))::BIGINT AS d
+      |      FROM w)
+      |SELECT doc_id, n AS n_words,
+      |  (2000000 * l + n) // (2 * n) AS mean_wlen_ppm,
+      |  (2000000 * d + n) // (2 * n) AS ttr_ppm,
+      |  least(n * 8000, 400000) + (600000 * d + n) // (2 * n)
+      |    + least((75000 * l + n) // (2 * n), 300000) AS quality_ppm
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------ X3: token statistics
+
+  /** Token counting per language: whitespace tokens vs a BPE-ish regex
+    * lexer ([a-z]+ | digits | single other). Grouped partial aggregates —
+    * the corpus-statistics pass of a tokenizer-budget audit.
+    */
+  def x3TokenStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("ws_tokens", size(split(col("text"), " ")))
+      .withColumn("re_tokens", size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ws_tokens").as("sum_ws_tokens"),
+        sum("re_tokens").as("sum_re_tokens"),
+        round(avg(col("n_chars")), 6).as("avg_chars"))
+      .orderBy("lang")
+
+  val x3Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  SUM(len(string_split(text, ' ')))::BIGINT AS sum_ws_tokens,
+      |  SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))::BIGINT AS sum_re_tokens,
+      |  round(avg(n_chars), 6) AS avg_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // -------------------------------------------- X4: document fingerprint
+
+  /** Bottom-k sketch fingerprint: the 4 smallest shingle-hash prefixes,
+    * concatenated — an order-independent, locality-sensitive document
+    * signature (winnowing's batch cousin). Shared fingerprints ≈ shared
+    * content; the fingerprint column is groupable for cluster-level dedup.
+    */
+  def x4Fingerprint(s: SparkSession, dir: String): DataFrame =
+    shingled(s, dir)
+      .select(col("doc_id"), concat_ws("",
+        slice(array_sort(transform(col("sh"), x => substring(md5(x), 1, 8))), 1, 4)).as("fingerprint"))
+      .orderBy("doc_id")
+
+  val x4Sql: String =
+    s"""WITH $shingleSqlCte
+       |SELECT doc_id,
+       |  array_to_string(list_sort(list_transform(s, x -> substr(md5(x), 1, 8)))[1:4], '') AS fingerprint
+       |FROM sh ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------- M1: multimodal binary meta
+
+  /** Multimodal plumbing: content as an opaque binary column + typed,
+    * deterministically derived metadata (stand-ins for decoded width/height/
+    * channels — the real decoder slots into `graft.multimodal`). Verifies
+    * the binary byte path: Spark hashes the UTF-8 bytes of the cast blob,
+    * the oracle hashes the same bytes via md5(text).
+    */
+  def m1BinaryMeta(s: SparkSession, dir: String): DataFrame = {
+    val h = md5(col("blob"))
+    def nib(p: Int) = conv(substring(h, p, 1), 16, 10).cast("int")
+    t(s, dir, "documents")
+      .withColumn("blob", col("text").cast("binary"))
+      .select(col("doc_id"),
+        length(col("blob")).as("byte_len"),
+        h.as("blob_md5"),
+        (lit(64) + lit(8) * nib(1)).as("width"),
+        (lit(64) + lit(8) * nib(2)).as("height"),
+        (lit(1) + pmod(nib(3), lit(3))).as("channels"))
+      .orderBy("doc_id")
+  }
+
+  val m1Sql: String =
+    """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS h FROM documents)
+      |SELECT doc_id, byte_len, h AS blob_md5,
+      |  64 + 8 * (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) AS width,
+      |  64 + 8 * (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS height,
+      |  1 + ((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) % 3) AS channels
+      |FROM b ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- W3: sessionization
+
+  /** 30-minute-gap sessionization: lag + cumulative flag sum inside one
+    * per-user window partition, then per-session aggregates. The batch twin
+    * of `graft.streaming.Sessionize` (flatMapGroupsWithState); all time math
+    * in integer epoch-micros so both engines agree exactly.
+    */
+  def w3Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val gapUs = 1800L * 1000000L
+    val ev = t(s, dir, "events").withColumn("us", expr("unix_micros(ts)"))
+    val prev = lag(col("us"), 1).over(byUser)
+    ev.withColumn("nf", when(prev.isNull || col("us") - prev > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum("nf").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), min("us").as("start_us"), max("us").as("end_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val w3Sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |f AS (SELECT user_id, event_id, us,
+      |        CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nf
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |s AS (SELECT user_id, us,
+      |        SUM(nf) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      |      FROM f)
+      |SELECT user_id, session_id, COUNT(*) AS n_events, MIN(us) AS start_us, MAX(us) AS end_us
+      |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
+  // -------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> (d1ExactDedup _),
+    "d2_minhash_lsh" -> (d2MinhashLsh _),
+    "d3_simhash" -> (d3Simhash _),
+    "d4_ngram_jaccard" -> (d4NgramJaccard _),
+    "d5_embedding_nn" -> (d5EmbeddingNn _),
+    "sim1_cosine_topk" -> (sim1CosineTopk _),
+    "sim2_lsh_ann" -> (sim2LshAnn _),
+    "x1_langid" -> (x1Langid _),
+    "x2_quality" -> (x2Quality _),
+    "x3_token_stats" -> (x3TokenStats _),
+    "x4_fingerprint" -> (x4Fingerprint _),
+    "m1_binary_meta" -> (m1BinaryMeta _),
+    "w3_sessionize" -> (w3Sessionize _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" -> d1Sql,
+    "d2_minhash_lsh" -> d2Sql,
+    "d3_simhash" -> d3Sql,
+    "d4_ngram_jaccard" -> d4Sql,
+    "d5_embedding_nn" -> d5Sql,
+    "sim1_cosine_topk" -> sim1Sql,
+    "sim2_lsh_ann" -> sim2Sql,
+    "x1_langid" -> x1Sql,
+    "x2_quality" -> x2Sql,
+    "x3_token_stats" -> x3Sql,
+    "x4_fingerprint" -> x4Sql,
+    "m1_binary_meta" -> m1Sql,
+    "w3_sessionize" -> w3Sql,
+  )
+}
