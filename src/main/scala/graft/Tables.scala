@@ -26,9 +26,12 @@ object Tables {
   /** Runtime confs every entry point (Verify/Bench/specs) sets at session
     * construction. events.ts is parquet TIMESTAMP(NANOS), which Spark's
     * vectorized reader rejects; this reads it as raw long nanos instead.
+    * Also registers the library's native Catalyst expressions.
     */
-  def configure(spark: SparkSession): Unit =
+  def configure(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.functions.VectorExpressions.register(spark)
+  }
 
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
