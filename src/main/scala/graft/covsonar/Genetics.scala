@@ -106,4 +106,13 @@ object Genetics {
 
   /** Set of non-IUPAC characters in a sequence (lib/sonardb.py:2443-2458). */
   def invalidNtChars(seq: String): Set[Char] = seq.toSet.diff(iupacNt.keySet)
+
+  private val complement: Map[Char, Char] = Map(
+    'A' -> 'T', 'T' -> 'A', 'G' -> 'C', 'C' -> 'G', 'U' -> 'A',
+    'R' -> 'Y', 'Y' -> 'R', 'S' -> 'S', 'W' -> 'W', 'K' -> 'M', 'M' -> 'K',
+    'B' -> 'V', 'V' -> 'B', 'D' -> 'H', 'H' -> 'D', 'N' -> 'N')
+
+  /** Reverse complement (IUPAC-aware; unknown chars pass through). */
+  def reverseComplement(seq: String): String =
+    seq.reverseIterator.map(c => complement.getOrElse(c, c)).mkString
 }
