@@ -1,0 +1,231 @@
+package graft.covsonar
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One FASTA record, already harmonized (upper-case, U→T) and hashed. */
+final case class FastaRecord(accession: String, description: String, seqhash: String, seq: String)
+
+/** Per-unique-sequence alignment output, profile arrays split for the store's
+  * `array<string>` model.
+  */
+final case class ProcessedSeqRow(
+    seqhash: String,
+    dnaDiff: Seq[Variant],
+    aaDiff: Seq[Variant],
+    dna_profile: Seq[String],
+    aa_profile: Seq[String],
+    fs_profile: Seq[String])
+
+final case class AddReport(
+    genomesAdded: Long,
+    sequencesAdded: Long,
+    descriptionsUpdated: Long,
+    skippedExisting: Long,
+    skippedInvalid: Seq[String])
+
+/** The `add` ingest pipeline (reference: sonar.py:511-702 + sonardb
+  * process_fasta/import_genome, lib/sonardb.py:2508-2714), re-expressed as a
+  * set-based Spark job:
+  *
+  *   FASTA source → harmonize+SEGUID → per-accession dedup/conflict check →
+  *   per-seqhash dedup (anti-join against `sequence`) → alignment+variant
+  *   calling in `mapPartitions` with the 30 kb reference broadcast →
+  *   paranoid roundtrip *inside the task* (§2.9, stronger than the
+  *   reference: nothing is written unless every restore matches) → appends.
+  *
+  * The seqhash-dedup-before-alignment is the workload optimization the whole
+  * reference data model exists for (sonar.py:607-611): at 100 TB the
+  * alignment flatMap only ever sees *new unique* sequences, and everything
+  * else is hash joins + appends.
+  */
+object SonarIngest {
+
+  /** Distributed FASTA source (S1): one input split per `\n>`-delimited
+    * record via lineSep, so multi-GB multi-record FASTA files parallelize
+    * without whole-file reads. Gzip input works transparently through the
+    * Hadoop codec (S2).
+    */
+  def readFasta(spark: SparkSession, path: String): Dataset[FastaRecord] = {
+    import spark.implicits._
+    spark.read.option("lineSep", "\n>").text(path).as[String].flatMap { chunk0 =>
+      val chunk = if (chunk0.startsWith(">")) chunk0.substring(1) else chunk0
+      val nl = chunk.indexOf('\n')
+      if (nl < 0 || chunk.trim.isEmpty) None
+      else {
+        val header = chunk.substring(0, nl).trim
+        val seq = Genetics.harmonize(
+          chunk.substring(nl + 1).filterNot(c => c == '\n' || c == '\r'))
+        val id = header.split("\\s+", 2)(0)
+        if (seq.isEmpty) None // zero-length records are skipped (sonar.py:577-578)
+        else Some(FastaRecord(id, header, Genetics.seguid(seq), seq))
+      }
+    }
+  }
+
+  def fromSequences(spark: SparkSession, recs: Seq[(String, String, String)]): Dataset[FastaRecord] = {
+    import spark.implicits._
+    recs.map { case (acc, descr, raw) =>
+      val seq = Genetics.harmonize(raw)
+      FastaRecord(acc, descr, Genetics.seguid(seq), seq)
+    }.filter(_.seq.nonEmpty).toDS()
+  }
+
+  def add(
+      store: SonarStore,
+      records: Dataset[FastaRecord],
+      force: Boolean = false,
+      paranoid: Boolean = true,
+      updates: Map[String, String] = Map.empty): AddReport = {
+    val spark = store.spark
+    import spark.implicits._
+
+    // IUPAC validation (F3): non-IUPAC records are skipped with a notice
+    // (sonar.py:617-628)
+    val checked = records.dropDuplicates("accession").cache()
+    val invalid = checked.filter(r => Genetics.invalidNtChars(r.seq).nonEmpty)
+    val skippedInvalid = invalid.select("accession").as[String].collect().toSeq
+    val valid = checked.filter(r => Genetics.invalidNtChars(r.seq).isEmpty)
+
+    // conflict handling against existing genomes (sonar.py:586-605)
+    val existing = store.table("genome")
+      .select(col("accession"), col("seqhash").as("old_seqhash"),
+        col("description").as("old_descr"))
+    val joined = valid.toDF().join(broadcastIfSmall(existing, store), Seq("accession"), "left")
+      .cache()
+
+    val seqConflicts = joined.filter(col("old_seqhash").isNotNull &&
+      col("old_seqhash") =!= col("seqhash"))
+    val descrConflicts = joined.filter(col("old_seqhash") === col("seqhash") &&
+      !(col("old_descr") <=> col("description")))
+    if (!force) {
+      val c = seqConflicts.select("accession").as[String].take(1)
+      require(c.isEmpty, s"database error: ${c.headOption.getOrElse("")} exists in the " +
+        "database with a different sequence (use force to allow updating)")
+      val d = descrConflicts.select("accession").as[String].take(1)
+      require(d.isEmpty, s"database error: ${d.headOption.getOrElse("")} exists in the " +
+        "database with a different description (use force to allow updating)")
+    }
+
+    // force path: replaced genomes are fully removed first (delete+GC, K6)
+    val replacedAccs = if (force) seqConflicts.select("accession").as[String].collect().toSeq
+      else Seq.empty
+    if (replacedAccs.nonEmpty) SonarOps.remove(store, replacedAccs)
+
+    val descrUpdates = if (force) descrConflicts.select("accession", "description").cache()
+      else spark.emptyDataFrame
+    val nDescrUpdates = if (force) {
+      val n = descrUpdates.count()
+      if (n > 0)
+        SonarOps.updateMetadata(store, descrUpdates
+          .withColumnRenamed("description", "new_description"))
+      n
+    } else 0L
+
+    // localCheckpoint (eager) rather than cache: the appends below write to
+    // the very tables these plans scan, and a cache invalidated by
+    // recacheByPath would silently recompute against the post-write state
+    // (e.g. the anti-join against `sequence` would suddenly drop everything).
+    val toInsert = joined.filter(col("old_seqhash").isNull ||
+      (if (force) col("old_seqhash") =!= col("seqhash") else lit(false)))
+      .select("accession", "description", "seqhash", "seq").localCheckpoint()
+    val nGenomes = toInsert.count()
+    val skippedExisting = joined.count() - nGenomes
+
+    // new unique sequences only: dedup by hash, anti-join known sequences
+    val newSeqs = toInsert.dropDuplicates("seqhash")
+      .join(store.table("sequence"), Seq("seqhash"), "left_anti")
+      .select("seqhash", "seq").as[(String, String)]
+      .repartition(spark.sparkContext.defaultParallelism)
+
+    val refB = spark.sparkContext.broadcast(Reference.sarsCov2)
+    val doParanoid = paranoid
+    val processed: Dataset[ProcessedSeqRow] = newSeqs.mapPartitions { it =>
+      val ref = refB.value
+      it.map { case (seqhash, seq) =>
+        val p = VariantCaller.processSequence(seq, ref)
+        if (doParanoid) {
+          // §2.9 paranoid roundtrip, run before anything is written
+          val fromVars = SonarRestore.applyVariants(p.dnaDiff, ref.refSeq)
+          require(fromVars == seq,
+            s"paranoid: $seqhash restored from dna variants diverges from input")
+          val fromProfile = SonarRestore.applyProfile(p.dnaProfile, ref.refSeq)
+          require(fromProfile == seq,
+            s"paranoid: $seqhash restored from dna profile diverges from input")
+        }
+        ProcessedSeqRow(seqhash, p.dnaDiff, p.aaDiff,
+          splitProfile(p.dnaProfile), splitProfile(p.aaProfile), splitProfile(p.fsProfile))
+      }
+    }.localCheckpoint() // eager: aligns once, fails fast on paranoid errors
+
+    val nNewSeqs = processed.count()
+
+    // ---- writes (K5) ----
+    store.append("sequence", processed.select(col("seqhash")))
+    store.append("profile",
+      processed.select(col("seqhash"), col("dna_profile"), col("aa_profile"), col("fs_profile")))
+
+    val dnaRows = processed
+      .select(col("seqhash"), explode(col("dnaDiff")).as("v"))
+      .select(col("seqhash"), col("v.start").as("start"),
+        coalesce(col("v.end"), col("v.start") + 1).as("end"),
+        col("v.ref").as("ref"), col("v.alt").as("alt"))
+      .withColumn("varid", SonarStore.dnaVarId)
+      .cache()
+    appendNewDimRows(store, "dna", dnaRows.select("varid", "start", "end", "ref", "alt"))
+    store.append("sequence2dna", dnaRows.select("seqhash", "varid").dropDuplicates())
+
+    val protRows = processed
+      .select(col("seqhash"), explode(col("aaDiff")).as("v"))
+      .select(col("seqhash"), col("v.protein").as("protein"), col("v.locus").as("locus"),
+        col("v.start").as("start"), coalesce(col("v.end"), col("v.start") + 1).as("end"),
+        col("v.ref").as("ref"), col("v.alt").as("alt"))
+      .withColumn("varid", SonarStore.protVarId)
+      .cache()
+    appendNewDimRows(store, "prot",
+      protRows.select("varid", "protein", "locus", "start", "end", "ref", "alt"))
+    store.append("sequence2prot", protRows.select("seqhash", "varid").dropDuplicates())
+
+    val genomeRows = toInsert.drop("seq")
+      .withColumn("lineage", lit(null: String))
+      .withColumn("zip", lit(null: String))
+      .withColumn("date", lit(null: String))
+      .withColumn("submission_date", lit(null: String))
+      .withColumn("gisaid", lit(null: String))
+      .withColumn("ena", lit(null: String))
+      // DEFAULT '' columns (lib/db.sqlite:19-28)
+      .withColumn("source", lit("")).withColumn("collection", lit(""))
+      .withColumn("lab", lit("")).withColumn("technology", lit(""))
+      .withColumn("platform", lit("")).withColumn("chemistry", lit(""))
+      .withColumn("software", lit("")).withColumn("software_version", lit(""))
+      .withColumn("material", lit(""))
+      .withColumn("ct", lit(null: java.lang.Double))
+      .withColumn("imported", current_timestamp())
+    store.append("genome", genomeRows)
+
+    // global metadata updates from add's --source/--lab/--collection flags
+    // (sonar.py:536-543, 677-685) apply to every accession in the input
+    if (updates.nonEmpty) {
+      var upd = checked.select("accession").toDF()
+      updates.foreach { case (field, value) => upd = upd.withColumn(s"new_$field", lit(value)) }
+      SonarOps.updateMetadata(store, upd)
+    }
+
+    checked.unpersist(); joined.unpersist(); toInsert.unpersist()
+    processed.unpersist(); dnaRows.unpersist(); protRows.unpersist()
+    AddReport(nGenomes, nNewSeqs, nDescrUpdates, skippedExisting, skippedInvalid)
+  }
+
+  private def splitProfile(p: String): Seq[String] =
+    if (p.trim.isEmpty) Seq.empty else p.split(" ").toSeq.filter(_.nonEmpty)
+
+  /** UNIQUE-constraint emulation: only variant-dimension rows whose varid is
+    * unseen are appended (INSERT OR IGNORE, lib/sonardb.py:1442-1466).
+    */
+  private def appendNewDimRows(store: SonarStore, name: String, rows: DataFrame): Unit =
+    store.append(name,
+      rows.dropDuplicates("varid")
+        .join(store.table(name).select("varid"), Seq("varid"), "left_anti"))
+
+  private def broadcastIfSmall(df: DataFrame, store: SonarStore): DataFrame = df
+}

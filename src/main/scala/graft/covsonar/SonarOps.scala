@@ -1,0 +1,168 @@
+package graft.covsonar
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Database info report (reference: `sonar.py show_db_info`, sonar.py:875-922 +
+  * count queries lib/sonardb.py:1552-1595 — SURVEY §2.5 A2-A7).
+  */
+final case class InfoReport(
+    genomes: Long,
+    uniqueSequences: Long,
+    labs: Long,
+    earliestImport: String,
+    latestImport: String,
+    earliestDate: String,
+    latestDate: String,
+    metadataCoverage: Map[String, Long])
+
+/** Mutation + stats operators over a [[SonarStore]]: delete with orphan GC
+  * (K6), metadata update (K7), TSV/pangolin metadata import (S3/S4), info
+  * stats (A2-A7) and compaction (`optimize`).
+  */
+object SonarOps {
+
+  /** Remove genomes by accession (reference: delete_genome,
+    * lib/sonardb.py:1470-1504 + CLI sonar.py:704-710 — SURVEY §2.1 K6).
+    *
+    * Spark re-expression: the per-accession delete loop becomes one anti-join
+    * rewrite of `genome`, and the per-seqhash orphan check becomes a single
+    * left-anti join: a seqhash is orphaned iff it belonged to a removed
+    * accession and no surviving accession references it. Dependent tables are
+    * rewritten before `genome` so every orphan computation reads live data.
+    */
+  def remove(store: SonarStore, accessions: Seq[String]): Unit = {
+    if (accessions.isEmpty) return
+    val genome = store.table("genome")
+    val accCol = col("accession").isin(accessions: _*)
+
+    val orphaned = genome.filter(accCol).select("seqhash")
+      .join(genome.filter(!accCol).select("seqhash"), Seq("seqhash"), "left_anti")
+      .distinct().cache()
+    orphaned.count() // materialize before any table is swapped out
+
+    Seq("sequence", "profile", "sequence2dna", "sequence2prot").foreach { t =>
+      store.replace(t, store.table(t).join(orphaned, Seq("seqhash"), "left_anti"))
+    }
+    store.replace("genome", genome.filter(!accCol))
+    orphaned.unpersist()
+  }
+
+  /** Apply metadata updates (reference: update_genome,
+    * lib/sonardb.py:2010-2087 — SURVEY §2.1 K7). `updates` must carry an
+    * `accession` column plus `new_<field>` columns for any subset of the
+    * updatable fields; a NULL new value leaves the old value in place
+    * (reference semantics: only explicitly-passed fields are SET).
+    *
+    * The per-accession UPDATE loop becomes one broadcast-joined rewrite —
+    * update batches are CLI-sized while `genome` is the big side, so the
+    * join never shuffles the store.
+    */
+  def updateMetadata(store: SonarStore, updates: DataFrame): Unit = {
+    val fields = SonarStore.updatableFields.filter(f => updates.columns.contains(s"new_$f"))
+    require(fields.nonEmpty, "no new_<field> columns in updates")
+    val genome = store.table("genome")
+    val patch = updates
+      .select(col("accession") +: fields.map(f => col(s"new_$f")): _*)
+      .dropDuplicates("accession")
+    val joined = genome.join(broadcast(patch), Seq("accession"), "left")
+    val out = SonarStore.schemas("genome").fieldNames.toSeq.map {
+      case f if fields.contains(f) => coalesce(col(s"new_$f"), col(f)).as(f)
+      case f => col(f)
+    }
+    store.replace("genome", joined.select(out: _*))
+  }
+
+  /** Field-mapped CSV/TSV metadata import (reference: update_metadata,
+    * sonar.py:770-853 — SURVEY §2.1 S3). `mapping` maps standard field names
+    * (accession, lineage, zip, date, submission_date, gisaid, ena, lab,
+    * source, collection, technology, platform, chemistry, software, version,
+    * material, ct) to the file's column names.
+    *
+    * Reference semantics preserved: categorical fields are upper-cased;
+    * empty values do not overwrite (except lineage and material, which the
+    * reference assigns unconditionally); ct is parsed as a float.
+    */
+  def importMetadataCsv(
+      store: SonarStore,
+      path: String,
+      mapping: Map[String, String],
+      sep: String = ","): Unit = {
+    require(mapping.contains("accession"), "an accession column has to be defined.")
+    val spark = store.spark
+    val raw = spark.read.option("sep", sep).option("header", "true").csv(path)
+
+    val upperFields = Set("lineage", "collection", "source", "lab", "technology",
+      "chemistry", "platform", "software", "version", "material")
+    def std(field: String): String = if (field == "version") "software_version" else field
+
+    val cols = col(mapping("accession")).as("accession") +:
+      mapping.toSeq.filter(_._1 != "accession").map { case (field, fileCol) =>
+        val base = coalesce(col(fileCol), lit(""))
+        val v0 = if (upperFields.contains(field)) upper(base) else base
+        val v = field match {
+          case "lineage" | "material" => v0 // assigned even when empty
+          case "ct" => when(base =!= "", base.cast("double"))
+          case _ => when(base =!= "", v0)
+        }
+        v.as(s"new_${std(field)}")
+      }
+    updateMetadata(store, raw.select(cols: _*))
+  }
+
+  /** Pangolin-output lineage import (reference: sonar.py:795-802 — SURVEY
+    * §2.1 S4): accession = `Sequence name` up to the first space, lineage =
+    * `Lineage` verbatim.
+    */
+  def importPangolin(store: SonarStore, path: String): Unit = {
+    val raw = store.spark.read.option("header", "true").csv(path)
+    val nameCol = raw.columns.find(_.endsWith("Sequence name")) // tolerate a BOM prefix
+      .getOrElse("Sequence name")
+    updateMetadata(store, raw.select(
+      split(col(s"`$nameCol`"), " ").getItem(0).as("accession"),
+      col("Lineage").as("new_lineage")))
+  }
+
+  private val coverageFields = Seq("lab", "source", "collection", "technology",
+    "platform", "chemistry", "software", "software_version", "material", "ct",
+    "gisaid", "ena", "lineage", "zip", "date", "submission_date")
+
+  /** Store statistics (SURVEY §2.5 A2-A7) computed in two passes total: one
+    * aggregate over `genome` covering counts, min/max and all 16 coverage
+    * counters (the reference runs 20+ separate SELECTs), one count over
+    * `sequence`.
+    */
+  def info(store: SonarStore): InfoReport = {
+    val genome = store.table("genome")
+    val covAggs = coverageFields.map { f =>
+      count(when(col(f).isNotNull && col(f).cast("string") =!= "", 1)).as(s"cov_$f")
+    }
+    val aggs = Seq(
+      count(col("accession")).as("genomes"),
+      countDistinct(when(col("lab") =!= "", col("lab"))).as("labs"),
+      date_format(min(col("imported")), "yyyy-MM-dd HH:mm:ss").as("earliest_import"),
+      date_format(max(col("imported")), "yyyy-MM-dd HH:mm:ss").as("latest_import"),
+      min(when(col("date").isNotNull, col("date"))).as("earliest_date"),
+      max(col("date")).as("latest_date")) ++ covAggs
+    val row = genome.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val nSeqs = store.table("sequence").count()
+    InfoReport(
+      genomes = row.getAs[Long]("genomes"),
+      uniqueSequences = nSeqs,
+      labs = row.getAs[Long]("labs"),
+      earliestImport = Option(row.getAs[String]("earliest_import")).getOrElse(""),
+      latestImport = Option(row.getAs[String]("latest_import")).getOrElse(""),
+      earliestDate = Option(row.getAs[String]("earliest_date")).getOrElse(""),
+      latestDate = Option(row.getAs[String]("latest_date")).getOrElse(""),
+      metadataCoverage = coverageFields.map(f => f -> row.getAs[Long](s"cov_$f")).toMap)
+  }
+
+  /** Compaction (reference: VACUUM, lib/sonardb.py:2090-2093): rewrite each
+    * table coalesced to a bounded file count — the Parquet analog of space
+    * reclamation after many small appends.
+    */
+  def optimize(store: SonarStore, maxFilesPerTable: Int = 8): Unit =
+    SonarStore.schemas.keys.foreach { t =>
+      if (store.exists(t)) store.replace(t, store.table(t).coalesce(maxFilesPerTable))
+    }
+}

@@ -1,0 +1,189 @@
+package graft.covsonar
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Parquet-backed store mirroring the reference engine's five base tables +
+  * profile denormalization (rki-mf1/covsonar lib/db.sqlite:6-93) and its three
+  * query views (essence / dna_view / prot_view, lib/db.sqlite:95-189).
+  *
+  * Spark-first re-modeling decisions:
+  *  - profiles are `array<string>` instead of space-padded strings, so the
+  *    reference's `LIKE '% x %'` token matching becomes `array_contains`
+  *    (codegen'd, no regex/LIKE scan) — SURVEY §1.3.
+  *  - `varid` is a deterministic `xxhash64` of the variant's natural key
+  *    instead of an autoincrement surrogate, so variant-dimension dedup and
+  *    bridge building need no read-back round trip and stay embarrassingly
+  *    parallel (SURVEY §2.3 J4).
+  *  - mutations (delete/update) rewrite a table through a staging directory
+  *    with an atomic rename swap — job-level atomicity in place of SQLite
+  *    transactions (SURVEY §4).
+  *
+  * At cluster scale the store directory lives on a distributed FS; every
+  * table is a multi-file parquet dataset and `essence`'s genome⋈profile join
+  * shuffles on seqhash (or is co-partitioned if both sides were bucketed by
+  * seqhash at write time — the write path sorts within partitions by seqhash
+  * to keep row groups clustered for that join).
+  */
+final class SonarStore(val spark: SparkSession, val dir: String) {
+
+  import SonarStore._
+
+  private val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  locally {
+    val root = new Path(dir)
+    if (!fs.exists(root)) fs.mkdirs(root)
+    val ver = new Path(root, "SCHEMA_VERSION")
+    if (!fs.exists(ver)) {
+      val out = fs.create(ver)
+      out.write("4\n".getBytes("UTF-8")) // matches PRAGMA user_version=4 (lib/db.sqlite:1)
+      out.close()
+    }
+  }
+
+  private def tablePath(name: String) = new Path(new Path(dir), name)
+
+  def exists(name: String): Boolean = {
+    val p = tablePath(name)
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Read a table; an absent table reads as an empty DataFrame with the
+    * canonical schema, so every operator works on a fresh store.
+    */
+  def table(name: String): DataFrame =
+    if (exists(name)) spark.read.schema(schemas(name)).parquet(tablePath(name).toString)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemas(name))
+
+  /** Project onto the canonical schema, casting each column to its declared
+    * type (guards against NullType literals and widened numerics sneaking
+    * into the parquet footer with a different physical type).
+    */
+  private def conform(name: String, df: DataFrame): DataFrame =
+    df.select(schemas(name).fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+
+  /** Append rows to a table (covers the reference's INSERT path K5). */
+  def append(name: String, df: DataFrame): Unit =
+    conform(name, df).write.mode("append").parquet(tablePath(name).toString)
+
+  /** Atomically replace a table's contents (covers UPDATE/DELETE rewrites,
+    * K6/K7). Writes to a staging dir, then swaps via rename.
+    */
+  def replace(name: String, df: DataFrame): Unit = {
+    val live = tablePath(name)
+    val staging = new Path(new Path(dir), s".staging-$name-${java.util.UUID.randomUUID}")
+    conform(name, df).write.mode("overwrite").parquet(staging.toString)
+    val trash = new Path(new Path(dir), s".old-$name-${java.util.UUID.randomUUID}")
+    if (fs.exists(live)) fs.rename(live, trash)
+    fs.rename(staging, live)
+    if (fs.exists(trash)) fs.delete(trash, true)
+  }
+
+  /** essence = genome ⟕ profile USING(seqhash) — the target of every match
+    * query (lib/db.sqlite:95-123; the vestigial `sequence` join adds no
+    * columns and is elided, as Catalyst would anyway after pruning).
+    */
+  def essence: DataFrame =
+    table("genome").join(table("profile"), Seq("seqhash"), "left")
+      .select(essenceColumns.map(col): _*)
+
+  /** dna_view = genome ⟕ sequence2dna ⟕ dna (lib/db.sqlite:125-155). */
+  def dnaView: DataFrame =
+    table("genome")
+      .join(table("sequence2dna"), Seq("seqhash"), "left")
+      .join(table("dna"), Seq("varid"), "left")
+      .select((metaColumns ++ Seq("seqhash", "start", "end", "ref", "alt")).map(col): _*)
+
+  /** prot_view = genome ⟕ sequence2prot ⟕ prot (lib/db.sqlite:157-189). */
+  def protView: DataFrame =
+    table("genome")
+      .join(table("sequence2prot"), Seq("seqhash"), "left")
+      .join(table("prot"), Seq("varid"), "left")
+      .select((metaColumns ++ Seq("seqhash", "protein", "locus", "start", "end", "ref", "alt"))
+        .map(col): _*)
+}
+
+object SonarStore {
+
+  /** genome columns in essence/view order (lib/db.sqlite:97-119). */
+  val metaColumns: Seq[String] = Seq(
+    "accession", "description", "lab", "source", "collection", "technology",
+    "platform", "chemistry", "material", "ct", "software", "software_version",
+    "gisaid", "ena", "zip", "date", "submission_date", "lineage")
+
+  val essenceColumns: Seq[String] =
+    metaColumns ++ Seq("seqhash", "dna_profile", "aa_profile", "fs_profile")
+
+  /** Metadata fields updatable via `update` (lib/sonardb.py:2010-2087) —
+    * everything except the identity columns.
+    */
+  val updatableFields: Seq[String] = Seq(
+    "description", "lineage", "zip", "date", "submission_date", "gisaid", "ena",
+    "source", "collection", "lab", "technology", "platform", "chemistry",
+    "software", "software_version", "material", "ct")
+
+  private val arr = ArrayType(StringType)
+
+  val schemas: Map[String, StructType] = Map(
+    "sequence" -> StructType(Seq(StructField("seqhash", StringType, nullable = false))),
+    "genome" -> StructType(Seq(
+      StructField("accession", StringType, nullable = false),
+      StructField("description", StringType),
+      StructField("seqhash", StringType, nullable = false),
+      StructField("lineage", StringType),
+      StructField("zip", StringType),
+      StructField("date", StringType),
+      StructField("submission_date", StringType),
+      StructField("gisaid", StringType),
+      StructField("ena", StringType),
+      // DEFAULT '' columns (lib/db.sqlite:19-28) — empty string, not NULL,
+      // which is what makes NOT IN / != predicates behave two-valued.
+      StructField("source", StringType),
+      StructField("collection", StringType),
+      StructField("lab", StringType),
+      StructField("technology", StringType),
+      StructField("platform", StringType),
+      StructField("chemistry", StringType),
+      StructField("software", StringType),
+      StructField("software_version", StringType),
+      StructField("material", StringType),
+      StructField("ct", DoubleType),
+      StructField("imported", TimestampType))),
+    "profile" -> StructType(Seq(
+      StructField("seqhash", StringType, nullable = false),
+      StructField("dna_profile", arr),
+      StructField("aa_profile", arr),
+      StructField("fs_profile", arr))),
+    "dna" -> StructType(Seq(
+      StructField("varid", LongType, nullable = false),
+      StructField("start", IntegerType, nullable = false),
+      StructField("end", IntegerType),
+      StructField("ref", StringType, nullable = false),
+      StructField("alt", StringType, nullable = false))),
+    "prot" -> StructType(Seq(
+      StructField("varid", LongType, nullable = false),
+      StructField("protein", StringType, nullable = false),
+      StructField("locus", StringType, nullable = false),
+      StructField("start", IntegerType, nullable = false),
+      StructField("end", IntegerType),
+      StructField("ref", StringType, nullable = false),
+      StructField("alt", StringType, nullable = false))),
+    "sequence2dna" -> StructType(Seq(
+      StructField("seqhash", StringType, nullable = false),
+      StructField("varid", LongType, nullable = false))),
+    "sequence2prot" -> StructType(Seq(
+      StructField("seqhash", StringType, nullable = false),
+      StructField("varid", LongType, nullable = false))))
+
+  /** Deterministic varid: xxhash64 of the natural key, replacing SQLite's
+    * autoincrement+read-back (lib/sonardb.py:1442-1466). Collision risk over
+    * the variant dimension (≪ 2^32 rows) is negligible and checked nowhere
+    * cheaper than at import counts.
+    */
+  def dnaVarId = xxhash64(lit("dna"), col("start"), col("end"), col("ref"), col("alt"))
+  def protVarId = xxhash64(lit("prot"), col("protein"), col("locus"),
+    col("start"), col("end"), col("ref"), col("alt"))
+}
