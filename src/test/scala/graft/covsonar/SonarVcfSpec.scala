@@ -1,0 +1,85 @@
+package graft.covsonar
+
+import java.nio.file.Files
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** VCF export semantics (SURVEY §2.10) against a store built from the
+  * reference's own fixtures plus a synthetic multi-allelic site.
+  */
+class SonarVcfSpec extends SparkSpec {
+
+  private lazy val store = {
+    val s = new SonarStore(spark, Files.createTempDirectory("sonar-vcf").toString)
+    SonarIngest.add(s, SonarIngest.readFasta(spark, "/root/reference/test/test.fasta"))
+    // two synthetic genomes differing from the reference at one shared site
+    // (position 5001 0-based: ref 'G') → multi-allelic VCF row
+    val ref = Reference.sarsCov2.refSeq
+    val Seq(b1, b2) = "ACG".filterNot(_ == ref.charAt(5000)).take(2).toSeq
+    val altA = ref.substring(0, 5000) + b1 + ref.substring(5001)
+    val altT = ref.substring(0, 5000) + b2 + ref.substring(5001)
+    SonarIngest.add(s, SonarIngest.fromSequences(spark, Seq(
+      ("synthA", "synthA", altA), ("synthT", "synthT", altT))))
+    s
+  }
+
+  private lazy val refBase = Reference.sarsCov2.refSeq.charAt(5000).toString
+  private lazy val Seq(alt1, alt2) =
+    "ACG".filterNot(_ == Reference.sarsCov2.refSeq.charAt(5000)).take(2).toSeq.map(_.toString)
+
+  test("shared SNP aggregates AN/AC across samples") {
+    val row = SonarVcf.vcfSites(store).filter(col("pos") === 241).collect()
+    assert(row.length == 1)
+    val r = row(0)
+    assert(r.getAs[String]("ref") == "C")
+    assert(r.getAs[String]("alt") == "T")
+    assert(r.getAs[String]("id") == "C241T")
+    assert(r.getAs[String]("info") == "AN=2;AC=2")
+    val gts = r.getAs[Map[String, String]]("genotypes")
+    assert(gts == Map("test1" -> "1", "test2" -> "1"))
+  }
+
+  test("multi-allelic site numbers genotypes deterministically") {
+    val r = SonarVcf.vcfSites(store).filter(col("pos") === 5001).collect()(0)
+    assert(r.getAs[String]("ref") == refBase)
+    // synthA sorts before synthT → its alt is GT 1, synthT's alt is GT 2
+    assert(r.getAs[String]("alt") == s"$alt1,$alt2")
+    assert(r.getAs[String]("id") == s"${refBase}5001${alt1};${refBase}5001${alt2}")
+    assert(r.getAs[String]("info") == "AN=2;AC=1,1")
+    val gts = r.getAs[Map[String, String]]("genotypes")
+    assert(gts == Map("synthA" -> "1", "synthT" -> "2"))
+  }
+
+  test("deletions and reference genome are excluded (P9)") {
+    // NC_045512.2 aligns to itself → no variant rows at all
+    val sites = SonarVcf.vcfSites(store)
+    assert(sites.filter(array_contains(map_keys(col("genotypes")), "NC_045512.2")).count() == 0)
+    assert(sites.filter(col("alt") === "").count() == 0)
+  }
+
+  test("acc/date filters narrow the export (v1 WHERE clause)") {
+    val only2 = SonarVcf.vcfSites(store, accessions = Seq("test2"))
+    assert(only2.filter(col("pos") === 1820).count() == 1) // test2-private G1820A
+    val gts = only2.select(explode(map_keys(col("genotypes")))).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(gts == Set("test2"))
+  }
+
+  test("export writes a sorted, well-formed VCF file") {
+    val out = Files.createTempDirectory("vcf-out").toString + "/all.vcf"
+    SonarVcf.export(store, out)
+    val lines = spark.read.text(out).collect().map(_.getString(0))
+    val (meta, body) = lines.partition(_.startsWith("#"))
+    assert(meta.head == "##fileformat=VCFv4.2")
+    val colHeader = meta.last.split("\t")
+    assert(colHeader.take(9).toSeq ==
+      Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO", "FORMAT"))
+    val samples = colHeader.drop(9)
+    assert(samples.sameElements(samples.sorted))
+    val poss = body.map(_.split("\t")(1).toInt)
+    assert(poss.sameElements(poss.sorted))
+    assert(body.forall(_.split("\t").length == 9 + samples.length))
+    // every body row's GT columns contain only '.', or digits
+    assert(body.forall(_.split("\t").drop(9).forall(g => g == "." || g.forall(_.isDigit))))
+  }
+}
