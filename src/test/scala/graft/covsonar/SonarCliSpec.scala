@@ -1,0 +1,96 @@
+package graft.covsonar
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+import java.nio.file.Files
+import graft.SparkSpec
+
+class LineagesSpec extends SparkSpec {
+
+  private val aliases = Map("B" -> "B", "C" -> "B.1.1.1", "BA" -> "B.1.1.529")
+
+  test("aliasor uncompress/compress roundtrip (Lineages_UPDATER.py:51-76)") {
+    val a = new Lineages.Aliasor(aliases)
+    assert(a.uncompress("C.1") == "B.1.1.1.1")
+    assert(a.uncompress("BA.5.2") == "B.1.1.529.5.2")
+    assert(a.uncompress("B.1.1") == "B.1.1")
+    assert(a.compress("B.1.1.1.1") == "C.1")
+    assert(a.compress("B.1.1.529.5") == "BA.5")
+    assert(a.compress("B.1.1.529") == "B.1.1.529") // 3 levels: no indirection yet
+    assert(a.compress("B.1.1") == "B.1.1")
+  }
+
+  test("closure lists all descendants through aliases, 'none' for leaves") {
+    val closure = Lineages.buildClosure(aliases,
+      Seq("B.1", "B.1.1", "C.1", "BA.1", "B.1.1.529")).toMap
+    assert(closure("B.1").split(",").toSet == Set("B.1.1", "C.1", "B.1.1.529", "BA.1"))
+    assert(closure("B.1.1.529") == "BA.1")
+    assert(closure("C.1") == "none")
+    assert(closure("BA.1") == "none")
+  }
+
+  test("lts pads numeric segments for hierarchical sort") {
+    assert(Lineages.lts("B.1.10") > Lineages.lts("B.1.2"))
+  }
+
+  test("parseAliasKey handles string, empty, and list values") {
+    val m = Lineages.parseAliasKey(
+      """{"C":"B.1.1.1","A":"","XA":["B.1.1.7","B.1.177"]}""")
+    assert(m == Map("C" -> "B.1.1.1", "A" -> "A", "XA" -> "XA"))
+  }
+}
+
+/** CLI surface over a temp store (K1 sink parity bits included). */
+class SonarCliSpec extends SparkSpec {
+
+  private lazy val db = Files.createTempDirectory("sonar-cli").toString
+
+  private def cli(args: String*): (String, String) = {
+    val o = new ByteArrayOutputStream; val e = new ByteArrayOutputStream
+    SonarCli.run(spark, args.toSeq, new PrintStream(o), new PrintStream(e))
+    (o.toString("UTF-8"), e.toString("UTF-8"))
+  }
+
+  test("parseArgs keeps repeated -i occurrences as separate groups") {
+    val (tool, flags) = SonarCli.parseArgs(
+      Seq("match", "--db", "x", "-i", "A1T", "C2G", "-i", "G3C", "--count"))
+    assert(tool == "match")
+    assert(flags("i") == Seq(Seq("A1T", "C2G"), Seq("G3C")))
+    assert(flags("count") == Seq(Seq()))
+  }
+
+  test("add + match --count + empty-match notice") {
+    val (_, addErr) = cli("add", "--db", db, "-f", "/root/reference/test/test.fasta")
+    assert(addErr.contains("3 genome(s) added"))
+    val (n, _) = cli("match", "--db", db, "--count")
+    assert(n.trim == "3")
+    val (csv, _) = cli("match", "--db", db, "--acc", "test2")
+    val lines = csv.trim.split("\n")
+    assert(lines.head.startsWith("accession,description,lab"))
+    assert(lines.length == 2 && lines(1).startsWith("test2,"))
+    val (empty, err) = cli("match", "--db", db, "--acc", "nope")
+    assert(empty.trim.split("\n").length == 1) // header only
+    assert(err.contains("*** no match ***"))
+  }
+
+  test("restore prints FASTA and remove deletes (K2/K6)") {
+    val (fasta, _) = cli("restore", "--db", db, "--acc", "test1")
+    assert(fasta.startsWith(">test1\n"))
+    cli("remove", "--db", db, "--acc", "test1")
+    val (n, _) = cli("match", "--db", db, "--count")
+    assert(n.trim == "2")
+  }
+
+  test("update-lineage-info builds a closure tsv offline (F12)") {
+    val dir = Files.createTempDirectory("lin").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/alias_key.json"),
+      """{"C":"B.1.1.1"}""".getBytes)
+    Files.write(java.nio.file.Paths.get(s"$dir/lineages.csv"),
+      "taxon,lineage\nt1,B.1\nt2,B.1.1\nt3,C.1\n".getBytes)
+    cli("update-lineage-info", "--db", db, "--alias-key", s"$dir/alias_key.json",
+      "--lineages", s"$dir/lineages.csv", "--out", s"$dir/lineage.all.tsv")
+    val tsv = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/lineage.all.tsv")), "UTF-8")
+    assert(tsv.contains("B.1\tB.1.1,C.1"))
+    assert(tsv.contains("C.1\tnone"))
+  }
+}
