@@ -70,12 +70,69 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native popcount-of-AND over two `array<bigint>` bitmap columns:
+  * Σᵢ bit_count(a[i] & b[i]) — the set-intersection cardinality when the
+  * arrays are dictionary bitmaps. Same rationale as [[DotProduct]]: the
+  * composable `aggregate(zip_with(...))` form falls out of whole-stage
+  * codegen (HigherOrderFunction is interpreted) and costs ~7µs per pair;
+  * this fused loop runs at memory speed, which is what makes bitmap
+  * verification of millions of near-dup candidate pairs cheap.
+  */
+case class PopcountAnd(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_popcnt_and requires two array<bigint> arguments, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_popcnt_and"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += java.lang.Long.bitCount(x.getLong(i) & y.getLong(i)); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += java.lang.Long.bitCount($x.getLong($i) & $y.getLong($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
-  /** Registers `graft_dot(a, b)` on the session so plans can use it via
-    * `expr("graft_dot(v, w)")`. Idempotent; called from Tables.configure so
-    * every entry point (Verify/Bench/specs) gets it.
+  /** Registers `graft_dot(a, b)` and `graft_popcnt_and(a, b)` on the session
+    * so plans can use them via `expr(...)`. Idempotent; called from
+    * Tables.configure so every entry point (Verify/Bench/specs) gets them.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_popcnt_and", exprs => PopcountAnd(exprs(0), exprs(1)), "built-in")
+  }
 }
