@@ -329,17 +329,47 @@ object PipelineQueries {
     * baseline and the ground truth for `sim2`). Quadratic by construction —
     * at 100 TB this is replaced by the bucketed path below; kept because
     * every ANN rollout needs the exact baseline for recall measurement.
+    *
+    * Shape: broadcast the corpus matrix once and stream each partition of
+    * vectors over it in a typed map — O(n²) flops but O(n) data movement.
+    * The previous crossJoin formulation copied two 512-byte arrays into
+    * every one of the n² join rows, which cost 10× the arithmetic; the
+    * broadcast keeps each executor's inner loop in registers. Tie-breaking
+    * and 6-decimal rounding replicate the SQL window exactly (round
+    * HALF_UP, then lowest nn_id wins ties).
     */
   def d5EmbeddingNn(s: SparkSession, dir: String): DataFrame = {
-    val a = embVec(s, dir)
-    val b = a.select(col("vec_id").as("nn_id"), col("v").as("vb"), col("nrm").as("nb"))
-    val top = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nn_id"))
-    a.crossJoin(b).filter(col("vec_id") =!= col("nn_id"))
-      .withColumn("cos", round(dotCol("v", "vb") / (col("nrm") * col("nb")), 6))
-      .withColumn("rnk", row_number().over(top))
-      .filter(col("rnk") === 1)
-      .select("vec_id", "nn_id", "cos")
-      .orderBy("vec_id")
+    import s.implicits._
+    val vecs = embVec(s, dir).select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Seq[Double], Double)]
+    val corpus = vecs.collect().sortBy(_._1)
+    val ids = corpus.map(_._1)
+    val mat = corpus.map(_._2.toArray)
+    val nrms = corpus.map(_._3)
+    val bc = s.sparkContext.broadcast((ids, mat, nrms))
+    def round6(v: Double): Double =
+      java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    vecs.map { case (id, v, nrm) =>
+      val (ids, mat, nrms) = bc.value
+      val a = v.toArray
+      var bestCos = Double.NegativeInfinity
+      var bestId = Long.MaxValue
+      var j = 0
+      while (j < ids.length) {
+        if (ids(j) != id) {
+          val b = mat(j)
+          var dot = 0.0
+          var k = 0
+          while (k < a.length) { dot += a(k) * b(k); k += 1 }
+          val cos = round6(dot / (nrm * nrms(j)))
+          if (cos > bestCos || (cos == bestCos && ids(j) < bestId)) {
+            bestCos = cos; bestId = ids(j)
+          }
+        }
+        j += 1
+      }
+      (id, bestId, bestCos)
+    }.toDF("vec_id", "nn_id", "cos").orderBy("vec_id")
   }
 
   val d5Sql: String =
