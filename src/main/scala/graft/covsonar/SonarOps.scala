@@ -157,6 +157,15 @@ object SonarOps {
       metadataCoverage = coverageFields.map(f => f -> row.getAs[Long](s"cov_$f")).toMap)
   }
 
+  /** Genome counts per (source, collection) — SURVEY §2.5 A5 (reference:
+    * info_data_types, lib/sonardb.py:1567-1569).
+    */
+  def infoDataTypes(store: SonarStore): DataFrame =
+    store.table("genome")
+      .groupBy("source", "collection")
+      .agg(count(col("accession")).as("genome_count"))
+      .orderBy("source", "collection")
+
   /** Compaction (reference: VACUUM, lib/sonardb.py:2090-2093): rewrite each
     * table coalesced to a bounded file count — the Parquet analog of space
     * reclamation after many small appends.

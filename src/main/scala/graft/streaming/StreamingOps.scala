@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event on the stream (mirrors the batch `events` table schema). */
+final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** A closed user session emitted by the stateful sessionizer. */
+final case class Session(user_id: Long, session_start_us: Long,
+    session_end_us: Long, n_events: Long, total_value: Double)
+
+private final case class SessionState(startUs: Long, endUs: Long,
+    n: Long, total: Double)
+
+/** Structured Streaming operators over the events stream — the streaming
+  * counterparts of the batch `s_tumbling_window` and `w3_sessionize`
+  * operators, built on watermarks + windowed aggregation and
+  * `flatMapGroupsWithState` respectively.
+  *
+  * Scale notes: both transforms are keyed (window key / user_id), so state is
+  * hash-partitioned across executors and bounded — the windowed agg drops
+  * state past the watermark, and the sessionizer closes (and frees) a user's
+  * state after the 30-minute gap timeout. Nothing buffers the raw stream.
+  */
+object StreamingOps {
+
+  /** Watermarked tumbling hourly count/sum per event type — streaming analog
+    * of the batch tumbling-window query; late events beyond 2 hours are
+    * dropped instead of reopening windows.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  private val GapUs = 1800L * 1000000L
+
+  /** Stateful session assembly with a 30-minute inactivity gap, emitting each
+    * session when it closes — either because a later event for the same user
+    * arrives past the gap, or because the event-time watermark passes the
+    * session end + gap (EventTimeTimeout). State per user is one fixed-size
+    * summary regardless of session length. Semantics match the batch
+    * `w3_sessionize` window formulation (same gap, same aggregates).
+    */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val closed = state.getOption.map(s =>
+              Session(userId, s.startUs, s.endUs, s.n, s.total)).toSeq
+            state.remove()
+            closed.iterator
+          } else {
+            val out = Seq.newBuilder[Session]
+            var cur = state.getOption.orNull
+            // events within a micro-batch arrive unordered: sort by event time
+            it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val us = e.ts.getTime * 1000L
+              if (cur == null) cur = SessionState(us, us, 1L, e.value)
+              else if (us - cur.endUs > GapUs) {
+                out += Session(userId, cur.startUs, cur.endUs, cur.n, cur.total)
+                cur = SessionState(us, us, 1L, e.value)
+              } else cur = SessionState(cur.startUs, math.max(cur.endUs, us),
+                cur.n + 1L, cur.total + e.value)
+            }
+            if (cur != null) {
+              state.update(cur)
+              // close via watermark once the gap can no longer be beaten
+              state.setTimeoutTimestamp(
+                math.max(cur.endUs / 1000L + GapUs / 1000L,
+                  state.getCurrentWatermarkMs() + 1L))
+            }
+            out.result().iterator
+          }
+      }
+  }
+}

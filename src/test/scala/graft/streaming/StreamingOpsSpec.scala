@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming operators driven through MemoryStream micro-batches. */
+class StreamingOpsSpec extends SparkSpec {
+
+  // day-1 base: the engine's initial watermark is epoch 0, and an event AT
+  // the watermark is dropped as late
+  private val Base = 86400000L
+  private def ts(minutes: Long): Timestamp = new Timestamp(Base + minutes * 60000L)
+
+  test("tumbling window counts with watermark") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = StreamingOps.tumblingCounts(in.toDF())
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(
+        Event(1, ts(5), 1, "CLICK", 1.0),
+        Event(2, ts(20), 1, "CLICK", 2.0),
+        Event(3, ts(65), 2, "VIEW", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling").collect()
+        .map(r => ((r.getAs[Timestamp]("window_start").getTime - Base) / 60000L,
+          r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("total_value"))).toSet
+      assert(rows == Set((0L, "CLICK", 2L, 3.0), (60L, "VIEW", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionizer closes sessions on the 30-minute gap") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = StreamingOps.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two events 10 min apart, then a 40-min gap, then one more —
+      // the first two form a session that closes when the third arrives
+      in.addData(
+        Event(1, ts(0), 1, "CLICK", 1.0),
+        Event(2, ts(10), 1, "CLICK", 2.0))
+      q.processAllAvailable()
+      in.addData(Event(3, ts(50), 1, "VIEW", 4.0))
+      q.processAllAvailable()
+      def us(minutes: Long): Long = (Base + minutes * 60000L) * 1000L
+      val rows = spark.table("sessions").as[Session].collect().toSet
+      assert(rows == Set(Session(1, us(0), us(10), 2, 3.0)))
+      // out-of-order arrival within one batch is sorted by event time
+      in.addData(
+        Event(5, ts(100), 2, "B", 1.0),
+        Event(4, ts(95), 2, "A", 1.0),
+        Event(6, ts(160), 2, "C", 1.0)) // closes the (95,100) session
+      q.processAllAvailable()
+      val u2 = spark.table("sessions").as[Session].collect().filter(_.user_id == 2).toSet
+      assert(u2 == Set(Session(2, us(95), us(100), 2, 2.0)))
+    } finally q.stop()
+  }
+}
