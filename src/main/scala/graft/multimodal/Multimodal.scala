@@ -1,0 +1,177 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** A decoded raster image: pixels are row-major `height × width × channels`
+  * bytes. The schema is the contract every downstream op (resize, features)
+  * relies on.
+  */
+final case class DecodedImage(doc_id: Long, width: Int, height: Int,
+    channels: Int, pixels: Array[Byte])
+
+/** One sampled video frame (frame_idx within the source blob). */
+final case class SampledFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+/** Multimodal column plumbing: treat image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, and run decode / resize /
+  * frame-sample / feature-extract as partition-local batch transforms
+  * (`mapPartitions` — the JVM analog of `mapInPandas`: one iterator per
+  * partition, no shuffle, codec state reused across the batch).
+  *
+  * The actual byte→pixel codec is STUBBED with a deterministic
+  * hash-expansion fake (no image/audio libraries in this environment); the
+  * stub is confined to [[FakeCodec]] so swapping in a real libjpeg/ffmpeg
+  * binding changes one object. Everything around it — schemas, typed
+  * Datasets, batch iteration, partitioning behavior, resize/pooling math —
+  * is real and tested.
+  *
+  * Scale notes: decode is narrow map work (partition-local, no shuffle), so
+  * media datasets parallelize by input split exactly like text; blobs never
+  * pass through a shuffle unless the caller repartitions; per-row output
+  * (pixels) is bounded by the decode target, not the input blob, keeping
+  * task memory flat.
+  */
+object Multimodal {
+
+  /** The codec boundary. A production build replaces this object with real
+    * decoders; signatures and determinism (same blob → same output) are the
+    * contract the rest of the pipeline tests against.
+    */
+  object FakeCodec {
+    /** Cheap xorshift64* expansion of a seed into n pseudo-pixels. */
+    private def expand(seed0: Long, n: Int): Array[Byte] = {
+      val out = new Array[Byte](n)
+      var s = if (seed0 == 0L) 0x9E3779B97F4A7C15L else seed0
+      var i = 0
+      while (i < n) {
+        s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+        out(i) = (s & 0xff).toByte
+        i += 1
+      }
+      out
+    }
+
+    private def seed(blob: Array[Byte]): Long = {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < blob.length) { h = 31 * h + blob(i); i += 1 }
+      h
+    }
+
+    /** STUB for image decode (would be libjpeg/libpng): dims from the blob
+      * hash, pixels hash-expanded. Deterministic in the blob bytes.
+      */
+    def decodeImage(docId: Long, blob: Array[Byte]): DecodedImage = {
+      val s = seed(blob)
+      val width = 16 + ((s >>> 8) % 17).toInt  // 16..32
+      val height = 16 + ((s >>> 16) % 17).toInt
+      val channels = 1 + ((s >>> 24) % 3).toInt // 1..3
+      DecodedImage(docId, width, height, channels,
+        expand(s, width * height * channels))
+    }
+
+    /** STUB for container demux (would be ffmpeg): fixed-size frame chunks. */
+    def frames(blob: Array[Byte], frameBytes: Int): Iterator[Array[Byte]] =
+      blob.grouped(frameBytes)
+  }
+
+  /** Decode a binary column into typed images — one codec instance per
+    * partition batch, no shuffle.
+    */
+  def decodeImages(df: DataFrame, idCol: String = "doc_id",
+      blobCol: String = "blob"): Dataset[DecodedImage] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition codec setup would happen here (native handles etc.)
+        it.map { case (id, blob) => FakeCodec.decodeImage(id, blob) }
+      }
+  }
+
+  /** Nearest-neighbor resize to (targetW, targetH) — real pixel math over
+    * the decoded schema, channel-preserving.
+    */
+  def resize(images: Dataset[DecodedImage], targetW: Int, targetH: Int): Dataset[DecodedImage] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.mapPartitions(_.map { im =>
+      val out = new Array[Byte](targetW * targetH * im.channels)
+      var y = 0
+      while (y < targetH) {
+        val sy = y * im.height / targetH
+        var x = 0
+        while (x < targetW) {
+          val sx = x * im.width / targetW
+          var c = 0
+          while (c < im.channels) {
+            out((y * targetW + x) * im.channels + c) =
+              im.pixels((sy * im.width + sx) * im.channels + c)
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      DecodedImage(im.doc_id, targetW, targetH, im.channels, out)
+    })
+  }
+
+  /** Sample every `everyN`-th frame from a video blob column — flatMap
+    * (1 row in, k rows out), still partition-local.
+    */
+  def sampleFrames(df: DataFrame, everyN: Int, frameBytes: Int = 256,
+      idCol: String = "doc_id", blobCol: String = "blob"): Dataset[SampledFrame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, blob) =>
+        FakeCodec.frames(blob, frameBytes).zipWithIndex.collect {
+          case (f, i) if i % everyN == 0 => SampledFrame(id, i, f)
+        }
+      }
+  }
+
+  /** 4×4 average-pool feature vector per image (channel-averaged) — the
+    * feature-extraction stage that would feed the `embeddings` table and the
+    * ANN operators. Real pooling math; `array<float>` output matches the
+    * embeddings schema.
+    */
+  def extractFeatures(images: Dataset[DecodedImage]): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.map { im =>
+      val grid = 4
+      val feat = new Array[Float](grid * grid)
+      var gy = 0
+      while (gy < grid) {
+        var gx = 0
+        while (gx < grid) {
+          val y0 = gy * im.height / grid; val y1 = (gy + 1) * im.height / grid
+          val x0 = gx * im.width / grid; val x1 = (gx + 1) * im.width / grid
+          var sum = 0L; var cnt = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              var c = 0
+              while (c < im.channels) {
+                sum += im.pixels((y * im.width + x) * im.channels + c) & 0xff
+                cnt += 1; c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          feat(gy * grid + gx) = if (cnt == 0) 0f else sum.toFloat / cnt
+          gx += 1
+        }
+        gy += 1
+      }
+      (im.doc_id, feat)
+    }.toDF("doc_id", "features")
+  }
+}
