@@ -72,7 +72,7 @@ object SonarCli {
     def groups(k: String): Seq[Seq[String]] = flags.getOrElse(k, Seq.empty).filter(_.nonEmpty)
     def one(k: String): Option[String] = all(k).lastOption
     def isSet(k: String): Boolean = flags.contains(k)
-    val store = new SonarStore(spark,
+    lazy val store = new SonarStore(spark,
       one("db").getOrElse(sys.error("input error: no database defined (--db)")))
 
     tool match {

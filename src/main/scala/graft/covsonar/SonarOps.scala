@@ -166,12 +166,25 @@ object SonarOps {
       .agg(count(col("accession")).as("genome_count"))
       .orderBy("source", "collection")
 
+  /** Per-table clustering key: the column every big join/lookup hits. */
+  private val clusterKey = Map(
+    "genome" -> "seqhash", "sequence" -> "seqhash", "profile" -> "seqhash",
+    "sequence2dna" -> "seqhash", "sequence2prot" -> "seqhash",
+    "dna" -> "varid", "prot" -> "varid")
+
   /** Compaction (reference: VACUUM, lib/sonardb.py:2090-2093): rewrite each
-    * table coalesced to a bounded file count — the Parquet analog of space
-    * reclamation after many small appends.
+    * table repartitioned to a bounded file count AND hash-clustered + sorted
+    * on its join key, so post-optimize the essence/view joins read
+    * co-clustered row groups (parquet min/max stats prune seqhash lookups)
+    * — the WITHOUT ROWID clustered-PK analog from SURVEY §4.
     */
   def optimize(store: SonarStore, maxFilesPerTable: Int = 8): Unit =
     SonarStore.schemas.keys.foreach { t =>
-      if (store.exists(t)) store.replace(t, store.table(t).coalesce(maxFilesPerTable))
+      if (store.exists(t)) {
+        val key = clusterKey(t)
+        store.replace(t, store.table(t)
+          .repartition(maxFilesPerTable, col(key))
+          .sortWithinPartitions(key))
+      }
     }
 }
