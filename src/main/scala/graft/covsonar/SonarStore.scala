@@ -104,6 +104,18 @@ final class SonarStore(val spark: SparkSession, val dir: String) {
       .join(table("prot"), Seq("varid"), "left")
       .select((metaColumns ++ Seq("seqhash", "protein", "locus", "start", "end", "ref", "alt"))
         .map(col): _*)
+
+  /** Register the five base tables and the three reference views as temp
+    * views, making the store's whole schema addressable through
+    * `spark.sql(...)` — the analog of opening the reference's SQLite file
+    * and querying `essence`/`dna_view`/`prot_view` directly.
+    */
+  def createViews(): Unit = {
+    SonarStore.schemas.keys.foreach(t => table(t).createOrReplaceTempView(t))
+    essence.createOrReplaceTempView("essence")
+    dnaView.createOrReplaceTempView("dna_view")
+    protView.createOrReplaceTempView("prot_view")
+  }
 }
 
 object SonarStore {

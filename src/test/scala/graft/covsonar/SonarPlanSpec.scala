@@ -53,6 +53,18 @@ class SonarPlanSpec extends SparkSpec {
     assert(p.contains("Join Inner"), p.take(2000))
   }
 
+  test("createViews exposes the store schema through spark.sql") {
+    store.createViews()
+    val rows = spark.sql(
+      "SELECT accession, size(dna_profile) AS nvars FROM essence ORDER BY accession")
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("NC_045512.2", "test1", "test2"))
+    val viaView = spark.sql(
+      "SELECT count(*) FROM dna_view WHERE accession = 'test2' AND start IS NOT NULL")
+      .collect()(0).getLong(0)
+    assert(viaView > 0)
+  }
+
   test("match plan keeps whole-stage codegen over the filter chain") {
     val df = SonarMatch.matchGenomes(store,
       MatchArgs(labs = Seq("L1"), minCt = Some(1.0), maxCt = Some(50.0)))
