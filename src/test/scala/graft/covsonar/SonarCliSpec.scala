@@ -80,6 +80,25 @@ class SonarCliSpec extends SparkSpec {
     assert(n.trim == "2")
   }
 
+  test("with-sublineage worklist closure over the bundled pango map (R5)") {
+    val subs = SonarMatch.withSublineages(Seq("B.1.617"))
+    assert(subs.head == "B.1.617") // order-preserving dedup, root first
+    assert(subs.contains("B.1.617.2"))
+    assert(subs.contains("AY.4.2.1")) // reached transitively through AY.4.2
+    assert(!subs.contains("B.1.1.7"))
+  }
+
+  test("info + var2vcf CLI tools run end to end") {
+    val (info, _) = cli("info", "--db", db)
+    assert(info.contains("genomes:"))
+    assert(info.contains("unique sequences:"))
+    val out = Files.createTempDirectory("cli-vcf").toString + "/o.vcf"
+    cli("var2vcf", "--db", db, "-o", out)
+    val lines = spark.read.text(out).collect().map(_.getString(0))
+    assert(lines.head == "##fileformat=VCFv4.2")
+    assert(lines.exists(!_.startsWith("#")))
+  }
+
   test("update-lineage-info builds a closure tsv offline (F12)") {
     val dir = Files.createTempDirectory("lin").toString
     Files.write(java.nio.file.Paths.get(s"$dir/alias_key.json"),
