@@ -234,10 +234,14 @@ object PipelineQueries {
     * brute-force formulation: identical output, independent plan.
     */
   def d4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // Checkpoint the shingled docs once: the dict pass, the bitmap/prefix
+    // build, and the verification all reuse it, and the gram transform is
+    // the most expensive narrow stage in the query.
     val g = t(s, dir, "documents")
       .filter(length(col("text")) >= 4)
       .select(col("doc_id"), col("lang"), expr(
         "array_distinct(transform(sequence(1, length(text)-3), i -> substring(text, i, 4)))").as("g"))
+      .localCheckpoint()
     val ex = g.select(col("lang"), col("doc_id"), explode(col("g")).as("gram"))
 
     // Adaptive plan choice on a cheap stat, the way an engine consults table
