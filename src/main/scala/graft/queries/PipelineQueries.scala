@@ -115,21 +115,59 @@ object PipelineQueries {
     * computation — this is 8× cheaper than 8 seeded hashes).
     */
   def d2MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(s, dir)
-    val hashed = sh.withColumn("hs", transform(col("sh"), x => md5(x)))
-    val sigCols = (0 until MinhashPerms).map { i =>
-      array_min(transform(col("hs"), x => substring(x, 4 * i + 1, 4))).as(s"h$i")
-    }
-    val sig = hashed.select(col("doc_id") +: sigCols: _*)
-    val bandCols = BandPairs.map { case (a, b) => md5(concat(col(s"h$a"), col(s"h$b"))) }
-    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+    import s.implicits._
+    // Signature computation is per-document narrow work: one typed pass
+    // derives shingles, the 8 16-bit minima (the 8 disjoint 16-bit substrings
+    // of a single md5 per shingle — hashing once is 8× cheaper than 8 seeded
+    // hashes), and the banded keys, in tight JVM code instead of interpreted
+    // higher-order functions. Checkpointed because the candidate join and
+    // the exact-Jaccard verification both reuse it.
+    val docsh = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        it.flatMap { case (id, text) =>
+          val w = text.split(" ", -1)
+          if (w.length < 3) None
+          else {
+            val seen = new java.util.LinkedHashSet[String]()
+            var i = 0
+            while (i + 2 < w.length) {
+              seen.add(w(i) + " " + w(i + 1) + " " + w(i + 2)); i += 1
+            }
+            val mins = Array.fill(MinhashPerms)(0x10000)
+            val itr = seen.iterator()
+            while (itr.hasNext) {
+              md.reset()
+              val d = md.digest(itr.next().getBytes(utf8))
+              var p = 0
+              while (p < MinhashPerms) {
+                val v = ((d(2 * p) & 0xff) << 8) | (d(2 * p + 1) & 0xff)
+                if (v < mins(p)) mins(p) = v
+                p += 1
+              }
+            }
+            // lexicographic min over fixed-width lowercase hex == numeric min,
+            // so these equal the oracle's array_min(substr(md5(x),4i+1,4))
+            val hex = mins.map(v => f"$v%04x")
+            val bands = BandPairs.map { case (a, b) =>
+              md.reset()
+              md.digest((hex(a) + hex(b)).getBytes(utf8)).map(x => f"$x%02x").mkString
+            }
+            Some((id, seen.toArray(new Array[String](0)).toSeq, bands))
+          }
+        }
+      }.toDF("doc_id", "sh", "bands").localCheckpoint()
+
+    val bands = docsh.select(col("doc_id"), explode(col("bands")).as("bk"))
     val cand = bands.select(col("doc_id").as("doc_a"), col("bk"))
       .join(bands.select(col("doc_id").as("doc_b"), col("bk")), Seq("bk"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
+      .join(docsh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
+      .join(docsh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
       // integer ppm (not a rounded double): ratios of small ints can land
       // exactly on a 6-decimal rounding tie, where engines disagree by 1 ulp
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
