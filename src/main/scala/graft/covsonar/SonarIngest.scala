@@ -80,23 +80,28 @@ object SonarIngest {
     val spark = store.spark
     import spark.implicits._
 
-    // IUPAC validation (F3): non-IUPAC records are skipped with a notice
-    // (sonar.py:617-628)
-    val checked = records.dropDuplicates("accession").cache()
-    val invalid = checked.filter(r => Genetics.invalidNtChars(r.seq).nonEmpty)
-    val skippedInvalid = invalid.select("accession").as[String].collect().toSeq
-    val valid = checked.filter(r => Genetics.invalidNtChars(r.seq).isEmpty)
-
-    // conflict handling against existing genomes (sonar.py:586-605)
+    // One checkpointed pass materializes parse + harmonize + SEGUID + IUPAC
+    // validation (F3, sonar.py:617-628) + the conflict join against existing
+    // genomes (sonar.py:586-605); every count/collect/filter below is a cheap
+    // local scan of that checkpoint instead of its own recomputation job —
+    // and, being lineage-free, none of it can be invalidated by the appends.
     val existing = store.table("genome")
       .select(col("accession"), col("seqhash").as("old_seqhash"),
         col("description").as("old_descr"))
-    val joined = valid.toDF().join(broadcastIfSmall(existing, store), Seq("accession"), "left")
-      .cache()
+    val joined = records.dropDuplicates("accession")
+      .map(r => (r.accession, r.description, r.seqhash, r.seq,
+        Genetics.invalidNtChars(r.seq).nonEmpty))
+      .toDF("accession", "description", "seqhash", "seq", "is_invalid")
+      .join(broadcastIfSmall(existing, store), Seq("accession"), "left")
+      .localCheckpoint()
 
-    val seqConflicts = joined.filter(col("old_seqhash").isNotNull &&
+    val skippedInvalid = joined.filter(col("is_invalid"))
+      .select("accession").as[String].collect().toSeq
+    val valid = joined.filter(!col("is_invalid"))
+
+    val seqConflicts = valid.filter(col("old_seqhash").isNotNull &&
       col("old_seqhash") =!= col("seqhash"))
-    val descrConflicts = joined.filter(col("old_seqhash") === col("seqhash") &&
+    val descrConflicts = valid.filter(col("old_seqhash") === col("seqhash") &&
       !(col("old_descr") <=> col("description")))
     if (!force) {
       val c = seqConflicts.select("accession").as[String].take(1)
@@ -122,15 +127,11 @@ object SonarIngest {
       n
     } else 0L
 
-    // localCheckpoint (eager) rather than cache: the appends below write to
-    // the very tables these plans scan, and a cache invalidated by
-    // recacheByPath would silently recompute against the post-write state
-    // (e.g. the anti-join against `sequence` would suddenly drop everything).
-    val toInsert = joined.filter(col("old_seqhash").isNull ||
+    val toInsert = valid.filter(col("old_seqhash").isNull ||
       (if (force) col("old_seqhash") =!= col("seqhash") else lit(false)))
-      .select("accession", "description", "seqhash", "seq").localCheckpoint()
+      .select("accession", "description", "seqhash", "seq")
     val nGenomes = toInsert.count()
-    val skippedExisting = joined.count() - nGenomes
+    val skippedExisting = valid.count() - nGenomes
 
     // new unique sequences only: dedup by hash, anti-join known sequences
     val newSeqs = toInsert.dropDuplicates("seqhash")
@@ -206,13 +207,12 @@ object SonarIngest {
     // global metadata updates from add's --source/--lab/--collection flags
     // (sonar.py:536-543, 677-685) apply to every accession in the input
     if (updates.nonEmpty) {
-      var upd = checked.select("accession").toDF()
+      var upd = joined.select("accession")
       updates.foreach { case (field, value) => upd = upd.withColumn(s"new_$field", lit(value)) }
       SonarOps.updateMetadata(store, upd)
     }
 
-    checked.unpersist(); joined.unpersist(); toInsert.unpersist()
-    processed.unpersist(); dnaRows.unpersist(); protRows.unpersist()
+    dnaRows.unpersist(); protRows.unpersist()
     AddReport(nGenomes, nNewSeqs, nDescrUpdates, skippedExisting, skippedInvalid)
   }
 

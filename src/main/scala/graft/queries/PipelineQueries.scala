@@ -397,17 +397,17 @@ object PipelineQueries {
   def d5EmbeddingNn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val vecs = embVec(s, dir).select(col("vec_id"), col("v"), col("nrm"))
-      .as[(Long, Seq[Double], Double)]
+      .as[(Long, Array[Double], Double)] // primitive-array encoder: no boxing
     val corpus = vecs.collect().sortBy(_._1)
     val ids = corpus.map(_._1)
-    val mat = corpus.map(_._2.toArray)
+    val mat = corpus.map(_._2)
     val nrms = corpus.map(_._3)
     val bc = s.sparkContext.broadcast((ids, mat, nrms))
     def round6(v: Double): Double =
       java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     vecs.map { case (id, v, nrm) =>
       val (ids, mat, nrms) = bc.value
-      val a = v.toArray
+      val a = v
       var bestCos = Double.NegativeInfinity
       var bestId = Long.MaxValue
       var j = 0
