@@ -272,13 +272,25 @@ object PipelineQueries {
     * brute-force formulation: identical output, independent plan.
     */
   def d4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // Checkpoint the shingled docs once: the dict pass, the bitmap/prefix
-    // build, and the verification all reuse it, and the gram transform is
-    // the most expensive narrow stage in the query.
+    import s.implicits._
+    // Distinct char-4-grams per doc in one typed pass (tight JVM loop over a
+    // LinkedHashSet; the interpreted transform/array_distinct HOF pair cost
+    // ~2s alone at sf0.1). Checkpointed once: the dict pass, the
+    // bitmap/prefix build, and the verification all reuse it. Documents are
+    // ASCII so JVM char slicing equals the oracle's codepoint slicing.
     val g = t(s, dir, "documents")
-      .filter(length(col("text")) >= 4)
-      .select(col("doc_id"), col("lang"), expr(
-        "array_distinct(transform(sequence(1, length(text)-3), i -> substring(text, i, 4)))").as("g"))
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.flatMap { case (id, lang, text) =>
+        if (text.length < 4) None
+        else {
+          val seen = new java.util.LinkedHashSet[String]()
+          var i = 0
+          while (i + 4 <= text.length) { seen.add(text.substring(i, i + 4)); i += 1 }
+          Some((id, lang, seen.toArray(new Array[String](0)).toSeq))
+        }
+      })
+      .toDF("doc_id", "lang", "g")
       .localCheckpoint()
     val ex = g.select(col("lang"), col("doc_id"), explode(col("g")).as("gram"))
 
