@@ -61,6 +61,17 @@ class StreamingOpsSpec extends SparkSpec {
       q.processAllAvailable()
       val u2 = spark.table("sessions").as[Session].collect().filter(_.user_id == 2).toSet
       assert(u2 == Set(Session(2, us(95), us(100), 2, 2.0)))
+      // trailing sessions close via EventTimeTimeout once the watermark
+      // passes end+gap: push the watermark far ahead with an unrelated user
+      in.addData(Event(7, ts(300), 99, "W", 0.0))
+      q.processAllAvailable()
+      in.addData(Event(8, ts(301), 99, "W", 0.0)) // extra batch so timeouts fire
+      q.processAllAvailable()
+      val all = spark.table("sessions").as[Session].collect().toSet
+      assert(all.contains(Session(1, us(50), us(50), 1, 4.0)),
+        s"user 1 trailing session not emitted: $all")
+      assert(all.contains(Session(2, us(160), us(160), 1, 1.0)),
+        s"user 2 trailing session not emitted: $all")
     } finally q.stop()
   }
 }
