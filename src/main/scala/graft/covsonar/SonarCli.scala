@@ -79,9 +79,12 @@ object SonarCli {
       case "add" =>
         val files = all("file") ++ all("f")
         val dirs = all("dir") ++ all("d")
+        val exts = Seq(".fasta", ".fna", ".fasta.gz", ".fna.gz")
         val fastas = files ++ dirs.flatMap { d =>
-          Files.list(Paths.get(d)).iterator().asScala
-            .map(_.toString).filter(p => p.endsWith(".fasta") || p.endsWith(".fna")).toSeq
+          val s = Files.list(Paths.get(d))
+          try s.iterator().asScala.map(_.toString)
+            .filter(p => exts.exists(p.endsWith)).toList
+          finally s.close()
         }
         require(fastas.nonEmpty, "input error: nothing to add")
         val updates = Seq("source", "collection", "lab")
@@ -130,7 +133,8 @@ object SonarCli {
 
       case "restore" =>
         val accs = expandAccessions(all("acc"), all("file")).distinct
-        SonarRestore.restore(store, accs).collect().foreach { r =>
+        // stream to stdout — bulk restores must not materialize on the driver
+        SonarRestore.restore(store, accs).toLocalIterator().asScala.foreach { r =>
           out.println(r.getAs[String]("header"))
           out.println(r.getAs[String]("sequence"))
         }

@@ -92,7 +92,7 @@ object SonarIngest {
       .map(r => (r.accession, r.description, r.seqhash, r.seq,
         Genetics.invalidNtChars(r.seq).nonEmpty))
       .toDF("accession", "description", "seqhash", "seq", "is_invalid")
-      .join(broadcastIfSmall(existing, store), Seq("accession"), "left")
+      .join(existing, Seq("accession"), "left") // join strategy left to AQE
       .localCheckpoint()
 
     val skippedInvalid = joined.filter(col("is_invalid"))
@@ -117,7 +117,8 @@ object SonarIngest {
       else Seq.empty
     if (replacedAccs.nonEmpty) SonarOps.remove(store, replacedAccs)
 
-    val descrUpdates = if (force) descrConflicts.select("accession", "description").cache()
+    // derives from the checkpoint — no extra caching needed
+    val descrUpdates = if (force) descrConflicts.select("accession", "description")
       else spark.emptyDataFrame
     val nDescrUpdates = if (force) {
       val n = descrUpdates.count()
@@ -162,7 +163,10 @@ object SonarIngest {
     val nNewSeqs = processed.count()
 
     // ---- writes (K5) ----
-    store.append("sequence", processed.select(col("seqhash")))
+    // Crash-safety ordering: `sequence` is the dedup sentinel that makes a
+    // retry skip alignment for a seqhash, so it must be appended LAST — a
+    // crash mid-sequence leaves at worst duplicate profile/variant rows
+    // (idempotently ignored on retry), never a sentinel without its data.
     store.append("profile",
       processed.select(col("seqhash"), col("dna_profile"), col("aa_profile"), col("fs_profile")))
 
@@ -203,6 +207,7 @@ object SonarIngest {
       .withColumn("ct", lit(null: java.lang.Double))
       .withColumn("imported", current_timestamp())
     store.append("genome", genomeRows)
+    store.append("sequence", processed.select(col("seqhash")))
 
     // global metadata updates from add's --source/--lab/--collection flags
     // (sonar.py:536-543, 677-685) apply to every accession in the input
@@ -226,6 +231,4 @@ object SonarIngest {
     store.append(name,
       rows.dropDuplicates("varid")
         .join(store.table(name).select("varid"), Seq("varid"), "left_anti"))
-
-  private def broadcastIfSmall(df: DataFrame, store: SonarStore): DataFrame = df
 }

@@ -212,10 +212,17 @@ object SonarMatch {
     if (!lineages.exists(_.contains("%"))) lineages
     else {
       import store.spark.implicits._
+      // one distinct scan regardless of pattern count; patterns match in memory
+      val all = store.table("genome").select("lineage").distinct()
+        .filter(col("lineage").isNotNull).as[String].collect()
       lineages.flatMap { l =>
         if (!l.contains("%")) Seq(l)
-        else store.table("genome").select("lineage").distinct()
-          .filter(col("lineage").like(l)).as[String].collect().toSeq
+        else {
+          // SQL LIKE semantics: % = any run, _ = any single char
+          val re = ("^" + java.util.regex.Pattern.quote(l)
+            .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q") + "$").r
+          all.filter(re.matches(_)).toSeq
+        }
       }
     }
 

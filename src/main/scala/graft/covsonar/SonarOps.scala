@@ -22,6 +22,23 @@ final case class InfoReport(
   */
 object SonarOps {
 
+  /** Membership predicate that stays scalable for file-sized lists: short
+    * lists become an `isin` (which pushes down to the parquet scan), long
+    * ones a semi/anti join against a parallelized DataFrame — a giant In
+    * literal would blow up Catalyst analysis and codegen.
+    */
+  private[covsonar] def filterByList(
+      df: DataFrame, field: String, values: Seq[String], negate: Boolean = false): DataFrame =
+    if (values.size <= 1000) {
+      val c = col(field).isin(values: _*)
+      df.filter(if (negate) !c else c)
+    } else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val list = values.distinct.toDF(field)
+      df.join(broadcast(list), Seq(field), if (negate) "left_anti" else "left_semi")
+    }
+
   /** Remove genomes by accession (reference: delete_genome,
     * lib/sonardb.py:1470-1504 + CLI sonar.py:704-710 — SURVEY §2.1 K6).
     *
@@ -34,17 +51,18 @@ object SonarOps {
   def remove(store: SonarStore, accessions: Seq[String]): Unit = {
     if (accessions.isEmpty) return
     val genome = store.table("genome")
-    val accCol = col("accession").isin(accessions: _*)
+    def removed = filterByList(genome, "accession", accessions)
+    def surviving = filterByList(genome, "accession", accessions, negate = true)
 
-    val orphaned = genome.filter(accCol).select("seqhash")
-      .join(genome.filter(!accCol).select("seqhash"), Seq("seqhash"), "left_anti")
+    val orphaned = removed.select("seqhash")
+      .join(surviving.select("seqhash"), Seq("seqhash"), "left_anti")
       .distinct().cache()
     orphaned.count() // materialize before any table is swapped out
 
     Seq("sequence", "profile", "sequence2dna", "sequence2prot").foreach { t =>
       store.replace(t, store.table(t).join(orphaned, Seq("seqhash"), "left_anti"))
     }
-    store.replace("genome", genome.filter(!accCol))
+    store.replace("genome", surviving)
     orphaned.unpersist()
   }
 
@@ -54,9 +72,10 @@ object SonarOps {
     * updatable fields; a NULL new value leaves the old value in place
     * (reference semantics: only explicitly-passed fields are SET).
     *
-    * The per-accession UPDATE loop becomes one broadcast-joined rewrite —
-    * update batches are CLI-sized while `genome` is the big side, so the
-    * join never shuffles the store.
+    * The per-accession UPDATE loop becomes one joined rewrite. The patch can
+    * be anything from a CLI-sized list to a full pangolin run over every
+    * accession, so join strategy is left to AQE's size statistics rather
+    * than forced broadcast.
     */
   def updateMetadata(store: SonarStore, updates: DataFrame): Unit = {
     val fields = SonarStore.updatableFields.filter(f => updates.columns.contains(s"new_$f"))
@@ -65,7 +84,7 @@ object SonarOps {
     val patch = updates
       .select(col("accession") +: fields.map(f => col(s"new_$f")): _*)
       .dropDuplicates("accession")
-    val joined = genome.join(broadcast(patch), Seq("accession"), "left")
+    val joined = genome.join(patch, Seq("accession"), "left")
     val out = SonarStore.schemas("genome").fieldNames.toSeq.map {
       case f if fields.contains(f) => coalesce(col(s"new_$f"), col(f)).as(f)
       case f => col(f)
@@ -112,7 +131,9 @@ object SonarOps {
 
   /** Pangolin-output lineage import (reference: sonar.py:795-802 — SURVEY
     * §2.1 S4): accession = `Sequence name` up to the first space, lineage =
-    * `Lineage` verbatim.
+    * `Lineage` verbatim — deliberately NOT upper-cased: the reference's
+    * pangolin branch assigns `line["Lineage"]` as-is, unlike the TSV path
+    * (pangolin lineage designations are upper-case by convention anyway).
     */
   def importPangolin(store: SonarStore, path: String): Unit = {
     val raw = store.spark.read.option("header", "true").csv(path)

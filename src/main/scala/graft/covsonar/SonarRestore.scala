@@ -76,8 +76,7 @@ object SonarRestore {
     import spark.implicits._
     val refB = spark.sparkContext.broadcast(Reference.sarsCov2.refSeq)
 
-    val rows = store.dnaView
-      .filter(col("accession").isin(accessions: _*))
+    val rows = SonarOps.filterByList(store.dnaView, "accession", accessions)
       .groupBy(col("accession"))
       .agg(first(col("description")).as("description"),
         collect_list(when(col("start").isNotNull,

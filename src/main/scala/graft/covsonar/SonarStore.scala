@@ -70,16 +70,25 @@ final class SonarStore(val spark: SparkSession, val dir: String) {
     conform(name, df).write.mode("append").parquet(tablePath(name).toString)
 
   /** Atomically replace a table's contents (covers UPDATE/DELETE rewrites,
-    * K6/K7). Writes to a staging dir, then swaps via rename.
+    * K6/K7). Writes to a staging dir, then swaps via rename. Hadoop rename
+    * reports failure via its boolean (it rarely throws), so both renames are
+    * checked: a failed swap rolls the old data back instead of deleting the
+    * only surviving copy.
     */
   def replace(name: String, df: DataFrame): Unit = {
     val live = tablePath(name)
     val staging = new Path(new Path(dir), s".staging-$name-${java.util.UUID.randomUUID}")
     conform(name, df).write.mode("overwrite").parquet(staging.toString)
     val trash = new Path(new Path(dir), s".old-$name-${java.util.UUID.randomUUID}")
-    if (fs.exists(live)) fs.rename(live, trash)
-    fs.rename(staging, live)
-    if (fs.exists(trash)) fs.delete(trash, true)
+    val hadLive = fs.exists(live)
+    if (hadLive)
+      require(fs.rename(live, trash), s"store error: cannot move $live aside for replace")
+    if (!fs.rename(staging, live)) {
+      if (hadLive) fs.rename(trash, live) // roll back; best-effort
+      throw new IllegalStateException(
+        s"store error: cannot activate new data for table $name (staging left at $staging)")
+    }
+    if (hadLive) fs.delete(trash, true)
   }
 
   /** essence = genome ⟕ profile USING(seqhash) — the target of every match

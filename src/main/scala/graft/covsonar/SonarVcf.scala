@@ -43,7 +43,7 @@ object SonarVcf {
     val chrom = ref.refDescr.split("\\s+")(0)
 
     var rows = store.dnaView.filter(col("start").isNotNull)
-    if (accessions.nonEmpty) rows = rows.filter(col("accession").isin(accessions: _*))
+    if (accessions.nonEmpty) rows = SonarOps.filterByList(rows, "accession", accessions)
     if (dates.nonEmpty) {
       val cond = dates.map { d =>
         if (d.contains(":")) { val Array(a, b) = d.split(":", 2); col("date").between(a, b) }
