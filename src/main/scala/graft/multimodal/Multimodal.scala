@@ -124,6 +124,8 @@ object Multimodal {
     */
   def sampleFrames(df: DataFrame, everyN: Int, frameBytes: Int = 256,
       idCol: String = "doc_id", blobCol: String = "blob"): Dataset[SampledFrame] = {
+    require(everyN > 0, s"everyN must be positive, got $everyN")
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(blobCol))

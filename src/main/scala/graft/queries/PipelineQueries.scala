@@ -294,21 +294,27 @@ object PipelineQueries {
       .localCheckpoint()
     val ex = g.select(col("lang"), col("doc_id"), explode(col("g")).as("gram"))
 
-    // Adaptive plan choice on a cheap stat, the way an engine consults table
-    // statistics: measure the 4-gram vocabulary first. Synthetic/templated
+    // Adaptive plan choice on cheap stats, the way an engine consults table
+    // statistics: measure the 4-gram vocabulary (and corpus size — both are
+    // single cheap jobs over checkpointed inputs) first. Synthetic/templated
     // corpora collapse to a few thousand distinct grams, which (a) makes
     // PPJoin prefix filtering useless — the "rarest" grams still hit hundreds
     // of documents, so candidates ≈ all pairs — and (b) makes an exact
     // dictionary bitmap per document tiny. Real web-scale corpora have huge
-    // vocabularies, where the prefix-filtered join is the plan that scales.
-    val dict = ex.groupBy("lang", "gram").agg(count(lit(1)).as("df"))
-      .withColumn("idx",
-        row_number().over(Window.partitionBy("lang").orderBy("gram")) - 1)
-      .localCheckpoint() // tiny by construction of this branch; reused twice
-    val maxIdx = dict.agg(max("idx")).first().getInt(0)
+    // vocabularies, where the prefix-filtered join is the plan that scales;
+    // the doc-count gate keeps the bitmap path's broadcast bounded.
+    val dfreq = ex.groupBy("lang", "gram").agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    val vocabPerLang = dfreq.groupBy("lang").agg(count(lit(1)).as("n"))
+      .agg(max("n")).first().get(0) match {
+      case null => 0L
+      case v => v.asInstanceOf[Long]
+    }
+    lazy val nDocs = g.count()
 
-    if (maxIdx < 64 * 128) d4BitmapPath(g, ex, dict, maxIdx)
-    else d4PrefixPath(g, ex, dict)
+    if (vocabPerLang < 64 * 128 && nDocs <= 200000)
+      d4BitmapPath(g, ex, dfreq, vocabPerLang.toInt)
+    else d4PrefixPath(g, ex, dfreq)
   }
 
   /** Small-vocabulary path: per-lang gram dictionary → each document becomes
@@ -318,8 +324,10 @@ object PipelineQueries {
     * Verified 3M pairs/s/core at sf0.1 vs ~2ms/pair for string
     * array_intersect through the same join.
     */
-  private def d4BitmapPath(g: DataFrame, ex: DataFrame, dict: DataFrame, maxIdx: Int): DataFrame = {
-    val nWords = maxIdx / 64 + 1
+  private def d4BitmapPath(g: DataFrame, ex: DataFrame, dfreq: DataFrame, vocabPerLang: Int): DataFrame = {
+    val nWords = math.max(1, (vocabPerLang - 1) / 64 + 1)
+    val dict = dfreq.withColumn("idx",
+      row_number().over(Window.partitionBy("lang").orderBy("gram")) - 1)
     val words = ex.join(broadcast(dict.select("lang", "gram", "idx")), Seq("lang", "gram"))
       .groupBy(col("lang"), col("doc_id"), expr("idx div 64").as("w"))
       .agg(expr("bit_or(shiftleft(1L, cast(idx % 64 as int)))").as("bits"),
@@ -355,10 +363,10 @@ object PipelineQueries {
     * drop out of the prefixes. Candidate generation is ~linear when grams
     * are selective, which is precisely the regime this branch is chosen for.
     */
-  private def d4PrefixPath(g: DataFrame, ex: DataFrame, dict: DataFrame): DataFrame = {
+  private def d4PrefixPath(g: DataFrame, ex: DataFrame, dfreq: DataFrame): DataFrame = {
     val exN = ex.join(g.select(col("doc_id"), size(col("g")).cast("long").as("n")), Seq("doc_id"))
     val byDoc = Window.partitionBy("doc_id").orderBy("df", "gram")
-    val prefix = exN.join(dict.select("lang", "gram", "df"), Seq("lang", "gram"))
+    val prefix = exN.join(dfreq.select("lang", "gram", "df"), Seq("lang", "gram"))
       .withColumn("rk", row_number().over(byDoc))
       // prefix length n - ceil(0.6n) + 1; ceil(3n/5) = (3n+4) div 5 exactly
       .filter(col("rk") <= col("n") - expr("(3L * n + 4L) div 5L") + lit(1))
@@ -417,14 +425,16 @@ object PipelineQueries {
     val bc = s.sparkContext.broadcast((ids, mat, nrms))
     def round6(v: Double): Double =
       java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-    vecs.map { case (id, v, nrm) =>
+    vecs.flatMap { case (id, v, nrm) =>
       val (ids, mat, nrms) = bc.value
       val a = v
       var bestCos = Double.NegativeInfinity
       var bestId = Long.MaxValue
       var j = 0
       while (j < ids.length) {
-        if (ids(j) != id) {
+        // zero-norm vectors have undefined cosine: skip (round6 would throw
+        // on the resulting NaN; the SQL formulation yields NULL there)
+        if (ids(j) != id && nrm > 0 && nrms(j) > 0) {
           val b = mat(j)
           var dot = 0.0
           var k = 0
@@ -436,7 +446,7 @@ object PipelineQueries {
         }
         j += 1
       }
-      (id, bestId, bestCos)
+      if (bestId == Long.MaxValue) None else Some((id, bestId, bestCos))
     }.toDF("vec_id", "nn_id", "cos").orderBy("vec_id")
   }
 

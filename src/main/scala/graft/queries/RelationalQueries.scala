@@ -364,16 +364,21 @@ object RelationalQueries {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // decimal accumulation: windowed double SUMs are accumulated sequentially
+    // by Spark but segment-tree-combined by DuckDB, so raw doubles can differ
+    // in the last ULP; DECIMAL(18,8) is addition-order-independent (same
+    // trick as dsum for the grouped aggregates)
     t(s, dir, "events")
-      .withColumn("running_value", sum(col("value")).over(w))
+      .withColumn("running_value",
+        sum(col("value").cast("decimal(18,8)")).over(w).cast("double"))
       .select("user_id", "event_id", "running_value")
       .orderBy("user_id", "event_id")
   }
 
   val w2Sql: String =
     """SELECT user_id, event_id,
-      |  SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+      |  CAST(SUM(CAST(value AS DECIMAL(18,8))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
       |FROM events ORDER BY user_id, event_id""".stripMargin
 
   /** Streaming analog: tumbling 1-hour event-time window aggregation. The

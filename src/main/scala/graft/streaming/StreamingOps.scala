@@ -42,12 +42,25 @@ object StreamingOps {
 
   private val GapUs = 1800L * 1000000L
 
+  /** Event time in microseconds — java.sql.Timestamp.getTime() truncates to
+    * milliseconds, so the sub-millisecond part comes from getNanos (the batch
+    * `w3_sessionize` twin uses unix_micros; sessions must measure the same
+    * gaps).
+    */
+  @inline private def eventUs(ts: Timestamp): Long =
+    ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+
   /** Stateful session assembly with a 30-minute inactivity gap, emitting each
     * session when it closes — either because a later event for the same user
     * arrives past the gap, or because the event-time watermark passes the
     * session end + gap (EventTimeTimeout). State per user is one fixed-size
     * summary regardless of session length. Semantics match the batch
-    * `w3_sessionize` window formulation (same gap, same aggregates).
+    * `w3_sessionize` window formulation (same gap, same aggregates) for
+    * in-order and within-batch-disordered input; cross-batch stragglers that
+    * still land inside the current session's gap window merge into it
+    * (lowering its start if needed), and stragglers older than that emit as
+    * their own immediate session — the best a single-summary state can do
+    * once earlier history has been emitted.
     */
   def sessionize(events: Dataset[Event]): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -66,14 +79,17 @@ object StreamingOps {
             val out = Seq.newBuilder[Session]
             var cur = state.getOption.orNull
             // events within a micro-batch arrive unordered: sort by event time
-            it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-              val us = e.ts.getTime * 1000L
+            it.toSeq.sortBy(e => (eventUs(e.ts), e.event_id)).foreach { e =>
+              val us = eventUs(e.ts)
               if (cur == null) cur = SessionState(us, us, 1L, e.value)
               else if (us - cur.endUs > GapUs) {
                 out += Session(userId, cur.startUs, cur.endUs, cur.n, cur.total)
                 cur = SessionState(us, us, 1L, e.value)
-              } else cur = SessionState(cur.startUs, math.max(cur.endUs, us),
-                cur.n + 1L, cur.total + e.value)
+              } else if (cur.startUs - us > GapUs) {
+                // straggler strictly before this session's window: emit alone
+                out += Session(userId, us, us, 1L, e.value)
+              } else cur = SessionState(math.min(cur.startUs, us),
+                math.max(cur.endUs, us), cur.n + 1L, cur.total + e.value)
             }
             if (cur != null) {
               state.update(cur)
