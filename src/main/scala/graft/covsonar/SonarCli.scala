@@ -189,7 +189,10 @@ object SonarCli {
       case "update-lineage-info" =>
         val aliasJson = one("alias-key").getOrElse(sys.error("--alias-key required"))
         val lineagesCsv = one("lineages").getOrElse(sys.error("--lineages required"))
-        val outPath = one("out").getOrElse(sys.error("--out required"))
+        // default: write into the store so --with-sublineage picks it up,
+        // like the reference updater overwriting lib/lineage.all.tsv
+        val outPath = one("out").orElse(one("db").map(_ + "/lineage.all.tsv"))
+          .getOrElse(sys.error("--out or --db required"))
         val lineages = Files.readAllLines(Paths.get(lineagesCsv)).asScala.toSeq
           .drop(1).map(_.split(",")(1).trim).filter(_.nonEmpty)
         val closure = Lineages.buildClosure(

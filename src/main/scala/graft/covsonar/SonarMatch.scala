@@ -226,6 +226,22 @@ object SonarMatch {
       }
     }
 
+  /** The sublineage map for a store: a store-local `lineage.all.tsv`
+    * (written by the CLI's update-lineage-info, mirroring how the reference
+    * updater overwrites the file its matcher reads) takes precedence over
+    * the bundled snapshot.
+    */
+  def lineageMapFor(store: SonarStore): Map[String, String] = {
+    val p = java.nio.file.Paths.get(store.dir, "lineage.all.tsv")
+    if (java.nio.file.Files.isRegularFile(p)) {
+      val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      text.linesIterator.drop(1).flatMap { line =>
+        val f = line.split("\t")
+        if (f.length >= 2) Some(f(0) -> f(1)) else None
+      }.toMap
+    } else Reference.lineageSublineages
+  }
+
   /** `--with-sublineage` worklist closure over the bundled lineage map
     * (reference: lib/sonardb.py:3390-3425), order-preserving dedup.
     */
@@ -307,7 +323,8 @@ object SonarMatch {
     // R4 + R5
     val incLin1 = expandWildcards(store, incLin0)
     val excLin = expandWildcards(store, excLin0)
-    val incLin = if (args.withSublineage) withSublineages(incLin1) else incLin1
+    val incLin =
+      if (args.withSublineage) withSublineages(incLin1, lineageMapFor(store)) else incLin1
 
     val conds = Seq.newBuilder[Column]
     conds ++= inCondition("accession", incAcc, excAcc)

@@ -99,6 +99,19 @@ class SonarCliSpec extends SparkSpec {
     assert(lines.exists(!_.startsWith("#")))
   }
 
+  test("store-local lineage closure overrides the bundled map") {
+    val dir = Files.createTempDirectory("linstore").toString
+    val s2 = new SonarStore(spark, dir)
+    Files.write(java.nio.file.Paths.get(s"$dir/lineage.all.tsv"),
+      "lineage\tsublineage\nZZ.1\tZZ.1.1,ZZ.1.2\n".getBytes)
+    val m = SonarMatch.lineageMapFor(s2)
+    assert(m == Map("ZZ.1" -> "ZZ.1.1,ZZ.1.2"))
+    assert(SonarMatch.withSublineages(Seq("ZZ.1"), m) == Seq("ZZ.1", "ZZ.1.1", "ZZ.1.2"))
+    // a store without the file falls back to the bundled snapshot
+    val bare = new SonarStore(spark, Files.createTempDirectory("linbare").toString)
+    assert(SonarMatch.lineageMapFor(bare).contains("B.1.617"))
+  }
+
   test("update-lineage-info builds a closure tsv offline (F12)") {
     val dir = Files.createTempDirectory("lin").toString
     Files.write(java.nio.file.Paths.get(s"$dir/alias_key.json"),
