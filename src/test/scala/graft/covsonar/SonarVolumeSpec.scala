@@ -87,6 +87,29 @@ class SonarVolumeSpec extends SparkSpec {
     assert(inc >= 1 && inc + exc == N)
   }
 
+  test("force mode replaces a changed sequence and GCs the old one") {
+    val ref = Reference.sarsCov2.refSeq
+    val changed = ref.substring(0, 1000) + "A" + ref.substring(1001)
+    val acc = "vol020"
+    // without force: conflicting sequence for an existing accession aborts
+    val e = intercept[IllegalArgumentException] {
+      SonarIngest.add(store, SonarIngest.fromSequences(spark, Seq((acc, acc, changed))))
+    }
+    assert(e.getMessage.contains("different sequence"))
+    val oldHash = store.table("genome")
+      .filter(col("accession") === acc).select("seqhash").first().getString(0)
+    val r = SonarIngest.add(store,
+      SonarIngest.fromSequences(spark, Seq((acc, acc, changed))), force = true)
+    assert(r.genomesAdded == 1)
+    val newHash = store.table("genome")
+      .filter(col("accession") === acc).select("seqhash").first().getString(0)
+    assert(newHash != oldHash)
+    // the replaced genome's unique sequence was orphan-GC'd
+    assert(store.table("sequence").filter(col("seqhash") === oldHash).count() == 0)
+    assert(store.table("profile").filter(col("seqhash") === oldHash).count() == 0)
+    assert(store.table("genome").count() == N) // still one row per accession
+  }
+
   test("remove at volume GCs orphans exactly") {
     val victims = inputs.map(_._1).take(10)
     SonarOps.remove(store, victims)
