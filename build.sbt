@@ -13,7 +13,11 @@ Test / fork := true
 run / fork := true
 // Forked run output passes straight through to stdout/stderr (no sbt
 // "[info]" prefix) so the driver can parse Bench's single JSON line.
+// Unscoped: `runMain` does NOT delegate to `run / outputStrategy`, so a
+// run-scoped setting silently leaves `sbt "runMain graft.Bench"` prefixed.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
