@@ -6,9 +6,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import scala.jdk.CollectionConverters._
 
 /** Command-line surface mirroring the reference's `sonar.py` tools
-  * (add / remove / match / restore / update / info / optimize / var2vcf /
-  * update-lineage-info — sonar.py:31-486), so a covSonar user can run the
-  * same workflows against the Spark store.
+  * (add / remove / match / restore / update / info / optimize / db-upgrade /
+  * var2vcf / update-lineage-info — sonar.py:31-486), so a covSonar user can
+  * run the same workflows against the Spark store.
   *
   * `--db` names the store directory. Output parity bits ported from
   * `rows_to_csv` (sonar.py:924-931): CSV to stdout or `--out`, `--tsv`
@@ -171,6 +171,8 @@ object SonarCli {
         }
 
       case "optimize" => SonarOps.optimize(store)
+
+      case "db-upgrade" => SonarOps.dbUpgrade(store, out.println)
 
       case "var2vcf" =>
         val output = one("output").orElse(one("o"))

@@ -187,6 +187,44 @@ object SonarOps {
       .agg(count(col("accession")).as("genome_count"))
       .orderBy("source", "collection")
 
+  /** Latest schema version this library writes (SUPPORTED_DB_VERSION analog,
+    * lib/sonardb.py).
+    */
+  val SupportedSchemaVersion = 4
+
+  /** Schema migration (reference: `upgrade_db`, lib/sonardb.py:1383-1421,
+    * which applies `lib/migrate/<v>.sql` scripts in sequence until the DB
+    * reaches the supported version). The only shipped migration is v3→v4
+    * (lib/migrate/4.sql): add `submission_date` to `genome` and rebuild the
+    * three views. Our views are derived DataFrames rebuilt on every read, so
+    * the view DDL half is a no-op; the `ALTER TABLE ADD` half becomes a
+    * one-time conforming rewrite (immutable Parquet has no in-place DDL —
+    * one bounded rewrite per major version is the storage-level cost of that
+    * trade, and it parallelizes like any other table rewrite).
+    *
+    * Returns the version the store ends at.
+    */
+  def dbUpgrade(store: SonarStore, log: String => Unit = _ => ()): Int = {
+    var v = store.schemaVersion
+    log(s"Current version: $v  Upgrade to: $SupportedSchemaVersion")
+    while (v < SupportedSchemaVersion) {
+      v += 1
+      v match {
+        case 4 =>
+          if (store.exists("genome")) {
+            val g = store.rawTable("genome")
+            if (!g.columns.contains("submission_date"))
+              store.replace("genome",
+                g.withColumn("submission_date", lit(null).cast("string")))
+          }
+        case other => sys.error(s"upgrade error: no migration to version $other")
+      }
+      store.writeSchemaVersion(v)
+    }
+    log(s"Database now version: $v")
+    v
+  }
+
   /** Per-table clustering key: the column every big join/lookup hits. */
   private val clusterKey = Map(
     "genome" -> "seqhash", "sequence" -> "seqhash", "profile" -> "seqhash",

@@ -36,12 +36,26 @@ final class SonarStore(val spark: SparkSession, val dir: String) {
   locally {
     val root = new Path(dir)
     if (!fs.exists(root)) fs.mkdirs(root)
-    val ver = new Path(root, "SCHEMA_VERSION")
-    if (!fs.exists(ver)) {
-      val out = fs.create(ver)
-      out.write("4\n".getBytes("UTF-8")) // matches PRAGMA user_version=4 (lib/db.sqlite:1)
-      out.close()
-    }
+    // matches PRAGMA user_version=4 (lib/db.sqlite:1)
+    if (!fs.exists(versionPath)) writeSchemaVersion(4)
+  }
+
+  private def versionPath = new Path(new Path(dir), "SCHEMA_VERSION")
+
+  /** Schema version from the store's SCHEMA_VERSION marker — the analog of
+    * SQLite's `PRAGMA user_version` (lib/db.sqlite:1, checked at
+    * lib/sonardb.py:1372-1381).
+    */
+  def schemaVersion: Int = {
+    val in = fs.open(versionPath)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+    finally in.close()
+  }
+
+  private[covsonar] def writeSchemaVersion(v: Int): Unit = {
+    val out = fs.create(versionPath, true)
+    out.write(s"$v\n".getBytes("UTF-8"))
+    out.close()
   }
 
   private def tablePath(name: String) = new Path(new Path(dir), name)
@@ -50,6 +64,12 @@ final class SonarStore(val spark: SparkSession, val dir: String) {
     val p = tablePath(name)
     fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
   }
+
+  /** A table exactly as stored on disk, schema un-coerced — what migrations
+    * inspect to decide whether a column rewrite is needed.
+    */
+  private[covsonar] def rawTable(name: String): DataFrame =
+    spark.read.parquet(tablePath(name).toString)
 
   /** Read a table; an absent table reads as an empty DataFrame with the
     * canonical schema, so every operator works on a fresh store.

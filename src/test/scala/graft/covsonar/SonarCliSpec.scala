@@ -112,6 +112,37 @@ class SonarCliSpec extends SparkSpec {
     assert(SonarMatch.lineageMapFor(bare).contains("B.1.617"))
   }
 
+  test("db-upgrade migrates a v3 store to v4 (migrate/4.sql analog)") {
+    val db3 = Files.createTempDirectory("sonar-v3").toString
+    cli("add", "--db", db3, "-f", "/root/reference/test/test.fasta")
+    // strip the store back to v3 shape: genome without submission_date
+    val store = new SonarStore(spark, db3)
+    val tmp = s"$db3/.g3"
+    store.rawTable("genome").drop("submission_date")
+      .write.parquet(tmp)
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles.foreach(rmrf)
+      p.delete()
+    }
+    rmrf(new java.io.File(s"$db3/genome"))
+    assert(new java.io.File(tmp).renameTo(new java.io.File(s"$db3/genome")))
+    store.writeSchemaVersion(3) // via Hadoop FS so the .crc sidecar stays valid
+    assert(store.schemaVersion == 3)
+    assert(!store.rawTable("genome").columns.contains("submission_date"))
+
+    val (o, _) = cli("db-upgrade", "--db", db3)
+    assert(o.contains("Current version: 3"))
+    assert(o.contains("Database now version: 4"))
+    assert(store.schemaVersion == 4)
+    assert(store.rawTable("genome").columns.contains("submission_date"))
+    // the migrated store still answers queries
+    val (n, _) = cli("match", "--db", db3, "--count")
+    assert(n.trim == "3")
+    // idempotent on an up-to-date store
+    val (o2, _) = cli("db-upgrade", "--db", db3)
+    assert(o2.contains("Current version: 4"))
+  }
+
   test("update-lineage-info builds a closure tsv offline (F12)") {
     val dir = Files.createTempDirectory("lin").toString
     Files.write(java.nio.file.Paths.get(s"$dir/alias_key.json"),
