@@ -75,6 +75,13 @@ object PipelineQueries {
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(len($a)), i -> $a[i+1] * $b[i+1]))"
 
+  /** Decimal-string HALF_UP rounding to 6 places — same result as Spark's
+    * `round()` and DuckDB's `round()` on this data (relied on by every
+    * similarity score the oracles compare).
+    */
+  private def round6(v: Double): Double =
+    java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
   // ------------------------------------------------- D1: exact deduplication
 
   /** Exact dedup: canonical representative per content hash. At scale this is
@@ -423,8 +430,6 @@ object PipelineQueries {
     val mat = corpus.map(_._2)
     val nrms = corpus.map(_._3)
     val bc = s.sparkContext.broadcast((ids, mat, nrms))
-    def round6(v: Double): Double =
-      java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     vecs.flatMap { case (id, v, nrm) =>
       val (ids, mat, nrms) = bc.value
       val a = v
@@ -439,9 +444,16 @@ object PipelineQueries {
           var dot = 0.0
           var k = 0
           while (k < a.length) { dot += a(k) * b(k); k += 1 }
-          val cos = round6(dot / (nrm * nrms(j)))
-          if (cos > bestCos || (cos == bestCos && ids(j) < bestId)) {
-            bestCos = cos; bestId = ids(j)
+          val raw = dot / (nrm * nrms(j))
+          // round6 is a BigDecimal round-trip — the scan's dominant cost if
+          // run per pair. |round6(x)-x| < 5e-7 and ids ascend, so a raw
+          // score below bestCos-1e-6 can neither beat nor usefully tie the
+          // incumbent: rounding is only needed for genuine contenders.
+          if (raw > bestCos - 1e-6) {
+            val cos = round6(raw)
+            if (cos > bestCos || (cos == bestCos && ids(j) < bestId)) {
+              bestCos = cos; bestId = ids(j)
+            }
           }
         }
         j += 1
@@ -546,6 +558,73 @@ object PipelineQueries {
        |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM p)
        |SELECT query_id, neighbor_id, rnk, cos FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
   }
+
+  // ----------------------------------------------- SIM3: IVF-bucketed ANN
+
+  /** IVF (inverted-file) ANN — the other standard scale path next to
+    * random-hyperplane LSH (`sim2`). A tiny coarse codebook (here: the
+    * vectors with vec_id < 8, i.e. data-derived and reproducible on both
+    * engines; production would k-means a sample) is collected to the driver
+    * and broadcast; every corpus vector is assigned to its nearest centroid
+    * in one narrow codegen-free JVM pass — no shuffle, no window — and
+    * queries probe their `nprobe`=2 closest cells. The only shuffle is the
+    * cell equi-join, whose group sizes are corpus/‖codebook‖ on average:
+    * at 10⁹ vectors you grow the codebook (√n cells) and nprobe, same plan.
+    * Recall is measured against the exact `sim1` baseline.
+    */
+  def sim3IvfAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vecs = embVec(s, dir).filter(col("nrm") > 0)
+      .select(col("vec_id"), col("v"), col("nrm")).as[(Long, Array[Double], Double)]
+    val cents = vecs.filter(_._1 < 8).collect().sortBy(_._1)
+    val bc = s.sparkContext.broadcast(cents)
+    // cell = argmax rounded cosine (ties → lowest cent_id), probes = top-2;
+    // one pass derives both, so the corpus never moves for assignment
+    val rows = vecs.mapPartitions(_.map { case (id, v, nrm) =>
+      val scored = bc.value.map { case (cid, cv, cn) =>
+        var d = 0.0
+        var k = 0
+        while (k < v.length) { d += v(k) * cv(k); k += 1 }
+        (round6(d / (nrm * cn)), cid)
+      }.sortBy { case (c, cid) => (-c, cid) }
+      (id, v, nrm, scored(0)._2, scored.take(2).map(_._2).toSeq)
+    }).toDF("vec_id", "v", "nrm", "cell", "probes")
+    val corpus = rows.select(col("vec_id").as("neighbor_id"),
+      col("v").as("cv"), col("nrm").as("cn"), col("cell"))
+    val q = rows.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(col("probes")).as("cell"))
+    val top = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    q.join(corpus, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(dotCol("qv", "cv") / (col("qn") * col("cn")), 6))
+      .withColumn("rnk", row_number().over(top))
+      .filter(col("rnk") <= 3)
+      .select("query_id", "neighbor_id", "rnk", "cos")
+      .orderBy("query_id", "rnk")
+  }
+
+  val sim3Sql: String =
+    s"""WITH $embSqlCte,
+       |nn AS (SELECT vec_id, v, nrm FROM n WHERE nrm > 0),
+       |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM nn WHERE vec_id < 8),
+       |aff AS (SELECT vec_id, cent_id,
+       |          round(${dotSql("v", "cv")} / (nrm * cn), 6) AS ccos
+       |        FROM nn CROSS JOIN cent),
+       |rk AS (SELECT vec_id, cent_id,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+       |       FROM aff),
+       |corp AS (SELECT nn.vec_id AS neighbor_id, v AS cv, nrm AS cn, cent_id AS cell
+       |         FROM nn JOIN rk ON nn.vec_id = rk.vec_id AND crk = 1),
+       |q AS (SELECT rk.vec_id AS query_id, cent_id AS cell, v AS qv, nrm AS qn
+       |      FROM rk JOIN nn ON nn.vec_id = rk.vec_id
+       |      WHERE rk.vec_id < 10 AND crk <= 2),
+       |p AS (SELECT query_id, neighbor_id,
+       |        round(${dotSql("qv", "cv")} / (qn * cn), 6) AS cos
+       |      FROM q JOIN corp USING (cell) WHERE query_id != neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM p)
+       |SELECT query_id, neighbor_id, rnk, cos FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
 
   // ------------------------------------------------- X1: language-ID score
 
@@ -719,6 +798,7 @@ object PipelineQueries {
     "d5_embedding_nn" -> (d5EmbeddingNn _),
     "sim1_cosine_topk" -> (sim1CosineTopk _),
     "sim2_lsh_ann" -> (sim2LshAnn _),
+    "sim3_ivf_ann" -> (sim3IvfAnn _),
     "x1_langid" -> (x1Langid _),
     "x2_quality" -> (x2Quality _),
     "x3_token_stats" -> (x3TokenStats _),
@@ -735,6 +815,7 @@ object PipelineQueries {
     "d5_embedding_nn" -> d5Sql,
     "sim1_cosine_topk" -> sim1Sql,
     "sim2_lsh_ann" -> sim2Sql,
+    "sim3_ivf_ann" -> sim3Sql,
     "x1_langid" -> x1Sql,
     "x2_quality" -> x2Sql,
     "x3_token_stats" -> x3Sql,

@@ -1,0 +1,42 @@
+package graft.queries
+
+import graft.SparkSpec
+
+class PipelineQueriesSpec extends SparkSpec {
+
+  /** Candidate-pair detectors may legitimately find nothing at the smallest
+    * scale factor; everything else must match rows.
+    */
+  private val mayBeEmpty = Set("d2_minhash_lsh", "d4_ngram_jaccard")
+
+  test("every pipeline query runs at sf0.001, has an oracle, and returns rows") {
+    PipelineQueries.queries.foreach { case (name, fn) =>
+      assert(PipelineQueries.oracles.contains(name), s"$name lacks an oracle")
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      val n = df.count()
+      if (!mayBeEmpty(name))
+        assert(n > 0, s"$name returned no rows at sf0.001")
+    }
+  }
+
+  test("sim3 IVF with nprobe=2 recovers most of sim1's exact top-3") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = pairs(PipelineQueries.sim1CosineTopk(spark, sf))
+    val ivf = pairs(PipelineQueries.sim3IvfAnn(spark, sf))
+    assert(exact.nonEmpty)
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall below floor")
+  }
+
+  test("d1 exact dedup marks only non-canonical copies as dups") {
+    val rows = PipelineQueries.d1ExactDedup(spark, sf).collect()
+    rows.foreach { r =>
+      val dup = r.getAs[Int]("is_dup")
+      val self = r.getAs[Long]("doc_id") == r.getAs[Long]("canonical_id")
+      assert(dup == (if (self) 0 else 1))
+      assert(r.getAs[Long]("canonical_id") <= r.getAs[Long]("doc_id"))
+    }
+  }
+}
