@@ -9,6 +9,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
 
+/** A document arriving on an ingest stream. */
+final case class StreamDoc(doc_id: Long, ts: Timestamp, text: String)
+
 /** A closed user session emitted by the stateful sessionizer. */
 final case class Session(user_id: Long, session_start_us: Long,
     session_end_us: Long, n_events: Long, total_value: Double)
@@ -39,6 +42,20 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
+
+  /** Streaming exact dedup — the ingest-time twin of the batch
+    * `d1_exact_dedup` operator: first-seen wins on content hash, and
+    * `dropDuplicatesWithinWatermark` evicts a hash's state once the
+    * watermark passes it, so an unbounded corpus never accumulates
+    * unbounded state (the knob is the watermark delay = the horizon within
+    * which a re-crawled copy counts as a duplicate). State is
+    * hash-partitioned on the content hash across executors.
+    */
+  def dedupByContent(docs: DataFrame, delay: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", delay)
+      .withColumn("content_hash", md5(col("text")))
+      .dropDuplicatesWithinWatermark("content_hash")
 
   private val GapUs = 1800L * 1000000L
 

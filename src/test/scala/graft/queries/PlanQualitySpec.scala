@@ -43,4 +43,36 @@ class PlanQualitySpec extends SparkSpec {
       "isin predicate did not push down:\n" +
         p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
   }
+
+  test("bucketed ANN paths (sim2/sim3) join on their bucket key, never a product") {
+    // The whole point of the LSH/IVF scale paths is that candidate
+    // generation is an equi-join on a compact key; a cartesian fallback
+    // would silently reintroduce the O(n²) scan they exist to avoid.
+    Seq("sim2" -> PipelineQueries.sim2LshAnn(spark, sf),
+        "sim3" -> PipelineQueries.sim3IvfAnn(spark, sf)).foreach { case (name, df) =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name candidate join degenerated to a product")
+    }
+  }
+
+  test("sim1 brute-force scan broadcasts the tiny query side; corpus never shuffles for the join") {
+    val p = plan(PipelineQueries.sim1CosineTopk(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "expected the 10-row query side broadcast against the streamed corpus")
+  }
+
+  test("d2 LSH band join is an equi-join on the band key") {
+    val p = plan(PipelineQueries.d2MinhashLsh(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "band-key candidate join degenerated to a product")
+  }
+
+  test("d3 simhash reads only the columns it needs from documents") {
+    val p = plan(PipelineQueries.d3Simhash(spark, sf))
+    val rs = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(rs.contains("doc_id") && rs.contains("text"), rs)
+    assert(!rs.contains("lang") && !rs.contains("source"),
+      "simhash scan reads unneeded columns:\n" + rs)
+  }
 }

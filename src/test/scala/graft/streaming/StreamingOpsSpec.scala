@@ -34,6 +34,33 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming content dedup keeps first copy, evicts state past watermark") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[StreamDoc]
+    val q = StreamingOps.dedupByContent(in.toDF(), delay = "10 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        StreamDoc(1, ts(0), "same text"),
+        StreamDoc(2, ts(1), "same text"), // in-batch duplicate
+        StreamDoc(3, ts(2), "other text"))
+      q.processAllAvailable()
+      in.addData(StreamDoc(4, ts(3), "same text")) // cross-batch, inside horizon
+      q.processAllAvailable()
+      def ids = spark.table("dedup").collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(ids == Set(1L, 3L), s"expected first copies only, got $ids")
+      // advance the watermark far past the horizon, then the same content
+      // arrives again: its state was evicted, so it emits as a fresh doc
+      in.addData(StreamDoc(5, ts(60), "unrelated"))
+      q.processAllAvailable()
+      in.addData(StreamDoc(6, ts(61), "same text"))
+      q.processAllAvailable()
+      assert(ids.contains(6L), s"re-arrival after eviction not emitted: $ids")
+    } finally q.stop()
+  }
+
   test("stateful sessionizer closes sessions on the 30-minute gap") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
