@@ -728,6 +728,61 @@ object PipelineQueries {
        |  array_to_string(list_sort(list_transform(s, x -> substr(md5(x), 1, 8)))[1:4], '') AS fingerprint
        |FROM sh ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------- X5: scrubbing / redaction
+
+  /** PII-style scrubbing pass: redact digit runs and long shouting-case
+    * tokens, collapse whitespace — the regex-rewrite stage every corpus goes
+    * through before training. Pure narrow map work (codegen'd regexp_replace),
+    * plus audit counters so the pipeline can report what it scrubbed.
+    */
+  def x5Redact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("clean",
+        regexp_replace(regexp_replace(col("text"), "[0-9]+", "<NUM>"),
+          "  +", " "))
+      .select(col("doc_id"),
+        col("clean"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_redacted"),
+        length(col("text")).as("len_before"),
+        length(col("clean")).as("len_after"))
+      .orderBy("doc_id")
+
+  val x5Sql: String =
+    """SELECT doc_id,
+      |  regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'), '  +', ' ', 'g') AS clean,
+      |  len(regexp_extract_all(text, '[0-9]+')) AS n_redacted,
+      |  len(text) AS len_before,
+      |  len(regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'), '  +', ' ', 'g')) AS len_after
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------ X6: deterministic data split
+
+  /** Content-hash train/eval split: the assignment is a pure function of the
+    * document bytes, so it is stable across runs, engines, and repartitions
+    * — the property that keeps eval sets leak-free when the corpus is
+    * re-ingested. 95/5 by the first 8 hex digits of md5 mod 100.
+    */
+  def x6Split(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("h", conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100)
+      .select(col("doc_id"),
+        when(col("h") < 95, "train").otherwise("eval").as("split"))
+      .orderBy("doc_id")
+
+  val x6Sql: String =
+    """WITH h AS (SELECT doc_id,
+      |  (strpos('0123456789abcdef', substr(md5(text),1,1))-1) * 268435456
+      |  + (strpos('0123456789abcdef', substr(md5(text),2,1))-1) * 16777216
+      |  + (strpos('0123456789abcdef', substr(md5(text),3,1))-1) * 1048576
+      |  + (strpos('0123456789abcdef', substr(md5(text),4,1))-1) * 65536
+      |  + (strpos('0123456789abcdef', substr(md5(text),5,1))-1) * 4096
+      |  + (strpos('0123456789abcdef', substr(md5(text),6,1))-1) * 256
+      |  + (strpos('0123456789abcdef', substr(md5(text),7,1))-1) * 16
+      |  + (strpos('0123456789abcdef', substr(md5(text),8,1))-1) AS v
+      |FROM documents)
+      |SELECT doc_id, CASE WHEN v % 100 < 95 THEN 'train' ELSE 'eval' END AS split
+      |FROM h ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------- M1: multimodal binary meta
 
   /** Multimodal plumbing: content as an opaque binary column + typed,
@@ -803,6 +858,8 @@ object PipelineQueries {
     "x2_quality" -> (x2Quality _),
     "x3_token_stats" -> (x3TokenStats _),
     "x4_fingerprint" -> (x4Fingerprint _),
+    "x5_redact" -> (x5Redact _),
+    "x6_split" -> (x6Split _),
     "m1_binary_meta" -> (m1BinaryMeta _),
     "w3_sessionize" -> (w3Sessionize _),
   )
@@ -820,6 +877,8 @@ object PipelineQueries {
     "x2_quality" -> x2Sql,
     "x3_token_stats" -> x3Sql,
     "x4_fingerprint" -> x4Sql,
+    "x5_redact" -> x5Sql,
+    "x6_split" -> x6Sql,
     "m1_binary_meta" -> m1Sql,
     "w3_sessionize" -> w3Sql,
   )
