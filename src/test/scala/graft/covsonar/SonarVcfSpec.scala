@@ -81,5 +81,16 @@ class SonarVcfSpec extends SparkSpec {
     assert(body.forall(_.split("\t").length == 9 + samples.length))
     // every body row's GT columns contain only '.', or digits
     assert(body.forall(_.split("\t").drop(9).forall(g => g == "." || g.forall(_.isDigit))))
+    // A8 invariants: AN = called genotypes; AC_k = #(GT == k); |ALT| = |AC|
+    body.foreach { line =>
+      val f = line.split("\t")
+      val Array(anPart, acPart) = f(7).split(";", 2)
+      val an = anPart.stripPrefix("AN=").toInt
+      val ac = acPart.stripPrefix("AC=").split(",").map(_.toInt)
+      val gts = f.drop(9).filter(_ != ".").map(_.toInt)
+      assert(gts.length == an, line)
+      ac.zipWithIndex.foreach { case (c, i) => assert(gts.count(_ == i + 1) == c, line) }
+      assert(f(4).split(",").length == ac.length, line)
+    }
   }
 }
