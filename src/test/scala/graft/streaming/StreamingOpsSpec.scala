@@ -34,6 +34,29 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("the same tumbling plan runs from a parquet file-stream source") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.functions._
+    // stage the events table as a file-source directory: readStream →
+    // transform → writeStream over real files, same plan as the batch query
+    val dir = Files.createTempDirectory("ev-stream").toString
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(dir, "events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val raw = spark.read.parquet(dir) // ts arrives as raw nanos (legacy conf)
+    val stream = spark.readStream.schema(raw.schema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000L)"))
+    val q = StreamingOps.tumblingCounts(stream)
+      .writeStream.format("memory").queryName("filetumbling")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      // one batch, watermark starts at 0 → nothing is late; totals must match
+      val got = spark.table("filetumbling")
+        .agg(sum("n_events")).collect()(0).getLong(0)
+      assert(got == graft.Tables.t(spark, "/root/testdata/sf0.001", "events").count())
+    } finally q.stop()
+  }
+
   test("streaming content dedup keeps first copy, evicts state past watermark") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
