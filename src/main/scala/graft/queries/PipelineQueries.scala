@@ -320,7 +320,7 @@ object PipelineQueries {
     lazy val nDocs = g.count()
 
     if (vocabPerLang < 64 * 128 && nDocs <= 200000)
-      d4BitmapPath(g, ex, dfreq, vocabPerLang.toInt)
+      d4BitmapPath(g, dfreq)
     else d4PrefixPath(g, ex, dfreq)
   }
 
@@ -330,20 +330,36 @@ object PipelineQueries {
     * intersection is one fused popcount loop per pair (graft_popcnt_and).
     * Verified 3M pairs/s/core at sf0.1 vs ~2ms/pair for string
     * array_intersect through the same join.
+    *
+    * The dictionary is collected to the driver and broadcast (bounded by the
+    * vocabulary gate that selects this path), so bitmap construction is one
+    * narrow typed pass over the checkpointed grams — the earlier
+    * explode → dict-join → double-groupBy formulation shuffled every gram
+    * occurrence and cost ~1 s of the operator's 2.7 s at sf0.1.
     */
-  private def d4BitmapPath(g: DataFrame, ex: DataFrame, dfreq: DataFrame, vocabPerLang: Int): DataFrame = {
-    val nWords = math.max(1, (vocabPerLang - 1) / 64 + 1)
-    val dict = dfreq.withColumn("idx",
-      row_number().over(Window.partitionBy("lang").orderBy("gram")) - 1)
-    val words = ex.join(broadcast(dict.select("lang", "gram", "idx")), Seq("lang", "gram"))
-      .groupBy(col("lang"), col("doc_id"), expr("idx div 64").as("w"))
-      .agg(expr("bit_or(shiftleft(1L, cast(idx % 64 as int)))").as("bits"),
-        count(lit(1)).as("cnt"))
-    val bm = words.groupBy("lang", "doc_id")
-      .agg(sum("cnt").as("n"),
-        map_from_entries(collect_list(struct(col("w"), col("bits")))).as("m"))
-      .select(col("lang"), col("doc_id"), col("n"),
-        expr(s"transform(sequence(0, ${nWords - 1}), w -> coalesce(m[w], 0L))").as("bm"))
+  private def d4BitmapPath(g: DataFrame, dfreq: DataFrame): DataFrame = {
+    val s = g.sparkSession
+    import s.implicits._
+    val dictByLang: Map[String, Map[String, Int]] = dfreq.select("lang", "gram")
+      .as[(String, String)].collect().groupBy(_._1)
+      .map { case (lang, rows) =>
+        lang -> rows.map(_._2).sorted.zipWithIndex.toMap
+      }
+    val dictB = s.sparkContext.broadcast(dictByLang)
+    val bm = g.select(col("doc_id"), col("lang"), col("g"))
+      .as[(Long, String, Seq[String])]
+      .mapPartitions { it =>
+        val dicts = dictB.value
+        it.map { case (id, lang, grams) =>
+          val dict = dicts(lang)
+          val words = new Array[Long]((dict.size + 63) / 64)
+          grams.foreach { gr =>
+            val i = dict(gr)
+            words(i >> 6) |= 1L << (i & 63)
+          }
+          (lang, id, grams.size.toLong, words)
+        }
+      }.toDF("lang", "doc_id", "n", "bm")
     val a = bm.select(col("lang"), col("doc_id").as("doc_a"), col("n").as("na"),
       col("bm").as("ba"))
     val b = bm.select(col("lang"), col("doc_id").as("doc_b"), col("n").as("nb"),
