@@ -260,6 +260,51 @@ object PipelineQueries {
        |SELECT doc_id, ($weights)::BIGINT AS simhash FROM bits ORDER BY doc_id""".stripMargin
   }
 
+  // ----------------------------------- D3b: SimHash near-dup pair detection
+
+  /** The pairing stage that makes SimHash a dedup operator: candidate pairs
+    * agree on at least one of the 4 signature bytes (pigeonhole: any pair
+    * within Hamming distance 3 of a 32-bit signature must match a full
+    * byte), verified with the exact popcount distance. Same LSH-shaped plan
+    * as d2: band explode → equi-join on (band, key) → cheap exact verify;
+    * shuffle volume is 4 rows per doc, group sizes are byte-collision
+    * rates. At larger corpora: more/wider bands, same plan.
+    */
+  def d3bSimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = d3Simhash(s, dir) // doc_id, simhash — already oracle-matched
+    val bands = sig.select(col("doc_id"), col("simhash"),
+      explode(expr("transform(sequence(0, 3), " +
+        "p -> struct(p as p, shiftright(simhash, 8 * p) & 255L as k))")).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.p").as("p"), col("bk.k").as("k"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("simhash").as("sa"),
+      col("p"), col("k"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("simhash").as("sb"),
+      col("p"), col("k"))
+    a.join(b, Seq("p", "k"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sa", "sb").distinct()
+      .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val d3bSql: String = {
+    // reuse d3's signature derivation verbatim so both stages share one truth
+    val sigCte = d3Sql
+      .replace("SELECT doc_id, (", ", sig AS (SELECT doc_id, (")
+      .replace(")::BIGINT AS simhash FROM bits ORDER BY doc_id", ")::BIGINT AS simhash FROM bits)")
+    s"""$sigCte,
+       |bands AS (SELECT doc_id, simhash, p, (simhash >> (8 * p)) & 255 AS k
+       |          FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) t(p)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |                a.simhash AS sa, b.simhash AS sb
+       |         FROM bands a JOIN bands b ON a.p = b.p AND a.k = b.k
+       |          AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, bit_count(xor(sa, sb))::INT AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ------------------------------------------- D4: blocked n-gram Jaccard
 
   /** Character-4-gram Jaccard near-dup at threshold 0.6, with PPJoin-style
@@ -865,6 +910,7 @@ object PipelineQueries {
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d2_minhash_lsh" -> (d2MinhashLsh _),
     "d3_simhash" -> (d3Simhash _),
+    "d3b_simhash_pairs" -> (d3bSimhashPairs _),
     "d4_ngram_jaccard" -> (d4NgramJaccard _),
     "d5_embedding_nn" -> (d5EmbeddingNn _),
     "sim1_cosine_topk" -> (sim1CosineTopk _),
@@ -884,6 +930,7 @@ object PipelineQueries {
     "d1_exact_dedup" -> d1Sql,
     "d2_minhash_lsh" -> d2Sql,
     "d3_simhash" -> d3Sql,
+    "d3b_simhash_pairs" -> d3bSql,
     "d4_ngram_jaccard" -> d4Sql,
     "d5_embedding_nn" -> d5Sql,
     "sim1_cosine_topk" -> sim1Sql,

@@ -7,7 +7,7 @@ class PipelineQueriesSpec extends SparkSpec {
   /** Candidate-pair detectors may legitimately find nothing at the smallest
     * scale factor; everything else must match rows.
     */
-  private val mayBeEmpty = Set("d2_minhash_lsh", "d4_ngram_jaccard")
+  private val mayBeEmpty = Set("d2_minhash_lsh", "d3b_simhash_pairs", "d4_ngram_jaccard")
 
   test("every pipeline query runs at sf0.001, has an oracle, and returns rows") {
     PipelineQueries.queries.foreach { case (name, fn) =>
