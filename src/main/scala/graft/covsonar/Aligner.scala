@@ -51,6 +51,28 @@ object Aligner {
     matrix(if (ia < 0) 14 else ia)(if (ib < 0) 14 else ib)
   }
 
+  /** Flattened matrix + per-sequence code arrays: the DP inner loop runs
+    * ~4M cells per 30 kb alignment, so one bounds-checked flat lookup per
+    * cell instead of charAt + 2D deref is a measurable share of ingest.
+    */
+  private val flatMatrix: Array[Int] = {
+    val f = new Array[Int](15 * 15)
+    for (i <- 0 until 15; j <- 0 until 15) f(i * 15 + j) = matrix(i)(j)
+    f
+  }
+
+  private def codesOf(s: String): Array[Int] = {
+    val out = new Array[Int](s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val ic = if (c < 128) code(c.toInt) else -1
+      out(i) = if (ic < 0) 14 else ic
+      i += 1
+    }
+    out
+  }
+
   private val NegInf = Int.MinValue / 4
 
   /** Globally align `query` against `target` (the reference). Returns
@@ -82,6 +104,8 @@ object Aligner {
     val hi = math.max(0, m - n) + w
     val bw = hi - lo + 1
     val openCost = gapOpen + gapExtend
+    val tCodes = codesOf(target)
+    val qCodes = codesOf(query)
 
     // DP rows indexed by band offset b = j - i - lo ∈ [0, bw)
     val prevM = new Array[Int](bw); val prevX = new Array[Int](bw); val prevY = new Array[Int](bw)
@@ -149,7 +173,8 @@ object Aligner {
           var best = pm; var c = 0
           if (px > best) { best = px; c = 1 }
           if (py > best) { best = py; c = 2 }
-          if (best > NegInf) curM(b) = best + score(target.charAt(i - 1), query.charAt(jj - 1))
+          if (best > NegInf)
+            curM(b) = best + flatMatrix(tCodes(i - 1) * 15 + qCodes(jj - 1))
           tbByte |= c
         }
         tb(rowBase + b) = tbByte.toByte
