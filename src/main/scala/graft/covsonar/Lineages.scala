@@ -50,7 +50,7 @@ object Lineages {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.readTree(json)
     val out = Map.newBuilder[String, String]
-    root.fields().forEachRemaining { e =>
+    root.properties().forEach { e =>
       val v = e.getValue
       if (v.isTextual && v.asText().nonEmpty) out += e.getKey -> v.asText()
       else out += e.getKey -> e.getKey

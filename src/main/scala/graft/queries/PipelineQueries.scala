@@ -585,7 +585,7 @@ object PipelineQueries {
     */
   def sim2LshAnn(s: SparkSession, dir: String): DataFrame = {
     def planeDot(p: Int): Column =
-      call_function("graft_dot", col("v"), array(planes(p).map(lit): _*))
+      call_function("graft_dot", col("v"), array(planes(p).toIndexedSeq.map(lit): _*))
     val bucketed = embVec(s, dir).withColumn("bucket",
       (0 until 4).map(p => when(planeDot(p) > 0, lit(1 << p)).otherwise(lit(0))).reduce(_ + _).cast("long"))
     val q = bucketed.filter(col("vec_id") < 10)
