@@ -79,7 +79,7 @@ object SonarCli {
       case "add" =>
         val files = all("file") ++ all("f")
         val dirs = all("dir") ++ all("d")
-        val exts = Seq(".fasta", ".fna", ".fasta.gz", ".fna.gz")
+        val exts = Seq(".fasta", ".fna", ".fasta.gz", ".fna.gz", ".fasta.xz", ".fna.xz")
         val fastas = files ++ dirs.flatMap { d =>
           val s = Files.list(Paths.get(d))
           try s.iterator().asScala.map(_.toString)

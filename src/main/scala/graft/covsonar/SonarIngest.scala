@@ -44,22 +44,38 @@ object SonarIngest {
   /** Distributed FASTA source (S1): one input split per `\n>`-delimited
     * record via lineSep, so multi-GB multi-record FASTA files parallelize
     * without whole-file reads. Gzip input works transparently through the
-    * Hadoop codec (S2).
+    * Hadoop codec; xz input (reference: `sonar.py:496-509` opens gz/xz/plain
+    * by extension, S2) goes through a per-file XZ stream — xz is a
+    * non-splittable format, so one-task-per-file is exactly the parallelism
+    * a Hadoop codec would yield.
     */
   def readFasta(spark: SparkSession, path: String): Dataset[FastaRecord] = {
     import spark.implicits._
-    spark.read.option("lineSep", "\n>").text(path).as[String].flatMap { chunk0 =>
-      val chunk = if (chunk0.startsWith(">")) chunk0.substring(1) else chunk0
-      val nl = chunk.indexOf('\n')
-      if (nl < 0 || chunk.trim.isEmpty) None
-      else {
-        val header = chunk.substring(0, nl).trim
-        val seq = Genetics.harmonize(
-          chunk.substring(nl + 1).filterNot(c => c == '\n' || c == '\r'))
-        val id = header.split("\\s+", 2)(0)
-        if (seq.isEmpty) None // zero-length records are skipped (sonar.py:577-578)
-        else Some(FastaRecord(id, header, Genetics.seguid(seq), seq))
-      }
+    if (path.endsWith(".xz")) {
+      spark.sparkContext.binaryFiles(path)
+        .flatMap { case (_, pds) =>
+          val in = new org.tukaani.xz.XZInputStream(
+            new java.io.BufferedInputStream(pds.open()))
+          val text = try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+          text.split("\n>", -1).iterator.flatMap(parseRecord)
+        }.toDS()
+    } else
+      spark.read.option("lineSep", "\n>").text(path).as[String].flatMap(parseRecord _)
+  }
+
+  /** One `>`-header FASTA chunk (leading `>` optional) → harmonized record. */
+  private def parseRecord(chunk0: String): Option[FastaRecord] = {
+    val chunk = if (chunk0.startsWith(">")) chunk0.substring(1) else chunk0
+    val nl = chunk.indexOf('\n')
+    if (nl < 0 || chunk.trim.isEmpty) None
+    else {
+      val header = chunk.substring(0, nl).trim
+      val seq = Genetics.harmonize(
+        chunk.substring(nl + 1).filterNot(c => c == '\n' || c == '\r'))
+      val id = header.split("\\s+", 2)(0)
+      if (seq.isEmpty) None // zero-length records are skipped (sonar.py:577-578)
+      else Some(FastaRecord(id, header, Genetics.seguid(seq), seq))
     }
   }
 

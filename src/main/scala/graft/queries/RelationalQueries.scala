@@ -306,6 +306,21 @@ object RelationalQueries {
     """SELECT COUNT(DISTINCT c_mktsegment) AS n_segments, COUNT(DISTINCT c_nationkey) AS n_nations,
       |  COUNT(*) AS n_customers FROM customer""".stripMargin
 
+  /** A5: grouped count over two metadata fields with deterministic order
+    * (covSonar info's `GROUP BY source, collection ORDER BY source,
+    * collection`, lib/sonardb.py:1567-1569). Pure partial-aggregable count;
+    * the only shuffle is the tiny post-aggregation exchange.
+    */
+  def a5GroupOrder(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("source", "lang")
+
+  val a5Sql: String =
+    """SELECT source, lang, COUNT(*) AS cnt FROM documents
+      |GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
   /** A6: min/max over timestamps (imported/date bounds in covSonar info). */
   def a6MinMax(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -524,6 +539,7 @@ object RelationalQueries {
     "j6_gather_sorted" -> (j6GatherSorted _),
     "j7_wildcard_semi" -> (j7WildcardSemi _),
     "a4_count_distinct" -> (a4CountDistinct _),
+    "a5_group_order" -> (a5GroupOrder _),
     "a6_min_max" -> (a6MinMax _),
     "a7_coverage" -> (a7Coverage _),
     "w1_row_number" -> (w1RowNumber _),
@@ -555,6 +571,7 @@ object RelationalQueries {
     "j6_gather_sorted" -> j6Sql,
     "j7_wildcard_semi" -> j7Sql,
     "a4_count_distinct" -> a4Sql,
+    "a5_group_order" -> a5Sql,
     "a6_min_max" -> a6Sql,
     "a7_coverage" -> a7Sql,
     "w1_row_number" -> w1Sql,
