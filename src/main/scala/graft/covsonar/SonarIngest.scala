@@ -65,7 +65,7 @@ object SonarIngest {
   }
 
   /** One `>`-header FASTA chunk (leading `>` optional) → harmonized record. */
-  private def parseRecord(chunk0: String): Option[FastaRecord] = {
+  private[covsonar] def parseRecord(chunk0: String): Option[FastaRecord] = {
     val chunk = if (chunk0.startsWith(">")) chunk0.substring(1) else chunk0
     val nl = chunk.indexOf('\n')
     if (nl < 0 || chunk.trim.isEmpty) None

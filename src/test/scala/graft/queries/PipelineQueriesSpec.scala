@@ -30,6 +30,22 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall below floor")
   }
 
+  test("sim2b multiprobe recall is at least sim2's single-bucket recall") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = pairs(PipelineQueries.sim1CosineTopk(spark, sf))
+    val single = pairs(PipelineQueries.sim2LshAnn(spark, sf))
+    val multi = pairs(PipelineQueries.sim2bMultiprobe(spark, sf))
+    assert(exact.nonEmpty)
+    val rSingle = (exact & single).size.toDouble / exact.size
+    val rMulti = (exact & multi).size.toDouble / exact.size
+    assert(rMulti >= rSingle,
+      s"multiprobe recall $rMulti fell below single-probe $rSingle")
+    // every single-probe candidate set is a subset of the multiprobe one,
+    // so any rank-k result it finds the multiprobe variant also considers
+    assert(multi.nonEmpty)
+  }
+
   test("d1 exact dedup marks only non-canonical copies as dups") {
     val rows = PipelineQueries.d1ExactDedup(spark, sf).collect()
     rows.foreach { r =>
