@@ -467,6 +467,93 @@ object PipelineQueries {
       |SELECT doc_a, doc_b, lang, (1000000 * inter) // uni AS jaccard_ppm
       |FROM p WHERE inter * 5 >= uni * 3 ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------- D6: duplicate-cluster assembly (CC)
+
+  /** The stage that turns pair lists into dedup decisions: connected
+    * components over the near-dup graph (exact-dup star edges ∪ SimHash
+    * pairs), so transitively-linked documents land in one cluster and a
+    * pipeline keeps min(doc_id) per cluster. Implemented as iterative
+    * min-label propagation: each round is one equi-join (labels ⨝ edges) +
+    * one partial-aggregable min — the loop is driver-side but every round is
+    * a bounded distributed job, and convergence is detected by a monotone
+    * scalar (Σ labels strictly decreases until fixpoint), one cheap agg per
+    * round instead of a full frame diff. Rounds needed = graph diameter
+    * (near-dup graphs are overwhelmingly tiny stars and chains); a 100 TB
+    * corpus with adversarial diameters would switch to the alternating
+    * large-star/small-star formulation (Kiveris et al., SoCC'14) — same
+    * per-round plan shape, O(log n) rounds guaranteed.
+    *
+    * The DuckDB oracle computes the same components via a recursive CTE —
+    * an independent algorithm (transitive closure + min) over the same edge
+    * set, which is exactly what a correctness gate for a fixpoint algorithm
+    * should be.
+    */
+  def d6DupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), md5(col("text")).as("h"))
+    val exact = docs
+      .withColumn("canon", min("doc_id").over(Window.partitionBy("h")))
+      .filter(col("doc_id") =!= col("canon"))
+      .select(col("canon").as("a"), col("doc_id").as("b"))
+    val sim = d3bSimhashPairs(s, dir).select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val und = exact.union(sim)
+    val edges = und.union(und.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+
+    var labels = t(s, dir, "documents")
+      .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+    var prevSum = labels.agg(sum("label")).first().getLong(0)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 64) {
+      val prop = labels.join(edges, labels("doc_id") === edges("a"))
+        .select(edges("b").as("doc_id"), labels("label").as("label"))
+        .union(labels)
+        .groupBy("doc_id").agg(min("label").as("label"))
+        .localCheckpoint() // cut lineage: each round's plan stays one join deep
+      val s2 = prop.agg(sum("label")).first().getLong(0)
+      converged = s2 == prevSum
+      prevSum = s2
+      labels = prop
+      rounds += 1
+    }
+    require(converged, s"components did not converge in $rounds rounds")
+    labels
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("label")))
+      .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  val d6Sql: String = {
+    // reuse d3's signature derivation verbatim so the SimHash edge set is
+    // the same truth d3/d3b are checked against
+    val sigCte = d3Sql
+      .replace("WITH tok", "WITH RECURSIVE tok")
+      .replace("SELECT doc_id, (", ", sig AS (SELECT doc_id, (")
+      .replace(")::BIGINT AS simhash FROM bits ORDER BY doc_id", ")::BIGINT AS simhash FROM bits)")
+    s"""$sigCte,
+       |bands AS (SELECT doc_id, simhash, p, (simhash >> (8 * p)) & 255 AS k
+       |          FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) t(p)),
+       |sp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |       FROM bands a JOIN bands b ON a.p = b.p AND a.k = b.k
+       |        AND a.doc_id < b.doc_id
+       |       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |ex AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+       |       FROM documents),
+       |ep AS (SELECT canon AS doc_a, doc_id AS doc_b FROM ex WHERE doc_id != canon),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM sp
+       |          UNION SELECT doc_b, doc_a FROM sp
+       |          UNION SELECT doc_a, doc_b FROM ep
+       |          UNION SELECT doc_b, doc_a FROM ep),
+       |reach(doc_id, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.doc_id),
+       |lab AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id)
+       |SELECT doc_id, cluster_id,
+       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM lab ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------- D5: embedding-cosine nearest dup
 
   /** Brute-force exact nearest neighbor per vector (the cosine near-dup
@@ -964,6 +1051,7 @@ object PipelineQueries {
     "d3b_simhash_pairs" -> (d3bSimhashPairs _),
     "d4_ngram_jaccard" -> (d4NgramJaccard _),
     "d5_embedding_nn" -> (d5EmbeddingNn _),
+    "d6_dup_clusters" -> (d6DupClusters _),
     "sim1_cosine_topk" -> (sim1CosineTopk _),
     "sim2_lsh_ann" -> (sim2LshAnn _),
     "sim2b_multiprobe" -> (sim2bMultiprobe _),
@@ -985,6 +1073,7 @@ object PipelineQueries {
     "d3b_simhash_pairs" -> d3bSql,
     "d4_ngram_jaccard" -> d4Sql,
     "d5_embedding_nn" -> d5Sql,
+    "d6_dup_clusters" -> d6Sql,
     "sim1_cosine_topk" -> sim1Sql,
     "sim2_lsh_ann" -> sim2Sql,
     "sim2b_multiprobe" -> sim2bSql,

@@ -46,6 +46,28 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(multi.nonEmpty)
   }
 
+  test("d6 clusters are consistent: every doc labeled, edges intra-cluster, id = min member") {
+    val rows = PipelineQueries.d6DupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"))).toMap
+    val nDocs = graft.Tables.t(spark, sf, "documents").count()
+    assert(rows.size.toLong == nDocs, "every document gets exactly one cluster row")
+    // cluster_id is the min member and sizes agree with the partition
+    val byCluster = rows.groupBy(_._2._1)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.keys.min == cid, s"cluster $cid id is not its min member")
+      assert(members.values.forall(_._2 == members.size.toLong))
+    }
+    // both edge families land intra-cluster (exact dups share md5; d3b pairs)
+    val d1 = PipelineQueries.d1ExactDedup(spark, sf).collect()
+    d1.foreach { r =>
+      assert(rows(r.getAs[Long]("doc_id"))._1 == rows(r.getAs[Long]("canonical_id"))._1)
+    }
+    PipelineQueries.d3bSimhashPairs(spark, sf).collect().foreach { r =>
+      assert(rows(r.getAs[Long]("doc_a"))._1 == rows(r.getAs[Long]("doc_b"))._1)
+    }
+  }
+
   test("d1 exact dedup marks only non-canonical copies as dups") {
     val rows = PipelineQueries.d1ExactDedup(spark, sf).collect()
     rows.foreach { r =>
