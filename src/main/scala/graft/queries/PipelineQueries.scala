@@ -472,16 +472,18 @@ object PipelineQueries {
   /** The stage that turns pair lists into dedup decisions: connected
     * components over the near-dup graph (exact-dup star edges ∪ SimHash
     * pairs), so transitively-linked documents land in one cluster and a
-    * pipeline keeps min(doc_id) per cluster. Implemented as iterative
-    * min-label propagation: each round is one equi-join (labels ⨝ edges) +
-    * one partial-aggregable min — the loop is driver-side but every round is
-    * a bounded distributed job, and convergence is detected by a monotone
-    * scalar (Σ labels strictly decreases until fixpoint), one cheap agg per
-    * round instead of a full frame diff. Rounds needed = graph diameter
-    * (near-dup graphs are overwhelmingly tiny stars and chains); a 100 TB
-    * corpus with adversarial diameters would switch to the alternating
-    * large-star/small-star formulation (Kiveris et al., SoCC'14) — same
-    * per-round plan shape, O(log n) rounds guaranteed.
+    * pipeline keeps min(doc_id) per cluster. Two exact paths, chosen on the
+    * measured edge count like d4's vocabulary gate: small graphs collect to
+    * the driver for union-find (the pair lists LSH emits are sparse — a
+    * distributed round-loop would spend 100× the compute on job scheduling);
+    * big graphs run iterative min-label propagation where each round is one
+    * equi-join (labels ⨝ edges) + one partial-aggregable min, with
+    * convergence detected by a monotone scalar (Σ labels strictly decreases
+    * until fixpoint) — one cheap agg per round instead of a full frame diff.
+    * Rounds needed = graph diameter (near-dup graphs are overwhelmingly tiny
+    * stars and chains); a corpus with adversarial diameters would switch to
+    * the alternating large-star/small-star formulation (Kiveris et al.,
+    * SoCC'14) — same per-round plan shape, O(log n) rounds guaranteed.
     *
     * The DuckDB oracle computes the same components via a recursive CTE —
     * an independent algorithm (transitive closure + min) over the same edge
@@ -489,18 +491,69 @@ object PipelineQueries {
     * should be.
     */
   def d6DupClusters(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), md5(col("text")).as("h"))
-    val exact = docs
+    val withCanon = t(s, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("h"))
       .withColumn("canon", min("doc_id").over(Window.partitionBy("h")))
+    val exact = withCanon
       .filter(col("doc_id") =!= col("canon"))
       .select(col("canon").as("a"), col("doc_id").as("b"))
     val sim = d3bSimhashPairs(s, dir).select(col("doc_a").as("a"), col("doc_b").as("b"))
     val und = exact.union(sim)
-    val edges = und.union(und.select(col("b").as("a"), col("a").as("b")))
+    val edges0 = und.union(und.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint()
 
-    var labels = t(s, dir, "documents")
-      .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+    // Adaptive plan choice on a cheap stat, like d4: component assembly on a
+    // few-thousand-edge graph is driver work (exact union-find, microseconds
+    // — a distributed round-loop would spend 100× that on per-job scheduling
+    // alone), while a 10^9-edge graph takes the distributed label-propagation
+    // loop. Both paths are exact and land on the identical fixpoint.
+    val labels: DataFrame =
+      if (edges0.count() <= 2000000L) driverUnionFind(s, dir, edges0)
+      else propagateLabels(withCanon, edges0)
+
+    labels
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("label")))
+      .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** Small-graph path: collect the edge list, union-find with union-by-min
+    * (always attach the larger root under the smaller, so a root IS its
+    * component's min doc_id), broadcast the assignment, one narrow map over
+    * the corpus. Docs with no edges are their own singleton cluster.
+    */
+  private def driverUnionFind(s: SparkSession, dir: String, edges: DataFrame): DataFrame = {
+    import s.implicits._
+    val es = edges.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes: Set[Long] = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    val assign: Map[Long, Long] = nodes.iterator.map(x => x -> find(x)).toMap
+    val bc = s.sparkContext.broadcast(assign)
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it => val m = bc.value; it.map(id => (id, m.getOrElse(id, id))) }
+      .toDF("doc_id", "label")
+  }
+
+  /** Large-graph path: distributed min-label propagation. Seeded with the
+    * exact-dup canonical so md5-equal groups start collapsed; each round is
+    * one equi-join + partial-aggregable min, lineage cut per round, and
+    * convergence is the monotone Σ labels scalar (labels only decrease, so
+    * an unchanged sum means an unchanged frame).
+    */
+  private def propagateLabels(withCanon: DataFrame, edges: DataFrame): DataFrame = {
+    var labels = withCanon.select(col("doc_id"), col("canon").as("label"))
+      .localCheckpoint()
     var prevSum = labels.agg(sum("label")).first().getLong(0)
     var converged = false
     var rounds = 0
@@ -518,9 +571,6 @@ object PipelineQueries {
     }
     require(converged, s"components did not converge in $rounds rounds")
     labels
-      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("label")))
-      .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
-      .orderBy("doc_id")
   }
 
   val d6Sql: String = {
