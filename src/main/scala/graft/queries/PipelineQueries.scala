@@ -1032,6 +1032,68 @@ object PipelineQueries {
       |SELECT doc_id, CASE WHEN v % 100 < 95 THEN 'train' ELSE 'eval' END AS split
       |FROM h ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- X7: BM25 relevance scoring
+
+  private val X7Terms = Seq("spark", "stream", "data")
+
+  /** BM25-shaped relevance scoring of the corpus against a query term set —
+    * the ranking pass of retrieval-based data curation (and of dataset
+    * search). Standard BM25 tf-saturation with k1=1.2, b=0.75, evaluated in
+    * exact integer arithmetic: with L = Σ dl and N docs,
+    * tf·(k1+1)/(tf + k1·(1−b+b·dl·N/L)) == 22·L·tf / (10·L·tf + 3·L + 9·dl·N)
+    * after clearing denominators, so both engines compute identical BIGINTs
+    * (ppm). The idf factor is the ln-free rational surrogate
+    * (N−df+1)/(df+1) — same ranking order as BM25's ln idf, but exact
+    * cross-engine (libm ln may differ in the last ulp between engines, and
+    * the correctness gate hashes values).
+    *
+    * Plan shape: per-doc tf/dl are narrow codegen'd map work; the corpus
+    * stats (N, L, per-term df) are ONE partial-aggregable pass broadcast
+    * back as a single row — no shuffle of the corpus, no driver round-trip,
+    * any corpus size.
+    */
+  def x7Bm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("dl", size(col("w")).cast("long"))
+    val withTf = X7Terms.foldLeft(docs) { (d, term) =>
+      d.withColumn(s"tf_$term", expr(s"size(filter(w, x -> x = '$term'))").cast("long"))
+    }
+    val aggs = Seq(count(lit(1)).as("n_docs"), sum("dl").as("total_len")) ++
+      X7Terms.map(term => count(when(col(s"tf_$term") > 0, 1)).as(s"df_$term"))
+    val stats = withTf.agg(aggs.head, aggs.tail: _*)
+    val contrib = X7Terms.map { term =>
+      expr(s"(((1000000L * 22L * total_len * tf_$term) div " +
+        s"(10L * total_len * tf_$term + 3L * total_len + 9L * dl * n_docs)) * " +
+        s"((1000000L * (n_docs - df_$term + 1L)) div (df_$term + 1L))) div 1000000L")
+    }.reduce(_ + _)
+    withTf.crossJoin(broadcast(stats))
+      .select(col("doc_id") +: X7Terms.map(term => col(s"tf_$term")) :+
+        contrib.as("bm25_ppm"): _*)
+      .orderBy("doc_id")
+  }
+
+  val x7Sql: String = {
+    val tfCols = X7Terms.map(term =>
+      s"len(list_filter(w, x -> x = '$term'))::BIGINT AS tf_$term").mkString(",\n        ")
+    val dfCols = X7Terms.map(term =>
+      s"SUM(CASE WHEN tf_$term > 0 THEN 1 ELSE 0 END)::BIGINT AS df_$term").mkString(",\n        ")
+    val contrib = X7Terms.map(term =>
+      s"(((1000000 * 22 * total_len * tf_$term) // " +
+        s"(10 * total_len * tf_$term + 3 * total_len + 9 * dl * n_docs)) * " +
+        s"((1000000 * (n_docs - df_$term + 1)) // (df_$term + 1))) // 1000000").mkString("\n  + ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |d AS (SELECT doc_id, len(w)::BIGINT AS dl,
+       |        $tfCols
+       |      FROM w),
+       |s AS (SELECT COUNT(*)::BIGINT AS n_docs, SUM(dl)::BIGINT AS total_len,
+       |        $dfCols
+       |      FROM d)
+       |SELECT doc_id, ${X7Terms.map(t => s"tf_$t").mkString(", ")},
+       |  $contrib AS bm25_ppm
+       |FROM d CROSS JOIN s ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------- M1: multimodal binary meta
 
   /** Multimodal plumbing: content as an opaque binary column + typed,
@@ -1112,6 +1174,7 @@ object PipelineQueries {
     "x4_fingerprint" -> (x4Fingerprint _),
     "x5_redact" -> (x5Redact _),
     "x6_split" -> (x6Split _),
+    "x7_bm25" -> (x7Bm25 _),
     "m1_binary_meta" -> (m1BinaryMeta _),
     "w3_sessionize" -> (w3Sessionize _),
   )
@@ -1134,6 +1197,7 @@ object PipelineQueries {
     "x4_fingerprint" -> x4Sql,
     "x5_redact" -> x5Sql,
     "x6_split" -> x6Sql,
+    "x7_bm25" -> x7Sql,
     "m1_binary_meta" -> m1Sql,
     "w3_sessionize" -> w3Sql,
   )

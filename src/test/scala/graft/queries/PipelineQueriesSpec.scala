@@ -68,6 +68,16 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("x7 BM25 score is zero exactly when no query term occurs, else positive") {
+    PipelineQueries.x7Bm25(spark, sf).collect().foreach { r =>
+      val hits = Seq("tf_spark", "tf_stream", "tf_data").map(r.getAs[Long]).sum
+      val score = r.getAs[Long]("bm25_ppm")
+      assert(score >= 0)
+      assert((score == 0) == (hits == 0),
+        s"doc ${r.getAs[Long]("doc_id")}: hits=$hits score=$score")
+    }
+  }
+
   test("d1 exact dedup marks only non-canonical copies as dups") {
     val rows = PipelineQueries.d1ExactDedup(spark, sf).collect()
     rows.foreach { r =>
