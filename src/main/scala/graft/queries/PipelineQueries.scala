@@ -344,29 +344,56 @@ object PipelineQueries {
       })
       .toDF("doc_id", "lang", "g")
       .localCheckpoint()
-    val ex = g.select(col("lang"), col("doc_id"), explode(col("g")).as("gram"))
 
     // Adaptive plan choice on cheap stats, the way an engine consults table
-    // statistics: measure the 4-gram vocabulary (and corpus size — both are
-    // single cheap jobs over checkpointed inputs) first. Synthetic/templated
+    // statistics: measure the 4-gram vocabulary first. Synthetic/templated
     // corpora collapse to a few thousand distinct grams, which (a) makes
     // PPJoin prefix filtering useless — the "rarest" grams still hit hundreds
     // of documents, so candidates ≈ all pairs — and (b) makes an exact
     // dictionary bitmap per document tiny. Real web-scale corpora have huge
     // vocabularies, where the prefix-filtered join is the plan that scales;
     // the doc-count gate keeps the bitmap path's broadcast bounded.
-    val dfreq = ex.groupBy("lang", "gram").agg(count(lit(1)).as("df"))
-      .localCheckpoint()
-    val vocabPerLang = dfreq.groupBy("lang").agg(count(lit(1)).as("n"))
-      .agg(max("n")).first().get(0) match {
-      case null => 0L
-      case v => v.asInstanceOf[Long]
-    }
-    lazy val nDocs = g.count()
+    //
+    // The vocabulary probe is one capped treeAggregate of per-lang gram sets
+    // (NOT an explode + groupBy — that shuffles every gram occurrence, and
+    // profiling showed it was ~40% of the operator): each set stops growing
+    // past the gate's cap, so executor/driver memory stays bounded on a
+    // web-scale vocabulary, and when the corpus is under the cap the probe
+    // has already produced the exact dictionaries the bitmap path needs.
+    val cap = 64 * 128
+    import scala.collection.mutable
+    val setsByLang = g.select(col("lang"), col("g")).rdd
+      .treeAggregate(mutable.Map.empty[String, mutable.HashSet[String]])(
+        (acc, row) => {
+          val set = acc.getOrElseUpdate(row.getString(0), mutable.HashSet.empty)
+          if (set.size <= cap) {
+            val it = row.getSeq[String](1).iterator
+            while (it.hasNext && set.size <= cap) set.add(it.next())
+          }
+          acc
+        },
+        (a, b) => {
+          b.foreach { case (lang, s) =>
+            val set = a.getOrElseUpdate(lang, mutable.HashSet.empty)
+            if (set.size <= cap) {
+              val it = s.iterator
+              while (it.hasNext && set.size <= cap) set.add(it.next())
+            }
+          }
+          a
+        })
+    val smallVocab = setsByLang.values.forall(_.size <= cap)
 
-    if (vocabPerLang < 64 * 128 && nDocs <= 200000)
-      d4BitmapPath(g, dfreq)
-    else d4PrefixPath(g, ex, dfreq)
+    if (smallVocab && g.count() <= 200000)
+      d4BitmapPath(g, setsByLang.map { case (lang, s) =>
+        lang -> s.toArray.sorted.zipWithIndex.toMap
+      }.toMap)
+    else {
+      val ex = g.select(col("lang"), col("doc_id"), explode(col("g")).as("gram"))
+      val dfreq = ex.groupBy("lang", "gram").agg(count(lit(1)).as("df"))
+        .localCheckpoint()
+      d4PrefixPath(g, ex, dfreq)
+    }
   }
 
   /** Small-vocabulary path: per-lang gram dictionary → each document becomes
@@ -376,20 +403,15 @@ object PipelineQueries {
     * Verified 3M pairs/s/core at sf0.1 vs ~2ms/pair for string
     * array_intersect through the same join.
     *
-    * The dictionary is collected to the driver and broadcast (bounded by the
-    * vocabulary gate that selects this path), so bitmap construction is one
+    * The dictionary arrives from the vocabulary probe (bounded by the gate
+    * that selects this path) and is broadcast, so bitmap construction is one
     * narrow typed pass over the checkpointed grams — the earlier
     * explode → dict-join → double-groupBy formulation shuffled every gram
     * occurrence and cost ~1 s of the operator's 2.7 s at sf0.1.
     */
-  private def d4BitmapPath(g: DataFrame, dfreq: DataFrame): DataFrame = {
+  private def d4BitmapPath(g: DataFrame, dictByLang: Map[String, Map[String, Int]]): DataFrame = {
     val s = g.sparkSession
     import s.implicits._
-    val dictByLang: Map[String, Map[String, Int]] = dfreq.select("lang", "gram")
-      .as[(String, String)].collect().groupBy(_._1)
-      .map { case (lang, rows) =>
-        lang -> rows.map(_._2).sorted.zipWithIndex.toMap
-      }
     val dictB = s.sparkContext.broadcast(dictByLang)
     val bm = g.select(col("doc_id"), col("lang"), col("g"))
       .as[(Long, String, Seq[String])]
