@@ -1146,6 +1146,40 @@ object PipelineQueries {
       |  1 + ((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) % 3) AS channels
       |FROM b ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- M2: frame sampling (explode)
+
+  /** Multimodal frame-sampling plumbing: one row per sampled frame via
+    * posexplode over a per-blob frame count — the exact plan shape of a
+    * video frame sampler (decode is the stub, as in `graft.multimodal`:
+    * the per-frame id here is hash-derived instead of decoded pixels; a real
+    * decoder changes only the lambda, not the schema or the explode).
+    * Narrow generate → no shuffle; output volume is rows × frames-per-row,
+    * the knob every frame-sampling pipeline budgets explicitly.
+    */
+  def m2FrameSample(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("blob", col("text").cast("binary"))
+      .withColumn("byte_len", length(col("blob")).cast("long"))
+      .withColumn("n_frames", least(lit(1L) + expr("byte_len div 256L"), lit(8L)))
+      .select(col("doc_id"), col("byte_len"), col("n_frames"),
+        posexplode(expr("sequence(0L, n_frames - 1L)")).as(Seq("frame_idx", "f")))
+      .select(col("doc_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        (col("frame_idx") * 40L).cast("long").as("frame_ts_ms"),
+        expr("md5(concat(md5(cast(doc_id AS string)), '-', cast(frame_idx AS string)))")
+          .as("frame_id"))
+      .orderBy("doc_id", "frame_idx")
+
+  val m2Sql: String =
+    """WITH b AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len FROM documents),
+      |f AS (SELECT doc_id, byte_len,
+      |        least(1 + byte_len // 256, 8)::BIGINT AS n_frames
+      |      FROM b)
+      |SELECT doc_id, unnest(range(n_frames))::BIGINT AS frame_idx,
+      |  unnest(range(n_frames)) * 40 AS frame_ts_ms,
+      |  md5(md5(doc_id::VARCHAR) || '-' || unnest(range(n_frames))::VARCHAR) AS frame_id
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
   // ------------------------------------------------- W3: sessionization
 
   /** 30-minute-gap sessionization: lag + cumulative flag sum inside one
@@ -1198,6 +1232,7 @@ object PipelineQueries {
     "x6_split" -> (x6Split _),
     "x7_bm25" -> (x7Bm25 _),
     "m1_binary_meta" -> (m1BinaryMeta _),
+    "m2_frame_sample" -> (m2FrameSample _),
     "w3_sessionize" -> (w3Sessionize _),
   )
 
@@ -1221,6 +1256,7 @@ object PipelineQueries {
     "x6_split" -> x6Sql,
     "x7_bm25" -> x7Sql,
     "m1_binary_meta" -> m1Sql,
+    "m2_frame_sample" -> m2Sql,
     "w3_sessionize" -> w3Sql,
   )
 }
