@@ -57,6 +57,17 @@ object StreamingOps {
       .withColumn("content_hash", md5(col("text")))
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream–static enrichment join: each micro-batch of events joins a
+    * static dimension (user → segment, device → model, …) that Spark re-reads
+    * per batch, so slowly-changing dimensions pick up updates without a
+    * restart. The static side is the build side (broadcast when small, which
+    * a dimension keyed for enrichment should be); the stream never buffers —
+    * stream–static inner/left joins are stateless by construction, so this
+    * costs state exactly nothing regardless of stream length.
+    */
+  def enrichAgainstStatic(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   private val GapUs = 1800L * 1000000L
 
   /** Event time in microseconds — java.sql.Timestamp.getTime() truncates to

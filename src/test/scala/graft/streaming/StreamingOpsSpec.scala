@@ -57,6 +57,26 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch against the dimension") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val dim = Seq((1L, "gold"), (2L, "trial")).toDF("user_id", "segment")
+    val q = StreamingOps.enrichAgainstStatic(in.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Event(1, ts(1), 1, "CLICK", 1.0),
+        Event(2, ts(2), 2, "VIEW", 2.0),
+        Event(3, ts(3), 9, "VIEW", 3.0)) // no dimension row → left join null
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("segment")).toMap
+      assert(rows == Map(1L -> "gold", 2L -> "trial", 3L -> null))
+    } finally q.stop()
+  }
+
   test("streaming content dedup keeps first copy, evicts state past watermark") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
