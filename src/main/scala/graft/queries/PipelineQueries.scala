@@ -82,6 +82,43 @@ object PipelineQueries {
   private def round6(v: Double): Double =
     java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  /** Candidate pairs (doc_a < doc_b, distinct) from an LSH band table
+    * (doc_id, bk) — the self-equi-join every banded detector (d2, d3b)
+    * funnels through, with measured-skew salting: bands larger than
+    * `saltThreshold` join on (bk, salt), the left side salted by doc hash
+    * and the right side replicated over all `r` salts, so each qualifying
+    * pair is still produced exactly once ((x,y) matches only at
+    * salt = hash(x) mod r) while a mega-band's work spreads over r tasks.
+    * This is the structural fix AQE cannot apply: AQE re-splits oversized
+    * shuffle *partitions*, but all rows of one giant join *key* land in one
+    * partition it cannot cut. The histogram probe is one tiny aggregation
+    * (one row per distinct band); the salted path engages only when the
+    * measured skew says so, so the common case pays nothing but that probe.
+    */
+  private[queries] def bandCandidates(
+      bands: DataFrame, saltThreshold: Long, r: Int = 16): DataFrame = {
+    val a = bands.select(col("doc_id").as("doc_a"), col("bk"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("bk"))
+    // histogram probe: one partial-aggregated job; the hot-key list is by
+    // definition tiny (each key exceeds the threshold), so it collects
+    val hotKeys: Seq[Any] = bands.groupBy("bk").agg(count(lit(1)).as("n"))
+      .filter(col("n") > saltThreshold).select("bk")
+      .collect().map(_.get(0)).toSeq
+    val pairs =
+      if (hotKeys.isEmpty) a.join(b, Seq("bk"))
+      else {
+        val isHot = col("bk").isin(hotKeys: _*)
+        val cold = a.filter(!isHot).join(b.filter(!isHot), Seq("bk"))
+        val salted = a.filter(isHot)
+          .withColumn("salt", pmod(hash(col("doc_a")), lit(r)))
+          .join(b.filter(isHot)
+            .withColumn("salt", explode(expr(s"sequence(0, ${r - 1})"))),
+            Seq("bk", "salt"))
+        cold.union(salted.select(cold.columns.map(col).toIndexedSeq: _*))
+      }
+    pairs.filter(col("doc_a") < col("doc_b")).select("doc_a", "doc_b").distinct()
+  }
+
   // ------------------------------------------------- D1: exact deduplication
 
   /** Exact dedup: canonical representative per content hash. At scale this is
@@ -167,11 +204,13 @@ object PipelineQueries {
         }
       }.toDF("doc_id", "sh", "bands").localCheckpoint()
 
+    // light checkpoint of just (doc_id, band key): the histogram probe and
+    // both sides of the candidate join scan this tiny projection instead of
+    // re-deserializing the heavy shingle arrays from the docsh checkpoint
     val bands = docsh.select(col("doc_id"), explode(col("bands")).as("bk"))
-    val cand = bands.select(col("doc_id").as("doc_a"), col("bk"))
-      .join(bands.select(col("doc_id").as("doc_b"), col("bk")), Seq("bk"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+      .localCheckpoint()
+    // skew-aware band join: salts any measured mega-band (see bandCandidates)
+    val cand = bandCandidates(bands, saltThreshold = 4096L)
     cand
       .join(docsh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
       .join(docsh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))

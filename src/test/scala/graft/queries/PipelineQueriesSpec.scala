@@ -78,6 +78,28 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("salted band join equals the plain join's pair set under forced skew") {
+    import spark.implicits._
+    // one engineered mega-band ("hot": 20 docs) among several small ones
+    val rows = (1L to 60L).map { i =>
+      (i, if (i % 3 == 0) "hot" else s"b${i % 7}")
+    }
+    val bands = rows.toDF("doc_id", "bk")
+    val expected = rows.groupBy(_._2).values.flatMap { grp =>
+      val ids = grp.map(_._1)
+      for (x <- ids; y <- ids if x < y) yield (x, y)
+    }.toSet
+    // threshold 5 forces the hot band (and some cold bands' siblings) through
+    // the salted path with a tiny salt space to exercise collisions
+    val got = PipelineQueries.bandCandidates(bands, saltThreshold = 5, r = 4)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(got == expected)
+    // and the no-skew path agrees too
+    val plain = PipelineQueries.bandCandidates(bands, saltThreshold = 1000)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(plain == expected)
+  }
+
   test("d1 exact dedup marks only non-canonical copies as dups") {
     val rows = PipelineQueries.d1ExactDedup(spark, sf).collect()
     rows.foreach { r =>
