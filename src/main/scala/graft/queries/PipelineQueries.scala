@@ -97,8 +97,15 @@ object PipelineQueries {
     */
   private[queries] def bandCandidates(
       bands: DataFrame, saltThreshold: Long, r: Int = 16): DataFrame = {
-    val a = bands.select(col("doc_id").as("doc_a"), col("bk"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("bk"))
+    // any column beyond (doc_id, bk) rides along, suffixed _a/_b — carrying
+    // a verification payload (e.g. d3b's signature) through the join is far
+    // cheaper than re-joining it onto millions of candidate pairs afterwards
+    val extras = bands.columns.filterNot(c => c == "doc_id" || c == "bk").toSeq
+    def side(sfx: String): DataFrame =
+      bands.select(col("doc_id").as(s"doc_$sfx") +: col("bk") +:
+        extras.map(c => col(c).as(s"${c}_$sfx")): _*)
+    val a = side("a")
+    val b = side("b")
     // histogram probe: one partial-aggregated job; the hot-key list is by
     // definition tiny (each key exceeds the threshold), so it collects
     val hotKeys: Seq[Any] = bands.groupBy("bk").agg(count(lit(1)).as("n"))
@@ -116,7 +123,8 @@ object PipelineQueries {
             Seq("bk", "salt"))
         cold.union(salted.select(cold.columns.map(col).toIndexedSeq: _*))
       }
-    pairs.filter(col("doc_a") < col("doc_b")).select("doc_a", "doc_b").distinct()
+    val outCols = Seq("doc_a", "doc_b") ++ extras.flatMap(c => Seq(s"${c}_a", s"${c}_b"))
+    pairs.filter(col("doc_a") < col("doc_b")).select(outCols.map(col): _*).distinct()
   }
 
   // ------------------------------------------------- D1: exact deduplication
@@ -310,19 +318,19 @@ object PipelineQueries {
     * rates. At larger corpora: more/wider bands, same plan.
     */
   def d3bSimhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = d3Simhash(s, dir) // doc_id, simhash — already oracle-matched
+    // doc_id, simhash — already oracle-matched; checkpointed because the
+    // band explode and both verification re-joins read it
+    val sig = d3Simhash(s, dir).localCheckpoint()
+    // band key = plane index and byte value fused into one long — the
+    // (p, k) universe is only 4×256, so low-entropy corpora WILL pile up
+    // mega-buckets here; going through bandCandidates gives d3b the same
+    // measured-skew salting as d2. The signature rides through the join as
+    // a carried column (simhash_a/simhash_b) for the exact verify.
     val bands = sig.select(col("doc_id"), col("simhash"),
       explode(expr("transform(sequence(0, 3), " +
-        "p -> struct(p as p, shiftright(simhash, 8 * p) & 255L as k))")).as("bk"))
-      .select(col("doc_id"), col("simhash"), col("bk.p").as("p"), col("bk.k").as("k"))
-    val a = bands.select(col("doc_id").as("doc_a"), col("simhash").as("sa"),
-      col("p"), col("k"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("simhash").as("sb"),
-      col("p"), col("k"))
-    a.join(b, Seq("p", "k"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sa", "sb").distinct()
-      .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+        "p -> p * 256L + (shiftright(simhash, 8 * p) & 255L))")).as("bk"))
+    bandCandidates(bands, saltThreshold = 4096L)
+      .withColumn("hamming", expr("bit_count(simhash_a ^ simhash_b)"))
       .filter(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
       .orderBy("doc_a", "doc_b")
