@@ -1163,6 +1163,36 @@ object PipelineQueries {
        |FROM d CROSS JOIN s ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------- X8: stratified deterministic sample
+
+  /** Stratified 20% subsample: within each language stratum, rank documents
+    * by content hash (deterministic, uniform, reshuffle-proof — the same
+    * property as x6's split) and keep the top ceil(n/5). Corpus-curation
+    * pipelines downsample over-represented strata exactly this way; the
+    * hash ordering makes the sample a pure function of content, so it is
+    * reproducible across runs, engines, and cluster layouts. One window
+    * shuffle on the stratum key; count per stratum comes from the same
+    * window, no second pass.
+    */
+  def x8StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val byLang = Window.partitionBy("lang")
+    val w = byLang.orderBy(col("h"), col("doc_id"))
+    t(s, dir, "documents")
+      .withColumn("h", md5(col("text")))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(byLang))
+      .filter(col("rk") * 5 <= col("n") + 4) // rk <= ceil(n/5)
+      .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
+      .orderBy("doc_id")
+  }
+
+  val x8Sql: String =
+    """WITH r AS (SELECT doc_id, lang,
+      |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk,
+      |        COUNT(*) OVER (PARTITION BY lang) AS n
+      |      FROM documents)
+      |SELECT doc_id, lang, rk FROM r WHERE rk * 5 <= n + 4 ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------- M1: multimodal binary meta
 
   /** Multimodal plumbing: content as an opaque binary column + typed,
@@ -1278,6 +1308,7 @@ object PipelineQueries {
     "x5_redact" -> (x5Redact _),
     "x6_split" -> (x6Split _),
     "x7_bm25" -> (x7Bm25 _),
+    "x8_stratified_sample" -> (x8StratifiedSample _),
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_frame_sample" -> (m2FrameSample _),
     "w3_sessionize" -> (w3Sessionize _),
@@ -1302,6 +1333,7 @@ object PipelineQueries {
     "x5_redact" -> x5Sql,
     "x6_split" -> x6Sql,
     "x7_bm25" -> x7Sql,
+    "x8_stratified_sample" -> x8Sql,
     "m1_binary_meta" -> m1Sql,
     "m2_frame_sample" -> m2Sql,
     "w3_sessionize" -> w3Sql,
