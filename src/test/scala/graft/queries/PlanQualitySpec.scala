@@ -68,6 +68,36 @@ class PlanQualitySpec extends SparkSpec {
       "band-key candidate join degenerated to a product")
   }
 
+  test("x7 BM25 computes corpus stats in one aggregate and broadcasts the single stats row") {
+    val p = plan(PipelineQueries.x7Bm25(spark, sf))
+    // one HashAggregate pair (partial + final) for N/L/df — not one pass per
+    // statistic — and the 1-row result joins back via broadcast, never by
+    // shuffling the corpus
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "stats row is not broadcast back to the corpus")
+    assert(!p.contains("SortMergeJoin"), "corpus shuffled to meet a 1-row stats frame")
+  }
+
+  test("m2 frame sampling is a narrow generate — no shuffle except the output sort") {
+    val p = plan(PipelineQueries.m2FrameSample(spark, sf))
+    assert(p.contains("Generate"), "posexplode missing from the plan")
+    // the only exchange allowed is the final orderBy's range partitioning;
+    // a second one would mean the explode shuffled its input
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, s"expected <=1 exchange (output sort), got $exchanges:\n" +
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("x8 stratified sample pays exactly one shuffle: the stratum window") {
+    val p = plan(PipelineQueries.x8StratifiedSample(spark, sf))
+    assert(p.contains("Window"), "expected the per-lang ranking window")
+    // hashpartitioning(lang) for the window + the final global sort's range
+    // exchange; anything more means a redundant pass over the corpus
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"expected <=2 exchanges (window + output sort), got $exchanges:\n" +
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("d3 simhash reads only the columns it needs from documents") {
     val p = plan(PipelineQueries.d3Simhash(spark, sf))
     val rs = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
