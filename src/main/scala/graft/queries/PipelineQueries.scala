@@ -591,7 +591,7 @@ object PipelineQueries {
     * component's min doc_id), broadcast the assignment, one narrow map over
     * the corpus. Docs with no edges are their own singleton cluster.
     */
-  private def driverUnionFind(s: SparkSession, dir: String, edges: DataFrame): DataFrame = {
+  private[queries] def driverUnionFind(s: SparkSession, dir: String, edges: DataFrame): DataFrame = {
     import s.implicits._
     val es = edges.as[(Long, Long)].collect()
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
@@ -620,7 +620,7 @@ object PipelineQueries {
     * convergence is the monotone Σ labels scalar (labels only decrease, so
     * an unchanged sum means an unchanged frame).
     */
-  private def propagateLabels(withCanon: DataFrame, edges: DataFrame): DataFrame = {
+  private[queries] def propagateLabels(withCanon: DataFrame, edges: DataFrame): DataFrame = {
     var labels = withCanon.select(col("doc_id"), col("canon").as("label"))
       .localCheckpoint()
     var prevSum = labels.agg(sum("label")).first().getLong(0)

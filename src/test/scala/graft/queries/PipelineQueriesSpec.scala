@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class PipelineQueriesSpec extends SparkSpec {
 
@@ -98,6 +99,25 @@ class PipelineQueriesSpec extends SparkSpec {
     val plain = PipelineQueries.bandCandidates(bands, saltThreshold = 1000)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     assert(plain == expected)
+  }
+
+  test("d6 distributed label propagation matches expected components on a multi-round graph") {
+    // the at-scale path never runs on testdata (small edge lists take the
+    // union-find branch), so exercise it directly: an 8-node chain needs
+    // several propagation rounds (diameter 7), plus a triangle and an
+    // isolated node
+    import spark.implicits._
+    val chain = (1L to 7L).map(i => (i, i + 1))
+    val tri = Seq((10L, 11L), (11L, 12L), (10L, 12L))
+    val und = (chain ++ tri).toDF("a", "b")
+    val edges = und.union(und.select(col("b").as("a"), col("a").as("b")))
+    val nodes = ((1L to 8L) ++ Seq(10L, 11L, 12L, 20L)).toDF("doc_id")
+      .withColumn("canon", col("doc_id")) // identity seed: worst-case start
+    val got = PipelineQueries.propagateLabels(nodes, edges)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("label")).toMap
+    val expected = ((1L to 8L).map(_ -> 1L) ++
+      Seq(10L, 11L, 12L).map(_ -> 10L) :+ (20L -> 20L)).toMap
+    assert(got == expected)
   }
 
   test("d1 exact dedup marks only non-canonical copies as dups") {
