@@ -17,6 +17,10 @@ class RelationalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("the driver's flagship entry point returns rows") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
   test("q1 aggregates are internally consistent") {
     val rows = RelationalQueries.q1PricingSummary(spark, sf).collect()
     assert(rows.nonEmpty)
