@@ -120,6 +120,26 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("d6's union-find and label-propagation paths agree on random graphs") {
+    import spark.implicits._
+    val docIds = graft.Tables.t(spark, sf, "documents")
+      .select("doc_id").as[Long].collect()
+    val rnd = new scala.util.Random(7) // fixed seed: deterministic spec
+    for (_ <- 1 to 3) {
+      val raw = Seq.fill(150)(
+        (docIds(rnd.nextInt(docIds.length)), docIds(rnd.nextInt(docIds.length))))
+        .filter(p => p._1 != p._2)
+      val und = raw.toDF("a", "b")
+      val edges = und.union(und.select(col("b").as("a"), col("a").as("b"))).distinct()
+      val nodes = docIds.toSeq.toDF("doc_id").withColumn("canon", col("doc_id"))
+      def toMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("label")).toMap
+      val uf = toMap(PipelineQueries.driverUnionFind(spark, sf, edges))
+      val lp = toMap(PipelineQueries.propagateLabels(nodes, edges))
+      assert(uf == lp)
+    }
+  }
+
   test("d1 exact dedup marks only non-canonical copies as dups") {
     val rows = PipelineQueries.d1ExactDedup(spark, sf).collect()
     rows.foreach { r =>
