@@ -177,7 +177,7 @@ object SonarCli {
       case "var2vcf" =>
         val output = one("output").orElse(one("o"))
           .getOrElse(sys.error("input error: no output defined (-o)"))
-        SonarVcf.export(store, output,
+        SonarVcf.exportVcf(store, output,
           accessions = expandAccessions(all("acc"), all("file")),
           dates = all("date"))
 

@@ -135,7 +135,7 @@ object SonarVcf {
     * of the reference's merged `.vcf` file; gzip via codec if the path ends
     * in .gz).
     */
-  def export(
+  def exportVcf(
       store: SonarStore,
       path: String,
       accessions: Seq[String] = Nil,

@@ -67,7 +67,7 @@ class SonarVcfSpec extends SparkSpec {
 
   test("export writes a sorted, well-formed VCF file") {
     val out = Files.createTempDirectory("vcf-out").toString + "/all.vcf"
-    SonarVcf.export(store, out)
+    SonarVcf.exportVcf(store, out)
     val lines = spark.read.text(out).collect().map(_.getString(0))
     val (meta, body) = lines.partition(_.startsWith("#"))
     assert(meta.head == "##fileformat=VCFv4.2")
