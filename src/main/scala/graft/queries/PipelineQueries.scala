@@ -379,7 +379,15 @@ object PipelineQueries {
     * shape that survives a 100× scale-up. The DuckDB oracle keeps the
     * brute-force formulation: identical output, independent plan.
     */
-  def d4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+  def d4NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    d4Impl(s, dir, forcePrefixPath = false)
+
+  /** `forcePrefixPath` is a test hook: testdata vocabularies always take the
+    * bitmap branch, so the spec forces the PPJoin branch to assert both
+    * paths produce identical pairs (same pattern as d6's two paths).
+    */
+  private[queries] def d4Impl(
+      s: SparkSession, dir: String, forcePrefixPath: Boolean): DataFrame = {
     import s.implicits._
     // Distinct char-4-grams per doc in one typed pass (tight JVM loop over a
     // LinkedHashSet; the interpreted transform/array_distinct HOF pair cost
@@ -440,7 +448,7 @@ object PipelineQueries {
         })
     val smallVocab = setsByLang.values.forall(_.size <= cap)
 
-    if (smallVocab && g.count() <= 200000)
+    if (!forcePrefixPath && smallVocab && g.count() <= 200000)
       d4BitmapPath(g, setsByLang.map { case (lang, s) =>
         lang -> s.toArray.sorted.zipWithIndex.toMap
       }.toMap)

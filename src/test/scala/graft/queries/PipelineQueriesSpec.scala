@@ -120,6 +120,17 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("d4's bitmap and PPJoin-prefix paths produce identical pairs") {
+    // the prefix branch never engages on testdata (vocabulary under the
+    // gate), so force it and compare against the adaptive (bitmap) result
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("jaccard_ppm"))).toSet
+    val adaptive = pairs(PipelineQueries.d4NgramJaccard(spark, sf))
+    val prefix = pairs(PipelineQueries.d4Impl(spark, sf, forcePrefixPath = true))
+    assert(prefix == adaptive)
+  }
+
   test("d6's union-find and label-propagation paths agree on random graphs") {
     import spark.implicits._
     val docIds = graft.Tables.t(spark, sf, "documents")
