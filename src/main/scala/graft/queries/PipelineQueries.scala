@@ -6,11 +6,14 @@ import org.apache.spark.sql.functions._
 import graft.Tables.t
 
 /** Large-scale training-data pipeline operators over the `documents` and
-  * `embeddings` tables: deduplication (exact, MinHash+LSH, SimHash, n-gram
-  * Jaccard, embedding-cosine), similarity search (brute-force top-k baseline
-  * plus an LSH-bucketed scale path), text analysis (language-ID heuristic,
-  * quality scoring, token counting, fingerprinting), multimodal binary
-  * metadata plumbing, and event sessionization.
+  * `embeddings` tables: deduplication (d1 exact, d2 MinHash+LSH, d3/d3b
+  * SimHash + byte-band pairing, d4 n-gram Jaccard, d5 embedding-cosine NN,
+  * d6 connected-component cluster assembly), similarity search (sim1 exact
+  * top-k baseline, sim2 LSH, sim2b multiprobe, sim3 IVF), text analysis
+  * (x1 language-ID, x2 quality, x3 token stats, x4 fingerprint, x5
+  * redaction, x6 hash split, x7 BM25 relevance, x8 stratified sample),
+  * multimodal binary plumbing (m1 metadata, m2 frame sampling), and event
+  * sessionization (w3).
   *
   * Every operator is expressed as a declarative DataFrame plan with a DuckDB
   * oracle. Cross-engine determinism rules used throughout:
