@@ -111,44 +111,60 @@ object SonarIngest {
       .join(existing, Seq("accession"), "left") // join strategy left to AQE
       .localCheckpoint()
 
-    val skippedInvalid = joined.filter(col("is_invalid"))
-      .select("accession").as[String].collect().toSeq
-    val valid = joined.filter(!col("is_invalid"))
+    // One aggregation pass over the checkpoint yields every happy-path
+    // count; the rare-path collects (conflict samples, invalid accession
+    // list, replacement list) run only when their count is non-zero, so a
+    // clean bulk ingest pays 1 stats job here instead of 5.
+    val validC = !col("is_invalid")
+    val seqConfC = validC && col("old_seqhash").isNotNull &&
+      col("old_seqhash") =!= col("seqhash")
+    val descrConfC = validC && col("old_seqhash") === col("seqhash") &&
+      !(col("old_descr") <=> col("description"))
+    val toInsertC = validC && (col("old_seqhash").isNull ||
+      (if (force) col("old_seqhash") =!= col("seqhash") else lit(false)))
+    val st = joined.agg(
+      count(when(col("is_invalid"), 1)).as("n_invalid"),
+      count(when(validC, 1)).as("n_valid"),
+      count(when(seqConfC, 1)).as("n_seqconf"),
+      count(when(descrConfC, 1)).as("n_descrconf"),
+      count(when(toInsertC, 1)).as("n_toinsert")).first()
+    def stat(name: String): Long = st.getAs[Long](name)
 
-    val seqConflicts = valid.filter(col("old_seqhash").isNotNull &&
-      col("old_seqhash") =!= col("seqhash"))
-    val descrConflicts = valid.filter(col("old_seqhash") === col("seqhash") &&
-      !(col("old_descr") <=> col("description")))
+    val skippedInvalid =
+      if (stat("n_invalid") == 0) Seq.empty[String]
+      else joined.filter(col("is_invalid")).select("accession").as[String].collect().toSeq
+
     if (!force) {
-      val c = seqConflicts.select("accession").as[String].take(1)
-      require(c.isEmpty, s"database error: ${c.headOption.getOrElse("")} exists in the " +
-        "database with a different sequence (use force to allow updating)")
-      val d = descrConflicts.select("accession").as[String].take(1)
-      require(d.isEmpty, s"database error: ${d.headOption.getOrElse("")} exists in the " +
-        "database with a different description (use force to allow updating)")
+      if (stat("n_seqconf") > 0) {
+        val c = joined.filter(seqConfC).select("accession").as[String].take(1)
+        require(c.isEmpty, s"database error: ${c.headOption.getOrElse("")} exists in the " +
+          "database with a different sequence (use force to allow updating)")
+      }
+      if (stat("n_descrconf") > 0) {
+        val d = joined.filter(descrConfC).select("accession").as[String].take(1)
+        require(d.isEmpty, s"database error: ${d.headOption.getOrElse("")} exists in the " +
+          "database with a different description (use force to allow updating)")
+      }
     }
 
     // force path: replaced genomes are fully removed first (delete+GC, K6)
-    val replacedAccs = if (force) seqConflicts.select("accession").as[String].collect().toSeq
+    val replacedAccs = if (force && stat("n_seqconf") > 0)
+      joined.filter(seqConfC).select("accession").as[String].collect().toSeq
       else Seq.empty
     if (replacedAccs.nonEmpty) SonarOps.remove(store, replacedAccs)
 
     // derives from the checkpoint — no extra caching needed
-    val descrUpdates = if (force) descrConflicts.select("accession", "description")
-      else spark.emptyDataFrame
-    val nDescrUpdates = if (force) {
-      val n = descrUpdates.count()
-      if (n > 0)
-        SonarOps.updateMetadata(store, descrUpdates
-          .withColumnRenamed("description", "new_description"))
-      n
+    val nDescrUpdates = if (force && stat("n_descrconf") > 0) {
+      SonarOps.updateMetadata(store, joined.filter(descrConfC)
+        .select("accession", "description")
+        .withColumnRenamed("description", "new_description"))
+      stat("n_descrconf")
     } else 0L
 
-    val toInsert = valid.filter(col("old_seqhash").isNull ||
-      (if (force) col("old_seqhash") =!= col("seqhash") else lit(false)))
+    val toInsert = joined.filter(toInsertC)
       .select("accession", "description", "seqhash", "seq")
-    val nGenomes = toInsert.count()
-    val skippedExisting = valid.count() - nGenomes
+    val nGenomes = stat("n_toinsert")
+    val skippedExisting = stat("n_valid") - nGenomes
 
     // new unique sequences only: dedup by hash, anti-join known sequences
     val newSeqs = toInsert.dropDuplicates("seqhash")
