@@ -196,12 +196,14 @@ object SonarIngest {
 
     // ---- writes (K5) ----
     // Crash-safety ordering: `sequence` is the dedup sentinel that makes a
-    // retry skip alignment for a seqhash, so it must be appended LAST — a
-    // crash mid-sequence leaves at worst duplicate profile/variant rows
-    // (idempotently ignored on retry), never a sentinel without its data.
-    store.append("profile",
-      processed.select(col("seqhash"), col("dna_profile"), col("aa_profile"), col("fs_profile")))
-
+    // retry skip alignment for a seqhash, so it must be appended LAST, and
+    // `genome` only after every per-sequence table (a genome row visible
+    // without its profile would never heal — the retry skips the accession).
+    // The five per-sequence appends are mutually independent, so they run as
+    // concurrent Spark jobs (all read the same lineage-free checkpoint).
+    // On local disk this is time-neutral — the box is CPU-bound — but
+    // against object storage each append's commit latency overlaps the
+    // others' instead of summing.
     val dnaRows = processed
       .select(col("seqhash"), explode(col("dnaDiff")).as("v"))
       .select(col("seqhash"), col("v.start").as("start"),
@@ -209,9 +211,6 @@ object SonarIngest {
         col("v.ref").as("ref"), col("v.alt").as("alt"))
       .withColumn("varid", SonarStore.dnaVarId)
       .cache()
-    appendNewDimRows(store, "dna", dnaRows.select("varid", "start", "end", "ref", "alt"))
-    store.append("sequence2dna", dnaRows.select("seqhash", "varid").dropDuplicates())
-
     val protRows = processed
       .select(col("seqhash"), explode(col("aaDiff")).as("v"))
       .select(col("seqhash"), col("v.protein").as("protein"), col("v.locus").as("locus"),
@@ -219,9 +218,24 @@ object SonarIngest {
         col("v.ref").as("ref"), col("v.alt").as("alt"))
       .withColumn("varid", SonarStore.protVarId)
       .cache()
-    appendNewDimRows(store, "prot",
-      protRows.select("varid", "protein", "locus", "start", "end", "ref", "alt"))
-    store.append("sequence2prot", protRows.select("seqhash", "varid").dropDuplicates())
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      Await.result(Future.sequence(Seq(
+        Future(store.append("profile", processed.select(
+          col("seqhash"), col("dna_profile"), col("aa_profile"), col("fs_profile")))),
+        Future {
+          appendNewDimRows(store, "dna",
+            dnaRows.select("varid", "start", "end", "ref", "alt"))
+          store.append("sequence2dna", dnaRows.select("seqhash", "varid").dropDuplicates())
+        },
+        Future {
+          appendNewDimRows(store, "prot",
+            protRows.select("varid", "protein", "locus", "start", "end", "ref", "alt"))
+          store.append("sequence2prot", protRows.select("seqhash", "varid").dropDuplicates())
+        })), Duration.Inf)
+    }
 
     val genomeRows = toInsert.drop("seq")
       .withColumn("lineage", lit(null: String))
