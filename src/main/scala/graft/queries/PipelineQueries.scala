@@ -1277,6 +1277,27 @@ object PipelineQueries {
       |  md5(md5(doc_id::VARCHAR) || '-' || unnest(range(n_frames))::VARCHAR) AS frame_id
       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---------------------------------------- A8s: sketch aggregates (HLL)
+
+  /** Approximate distinct-user counts per event type via HyperLogLog++ —
+    * the sketch family every 100 TB exploratory workload leans on: one
+    * partial-aggregable pass, constant memory per group regardless of
+    * cardinality, mergeable across partitions (and, at scale, across days).
+    * The exact count rides along so the output is self-validating; the spec
+    * pins the 2%-precision estimate to within 5% of exact. No DuckDB oracle:
+    * HLL estimates are implementation-specific (deterministic per engine,
+    * different across engines), so the driver records the weaker rows-only
+    * check by contract.
+    */
+  def a8sApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
   // ------------------------------------------------- W3: sessionization
 
   /** 30-minute-gap sessionization: lag + cumulative flag sum inside one
@@ -1331,6 +1352,7 @@ object PipelineQueries {
     "x8_stratified_sample" -> (x8StratifiedSample _),
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_frame_sample" -> (m2FrameSample _),
+    "a8s_approx_distinct" -> (a8sApproxDistinct _),
     "w3_sessionize" -> (w3Sessionize _),
   )
 
