@@ -125,14 +125,33 @@ case class PopcountAnd(left: Expression, right: Expression)
 }
 
 object VectorExpressions {
-  /** Registers `graft_dot(a, b)` and `graft_popcnt_and(a, b)` on the session
-    * so plans can use them via `expr(...)`. Idempotent; called from
+  /** Registers the library's native functions on the session so plans can use
+    * them via `expr(...)` / `call_function(...)`. Idempotent; called from
     * Tables.configure so every entry point (Verify/Bench/specs) gets them.
+    *
+    *  - `graft_dot(a, b)`, `graft_popcnt_and(a, b)` — the codegen'd kernels
+    *    above;
+    *  - `graft_bloom_agg(key, n_items)` / `graft_bloom_contains(bf, key)` —
+    *    Spark's own Catalyst bloom-filter pair (the machinery behind runtime
+    *    row-level join filtering), exposed as callable functions so a query
+    *    can build an explicit semi-join pre-filter: aggregate the build side
+    *    into a compact bitset once, then probe it as a codegen'd predicate on
+    *    the scan side before the shuffle (see RelationalQueries.j8BloomSemi).
     */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_popcnt_and", exprs => PopcountAnd(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_contains",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)),
+      "built-in")
   }
 }

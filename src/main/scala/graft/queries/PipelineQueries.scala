@@ -1298,6 +1298,32 @@ object PipelineQueries {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
+  /** Approximate quantiles per event type via the Greenwald–Khanna sketch
+    * (`percentile_approx`, rank error ≤ n/accuracy) — mergeable constant-
+    * memory state where the exact form's value→count map state is O(distinct
+    * values), which for a continuous `value` column means O(rows). The exact
+    * interpolated percentile rides along per row for self-validation (fine
+    * at test SF; it is precisely the thing you could NOT afford at 100 TB).
+    * Like a8s: deterministic per engine, engine-specific across engines →
+    * rows-only driver check; the spec pins each estimate's realized rank to
+    * within 2% of its target.
+    */
+  def a9sApproxQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val ps = Seq(0.5, 0.9, 0.99)
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        percentile_approx(col("value"), typedLit(ps), lit(10000)).as("qa"),
+        percentile(col("value"), typedLit(ps)).as("qe"))
+      .withColumn("i", explode(sequence(lit(1), lit(ps.length))))
+      .select(
+        col("event_type"),
+        element_at(typedLit(ps), col("i")).as("p"),
+        element_at(col("qa"), col("i")).as("approx_value"),
+        element_at(col("qe"), col("i")).as("exact_value"))
+      .orderBy("event_type", "p")
+  }
+
   // ------------------------------------------------- W3: sessionization
 
   /** 30-minute-gap sessionization: lag + cumulative flag sum inside one
@@ -1353,6 +1379,7 @@ object PipelineQueries {
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_frame_sample" -> (m2FrameSample _),
     "a8s_approx_distinct" -> (a8sApproxDistinct _),
+    "a9s_approx_quantiles" -> (a9sApproxQuantiles _),
     "w3_sessionize" -> (w3Sessionize _),
   )
 

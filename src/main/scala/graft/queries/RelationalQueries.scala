@@ -7,7 +7,7 @@ import graft.Tables.t
 /** Generic relational operator layer.
   *
   * Each query demonstrates one operator family from SURVEY.md §2 (predicates
-  * P1-P8, joins J1-J7, aggregates A1-A9, scalar functions F*, window analogs)
+  * P1-P8, joins J1-J8, aggregates A1-A10, scalar functions F*, window analogs)
   * re-expressed as an idiomatic Spark DataFrame plan over the driver-generated
   * testdata tables, with an ANSI-SQL oracle for the DuckDB correctness gate.
   *
@@ -293,6 +293,43 @@ object RelationalQueries {
       |WHERE p_type IN (SELECT DISTINCT p_type FROM part WHERE p_type LIKE '%ECO%')
       |ORDER BY p_partkey""".stripMargin
 
+  /** J8: bloom-filter-pruned semi-join — the explicit form of Spark's runtime
+    * row-level filtering, which at 100 TB is the difference between shuffling
+    * the full fact table and shuffling only the ~20% that can possibly match.
+    * The build side (urgent-order keys) is aggregated once into a compact
+    * bloom bitset via Catalyst's `BloomFilterAggregate` (a few hundred KB for
+    * millions of keys), embedded as a binary literal, and probed by
+    * `BloomFilterMightContain` — a codegen'd predicate that runs inside the
+    * scan's WholeStageCodegen span, BEFORE the join shuffle. False positives
+    * (~3%) are then removed by the exact semi-join, so the result is exact
+    * and the DuckDB oracle is the plain `IN (subquery)` form. On a cluster
+    * the two jobs pipeline naturally; the bloom build reads only the
+    * (pushed-down, column-pruned) key column of the dimension.
+    */
+  def j8BloomSemi(s: SparkSession, dir: String): DataFrame = {
+    val urgent = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    // Size the sketch to the real key count (one tiny count job over the
+    // pruned key column); floor keeps fpp sane on near-empty builds.
+    val nKeys = math.max(urgent.count(), 1024L)
+    val bloom = urgent
+      .agg(call_function("graft_bloom_agg", col("o_orderkey"), lit(nKeys)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    t(s, dir, "lineitem")
+      .filter(call_function("graft_bloom_contains", lit(bloom), col("l_orderkey")))
+      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  val j8Sql: String =
+    s"""SELECT l_returnflag, COUNT(*) AS n_items, ${DSUM.format("l_extendedprice")} AS revenue
+       |FROM lineitem
+       |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ------------------------------------------------------------- aggregates
 
   /** A4: COUNT(DISTINCT …) with an emptiness guard, as in covSonar info. */
@@ -350,6 +387,60 @@ object RelationalQueries {
       |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
       |  COUNT(CASE WHEN value > 50.0 THEN 1 END) AS n_high_value,
       |  COUNT(DISTINCT user_id) AS n_users FROM events""".stripMargin
+
+  /** A9: exact interpolated quartiles per group. Oracle-safe despite being a
+    * float computation: `l_quantity` is integer-valued and quartile fractions
+    * are exact binary (k/4), so `lower + (upper-lower)*frac` is computed
+    * without rounding in BOTH engines — every intermediate is exactly
+    * representable, making the result bit-identical regardless of each
+    * engine's interpolation formula. (Arbitrary percentiles of arbitrary
+    * doubles would NOT hash-match; that case is a9s's sketch, rows-only.)
+    * Exact percentile sorts each group — fine for bounded-cardinality value
+    * domains like this one (Spark aggregates a value→count map, so state is
+    * O(distinct values), map-side combinable, not O(rows)).
+    */
+  def a9Quartiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        percentile(col("l_quantity"), lit(0.25)).as("q25"),
+        percentile(col("l_quantity"), lit(0.50)).as("q50"),
+        percentile(col("l_quantity"), lit(0.75)).as("q75"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  val a9Sql: String =
+    """SELECT l_returnflag, quantile_cont(l_quantity, 0.25) AS q25,
+      |  quantile_cont(l_quantity, 0.50) AS q50, quantile_cont(l_quantity, 0.75) AS q75,
+      |  COUNT(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** A10: exact per-group heavy hitters — top-3 users by event count per
+    * event type, fully deterministic (count desc, user_id asc tie-break).
+    * Two-phase at scale: the groupBy is partial-aggregable on (type, user),
+    * and the window runs over the already-aggregated (small) result with a
+    * rank<=k cutoff — the standard exact form that a count-min/SpaceSaving
+    * sketch would approximate when the (type,user) domain itself no longer
+    * fits a shuffle.
+    */
+  def a10TopkHeavy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = t(s, dir, "events")
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("n_events").desc, col("user_id").asc)
+    counts
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .orderBy("event_type", "rank")
+  }
+
+  val a10Sql: String =
+    """SELECT event_type, user_id, n_events, rank FROM (
+      |  SELECT event_type, user_id, COUNT(*) AS n_events,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY COUNT(*) DESC, user_id) AS rank
+      |  FROM events GROUP BY event_type, user_id)
+      |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin
 
   // ---------------------------------------------------- windows / streaming
 
@@ -538,10 +629,13 @@ object RelationalQueries {
     "j2_chain_join" -> (j2ChainJoin _),
     "j6_gather_sorted" -> (j6GatherSorted _),
     "j7_wildcard_semi" -> (j7WildcardSemi _),
+    "j8_bloom_semi" -> (j8BloomSemi _),
     "a4_count_distinct" -> (a4CountDistinct _),
     "a5_group_order" -> (a5GroupOrder _),
     "a6_min_max" -> (a6MinMax _),
     "a7_coverage" -> (a7Coverage _),
+    "a9_quartiles" -> (a9Quartiles _),
+    "a10_topk_heavy" -> (a10TopkHeavy _),
     "w1_row_number" -> (w1RowNumber _),
     "w2_running_sum" -> (w2RunningSum _),
     "s_tumbling_window" -> (sTumblingWindow _),
@@ -570,10 +664,13 @@ object RelationalQueries {
     "j2_chain_join" -> j2Sql,
     "j6_gather_sorted" -> j6Sql,
     "j7_wildcard_semi" -> j7Sql,
+    "j8_bloom_semi" -> j8Sql,
     "a4_count_distinct" -> a4Sql,
     "a5_group_order" -> a5Sql,
     "a6_min_max" -> a6Sql,
     "a7_coverage" -> a7Sql,
+    "a9_quartiles" -> a9Sql,
+    "a10_topk_heavy" -> a10Sql,
     "w1_row_number" -> w1Sql,
     "w2_running_sum" -> w2Sql,
     "s_tumbling_window" -> sTumblingSql,

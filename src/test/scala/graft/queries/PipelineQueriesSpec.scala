@@ -15,7 +15,7 @@ class PipelineQueriesSpec extends SparkSpec {
     * check instead of a DuckDB oracle (their accuracy is pinned by a
     * dedicated spec below).
     */
-  private val sketchOps = Set("a8s_approx_distinct")
+  private val sketchOps = Set("a8s_approx_distinct", "a9s_approx_quantiles")
 
   test("every pipeline query runs at sf0.001, has an oracle, and returns rows") {
     PipelineQueries.queries.foreach { case (name, fn) =>
@@ -166,6 +166,25 @@ class PipelineQueriesSpec extends SparkSpec {
       assert(exact > 0)
       assert(math.abs(approx - exact) / exact <= 0.05,
         s"${r.getAs[String]("event_type")}: approx=$approx exact=$exact")
+    }
+  }
+
+  test("a9s GK quantile estimates realize their target rank within 2%") {
+    // An approx quantile v for target rank p is acceptable iff p falls inside
+    // [rank(<v), rank(<=v)] widened by the sketch's guaranteed error band.
+    val byType = graft.Tables.t(spark, sf, "events")
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getDouble(1)) }
+    PipelineQueries.a9sApproxQuantiles(spark, sf).collect().foreach { r =>
+      val xs = byType(r.getAs[String]("event_type"))
+      val p = r.getAs[Double]("p")
+      val v = r.getAs[Double]("approx_value")
+      val n = xs.length.toDouble
+      val lo = xs.count(_ < v) / n
+      val hi = xs.count(_ <= v) / n
+      assert(lo - 0.02 <= p && p <= hi + 0.02,
+        s"${r.getAs[String]("event_type")} p=$p v=$v rank=[$lo,$hi]")
     }
   }
 

@@ -41,6 +41,44 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(revs.sameElements(revs.sortBy(-_)))
   }
 
+  test("j8 bloom pruning is semantically invisible: matches the unpruned join") {
+    val pruned = RelationalQueries.j8BloomSemi(spark, sf).collect()
+    val urgent = graft.Tables.t(spark, sf, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val plain = graft.Tables.t(spark, sf, "lineitem")
+      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,8)")).cast("double").as("revenue"))
+      .orderBy("l_returnflag").collect()
+    assert(pruned.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
+  }
+
+  test("a9 quartiles are exact quarter-values and ordered within each group") {
+    val rows = RelationalQueries.a9Quartiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val Seq(q25, q50, q75) =
+        Seq("q25", "q50", "q75").map(r.getAs[Double])
+      assert(q25 <= q50 && q50 <= q75)
+      // integer-valued input + k/4 fractions ⇒ every quartile is a multiple
+      // of 0.25, exactly representable (the oracle-safety argument)
+      Seq(q25, q50, q75).foreach(q => assert(q * 4 == math.rint(q * 4)))
+    }
+  }
+
+  test("a10 heavy hitters: ranks 1..3 with non-increasing counts per group") {
+    val rows = RelationalQueries.a10TopkHeavy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      assert(sorted.length <= 3)
+      val counts = sorted.map(_.getAs[Long]("n_events"))
+      assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("p6 token membership honors include-AND / OR-group / exclude semantics") {
     import spark.implicits._
     val got = RelationalQueries.p6TokenMembership(spark, sf)
