@@ -330,6 +330,92 @@ object RelationalQueries {
        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** J9: as-of join — for each purchase, the most recent error by the same
+    * user at or before it. Spark has no ASOF JOIN operator; the naive form
+    * (inequality join + per-left-row max) explodes to |purchases|×|errors|
+    * per user before pruning. The scalable pattern used here is union-tag +
+    * one window: tag both streams, sort each user's merged timeline once,
+    * and carry the last-seen right-side row forward with `last(ignoreNulls)`
+    * — ONE shuffle on user_id, O(timeline) work, no pair blow-up, and it
+    * degrades gracefully under skew (a hot user costs its timeline length,
+    * not a quadratic pair count). Ordering is on (micros, event_id) on BOTH
+    * engines so sub-microsecond raw-nano differences cannot reorder ties.
+    */
+  def j9AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        when(col("event_type") === "error", col("event_id")).as("err_id"),
+        when(col("event_type") === "error", unix_micros(col("ts"))).as("err_us"))
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("last_error_id", last(col("err_id"), ignoreNulls = true).over(w))
+      .withColumn("last_error_us", last(col("err_us"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("last_error_id"),
+        (col("us") - col("last_error_us")).as("micros_since_error"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val j9Sql: String =
+    """WITH u AS (
+      |  SELECT user_id, event_id, event_type, epoch_ns(ts)//1000 AS us,
+      |    CASE WHEN event_type = 'error' THEN event_id END AS err_id,
+      |    CASE WHEN event_type = 'error' THEN epoch_ns(ts)//1000 END AS err_us
+      |  FROM events WHERE event_type IN ('purchase', 'error'))
+      |SELECT user_id, event_id, last_error_id, us - last_error_us AS micros_since_error
+      |FROM (
+      |  SELECT user_id, event_id, event_type, us,
+      |    LAST_VALUE(err_id IGNORE NULLS) OVER w AS last_error_id,
+      |    LAST_VALUE(err_us IGNORE NULLS) OVER w AS last_error_us
+      |  FROM u
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |WHERE event_type = 'purchase'
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** J10: range (band) join — every (purchase, error) pair of the same user
+    * within ±1 hour. A raw inequality join is a per-user cross product that
+    * Catalyst can only execute as nested-loop; the scalable form is bucket
+    * discretization: both sides land in 1-hour buckets, the purchase side
+    * explodes to its 3 admissible buckets (a ±band match always lies in the
+    * home bucket or a neighbor), the join is a plain EQUI-join on
+    * (user, bucket) — hash-partitionable, AQE-skew-splittable — and the
+    * exact band predicate prunes the residue. Each error has one home
+    * bucket, so no pair is produced twice and no dedup pass is needed.
+    * Band/bucket width is the selectivity knob; ×100 data at the same width
+    * only widens the join fan-in linearly with event density per user-hour.
+    */
+  def j10RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val band = 3600L * 1000000L // ±1 h, in micros; also the bucket width
+    val ev = t(s, dir, "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"),
+        unix_micros(col("ts")).as("err_us"))
+      .withColumn("bucket", expr(s"err_us div ${band}L"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("pur_us"))
+      .withColumn("b0", expr(s"pur_us div ${band}L"))
+      .withColumn("bucket", explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
+    purchases.join(errors, Seq("user_id", "bucket"))
+      .filter(abs(col("err_us") - col("pur_us")) <= band)
+      .select(col("user_id"), col("purchase_id"), col("error_id"),
+        (col("err_us") - col("pur_us")).as("micros_offset"))
+      .orderBy("user_id", "purchase_id", "error_id")
+  }
+
+  val j10Sql: String =
+    """SELECT e1.user_id AS user_id, e1.event_id AS purchase_id, e2.event_id AS error_id,
+      |  epoch_ns(e2.ts)//1000 - epoch_ns(e1.ts)//1000 AS micros_offset
+      |FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id
+      |WHERE e1.event_type = 'purchase' AND e2.event_type = 'error'
+      |  AND abs(epoch_ns(e2.ts)//1000 - epoch_ns(e1.ts)//1000) <= 3600000000
+      |ORDER BY user_id, purchase_id, error_id""".stripMargin
+
   // ------------------------------------------------------------- aggregates
 
   /** A4: COUNT(DISTINCT …) with an emptiness guard, as in covSonar info. */
@@ -630,6 +716,8 @@ object RelationalQueries {
     "j6_gather_sorted" -> (j6GatherSorted _),
     "j7_wildcard_semi" -> (j7WildcardSemi _),
     "j8_bloom_semi" -> (j8BloomSemi _),
+    "j9_asof_join" -> (j9AsofJoin _),
+    "j10_range_join" -> (j10RangeJoin _),
     "a4_count_distinct" -> (a4CountDistinct _),
     "a5_group_order" -> (a5GroupOrder _),
     "a6_min_max" -> (a6MinMax _),
@@ -665,6 +753,8 @@ object RelationalQueries {
     "j6_gather_sorted" -> j6Sql,
     "j7_wildcard_semi" -> j7Sql,
     "j8_bloom_semi" -> j8Sql,
+    "j9_asof_join" -> j9Sql,
+    "j10_range_join" -> j10Sql,
     "a4_count_distinct" -> a4Sql,
     "a5_group_order" -> a5Sql,
     "a6_min_max" -> a6Sql,

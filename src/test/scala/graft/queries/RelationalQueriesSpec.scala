@@ -54,6 +54,44 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(pruned.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
   }
 
+  test("j9 as-of join matches a brute-force per-purchase scan") {
+    val ev = graft.Tables.t(spark, sf, "events")
+      .select("user_id", "event_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3).getTime * 1000 + r.getTimestamp(3).getNanos / 1000 % 1000))
+    val errorsByUser = ev.filter(_._3 == "error")
+      .groupBy(_._1).view.mapValues(_.map(e => (e._4, e._2))).toMap
+    val expected = ev.filter(_._3 == "purchase").map { case (u, pid, _, pus) =>
+      // most recent error at-or-before the purchase in (micros, id) order
+      val prior = errorsByUser.getOrElse(u, Array.empty)
+        .filter { case (eus, eid) => eus < pus || (eus == pus && eid < pid) }
+      val best = if (prior.isEmpty) None else Some(prior.max)
+      (u, pid, best.map(_._2), best.map(b => pus - b._1))
+    }.sortBy(t => (t._1, t._2)).toSeq
+    val got = RelationalQueries.j9AsofJoin(spark, sf).collect().map { r =>
+      (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))
+    }.toSeq
+    assert(got == expected)
+  }
+
+  test("j10 bucketed range join matches a brute-force pair scan") {
+    val band = 3600L * 1000000L
+    val ev = graft.Tables.t(spark, sf, "events")
+      .select("user_id", "event_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3).getTime * 1000 + r.getTimestamp(3).getNanos / 1000 % 1000))
+    val expected = (for {
+      (u, pid, "purchase", pus) <- ev
+      (eu, eid, "error", eus) <- ev
+      if eu == u && math.abs(eus - pus) <= band
+    } yield (u, pid, eid, eus - pus)).sortBy(t => (t._1, t._2, t._3)).toSeq
+    val got = RelationalQueries.j10RangeJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(expected.nonEmpty && got == expected)
+  }
+
   test("a9 quartiles are exact quarter-values and ordered within each group") {
     val rows = RelationalQueries.a9Quartiles(spark, sf).collect()
     assert(rows.nonEmpty)
