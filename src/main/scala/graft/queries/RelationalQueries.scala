@@ -89,16 +89,28 @@ object RelationalQueries {
     * post-join filter, exactly as Q5 specifies.
     */
   def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
-    val region = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
-    val nation = broadcast(t(s, dir, "nation"))
+    // Region restriction applied to the 25-row nation dim FIRST, then
+    // broadcast onto customer: Catalyst cannot derive "c_nationkey ∈ ASIA"
+    // on its own (the restriction only reaches customers transitively via
+    // c_nationkey = s_nationkey = n_nationkey plus a join to region), so
+    // without this manual reorder the plan joins the FULL customer × orders
+    // × lineitem stream and discards ~4/5 of it at the supplier join. At
+    // 100 TB that ordering difference is 5× the shuffled bytes of the two
+    // fact joins; pruning at the dimension costs one broadcast of ≤5 rows.
+    val asianNations = broadcast(
+      t(s, dir, "nation")
+        .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name"))
     t(s, dir, "customer")
-      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(asianNations, col("c_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1999-01-01")),
+        col("c_custkey") === col("o_custkey"))
       .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .join(t(s, dir, "supplier"),
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
-      .join(nation, col("s_nationkey") === col("n_nationkey"))
-      .join(region, col("n_regionkey") === col("r_regionkey"))
-      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1999-01-01"))
       .groupBy("n_name")
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
@@ -474,6 +486,33 @@ object RelationalQueries {
       |  COUNT(CASE WHEN value > 50.0 THEN 1 END) AS n_high_value,
       |  COUNT(DISTINCT user_id) AS n_users FROM events""".stripMargin
 
+  /** A11: hierarchical rollup — (flag, status), (flag), and grand-total
+    * levels in ONE pass. Spark expands the rollup into grouping sets whose
+    * partial aggregates are map-side combinable exactly like a flat groupBy
+    * (the expand operator multiplies rows by #levels BEFORE the shuffle,
+    * but post-combine state is only #groups × #levels — tiny). Rolled-up
+    * key columns are NULL by SQL convention; they are coalesced to a
+    * sentinel so cross-engine NULL ordering/hashing never enters the
+    * comparison, with `grouping_id` kept to disambiguate levels.
+    */
+  def a11Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("ret"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("gid"), col("n"), col("sum_qty"))
+      .orderBy("gid", "ret", "status")
+
+  val a11Sql: String =
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS ret, COALESCE(l_linestatus, 'ALL') AS status,
+       |  GROUPING(l_returnflag, l_linestatus) AS gid, COUNT(*) AS n,
+       |  ${DSUM.format("l_quantity")} AS sum_qty
+       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY gid, ret, status""".stripMargin
+
   /** A9: exact interpolated quartiles per group. Oracle-safe despite being a
     * float computation: `l_quantity` is integer-valued and quartile fractions
     * are exact binary (k/4), so `lower + (upper-lower)*frac` is computed
@@ -724,6 +763,7 @@ object RelationalQueries {
     "a7_coverage" -> (a7Coverage _),
     "a9_quartiles" -> (a9Quartiles _),
     "a10_topk_heavy" -> (a10TopkHeavy _),
+    "a11_rollup" -> (a11Rollup _),
     "w1_row_number" -> (w1RowNumber _),
     "w2_running_sum" -> (w2RunningSum _),
     "s_tumbling_window" -> (sTumblingWindow _),
@@ -761,6 +801,7 @@ object RelationalQueries {
     "a7_coverage" -> a7Sql,
     "a9_quartiles" -> a9Sql,
     "a10_topk_heavy" -> a10Sql,
+    "a11_rollup" -> a11Sql,
     "w1_row_number" -> w1Sql,
     "w2_running_sum" -> w2Sql,
     "s_tumbling_window" -> sTumblingSql,

@@ -105,6 +105,20 @@ class RelationalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("a11 rollup levels are internally consistent") {
+    val rows = RelationalQueries.a11Rollup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val leaves = rows.filter(_._3 == 0)
+    val flags = rows.filter(_._3 == 1)
+    val grand = rows.filter(_._3 == 3)
+    assert(grand.length == 1)
+    assert(grand.head._4 == leaves.map(_._4).sum)
+    flags.foreach { case (f, s, _, n) =>
+      assert(s == "ALL")
+      assert(n == leaves.filter(_._1 == f).map(_._4).sum)
+    }
+  }
+
   test("a10 heavy hitters: ranks 1..3 with non-increasing counts per group") {
     val rows = RelationalQueries.a10TopkHeavy(spark, sf).collect()
     assert(rows.nonEmpty)
