@@ -124,6 +124,62 @@ case class PopcountAnd(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Probe of a serialized Count-Min sketch: `graft_cms_estimate(cms, key)` →
+  * the sketch's (over-)estimate of key's frequency. The sketch argument must
+  * be foldable (a binary literal produced by `count_min_sketch(...)` and
+  * collected once on the driver — a few hundred KB independent of data
+  * volume), so it is deserialized ONCE per expression instance and shared as
+  * a codegen reference object; the per-row work is d hash probes, inside
+  * whole-stage codegen. Key hashing mirrors `CountMinSketchAgg.update`
+  * exactly: integral types through the long path, strings through their
+  * UTF-8 bytes — a mismatch here would silently probe different counters
+  * than the aggregate updated.
+  */
+case class CmsEstimate(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.util.sketch.CountMinSketch
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType || !left.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_cms_estimate requires a foldable binary sketch as its first argument")
+    else right.dataType match {
+      case LongType | IntegerType | StringType => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"graft_cms_estimate cannot probe a ${dt.sql} key")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_cms_estimate"
+
+  @transient private lazy val sketch: CountMinSketch = {
+    val bytes = left.eval().asInstanceOf[Array[Byte]]
+    CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+  }
+
+  override def nullSafeEval(bf: Any, v: Any): Any = right.dataType match {
+    case LongType => sketch.estimateCount(java.lang.Long.valueOf(v.asInstanceOf[Long]))
+    case IntegerType => sketch.estimateCount(java.lang.Long.valueOf(v.asInstanceOf[Int].toLong))
+    case StringType => sketch.estimateCount(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cms", sketch,
+      classOf[CountMinSketch].getName)
+    nullSafeCodeGen(ctx, ev, (_, v) => right.dataType match {
+      case LongType | IntegerType =>
+        s"${ev.value} = $ref.estimateCount((Object) java.lang.Long.valueOf((long) $v));"
+      case StringType =>
+        s"${ev.value} = $ref.estimateCount((Object) $v.getBytes());"
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Registers the library's native functions on the session so plans can use
     * them via `expr(...)` / `call_function(...)`. Idempotent; called from
@@ -153,5 +209,7 @@ object VectorExpressions {
       exprs => org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cms_estimate", exprs => CmsEstimate(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -1324,6 +1324,31 @@ object PipelineQueries {
       .orderBy("event_type", "p")
   }
 
+  /** Frequency estimation via a Count-Min sketch: top-20 users by exact
+    * event count, each probed against a CMS built in one pass over the
+    * stream (ε=0.001, δ=0.01, fixed seed). The sketch is mergeable,
+    * constant-size (~d×w counters regardless of rows), and collected once
+    * as a binary literal; probes run through the native
+    * `graft_cms_estimate` expression inside whole-stage codegen. The exact
+    * count rides along: CMS never under-counts, and over-counts by at most
+    * ε·N w.h.p. — both bounds are pinned by the spec. At 100 TB the exact
+    * groupBy here is what you'd drop, keeping sketch-build + probe (the
+    * candidate set then comes from a SpaceSaving pass or domain knowledge).
+    * Rows-only driver check, like every sketch op.
+    */
+  def a10sCmsFreq(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val cms = ev
+      .agg(count_min_sketch(col("user_id"), lit(0.001), lit(0.99), lit(42)).as("cms"))
+      .head().getAs[Array[Byte]]("cms")
+    ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("user_id").asc)
+      .limit(20)
+      .withColumn("n_cms",
+        call_function("graft_cms_estimate", lit(cms), col("user_id")))
+      .orderBy(col("n_exact").desc, col("user_id").asc)
+  }
+
   // ------------------------------------------------- W3: sessionization
 
   /** 30-minute-gap sessionization: lag + cumulative flag sum inside one
@@ -1380,6 +1405,7 @@ object PipelineQueries {
     "m2_frame_sample" -> (m2FrameSample _),
     "a8s_approx_distinct" -> (a8sApproxDistinct _),
     "a9s_approx_quantiles" -> (a9sApproxQuantiles _),
+    "a10s_cms_freq" -> (a10sCmsFreq _),
     "w3_sessionize" -> (w3Sessionize _),
   )
 

@@ -15,7 +15,8 @@ class PipelineQueriesSpec extends SparkSpec {
     * check instead of a DuckDB oracle (their accuracy is pinned by a
     * dedicated spec below).
     */
-  private val sketchOps = Set("a8s_approx_distinct", "a9s_approx_quantiles")
+  private val sketchOps =
+    Set("a8s_approx_distinct", "a9s_approx_quantiles", "a10s_cms_freq")
 
   test("every pipeline query runs at sf0.001, has an oracle, and returns rows") {
     PipelineQueries.queries.foreach { case (name, fn) =>
@@ -185,6 +186,21 @@ class PipelineQueriesSpec extends SparkSpec {
       val hi = xs.count(_ <= v) / n
       assert(lo - 0.02 <= p && p <= hi + 0.02,
         s"${r.getAs[String]("event_type")} p=$p v=$v rank=[$lo,$hi]")
+    }
+  }
+
+  test("a10s CMS estimates respect the sketch's one-sided error bound") {
+    val n = graft.Tables.t(spark, sf, "events").count()
+    val rows = PipelineQueries.a10sCmsFreq(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_exact")
+      val est = r.getAs[Long]("n_cms")
+      // CMS never under-counts; over-counts by ≤ ε·N w.h.p. (ε = 0.001,
+      // +1 slack for the unlikely tail at tiny N)
+      assert(est >= exact, s"user ${r.getAs[Long]("user_id")}: $est < $exact")
+      assert(est <= exact + math.max(1L, (0.001 * n).toLong * 2),
+        s"user ${r.getAs[Long]("user_id")}: $est way above $exact")
     }
   }
 
