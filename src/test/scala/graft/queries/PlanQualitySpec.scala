@@ -98,6 +98,48 @@ class PlanQualitySpec extends SparkSpec {
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("j8: the bloom probe filters the lineitem scan side before any join") {
+    val p = plan(RelationalQueries.j8BloomSemi(spark, sf))
+    assert(p.contains("might_contain"), "bloom probe missing from the plan")
+    // the probe must sit under the semi-join (scan-side Filter), and the
+    // join itself must stay a hash equi-join
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      "semi-join missing")
+  }
+
+  test("j9 as-of join is join-free: one user window, no pair explosion") {
+    val p = plan(RelationalQueries.j9AsofJoin(spark, sf))
+    assert(p.contains("Window"), "expected the merged-timeline window")
+    assert(!p.contains("Join"), "as-of should be window-composed, not a join:\n" +
+      p.take(1000))
+    // hashpartitioning(user_id) for the window + the output sort's range
+    // exchange — anything more means the merge shuffled twice
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges")
+  }
+
+  test("j10 range join runs as a hash equi-join on (user, bucket)") {
+    val p = plan(RelationalQueries.j10RangeJoin(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "band join degenerated to a product — bucketing failed:\n" + p.take(1500))
+    assert(p.contains("Generate"), "bucket explode missing")
+  }
+
+  test("a11 rollup is one Expand + one aggregation pass") {
+    val p = plan(RelationalQueries.a11Rollup(spark, sf))
+    assert(p.contains("Expand"), "grouping-sets expand missing")
+    // partial/final HashAggregate pair around a single group-key exchange +
+    // the output sort: never one pass per rollup level
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges")
+  }
+
+  test("a10s probes the CMS inside the plan, not via a driver loop") {
+    val p = plan(PipelineQueries.a10sCmsFreq(spark, sf))
+    assert(p.contains("graft_cms_estimate"), "native CMS probe missing:\n" + p.take(800))
+  }
+
   test("d3 simhash reads only the columns it needs from documents") {
     val p = plan(PipelineQueries.d3Simhash(spark, sf))
     val rs = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
