@@ -589,16 +589,25 @@ object PipelineQueries {
     val sim = d3bSimhashPairs(s, dir).select(col("doc_a").as("a"), col("doc_b").as("b"))
     val und = exact.union(sim)
     val edges0 = und.union(und.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint()
+      .distinct()
 
-    // Adaptive plan choice on a cheap stat, like d4: component assembly on a
-    // few-thousand-edge graph is driver work (exact union-find, microseconds
-    // — a distributed round-loop would spend 100× that on per-job scheduling
-    // alone), while a 10^9-edge graph takes the distributed label-propagation
-    // loop. Both paths are exact and land on the identical fixpoint.
-    val labels: DataFrame =
-      if (edges0.count() <= 2000000L) driverUnionFind(s, dir, edges0)
-      else propagateLabels(withCanon, edges0)
+    // Adaptive plan choice, like d4 — but probed with ONE incremental job:
+    // `limit(T+1).collect()` short-circuits the moment the edge list proves
+    // big, and when it doesn't (the overwhelmingly common case) its rows ARE
+    // the union-find input, so the small path pays no separate count job and
+    // no checkpoint materialization. Component assembly on a few-thousand-
+    // edge graph is driver work (exact union-find, microseconds — a
+    // distributed round-loop would spend 100× that on per-job scheduling
+    // alone); a 10^9-edge graph takes the distributed label-propagation
+    // loop over checkpointed edges. Both paths land on the identical
+    // fixpoint.
+    val labels: DataFrame = {
+      import s.implicits._
+      val threshold = 2000000
+      val probe = edges0.limit(threshold + 1).as[(Long, Long)].collect()
+      if (probe.length <= threshold) unionFindAssign(s, dir, probe)
+      else propagateLabels(withCanon, edges0.localCheckpoint())
+    }
 
     labels
       .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("label")))
@@ -613,7 +622,11 @@ object PipelineQueries {
     */
   private[queries] def driverUnionFind(s: SparkSession, dir: String, edges: DataFrame): DataFrame = {
     import s.implicits._
-    val es = edges.as[(Long, Long)].collect()
+    unionFindAssign(s, dir, edges.as[(Long, Long)].collect())
+  }
+
+  private def unionFindAssign(s: SparkSession, dir: String, es: Array[(Long, Long)]): DataFrame = {
+    import s.implicits._
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
