@@ -12,8 +12,11 @@ import graft.Tables.t
   * top-k baseline, sim2 LSH, sim2b multiprobe, sim3 IVF), text analysis
   * (x1 language-ID, x2 quality, x3 token stats, x4 fingerprint, x5
   * redaction, x6 hash split, x7 BM25 relevance, x8 stratified sample),
-  * multimodal binary plumbing (m1 metadata, m2 frame sampling), and event
-  * sessionization (w3).
+  * multimodal binary plumbing (m1 metadata, m2 frame sampling), sketch
+  * aggregates (a8s HLL++ distinct, a9s GK quantiles, a10s Count-Min
+  * frequency — deterministic per engine, engine-specific across engines, so
+  * driver-checked rows-only with error bounds pinned in the specs), and
+  * event sessionization (w3).
   *
   * Every operator is expressed as a declarative DataFrame plan with a DuckDB
   * oracle. Cross-engine determinism rules used throughout:
