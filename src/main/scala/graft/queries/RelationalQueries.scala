@@ -541,22 +541,32 @@ object RelationalQueries {
 
   /** A10: exact per-group heavy hitters — top-3 users by event count per
     * event type, fully deterministic (count desc, user_id asc tie-break).
-    * Two-phase at scale: the groupBy is partial-aggregable on (type, user),
-    * and the window runs over the already-aggregated (small) result with a
-    * rank<=k cutoff — the standard exact form that a count-min/SpaceSaving
-    * sketch would approximate when the (type,user) domain itself no longer
-    * fits a shuffle.
+    * Two-phase at scale: the count groupBy is partial-aggregable on
+    * (type, user); the top-k cut then runs through [[graft.functions.TopKCountId]],
+    * a bounded typed Aggregator whose map-side combine carries ≤ k pairs per
+    * group into the second shuffle — unlike the equivalent
+    * `row_number().over(...)` window, which must move EVERY (type, user)
+    * count across the exchange and sort whole partitions to discard all but
+    * three rows (the spec pins equivalence of the two forms). This is the
+    * exact operator a count-min/SpaceSaving sketch would approximate once
+    * the (type, user) domain itself no longer fits a shuffle.
     */
   def a10TopkHeavy(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val counts = t(s, dir, "events")
+    import s.implicits._
+    t(s, dir, "events")
       .groupBy("event_type", "user_id")
       .agg(count(lit(1)).as("n_events"))
-    val w = Window.partitionBy("event_type")
-      .orderBy(col("n_events").desc, col("user_id").asc)
-    counts
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+      .select(col("event_type"), col("n_events"), col("user_id"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(new graft.functions.TopKCountId(3).toColumn.name("topk"))
+      .flatMap { case (et, flat) =>
+        flat.grouped(2).zipWithIndex.map { case (pair, i) =>
+          (et, pair(1), pair(0), i + 1)
+        }
+      }
+      .toDF("event_type", "user_id", "n_events", "rank")
       .orderBy("event_type", "rank")
   }
 

@@ -131,6 +131,22 @@ class RelationalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("a10's bounded aggregator matches the window row_number formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val counts = graft.Tables.t(spark, sf, "events")
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("n_events").desc, col("user_id").asc)
+    val viaWindow = counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .orderBy("event_type", "rank")
+      .collect().map(_.toSeq).toSeq
+    val viaAgg = RelationalQueries.a10TopkHeavy(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(viaAgg == viaWindow)
+  }
+
   test("p6 token membership honors include-AND / OR-group / exclude semantics") {
     import spark.implicits._
     val got = RelationalQueries.p6TokenMembership(spark, sf)
