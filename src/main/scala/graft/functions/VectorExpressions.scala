@@ -194,22 +194,25 @@ object VectorExpressions {
     *    into a compact bitset once, then probe it as a codegen'd predicate on
     *    the scan side before the shuffle (see RelationalQueries.j8BloomSemi).
     */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_popcnt_and", exprs => PopcountAnd(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom_agg",
-      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
-        .BloomFilterAggregate(exprs(0), exprs(1)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom_contains",
-      exprs => org.apache.spark.sql.catalyst.expressions
-        .BloomFilterMightContain(exprs(0), exprs(1)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cms_estimate", exprs => CmsEstimate(exprs(0), exprs(1)), "built-in")
-  }
+  /** Single source of truth for the function surface — consumed both by
+    * [[register]] (temp functions on an existing session) and by
+    * [[graft.GraftExtensions]] (the `spark.sql.extensions` injection route).
+    */
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
+    "graft_popcnt_and" -> (exprs => PopcountAnd(exprs(0), exprs(1))),
+    "graft_bloom_agg" -> (exprs =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1))),
+    "graft_bloom_contains" -> (exprs =>
+      org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1))),
+    "graft_cms_estimate" -> (exprs => CmsEstimate(exprs(0), exprs(1))),
+  )
+
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
 }
