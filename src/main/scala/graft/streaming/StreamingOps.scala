@@ -43,6 +43,22 @@ object StreamingOps {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Windowed approximate distinct users — the streaming twin of the batch
+    * `a8s` HLL query. The HLL++ buffer is exactly what incremental
+    * aggregation state wants to be: constant-size per (window, type) group
+    * and mergeable, so each micro-batch folds into it without ever holding
+    * the user-id set, and the watermark bounds how many window states live
+    * at once. An EXACT streaming distinct would have to keep every id seen
+    * per open window in state — unbounded in the hot dimension.
+    */
+  def approxDistinctUsers(events: DataFrame, rsd: Double = 0.02): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("approx_users"))
+
   /** Streaming exact dedup — the ingest-time twin of the batch
     * `d1_exact_dedup` operator: first-seen wins on content hash, and
     * `dropDuplicatesWithinWatermark` evicts a hash's state once the

@@ -34,6 +34,28 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed approx-distinct folds across micro-batches without exact state") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = StreamingOps.approxDistinctUsers(in.toDF())
+      .writeStream.format("memory").queryName("adistinct")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // same window fed from TWO micro-batches with overlapping users: the
+      // HLL state must merge (3 distinct users, user 1 seen in both batches)
+      in.addData(Event(1, ts(5), 1, "CLICK", 1.0), Event(2, ts(10), 2, "CLICK", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(3, ts(20), 1, "CLICK", 1.0), Event(4, ts(30), 3, "CLICK", 1.0))
+      q.processAllAvailable()
+      val byWindow = spark.table("adistinct").collect()
+        .map(r => ((r.getAs[Timestamp]("window_start").getTime - Base) / 60000L,
+          r.getAs[String]("event_type")) -> r.getAs[Long]("approx_users")).toMap
+      // at 2% rsd and n=3 the estimate is exact
+      assert(byWindow((0L, "CLICK")) == 3L)
+    } finally q.stop()
+  }
+
   test("the same tumbling plan runs from a parquet file-stream source") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import org.apache.spark.sql.functions._
