@@ -1063,6 +1063,41 @@ object PipelineQueries {
       |  round(avg(n_chars), 6) AS avg_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------------------- X9: vocabulary construction
+
+  /** Global token dictionary by corpus frequency — the vocabulary-building
+    * pass of tokenizer training: top-1000 whitespace tokens get dense ids
+    * in (count desc, token asc) order. The count is fully partial-aggregable
+    * (the shuffle carries one row per distinct token, not per occurrence),
+    * the top-N cut is a TakeOrdered (no global sort materializes), and the
+    * id-assigning window runs over the already-cut 1000 rows — fine in one
+    * partition precisely because a vocabulary is small BY CONSTRUCTION, no
+    * matter the corpus size. The deterministic tie-break makes the ids
+    * reproducible run-to-run, which is what lets a 100 TB tokenization job
+    * be resumed or re-sharded safely.
+    */
+  def x9Vocab(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("n").desc, col("tok").asc)
+    t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(1000)
+      .withColumn("vocab_id", row_number().over(w))
+      .orderBy("vocab_id")
+  }
+
+  val x9Sql: String =
+    """WITH c AS (
+      |  SELECT tok, COUNT(*) AS n
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE tok != '' GROUP BY tok),
+      |t AS (SELECT tok, n FROM c ORDER BY n DESC, tok LIMIT 1000)
+      |SELECT tok, n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS vocab_id
+      |FROM t ORDER BY vocab_id""".stripMargin
+
   // -------------------------------------------- X4: document fingerprint
 
   /** Bottom-k sketch fingerprint: the 4 smallest shingle-hash prefixes,
@@ -1417,6 +1452,7 @@ object PipelineQueries {
     "x6_split" -> (x6Split _),
     "x7_bm25" -> (x7Bm25 _),
     "x8_stratified_sample" -> (x8StratifiedSample _),
+    "x9_vocab" -> (x9Vocab _),
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_frame_sample" -> (m2FrameSample _),
     "a8s_approx_distinct" -> (a8sApproxDistinct _),
@@ -1445,6 +1481,7 @@ object PipelineQueries {
     "x6_split" -> x6Sql,
     "x7_bm25" -> x7Sql,
     "x8_stratified_sample" -> x8Sql,
+    "x9_vocab" -> x9Sql,
     "m1_binary_meta" -> m1Sql,
     "m2_frame_sample" -> m2Sql,
     "w3_sessionize" -> w3Sql,

@@ -204,6 +204,16 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("x9 vocab ids are dense, frequency-ordered, and tokens unique") {
+    val rows = PipelineQueries.x9Vocab(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty && rows.length <= 1000)
+    assert(rows.map(_._3).toSeq == (1 to rows.length))
+    assert(rows.map(_._1).distinct.length == rows.length)
+    val ns = rows.map(_._2)
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
   test("d1 exact dedup marks only non-canonical copies as dups") {
     val rows = PipelineQueries.d1ExactDedup(spark, sf).collect()
     rows.foreach { r =>
