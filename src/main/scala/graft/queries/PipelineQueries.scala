@@ -1328,6 +1328,45 @@ object PipelineQueries {
       |  md5(md5(doc_id::VARCHAR) || '-' || unnest(range(n_frames))::VARCHAR) AS frame_id
       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 
+  // --------------------------------------- M3: decode → features → ANN
+
+  /** End-to-end multimodal → similarity composition: binary blobs through
+    * the `graft.multimodal` stages (decode via the stubbed codec, 4×4
+    * average-pool features) and straight into the exact-cosine ANN shape —
+    * top-1 neighbor for the 10 probe documents, tiny probe side broadcast
+    * against the streamed corpus like `sim1`. Demonstrates that the decode/
+    * extract plumbing lands on the `array<float>` contract of the
+    * `embeddings` table, so a real codec plugs into the ANN operators with
+    * no schema work. Decode is deterministic (seeded fake codec) but not
+    * SQL-expressible, so this takes the driver's rows-only check by the
+    * declared contract for non-SQL ops; the spec verifies top-1 against a
+    * driver-side brute force instead.
+    */
+  def m3FeatureAnn(s: SparkSession, dir: String): DataFrame = {
+    val blobs = t(s, dir, "documents")
+      .withColumn("blob", col("text").cast("binary"))
+      .select("doc_id", "blob")
+    val feats = graft.multimodal.Multimodal
+      .extractFeatures(graft.multimodal.Multimodal.decodeImages(blobs))
+      .withColumn("v", expr("transform(features, x -> cast(x as double))"))
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+    val q = feats.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val top = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    feats
+      .select(col("doc_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        round(call_function("graft_dot", col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("rnk", row_number().over(top))
+      .filter(col("rnk") === 1)
+      .select("query_id", "neighbor_id", "cos")
+      .orderBy("query_id")
+  }
+
   // ---------------------------------------- A8s: sketch aggregates (HLL)
 
   /** Approximate distinct-user counts per event type via HyperLogLog++ —
@@ -1455,6 +1494,7 @@ object PipelineQueries {
     "x9_vocab" -> (x9Vocab _),
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_frame_sample" -> (m2FrameSample _),
+    "m3_feature_ann" -> (m3FeatureAnn _),
     "a8s_approx_distinct" -> (a8sApproxDistinct _),
     "a9s_approx_quantiles" -> (a9sApproxQuantiles _),
     "a10s_cms_freq" -> (a10sCmsFreq _),

@@ -18,9 +18,16 @@ class PipelineQueriesSpec extends SparkSpec {
   private val sketchOps =
     Set("a8s_approx_distinct", "a9s_approx_quantiles", "a10s_cms_freq")
 
+  /** Ops whose compute is deterministic but not SQL-expressible (the stubbed
+    * multimodal codec): rows-only by the declared driver contract, verified
+    * against a driver-side brute force in a dedicated spec instead.
+    */
+  private val nonSqlOps = Set("m3_feature_ann")
+
   test("every pipeline query runs at sf0.001, has an oracle, and returns rows") {
     PipelineQueries.queries.foreach { case (name, fn) =>
-      assert(sketchOps(name) || PipelineQueries.oracles.contains(name),
+      assert(sketchOps(name) || nonSqlOps(name) ||
+        PipelineQueries.oracles.contains(name),
         s"$name lacks an oracle")
       val df = fn(spark, sf)
       assert(df.columns.nonEmpty, s"$name has no columns")
@@ -212,6 +219,30 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(rows.map(_._1).distinct.length == rows.length)
     val ns = rows.map(_._2)
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("m3 decode→feature→ANN top-1 matches a driver-side brute force") {
+    import graft.multimodal.Multimodal
+    val blobs = graft.Tables.t(spark, sf, "documents")
+      .withColumn("blob", col("text").cast(org.apache.spark.sql.types.BinaryType))
+      .select("doc_id", "blob")
+    val feats = Multimodal.extractFeatures(Multimodal.decodeImages(blobs))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(dot / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = feats.filter(_._1 < 10).map { case (qid, qv) =>
+      val best = feats.filter(_._1 != qid)
+        .map { case (nid, nv) => (nid, cos(qv, nv)) }
+        .minBy { case (nid, c) => (-c, nid) }
+      (qid, best._1, best._2)
+    }.sortBy(_._1).toSeq
+    val got = PipelineQueries.m3FeatureAnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
   }
 
   test("d1 exact dedup marks only non-canonical copies as dups") {
