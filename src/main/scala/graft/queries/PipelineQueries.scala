@@ -18,8 +18,10 @@ import graft.Tables.t
   * driver-checked rows-only with error bounds pinned in the specs), and
   * event sessionization (w3).
   *
-  * Every operator is expressed as a declarative DataFrame plan with a DuckDB
-  * oracle. Cross-engine determinism rules used throughout:
+  * Every operator is expressed as a declarative DataFrame plan; all but the
+  * sketch family and the codec-backed m3 (rows-only by the driver contract,
+  * spec-verified instead) carry a DuckDB oracle. Cross-engine determinism
+  * rules used throughout:
   *  - shared randomness (MinHash permutations, LSH hyperplanes) is derived
   *    from md5 / a fixed-seed xorshift generator and embedded as literals in
   *    BOTH the Spark plan and the oracle SQL;
