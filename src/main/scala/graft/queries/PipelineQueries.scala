@@ -1353,6 +1353,9 @@ object PipelineQueries {
       .withColumn("v", expr("transform(features, x -> cast(x as double))"))
       .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
       .filter(col("nrm") > 0)
+      // both join sides read the features; without this the probe side's
+      // broadcast subtree re-runs the whole decode+pool pipeline
+      .localCheckpoint()
     val q = feats.filter(col("doc_id") < 10)
       .select(col("doc_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val top = Window.partitionBy("query_id")
