@@ -8,10 +8,11 @@ import graft.Tables.t
 /** Large-scale training-data pipeline operators over the `documents` and
   * `embeddings` tables: deduplication (d1 exact, d2 MinHash+LSH, d3/d3b
   * SimHash + byte-band pairing, d4 n-gram Jaccard, d5 embedding-cosine NN,
-  * d6 connected-component cluster assembly), similarity search (sim1 exact
-  * top-k baseline, sim2 LSH, sim2b multiprobe, sim3 IVF), text analysis
-  * (x1 language-ID, x2 quality, x3 token stats, x4 fingerprint, x5
-  * redaction, x6 hash split, x7 BM25 relevance, x8 stratified sample),
+  * d6 connected-component cluster assembly, d7 train/eval contamination
+  * screen), similarity search (sim1 exact top-k baseline, sim2 LSH, sim2b
+  * multiprobe, sim3 IVF), text analysis (x1 language-ID, x2 quality, x3
+  * token stats, x4 fingerprint, x5 redaction, x6 hash split, x7 BM25
+  * relevance, x8 stratified sample, x9 vocabulary, x10 repetition score),
   * multimodal binary plumbing (m1 metadata, m2 frame sampling), sketch
   * aggregates (a8s HLL++ distinct, a9s GK quantiles, a10s Count-Min
   * frequency — deterministic per engine, engine-specific across engines, so
@@ -1100,6 +1101,105 @@ object PipelineQueries {
       |SELECT tok, n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS vocab_id
       |FROM t ORDER BY vocab_id""".stripMargin
 
+  // ------------------------------- D7: train/eval contamination screening
+
+  /** Hex→decimal expansion DuckDB-side for the first 8 md5 hex chars of
+    * `e` — the same value Spark computes as `conv(substring(md5(e),1,8),
+    * 16,10)` (shared with the x6 split rule).
+    */
+  private def md5Hex8Sql(e: String): String =
+    (1 to 8).map { k =>
+      val mult = 1L << (4 * (8 - k))
+      s"(strpos('0123456789abcdef', substr(md5($e),$k,1))-1) * $mult"
+    }.mkString(" + ")
+
+  /** The x6 hash-split rule as a reusable oracle CTE (doc_id → split). */
+  private val splitSqlCte: String =
+    s"""s AS (SELECT doc_id,
+       |  CASE WHEN (${md5Hex8Sql("text")}) % 100 < 95 THEN 'train' ELSE 'eval' END AS split
+       |FROM documents)""".stripMargin
+
+  /** Decontamination screen: flag training documents that share any word
+    * n-gram with the held-out eval split (the benchmark-leakage check every
+    * corpus release runs; real pipelines use 10–13-grams — on this
+    * synthetic 30-word vocabulary 4-grams play the same role, and `n` is
+    * the knob). Both sides carry `substring(md5(gram),1,16)` instead of the
+    * gram text, so the join key is a fixed 16 bytes regardless of n — at
+    * corpus scale you'd store it as an 8-byte long, same idea. The eval
+    * side is 5% of the corpus *deduplicated to distinct grams*, so it
+    * broadcasts: the train side — the 100 TB side — is screened with a
+    * shuffle-free broadcast semi-join and one partial-aggregable count.
+    * Per-doc grams are `array_distinct`ed before the explode, so `n_shared`
+    * counts distinct leaked grams and needs no post-join dedup.
+    */
+  def d7Contamination(s: SparkSession, dir: String): DataFrame = {
+    val grams = t(s, dir, "documents")
+      .withColumn("split",
+        when(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100 < 95,
+          "train").otherwise("eval"))
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 4)
+      .withColumn("gh", expr(
+        "transform(array_distinct(transform(sequence(0, size(w)-4), " +
+          "i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3]))), " +
+          "g -> substring(md5(g), 1, 16))"))
+      .select(col("doc_id"), col("split"), explode(col("gh")).as("gh"))
+    val evalGrams = grams.filter(col("split") === "eval").select("gh").distinct()
+    grams.filter(col("split") === "train")
+      .join(broadcast(evalGrams), "gh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("n_shared").desc, col("doc_id"))
+  }
+
+  val d7Sql: String =
+    s"""WITH $splitSqlCte,
+       |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |g AS (SELECT doc_id, unnest(list_transform(list_distinct(list_transform(range(len(w)-3),
+       |        i -> w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4])), x -> substr(md5(x),1,16))) AS gh
+       |     FROM w WHERE len(w) >= 4),
+       |ev AS (SELECT DISTINCT gh FROM g JOIN s USING(doc_id) WHERE s.split = 'eval'),
+       |tr AS (SELECT g.doc_id, gh FROM g JOIN s USING(doc_id) WHERE s.split = 'train')
+       |SELECT tr.doc_id, COUNT(*) AS n_shared
+       |FROM tr JOIN ev USING(gh)
+       |GROUP BY tr.doc_id ORDER BY n_shared DESC, doc_id""".stripMargin
+
+  // ------------------------------------ X10: intra-document repetition
+
+  /** Repetition scoring (the Gopher-style quality signal): per document,
+    * the fraction of bigram occurrences whose bigram appears more than once
+    * in that document, as integer ppm. Entirely narrow work — the bigram
+    * array is sorted per row and duplicate occurrences counted by comparing
+    * neighbors inside one higher-order expression, so a 100 TB corpus pays
+    * zero shuffle (the only exchange is the final presentation sort, which
+    * a real pipeline would drop). The guard-first AND/OR order keeps the
+    * neighbor indexes in range (both engines short-circuit).
+    */
+  def x10Repetition(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 2)
+      .withColumn("sb", expr(
+        "array_sort(transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1])))"))
+      .select(col("doc_id"),
+        size(col("sb")).cast("long").as("n_bigrams"),
+        expr("cast(size(filter(sequence(0, size(sb)-1), i -> " +
+          "(i > 0 AND sb[i] = sb[i-1]) OR (i < size(sb)-1 AND sb[i] = sb[i+1]))) as bigint)")
+          .as("n_dup"))
+      .withColumn("dup_ppm", expr("1000000 * n_dup div n_bigrams"))
+      .orderBy("doc_id")
+
+  val x10Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |b AS (SELECT doc_id, list_sort(list_transform(range(len(w)-1),
+      |        i -> w[i+1]||' '||w[i+2])) AS sb
+      |      FROM w WHERE len(w) >= 2),
+      |c AS (SELECT doc_id, len(sb) AS n_bigrams,
+      |        len(list_filter(range(len(sb)), i ->
+      |          (i > 0 AND sb[i+1] = sb[i]) OR (i < len(sb)-1 AND sb[i+1] = sb[i+2]))) AS n_dup
+      |      FROM b)
+      |SELECT doc_id, n_bigrams, n_dup, 1000000 * n_dup // n_bigrams AS dup_ppm
+      |FROM c ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------- X4: document fingerprint
 
   /** Bottom-k sketch fingerprint: the 4 smallest shingle-hash prefixes,
@@ -1484,6 +1584,7 @@ object PipelineQueries {
     "d4_ngram_jaccard" -> (d4NgramJaccard _),
     "d5_embedding_nn" -> (d5EmbeddingNn _),
     "d6_dup_clusters" -> (d6DupClusters _),
+    "d7_contamination" -> (d7Contamination _),
     "sim1_cosine_topk" -> (sim1CosineTopk _),
     "sim2_lsh_ann" -> (sim2LshAnn _),
     "sim2b_multiprobe" -> (sim2bMultiprobe _),
@@ -1497,6 +1598,7 @@ object PipelineQueries {
     "x7_bm25" -> (x7Bm25 _),
     "x8_stratified_sample" -> (x8StratifiedSample _),
     "x9_vocab" -> (x9Vocab _),
+    "x10_repetition" -> (x10Repetition _),
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_frame_sample" -> (m2FrameSample _),
     "m3_feature_ann" -> (m3FeatureAnn _),
@@ -1514,6 +1616,7 @@ object PipelineQueries {
     "d4_ngram_jaccard" -> d4Sql,
     "d5_embedding_nn" -> d5Sql,
     "d6_dup_clusters" -> d6Sql,
+    "d7_contamination" -> d7Sql,
     "sim1_cosine_topk" -> sim1Sql,
     "sim2_lsh_ann" -> sim2Sql,
     "sim2b_multiprobe" -> sim2bSql,
@@ -1527,6 +1630,7 @@ object PipelineQueries {
     "x7_bm25" -> x7Sql,
     "x8_stratified_sample" -> x8Sql,
     "x9_vocab" -> x9Sql,
+    "x10_repetition" -> x10Sql,
     "m1_binary_meta" -> m1Sql,
     "m2_frame_sample" -> m2Sql,
     "w3_sessionize" -> w3Sql,

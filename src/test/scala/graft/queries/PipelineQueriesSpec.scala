@@ -245,6 +245,52 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("d7 contamination matches a driver-side brute force over raw grams") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def split(t: String): String =
+      if (java.lang.Long.parseLong(md5hex(t).take(8), 16) % 100 < 95) "train" else "eval"
+    def grams(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 4) Set.empty
+      else (0 to w.length - 4).map(i => w.slice(i, i + 4).mkString(" ")).toSet
+    }
+    // brute force joins on the raw gram text — a cross-engine md5-prefix
+    // collision in the query's 16-hex join key would surface here
+    val ev = docs.filter(d => split(d._2) == "eval").flatMap(d => grams(d._2)).toSet
+    val expected = docs.filter(d => split(d._2) == "train")
+      .map(d => d._1 -> grams(d._2).count(ev.contains).toLong)
+      .filter(_._2 > 0).toMap
+    val got = PipelineQueries.d7Contamination(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(expected.nonEmpty, "fixture has no cross-split overlap — test is vacuous")
+  }
+
+  test("x10 repetition matches a driver-side brute force") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.flatMap { case (id, t) =>
+      val w = t.split(" ", -1)
+      if (w.length < 2) None else {
+        val bg = (0 until w.length - 1).map(i => w(i) + " " + w(i + 1))
+        val counts = bg.groupBy(identity).map { case (_, v) => v.size.toLong }
+        val nDup = counts.filter(_ > 1).sum
+        Some((id, bg.size.toLong, nDup, 1000000L * nDup / bg.size))
+      }
+    }.sortBy(_._1).toSeq
+    val got = PipelineQueries.x10Repetition(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(expected.exists(_._3 > 0) && expected.exists(t => t._4 < 1000000L),
+      "fixture lacks score variance — test is vacuous")
+  }
+
   test("d1 exact dedup marks only non-canonical copies as dups") {
     val rows = PipelineQueries.d1ExactDedup(spark, sf).collect()
     rows.foreach { r =>

@@ -140,6 +140,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("graft_cms_estimate"), "native CMS probe missing:\n" + p.take(800))
   }
 
+  test("d7 screens the corpus with a broadcast join; the train side never shuffles for it") {
+    val p = plan(PipelineQueries.d7Contamination(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "eval gram set did not broadcast:\n" + p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      "contamination screen shuffled the corpus side:\n" + p.take(1200))
+  }
+
+  test("x10 repetition is narrow per-row work — no shuffle except the output sort") {
+    val p = plan(PipelineQueries.x10Repetition(spark, sf))
+    // sort + neighbor-compare happen inside row-local higher-order exprs;
+    // a HashAggregate/extra Exchange would mean the bigrams got exploded
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, s"expected <=1 exchange (output sort), got $exchanges:\n" +
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(!p.contains("HashAggregate"), "repetition score should not aggregate")
+  }
+
   test("d3 simhash reads only the columns it needs from documents") {
     val p = plan(PipelineQueries.d3Simhash(spark, sf))
     val rs = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
