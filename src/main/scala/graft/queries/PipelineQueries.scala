@@ -983,6 +983,86 @@ object PipelineQueries {
        |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM p)
        |SELECT query_id, neighbor_id, rnk, cos FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
 
+  // ------------------------------- SIM4: k-means codebook training (Lloyd's)
+
+  /** Distributed k-means — the trainer that produces the coarse codebook
+    * `sim3`'s IVF index probes (sim3 seeds from raw vectors; this closes the
+    * loop). Structure per Lloyd iteration, the same as Spark MLlib's:
+    * centroids live on the driver (k×dim values) and broadcast; assignment
+    * is a narrow per-partition argmin pass over the corpus — no join, no
+    * shuffle — and the update is one partial-aggregable SUM over
+    * (cell, dim) keys, i.e. the shuffle carries k×dim counters regardless of
+    * corpus size. Two fixed iterations from a deterministic seed
+    * (vec_id < k), then a final assignment.
+    *
+    * Cross-engine exactness: components are quantized to fixed-point longs
+    * (×2²⁰, round-half-away — exact on both engines) and SHIFTED POSITIVE
+    * (+2²¹): squared-L2 distances are translation-invariant, and over
+    * non-negative longs Spark's `div` (truncate) and DuckDB's `//` (floor)
+    * agree, so the floor-divided centroid means and every distance are
+    * bit-identical integers. Ties in the argmin break to the lowest
+    * centroid id on both engines.
+    */
+  def sim4KmeansCodebook(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 8
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1048576) as bigint) + 2097152)").as("v"))
+      .as[(Long, Array[Long])]
+    def assigned(cents: Array[(Long, Array[Long])]) = {
+      val bc = s.sparkContext.broadcast(cents)
+      e.mapPartitions(_.map { case (id, v) =>
+        var bestD = Long.MaxValue
+        var bestC = Long.MaxValue
+        bc.value.foreach { case (cid, cv) =>
+          var d = 0L
+          var j = 0
+          while (j < v.length) { val t = v(j) - cv(j); d += t * t; j += 1 }
+          if (d < bestD || (d == bestD && cid < bestC)) { bestD = d; bestC = cid }
+        }
+        (id, v, bestC, bestD)
+      }).toDF("vec_id", "v", "cell", "dist")
+    }
+    var cents = e.filter(_._1 < k).collect().sortBy(_._1)
+    for (_ <- 0 until 2) {
+      val sums = assigned(cents)
+        .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("cell", "i").agg(expr("sum(x) div count(1)").as("cx"))
+        .collect()
+      cents = sums.groupBy(_.getLong(0)).map { case (cid, rs) =>
+        (cid, rs.sortBy(_.getInt(1)).map(_.getLong(2)).toArray)
+      }.toArray.sortBy(_._1)
+    }
+    assigned(cents).select("vec_id", "cell", "dist").orderBy("vec_id")
+  }
+
+  val sim4Sql: String = {
+    def assign(cTab: String, out: String): String =
+      s"""${out}d AS (SELECT e.vec_id, e.v, c.cid,
+         |    CAST(list_sum(list_transform(range(len(e.v)),
+         |      j -> (e.v[j+1]-c.cv[j+1])*(e.v[j+1]-c.cv[j+1]))) AS BIGINT) AS dist
+         |  FROM e CROSS JOIN $cTab c),
+         |$out AS (SELECT vec_id, v, cid AS cell, dist FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |   FROM ${out}d) WHERE rn = 1)""".stripMargin
+    def update(aTab: String, out: String): String =
+      s"""${out}s AS (SELECT cell, unnest(range(len(v))) AS i, unnest(v) AS x FROM $aTab),
+         |${out}m AS (SELECT cell, i, CAST(SUM(x) AS BIGINT) // COUNT(*) AS cx
+         |  FROM ${out}s GROUP BY cell, i),
+         |$out AS (SELECT cell AS cid, list(cx ORDER BY i) AS cv FROM ${out}m GROUP BY cell)""".stripMargin
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(round(x::DOUBLE * 1048576) AS BIGINT) + 2097152) AS v
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+       |${assign("c0", "a1")},
+       |${update("a1", "c1")},
+       |${assign("c1", "a2")},
+       |${update("a2", "c2")},
+       |${assign("c2", "a3")}
+       |SELECT vec_id, cell, dist FROM a3 ORDER BY vec_id""".stripMargin
+  }
+
   // ------------------------------------------------- X1: language-ID score
 
   /** Language-ID heuristic: function-word hit ratio (the 1-feature core of
@@ -1589,6 +1669,7 @@ object PipelineQueries {
     "sim2_lsh_ann" -> (sim2LshAnn _),
     "sim2b_multiprobe" -> (sim2bMultiprobe _),
     "sim3_ivf_ann" -> (sim3IvfAnn _),
+    "sim4_kmeans_codebook" -> (sim4KmeansCodebook _),
     "x1_langid" -> (x1Langid _),
     "x2_quality" -> (x2Quality _),
     "x3_token_stats" -> (x3TokenStats _),
@@ -1621,6 +1702,7 @@ object PipelineQueries {
     "sim2_lsh_ann" -> sim2Sql,
     "sim2b_multiprobe" -> sim2bSql,
     "sim3_ivf_ann" -> sim3Sql,
+    "sim4_kmeans_codebook" -> sim4Sql,
     "x1_langid" -> x1Sql,
     "x2_quality" -> x2Sql,
     "x3_token_stats" -> x3Sql,

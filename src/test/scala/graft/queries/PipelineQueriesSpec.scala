@@ -291,6 +291,37 @@ class PipelineQueriesSpec extends SparkSpec {
       "fixture lacks score variance — test is vacuous")
   }
 
+  test("sim4 k-means matches a driver-side Lloyd's run and reduces inertia") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> cast(round(cast(x as double) * 1048576) as bigint) + 2097152) as v")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    def nearest(v: Array[Long], cents: Seq[(Long, Array[Long])]): (Long, Long) =
+      cents.map { case (cid, cv) =>
+        (v.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+      }.minBy { case (d, cid) => (d, cid) } match { case (d, cid) => (cid, d) }
+    var cents = vecs.filter(_._1 < 8).sortBy(_._1).toSeq
+    val inertia = Seq.newBuilder[Long]
+    for (_ <- 0 until 2) {
+      val asg = vecs.map { case (id, v) => (id, v, nearest(v, cents)) }
+      inertia += asg.map(_._3._2).sum
+      cents = asg.groupBy(_._3._1).map { case (cid, rows) =>
+        val n = rows.length
+        (cid, Array.tabulate(rows.head._2.length)(j => rows.map(_._2(j)).sum / n))
+      }.toSeq.sortBy(_._1)
+    }
+    val expected = vecs.map { case (id, v) =>
+      val (cid, d) = nearest(v, cents); (id, cid, d)
+    }.sortBy(_._1).toSeq
+    inertia += expected.map(_._3).sum
+    val got = PipelineQueries.sim4KmeansCodebook(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    val Seq(i0, _, i2) = inertia.result()
+    assert(i2 < i0, s"Lloyd's did not reduce inertia: $i0 -> $i2")
+  }
+
   test("d1 exact dedup marks only non-canonical copies as dups") {
     val rows = PipelineQueries.d1ExactDedup(spark, sf).collect()
     rows.foreach { r =>

@@ -157,6 +157,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), "repetition score should not aggregate")
   }
 
+  test("sim4 assignment is narrow: no join, no shuffle except the output sort") {
+    val p = plan(PipelineQueries.sim4KmeansCodebook(spark, sf))
+    assert(!p.contains("Join"), "assignment should probe broadcast centroids, not join:\n" + p.take(1000))
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, s"expected <=1 exchange (output sort), got $exchanges")
+  }
+
   test("d3 simhash reads only the columns it needs from documents") {
     val p = plan(PipelineQueries.d3Simhash(spark, sf))
     val rs = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
