@@ -1280,6 +1280,60 @@ object PipelineQueries {
       |SELECT doc_id, n_bigrams, n_dup, 1000000 * n_dup // n_bigrams AS dup_ppm
       |FROM c ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------- X11: training-sequence packing
+
+  /** Sequence packing: assign each document a (pack_id, pack_offset) slot in
+    * a stream of fixed-token-budget training windows, in doc_id order — the
+    * sample-packing pass that turns a corpus into pretraining batches. The
+    * core is a GLOBAL running token total, which naively is a
+    * single-partition window (the one shape that cannot scale: every row
+    * through one task). Instead this runs the canonical two-phase
+    * distributed prefix sum: range-partition by doc_id and pin the
+    * partitioning (localCheckpoint — both passes must see identical
+    * partitions), phase 1 reduces each partition to one subtotal (a
+    * partition-count-sized collect), phase 2 rebuilds exact per-row prefixes
+    * from the broadcast partition offsets — so the corpus streams through
+    * narrow tasks twice and nothing global ever materializes on one node.
+    * The result is independent of where the sampled range boundaries land.
+    * A document straddling a budget boundary belongs to the pack where it
+    * starts (real packers split the text at the boundary; the bookkeeping
+    * is identical).
+    */
+  def x11Pack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val budget = 2048L
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .as[(Long, Long)]
+      .localCheckpoint()
+    val subtotals = toks.rdd
+      .mapPartitionsWithIndex { case (pid, it) =>
+        Iterator.single((pid, it.map(_._2).sum))
+      }.collect().sortBy(_._1)
+    val prefix = subtotals.scanLeft(0L)(_ + _._2)
+    val bc = s.sparkContext.broadcast(prefix)
+    toks.rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var cum = bc.value(pid)
+      it.map { case (id, n) =>
+        val before = cum
+        cum += n
+        (id, n, before / budget, before % budget)
+      }
+    }.toDF("doc_id", "n_tokens", "pack_id", "pack_offset")
+      .orderBy("doc_id")
+  }
+
+  val x11Sql: String =
+    """WITH tk AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |        CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+      |      FROM tk)
+      |SELECT doc_id, n_tokens, cb // 2048 AS pack_id, cb % 2048 AS pack_offset
+      |FROM c ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------- X4: document fingerprint
 
   /** Bottom-k sketch fingerprint: the 4 smallest shingle-hash prefixes,
@@ -1680,6 +1734,7 @@ object PipelineQueries {
     "x8_stratified_sample" -> (x8StratifiedSample _),
     "x9_vocab" -> (x9Vocab _),
     "x10_repetition" -> (x10Repetition _),
+    "x11_pack" -> (x11Pack _),
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_frame_sample" -> (m2FrameSample _),
     "m3_feature_ann" -> (m3FeatureAnn _),
@@ -1713,6 +1768,7 @@ object PipelineQueries {
     "x8_stratified_sample" -> x8Sql,
     "x9_vocab" -> x9Sql,
     "x10_repetition" -> x10Sql,
+    "x11_pack" -> x11Sql,
     "m1_binary_meta" -> m1Sql,
     "m2_frame_sample" -> m2Sql,
     "w3_sessionize" -> w3Sql,

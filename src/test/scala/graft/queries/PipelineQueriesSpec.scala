@@ -322,6 +322,23 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(i2 < i0, s"Lloyd's did not reduce inertia: $i0 -> $i2")
   }
 
+  test("x11 packing equals a sequential prefix sum despite multi-partition execution") {
+    // the two-phase prefix sum must agree with the obvious driver-side scan
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "cast(size(split(text, ' ')) as long) as n")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var cum = 0L
+    val expected = docs.map { case (id, n) =>
+      val before = cum; cum += n; (id, n, before / 2048L, before % 2048L)
+    }.toSeq
+    val got = PipelineQueries.x11Pack(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // the fixture genuinely exercises the partition-boundary handoff
+    assert(spark.sessionState.conf.numShufflePartitions > 1)
+    assert(expected.last._3 > 0, "corpus fits one pack — boundary logic untested")
+  }
+
   test("d1 exact dedup marks only non-canonical copies as dups") {
     val rows = PipelineQueries.d1ExactDedup(spark, sf).collect()
     rows.foreach { r =>
