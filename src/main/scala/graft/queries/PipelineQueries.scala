@@ -1213,7 +1213,18 @@ object PipelineQueries {
     * counts distinct leaked grams and needs no post-join dedup.
     */
   def d7Contamination(s: SparkSession, dir: String): DataFrame = {
-    val grams = t(s, dir, "documents")
+    // The gram arrays are materialized once, BEFORE the explode
+    // (localCheckpoint), for two reasons: the eval and train branches would
+    // otherwise each rescan and re-shingle the corpus, and — worse —
+    // InferFiltersFromGenerate + predicate pushdown inline the whole gram
+    // expression into scan-level filters where the lambda runs interpreted
+    // (no codegen CSE), re-evaluating split(text) per element access:
+    // O(words²) per document, ~3× over (measured 21× slower at sf0.1).
+    // Checkpointing the per-doc arrays keeps one clean O(words) evaluation
+    // and lets the explode's inferred filters probe a bound column — the
+    // "write the shingle table, then screen against it" shape a production
+    // decontamination pass uses.
+    val gramArrays = t(s, dir, "documents")
       .withColumn("split",
         when(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100 < 95,
           "train").otherwise("eval"))
@@ -1223,7 +1234,9 @@ object PipelineQueries {
         "transform(array_distinct(transform(sequence(0, size(w)-4), " +
           "i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3]))), " +
           "g -> substring(md5(g), 1, 16))"))
-      .select(col("doc_id"), col("split"), explode(col("gh")).as("gh"))
+      .select(col("doc_id"), col("split"), col("gh"))
+      .localCheckpoint()
+    val grams = gramArrays.select(col("doc_id"), col("split"), explode(col("gh")).as("gh"))
     val evalGrams = grams.filter(col("split") === "eval").select("gh").distinct()
     grams.filter(col("split") === "train")
       .join(broadcast(evalGrams), "gh")
