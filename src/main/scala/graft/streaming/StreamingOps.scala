@@ -84,6 +84,36 @@ object StreamingOps {
   def enrichAgainstStatic(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming decontamination — the ingest-time twin of the batch
+    * `d7_contamination` screen: every arriving document is scored against
+    * the held-out eval set's hashed n-grams and annotated with `n_shared`
+    * (callers drop `n_shared > 0` or route them to quarantine). The eval
+    * gram set is STATIC by definition (a benchmark release), so it is
+    * collected once at query start and broadcast; each micro-batch then
+    * pays a narrow per-partition membership pass — no join, no state, so
+    * stream length costs nothing. When the eval set outgrows a broadcast
+    * set, swap in a bloom filter the same way d7's scale note describes.
+    */
+  def screenContamination(docs: Dataset[StreamDoc], evalGrams: DataFrame): Dataset[(Long, Timestamp, String, Long)] = {
+    import docs.sparkSession.implicits._
+    val bc = docs.sparkSession.sparkContext.broadcast(
+      evalGrams.select("gh").collect().map(_.getString(0)).toSet)
+    docs.mapPartitions { it =>
+      val set = bc.value
+      it.map { d =>
+        val w = d.text.split(" ", -1)
+        val shared =
+          if (w.length < 4) 0L
+          else (0 to w.length - 4).iterator
+            .map(i => w.slice(i, i + 4).mkString(" "))
+            .toSet[String]
+            .count(g => set.contains(graft.functions.Hashing.md5Hex16(g)))
+            .toLong
+        (d.doc_id, d.ts, d.text, shared)
+      }
+    }.toDF("doc_id", "ts", "text", "n_shared").as[(Long, Timestamp, String, Long)]
+  }
+
   private val GapUs = 1800L * 1000000L
 
   /** Event time in microseconds — java.sql.Timestamp.getTime() truncates to

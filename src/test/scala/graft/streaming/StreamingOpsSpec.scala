@@ -166,4 +166,46 @@ class StreamingOpsSpec extends SparkSpec {
         s"user 2 trailing session not emitted: $all")
     } finally q.stop()
   }
+
+  test("streaming contamination screen agrees with the batch d7 operator") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    // rebuild the batch operator's two sides from the same split rule
+    def splitOf(text: String): String =
+      if (java.lang.Long.parseLong(
+        graft.functions.Hashing.md5Hex(text).take(8), 16) % 100 < 95) "train" else "eval"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val evalGrams = docs.filter(d => splitOf(d._2) == "eval")
+      .flatMap { case (_, t) =>
+        val w = t.split(" ", -1)
+        if (w.length < 4) Seq.empty
+        else (0 to w.length - 4).map(i =>
+          graft.functions.Hashing.md5Hex16(w.slice(i, i + 4).mkString(" ")))
+      }.distinct.toSeq.toDF("gh")
+    val in = MemoryStream[StreamDoc]
+    val q = StreamingOps.screenContamination(in.toDS(), evalGrams)
+      .writeStream.format("memory").queryName("decontam")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val trainDocs = docs.filter(d => splitOf(d._2) == "train")
+      // two micro-batches — the screen must be stateless across them
+      val (b1, b2) = trainDocs.splitAt(trainDocs.length / 2)
+      in.addData(b1.map { case (id, t) => StreamDoc(id, ts(0), t) }.toSeq)
+      q.processAllAvailable()
+      in.addData(b2.map { case (id, t) => StreamDoc(id, ts(1), t) }.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("decontam").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared"))
+        .filter(_._2 > 0).toMap
+      val batch = graft.queries.PipelineQueries.d7Contamination(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == batch)
+      assert(batch.nonEmpty, "no cross-split overlap at sf0.001 — test is vacuous")
+      // every streamed doc was scored, contaminated or not
+      assert(spark.table("decontam").count() == trainDocs.length)
+    } finally q.stop()
+  }
 }
