@@ -1347,6 +1347,47 @@ object PipelineQueries {
       |SELECT doc_id, n_tokens, cb // 2048 AS pack_id, cb % 2048 AS pack_offset
       |FROM c ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------- X12: LM-frequency quality scoring
+
+  /** Corpus-LM scoring (the CCNet-style perplexity-proxy filter): train a
+    * bigram-count "language model" on the corpus itself, then score every
+    * document by the mean corpus frequency of its bigrams — text full of
+    * never-seen-elsewhere bigrams (mojibake, boilerplate hashes, OCR noise)
+    * scores near 1 (only its own occurrences), formulaic text scores high.
+    * Real CCNet uses a wiki-trained KenLM and log-probs; the integer mean
+    * keeps the statistic exact cross-engine, and the two-phase shape is
+    * identical: one partial-aggregable count per distinct bigram (the
+    * "model", shuffle ∝ vocabulary² not corpus), then one join of doc
+    * bigram occurrences against it — the model side is one row per distinct
+    * bigram, so the join's build side is bounded by vocabulary, and a
+    * mega-common bigram is ONE build row joined by many probe rows:
+    * streaming through, not exploding.
+    */
+  def x12LmScore(s: SparkSession, dir: String): DataFrame = {
+    val occ = t(s, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))")).as("bg"))
+    val model = occ.groupBy("bg").agg(count(lit(1)).as("c"))
+    occ.join(model, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("c").as("c_sum"))
+      .withColumn("mean_bg_freq", expr("c_sum div n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  val x12Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |o AS (SELECT doc_id, unnest(list_transform(range(len(w)-1),
+      |        i -> w[i+1]||' '||w[i+2])) AS bg
+      |      FROM w WHERE len(w) >= 2),
+      |m AS (SELECT bg, COUNT(*) AS c FROM o GROUP BY bg)
+      |SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(c) AS BIGINT) AS c_sum,
+      |  CAST(SUM(c) AS BIGINT) // COUNT(*) AS mean_bg_freq
+      |FROM o JOIN m USING (bg)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------- X4: document fingerprint
 
   /** Bottom-k sketch fingerprint: the 4 smallest shingle-hash prefixes,
@@ -1748,6 +1789,7 @@ object PipelineQueries {
     "x9_vocab" -> (x9Vocab _),
     "x10_repetition" -> (x10Repetition _),
     "x11_pack" -> (x11Pack _),
+    "x12_lm_score" -> (x12LmScore _),
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_frame_sample" -> (m2FrameSample _),
     "m3_feature_ann" -> (m3FeatureAnn _),
@@ -1782,6 +1824,7 @@ object PipelineQueries {
     "x9_vocab" -> x9Sql,
     "x10_repetition" -> x10Sql,
     "x11_pack" -> x11Sql,
+    "x12_lm_score" -> x12Sql,
     "m1_binary_meta" -> m1Sql,
     "m2_frame_sample" -> m2Sql,
     "w3_sessionize" -> w3Sql,

@@ -339,6 +339,31 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(expected.last._3 > 0, "corpus fits one pack — boundary logic untested")
   }
 
+  test("x12 LM score matches a driver-side brute force") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def bigrams(t: String): Seq[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 2) Seq.empty
+      else (0 until w.length - 1).map(i => w(i) + " " + w(i + 1))
+    }
+    val model = docs.flatMap(d => bigrams(d._2))
+      .groupBy(identity).map { case (bg, v) => (bg, v.size.toLong) }
+    val expected = docs.flatMap { case (id, t) =>
+      val bg = bigrams(t)
+      if (bg.isEmpty) None else {
+        val cSum = bg.map(model).sum
+        Some((id, bg.size.toLong, cSum, cSum / bg.size))
+      }
+    }.sortBy(_._1).toSeq
+    val got = PipelineQueries.x12LmScore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // the statistic discriminates: scores must not be all-equal
+    assert(expected.map(_._4).distinct.size > 1)
+  }
+
   test("d1 exact dedup marks only non-canonical copies as dups") {
     val rows = PipelineQueries.d1ExactDedup(spark, sf).collect()
     rows.foreach { r =>
