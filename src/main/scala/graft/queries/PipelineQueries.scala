@@ -12,7 +12,8 @@ import graft.Tables.t
   * screen), similarity search (sim1 exact top-k baseline, sim2 LSH, sim2b
   * multiprobe, sim3 IVF), text analysis (x1 language-ID, x2 quality, x3
   * token stats, x4 fingerprint, x5 redaction, x6 hash split, x7 BM25
-  * relevance, x8 stratified sample, x9 vocabulary, x10 repetition score),
+  * relevance, x8 stratified sample, x9 vocabulary, x10 repetition score,
+  * x11 sequence packing, x12 corpus-LM scoring),
   * multimodal binary plumbing (m1 metadata, m2 frame sampling), sketch
   * aggregates (a8s HLL++ distinct, a9s GK quantiles, a10s Count-Min
   * frequency — deterministic per engine, engine-specific across engines, so
