@@ -9,16 +9,17 @@ import graft.Tables.t
   * `embeddings` tables: deduplication (d1 exact, d2 MinHash+LSH, d3/d3b
   * SimHash + byte-band pairing, d4 n-gram Jaccard, d5 embedding-cosine NN,
   * d6 connected-component cluster assembly, d7 train/eval contamination
-  * screen), similarity search (sim1 exact top-k baseline, sim2 LSH, sim2b
+  * screen, d8 duplicated-span detection), similarity search (sim1 exact
+  * top-k baseline, sim2 LSH, sim2b
   * multiprobe, sim3 IVF), text analysis (x1 language-ID, x2 quality, x3
   * token stats, x4 fingerprint, x5 redaction, x6 hash split, x7 BM25
   * relevance, x8 stratified sample, x9 vocabulary, x10 repetition score,
-  * x11 sequence packing, x12 corpus-LM scoring),
+  * x11 sequence packing, x12 corpus-LM scoring, x13 corpus mixing weights),
   * multimodal binary plumbing (m1 metadata, m2 frame sampling), sketch
   * aggregates (a8s HLL++ distinct, a9s GK quantiles, a10s Count-Min
   * frequency — deterministic per engine, engine-specific across engines, so
   * driver-checked rows-only with error bounds pinned in the specs), and
-  * event sessionization (w3).
+  * event analytics (w3 sessionization, w4 ordered funnel).
   *
   * Every operator is expressed as a declarative DataFrame plan; all but the
   * sketch family and the codec-backed m3 (rows-only by the driver contract,
@@ -1389,6 +1390,147 @@ object PipelineQueries {
       |FROM o JOIN m USING (bg)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------- D8: duplicated-span detection
+
+  /** Substring-level dedup signal (the Lee et al. 2022 "Deduplicating
+    * Training Data" unit, batch shape): per document, how many of its
+    * distinct 8-token spans also occur in at least one OTHER document.
+    * Unlike d1 (whole-document) and d2/d4 (document-pair similarity), this
+    * catches shared boilerplate buried inside otherwise-unique documents —
+    * the span is the dedup unit, not the document. Spans are grouped by a
+    * 16-hex-char md5 prefix, not the span text: the shuffle key drops from
+    * ~50 bytes of text to 16 bytes regardless of span length (at a real
+    * 50-token span unit the ratio is ~20×), and both engines compute the
+    * identical digest so the oracle stays exact. `array_distinct` runs
+    * row-locally BEFORE the explode, so a span repeated within one document
+    * crosses the shuffle once and the per-key window count equals the
+    * distinct-document frequency with no COUNT(DISTINCT) anywhere. At
+    * 100 TB the doc-frequency window is one hash exchange on the digest
+    * (partial aggregation would not help: keys are near-unique), and the
+    * per-document re-aggregation is a second narrow exchange on doc_id.
+    */
+  def d8SpanDedup(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val spans = t(s, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(0, size(w)-$k), " +
+          s"i -> concat_ws(' ', slice(w, i+1, $k))))")).as("sp"))
+      .select(col("doc_id"), expr("substr(md5(sp), 1, 16)").as("hk"))
+    spans
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("hk")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_ppm", expr("1000000 * n_shared div n_spans"))
+      .orderBy("doc_id")
+  }
+
+  val d8Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sp AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(w)-7),
+      |         i -> array_to_string(list_slice(w, i+1, i+8), ' ')))) AS sp
+      |       FROM w WHERE len(w) >= 8),
+      |h AS (SELECT doc_id, substr(md5(sp), 1, 16) AS hk FROM sp),
+      |c AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY hk) AS df FROM h),
+      |g AS (SELECT doc_id, COUNT(*) AS n_spans,
+      |        CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+      |      FROM c GROUP BY doc_id)
+      |SELECT doc_id, n_spans, n_shared, 1000000 * n_shared // n_spans AS shared_ppm
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------- W4: ordered-funnel analysis
+
+  /** Strict-order funnel (view → click → purchase): per user, the furthest
+    * stage reached where each transition must happen strictly after the
+    * previous one, with the earliest qualifying timestamp per stage (the
+    * greedy earliest-transition scan — provably the one that maximizes the
+    * reachable stage). One groupBy collects each user's funnel events into a
+    * sorted array and a single `aggregate` lambda walks it — one shuffle
+    * keyed by user, versus the textbook 3-join cascade (the oracle's
+    * formulation) which shuffles the events table once per stage. Per-user
+    * state is one struct regardless of event count, and the event filter
+    * runs before the exchange so only funnel-relevant rows shuffle at all.
+    * All comparisons in integer epoch-micros.
+    */
+  def w4Funnel(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_type"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("us"), col("event_type")))).as("evs"))
+      .withColumn("r", expr(
+        """aggregate(evs,
+          |  named_struct('stage', 0, 't1', cast(null as bigint),
+          |               't2', cast(null as bigint), 't3', cast(null as bigint)),
+          |  (acc, e) -> CASE
+          |    WHEN acc.stage = 0 AND e.event_type = 'view'
+          |      THEN named_struct('stage', 1, 't1', e.us, 't2', acc.t2, 't3', acc.t3)
+          |    WHEN acc.stage = 1 AND e.event_type = 'click' AND e.us > acc.t1
+          |      THEN named_struct('stage', 2, 't1', acc.t1, 't2', e.us, 't3', acc.t3)
+          |    WHEN acc.stage = 2 AND e.event_type = 'purchase' AND e.us > acc.t2
+          |      THEN named_struct('stage', 3, 't1', acc.t1, 't2', acc.t2, 't3', e.us)
+          |    ELSE acc END)""".stripMargin))
+      .select(col("user_id"), col("r.stage").as("stage"),
+        col("r.t1").as("view_us"), col("r.t2").as("click_us"),
+        col("r.t3").as("purchase_us"))
+      .orderBy("user_id")
+
+  val w4Sql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+      |           WHERE event_type IN ('view','click','purchase')),
+      |u AS (SELECT DISTINCT user_id FROM e),
+      |v AS (SELECT user_id, MIN(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, MIN(e.us) AS t2 FROM e JOIN v USING (user_id)
+      |      WHERE e.event_type = 'click' AND e.us > v.t1 GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(e.us) AS t3 FROM e JOIN c USING (user_id)
+      |      WHERE e.event_type = 'purchase' AND e.us > c.t2 GROUP BY 1)
+      |SELECT u.user_id,
+      |  CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+      |       WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage,
+      |  t1 AS view_us, t2 AS click_us, t3 AS purchase_us
+      |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+      |       LEFT JOIN p USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
+  // ----------------------------------------- X13: corpus mixing weights
+
+  /** Domain-mixing weights (the DoReMi/Pile-style corpus recipe step): per
+    * (lang, source) slice, its token share of the corpus and the resampling
+    * weight that would equalize slices — floor-capped at 4× so a tiny slice
+    * is oversampled at most 4:1, in integer ppm so both engines agree
+    * bit-for-bit. The per-slice aggregate is fully partial-aggregable (one
+    * narrow shuffle ∝ slice count); the corpus totals are a one-row
+    * aggregate of the slice table cross-joined back — at any scale the
+    * second phase moves slice-count rows, never corpus rows.
+    */
+  def x13MixWeights(s: SparkSession, dir: String): DataFrame = {
+    val slices = t(s, dir, "documents")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val totals = slices.agg(sum("n_tokens").as("total_tokens"),
+      count(lit(1)).as("n_slices"))
+    slices.crossJoin(broadcast(totals))
+      .withColumn("share_ppm", expr("1000000 * n_tokens div total_tokens"))
+      .withColumn("weight_ppm", least(lit(4000000L),
+        expr("1000000 * total_tokens div (n_slices * n_tokens)")))
+      .select("lang", "source", "n_docs", "n_tokens", "share_ppm", "weight_ppm")
+      .orderBy("lang", "source")
+  }
+
+  val x13Sql: String =
+    """WITH s AS (SELECT lang, source, COUNT(*) AS n_docs,
+      |        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |      FROM documents GROUP BY lang, source),
+      |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |        COUNT(*) AS n_slices FROM s)
+      |SELECT lang, source, n_docs, n_tokens,
+      |  1000000 * n_tokens // total_tokens AS share_ppm,
+      |  LEAST(4000000, 1000000 * total_tokens // (n_slices * n_tokens)) AS weight_ppm
+      |FROM s CROSS JOIN t ORDER BY lang, source""".stripMargin
+
   // -------------------------------------------- X4: document fingerprint
 
   /** Bottom-k sketch fingerprint: the 4 smallest shingle-hash prefixes,
@@ -1774,6 +1916,7 @@ object PipelineQueries {
     "d5_embedding_nn" -> (d5EmbeddingNn _),
     "d6_dup_clusters" -> (d6DupClusters _),
     "d7_contamination" -> (d7Contamination _),
+    "d8_span_dedup" -> (d8SpanDedup _),
     "sim1_cosine_topk" -> (sim1CosineTopk _),
     "sim2_lsh_ann" -> (sim2LshAnn _),
     "sim2b_multiprobe" -> (sim2bMultiprobe _),
@@ -1791,6 +1934,7 @@ object PipelineQueries {
     "x10_repetition" -> (x10Repetition _),
     "x11_pack" -> (x11Pack _),
     "x12_lm_score" -> (x12LmScore _),
+    "x13_mix_weights" -> (x13MixWeights _),
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_frame_sample" -> (m2FrameSample _),
     "m3_feature_ann" -> (m3FeatureAnn _),
@@ -1798,6 +1942,7 @@ object PipelineQueries {
     "a9s_approx_quantiles" -> (a9sApproxQuantiles _),
     "a10s_cms_freq" -> (a10sCmsFreq _),
     "w3_sessionize" -> (w3Sessionize _),
+    "w4_funnel" -> (w4Funnel _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1809,6 +1954,7 @@ object PipelineQueries {
     "d5_embedding_nn" -> d5Sql,
     "d6_dup_clusters" -> d6Sql,
     "d7_contamination" -> d7Sql,
+    "d8_span_dedup" -> d8Sql,
     "sim1_cosine_topk" -> sim1Sql,
     "sim2_lsh_ann" -> sim2Sql,
     "sim2b_multiprobe" -> sim2bSql,
@@ -1826,8 +1972,10 @@ object PipelineQueries {
     "x10_repetition" -> x10Sql,
     "x11_pack" -> x11Sql,
     "x12_lm_score" -> x12Sql,
+    "x13_mix_weights" -> x13Sql,
     "m1_binary_meta" -> m1Sql,
     "m2_frame_sample" -> m2Sql,
     "w3_sessionize" -> w3Sql,
+    "w4_funnel" -> w4Sql,
   )
 }

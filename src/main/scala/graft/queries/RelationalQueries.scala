@@ -746,6 +746,53 @@ object RelationalQueries {
       |  ON o.o_orderkey = u.u_orderkey)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** K8: snapshot diff / CDC changelog — classify every key as
+    * Insert/Update/Delete between two table versions (here derived
+    * deterministically from `orders` by keyed filters and a status mutation,
+    * so both engines see identical snapshots). The diff is ONE full-outer
+    * sort-merge join on the key with presence flags carried as literals —
+    * the standard snapshot-compare that feeds incremental downstream
+    * refreshes. At scale both snapshots are the big side, so the join
+    * shuffles each once on the key; with both snapshots bucketed by key on
+    * disk (`sources.CorpusSink`-style layout) the exchange disappears
+    * entirely. Unchanged keys (the overwhelming majority in a real diff)
+    * are dropped by the post-join filter, so only the changelog survives
+    * the join — nothing downstream sees full-table volume. String equality
+    * on the compared column keeps the oracle exact.
+    */
+  def k8SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+    val vOld = base.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("k_old"), col("o_orderstatus").as("old_status"))
+    val vNew = base.filter(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey").as("k_new"),
+        when(col("o_orderkey") % 3 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")).as("new_status"))
+    vOld.join(vNew, col("k_old") === col("k_new"), "full_outer")
+      .withColumn("op",
+        when(col("k_old").isNull, lit("I"))
+          .when(col("k_new").isNull, lit("D"))
+          .when(col("old_status") =!= col("new_status"), lit("U")))
+      .filter(col("op").isNotNull)
+      .select(coalesce(col("k_old"), col("k_new")).as("o_orderkey"),
+        col("op"), col("old_status"), col("new_status"))
+      .orderBy("o_orderkey")
+  }
+
+  val k8Sql: String =
+    """WITH o AS (SELECT o_orderkey, o_orderstatus FROM orders),
+      |old AS (SELECT o_orderkey AS k_old, o_orderstatus AS old_status
+      |        FROM o WHERE o_orderkey % 7 != 0),
+      |new AS (SELECT o_orderkey AS k_new,
+      |          CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END AS new_status
+      |        FROM o WHERE o_orderkey % 5 != 0),
+      |d AS (SELECT k_old, k_new, old_status, new_status,
+      |        CASE WHEN k_old IS NULL THEN 'I' WHEN k_new IS NULL THEN 'D'
+      |             WHEN old_status != new_status THEN 'U' END AS op
+      |      FROM old FULL OUTER JOIN new ON k_old = k_new)
+      |SELECT COALESCE(k_old, k_new) AS o_orderkey, op, old_status, new_status
+      |FROM d WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -784,6 +831,7 @@ object RelationalQueries {
     "f_json_extract" -> (fJsonExtract _),
     "k6_antijoin_delete" -> (k6AntiJoinDelete _),
     "k7_coalesce_update" -> (k7CoalesceUpdate _),
+    "k8_snapshot_diff" -> (k8SnapshotDiff _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -822,5 +870,6 @@ object RelationalQueries {
     "f_json_extract" -> fJsonSql,
     "k6_antijoin_delete" -> k6Sql,
     "k7_coalesce_update" -> k7Sql,
+    "k8_snapshot_diff" -> k8Sql,
   )
 }

@@ -364,6 +364,72 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(expected.map(_._4).distinct.size > 1)
   }
 
+  test("d8 span dedup matches a driver-side brute force") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val spans = docs.map { case (id, t) =>
+      val w = t.split(" ", -1)
+      val sp = if (w.length < 8) Set.empty[String]
+        else (0 to w.length - 8).map(i => w.slice(i, i + 8).mkString(" ")).toSet
+      (id, sp)
+    }.filter(_._2.nonEmpty)
+    val docFreq = spans.flatMap(_._2).groupBy(identity).map { case (s2, v) => (s2, v.size) }
+    val expected = spans.map { case (id, sp) =>
+      val shared = sp.count(docFreq(_) > 1).toLong
+      (id, sp.size.toLong, shared, 1000000L * shared / sp.size)
+    }.sortBy(_._1).toSeq
+    val got = PipelineQueries.d8SpanDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(expected.exists(_._3 > 0), "no cross-document span — fixture vacuous")
+    assert(expected.exists(t => t._3 < t._2), "every span shared — fixture vacuous")
+  }
+
+  test("w4 funnel matches a driver-side greedy scan and stage times are ordered") {
+    val evs = graft.Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "unix_micros(ts) as us", "event_type")
+      .filter("event_type in ('view','click','purchase')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val expected = evs.groupBy(_._1).map { case (uid, rows) =>
+      var stage = 0
+      var t1, t2, t3 = Option.empty[Long]
+      rows.sortBy(e => (e._2, e._3)).foreach { case (_, us, typ) =>
+        if (stage == 0 && typ == "view") { stage = 1; t1 = Some(us) }
+        else if (stage == 1 && typ == "click" && us > t1.get) { stage = 2; t2 = Some(us) }
+        else if (stage == 2 && typ == "purchase" && us > t2.get) { stage = 3; t3 = Some(us) }
+      }
+      (uid, stage, t1, t2, t3)
+    }.toSeq.sortBy(_._1)
+    val got = PipelineQueries.w4Funnel(spark, sf).collect().map { r =>
+      def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+      (r.getLong(0), r.getInt(1), opt(2), opt(3), opt(4))
+    }.toSeq
+    assert(got == expected)
+    got.foreach { case (_, stage, t1, t2, t3) =>
+      if (stage >= 2) assert(t1.get < t2.get)
+      if (stage == 3) assert(t2.get < t3.get)
+    }
+    // events are dense at this SF, so every user converting is expected; the
+    // discriminating check is the brute-force equality above plus full
+    // conversion actually exercising all three transitions
+    assert(got.exists(_._2 == 3), "no user converts — transitions untested")
+  }
+
+  test("x13 mixing weights: shares sum to ~1e6 and the 4x cap binds") {
+    val rows = PipelineQueries.x13MixWeights(spark, sf).collect()
+    val shareSum = rows.map(_.getAs[Long]("share_ppm")).sum
+    // floors: the sum loses at most 1 ppm per slice
+    assert(shareSum <= 1000000L && shareSum > 1000000L - rows.length)
+    rows.foreach { r =>
+      val w = r.getAs[Long]("weight_ppm")
+      assert(w >= 0L && w <= 4000000L)
+      assert(r.getAs[Long]("n_tokens") > 0L)
+    }
+    // a uniform-target weight below the cap must exist (else the cap test is vacuous)
+    assert(rows.exists(_.getAs[Long]("weight_ppm") < 4000000L))
+  }
+
   test("d1 exact dedup marks only non-canonical copies as dups") {
     val rows = PipelineQueries.d1ExactDedup(spark, sf).collect()
     rows.foreach { r =>

@@ -170,6 +170,31 @@ class RelationalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("k8 snapshot diff matches a driver-side snapshot compare") {
+    val orders = graft.Tables.t(spark, sf, "orders")
+      .select("o_orderkey", "o_orderstatus").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val vOld = orders.collect { case (k, st) if k % 7 != 0 => k -> st }.toMap
+    val vNew = orders.collect { case (k, st) if k % 5 != 0 =>
+      k -> (if (k % 3 == 0) "X" else st)
+    }.toMap
+    val expected = (vOld.keySet ++ vNew.keySet).toSeq.sorted.flatMap { k =>
+      (vOld.get(k), vNew.get(k)) match {
+        case (None, Some(n))                => Some((k, "I", None, Some(n)))
+        case (Some(o), None)                => Some((k, "D", Some(o), None))
+        case (Some(o), Some(n)) if o != n   => Some((k, "U", Some(o), Some(n)))
+        case _                              => None
+      }
+    }
+    val got = RelationalQueries.k8SnapshotDiff(spark, sf).collect().map { r =>
+      def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getString(i))
+      (r.getLong(0), r.getString(1), opt(2), opt(3))
+    }.toSeq
+    assert(got == expected)
+    val ops = got.map(_._2).toSet
+    assert(ops == Set("I", "D", "U"), s"fixture misses an op class: $ops")
+  }
+
   test("queries and oracleSql keys line up in SparkEntry") {
     val q = graft.SparkEntry.queries.keySet
     val o = graft.SparkEntry.oracleSql.keySet
