@@ -164,6 +164,45 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges <= 1, s"expected <=1 exchange (output sort), got $exchanges")
   }
 
+  test("w4 funnel: the event-type filter reaches the scan; one shuffle plus output sort") {
+    val p = plan(PipelineQueries.w4Funnel(spark, sf))
+    assert(p.contains("PushedFilters:") && p.contains("In(event_type"),
+      "funnel event-type filter did not push into the events scan:\n" +
+        p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    assert(!p.contains("Join"), "funnel should be one grouped scan, not a join cascade")
+    // hashpartitioning(user_id) for the groupBy + the output sort's range
+    // exchange — the 3-join oracle shape would show three more
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n" +
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("d8 span dedup: distinct runs before the explode; two content shuffles plus sort") {
+    val p = plan(PipelineQueries.d8SpanDedup(spark, sf))
+    assert(p.contains("Generate"), "span explode missing")
+    assert(p.contains("Window"), "doc-frequency window missing")
+    // digest window + per-doc aggregate + output sort; a fourth exchange
+    // would mean the span rows took a redundant pass
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges:\n" +
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("k8 snapshot diff stays a hash/merge equi-join on the key") {
+    val p = plan(RelationalQueries.k8SnapshotDiff(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "snapshot diff degenerated to a product:\n" + p.take(1200))
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      "full-outer key join missing")
+  }
+
+  test("x13 mixing weights broadcasts the 1-row totals back; slices never re-shuffle to meet it") {
+    val p = plan(PipelineQueries.x13MixWeights(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "totals row is not broadcast:\n" + p.take(1200))
+    assert(!p.contains("SortMergeJoin"), "slice table shuffled to meet a 1-row frame")
+  }
+
   test("d3 simhash reads only the columns it needs from documents") {
     val p = plan(PipelineQueries.d3Simhash(spark, sf))
     val rs = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
