@@ -11,7 +11,7 @@ import graft.Tables.t
   * d6 connected-component cluster assembly, d7 train/eval contamination
   * screen, d8 duplicated-span detection), similarity search (sim1 exact
   * top-k baseline, sim2 LSH, sim2b
-  * multiprobe, sim3 IVF), text analysis (x1 language-ID, x2 quality, x3
+  * multiprobe, sim3 IVF, sim4 k-means trainer, sim5 PQ/ADC), text analysis (x1 language-ID, x2 quality, x3
   * token stats, x4 fingerprint, x5 redaction, x6 hash split, x7 BM25
   * relevance, x8 stratified sample, x9 vocabulary, x10 repetition score,
   * x11 sequence packing, x12 corpus-LM scoring, x13 corpus mixing weights),
@@ -1065,6 +1065,145 @@ object PipelineQueries {
        |SELECT vec_id, cell, dist FROM a3 ORDER BY vec_id""".stripMargin
   }
 
+  // ------------------------- SIM5: product quantization ANN (PQ codes + ADC)
+
+  /** Product-quantization ANN (Jégou et al., TPAMI 2011) — the memory-scale
+    * path past IVF: the 64-dim vector becomes a 4-byte code (one centroid id
+    * per 16-dim subspace), a 16× in-memory compression here and 100×+ at
+    * production dims, which is what lets 10⁹ vectors live in RAM. Training
+    * runs sim4's fixed-point Lloyd's independently per subspace but in ONE
+    * job per round — assignment is a narrow broadcast-argmin pass, the
+    * update shuffle carries m·k·subdim counters regardless of corpus size.
+    * Encoding is a single narrow pass over full vectors (no shuffle: all m
+    * argmins happen row-locally against the broadcast codebooks). Search is
+    * asymmetric distance computation: each query precomputes its m×k
+    * distance table driver-side (queries ≪ corpus), the corpus pass sums m
+    * table lookups per vector — no vector arithmetic per pair — and a
+    * per-partition bounded top-3 pre-cut means the final exact window sees
+    * ≤ 3·queries rows per partition instead of the full n×q score stream
+    * (the same move as a10's bounded aggregator; the query_id window would
+    * otherwise concentrate n rows per query on single tasks at scale).
+    * Fixed-point longs end-to-end keep every distance — and therefore the
+    * DuckDB oracle — bit-exact.
+    */
+  def sim5PqAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = 4; val subDim = 16; val k = 8; val nq = 10
+    val full = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1048576) as bigint) + 2097152)").as("v"))
+      .as[(Long, Array[Long])]
+    val es = full.toDF("vec_id", "v")
+      .select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), sb -> struct(sb, slice(v, sb * $subDim + 1, $subDim) as sv))")).as("e"))
+      .select(col("vec_id"), col("e.sb").as("sb"), col("e.sv").as("sv"))
+      .as[(Long, Int, Array[Long])]
+    def l2(a: Array[Long], b: Array[Long]): Long = {
+      var d = 0L; var j = 0
+      while (j < a.length) { val t0 = a(j) - b(j); d += t0 * t0; j += 1 }
+      d
+    }
+    def argmin(v: Array[Long], cs: Array[(Long, Array[Long])]): Long = {
+      var bestD = Long.MaxValue; var bestC = Long.MaxValue
+      cs.foreach { case (cid, cv) =>
+        val d = l2(v, cv)
+        if (d < bestD || (d == bestD && cid < bestC)) { bestD = d; bestC = cid }
+      }
+      bestC
+    }
+    // train: two Lloyd rounds over all m subspaces in one job per round
+    var cents: Map[Int, Array[(Long, Array[Long])]] =
+      es.filter(_._1 < k).collect().groupBy(_._2)
+        .map { case (sb, rows) => (sb, rows.map(r => (r._1, r._3)).sortBy(_._1)) }
+    for (_ <- 0 until 2) {
+      val bc = s.sparkContext.broadcast(cents)
+      val sums = es.map { case (_, sb, v) => (sb, argmin(v, bc.value(sb)), v) }
+        .toDF("sb", "cell", "sv")
+        .select(col("sb"), col("cell"), posexplode(col("sv")).as(Seq("i", "x")))
+        .groupBy("sb", "cell", "i").agg(expr("sum(x) div count(1)").as("cx"))
+        .collect()
+      cents = sums.groupBy(r => (r.getInt(0), r.getLong(1))).toSeq
+        .map { case ((sb, cid), rs) =>
+          (sb, (cid, rs.sortBy(_.getInt(2)).map(_.getLong(3)).toArray))
+        }
+        .groupBy(_._1).map { case (sb, xs) => (sb, xs.map(_._2).sortBy(_._1).toArray) }
+    }
+    // query ADC tables, driver-computed from the collected query subvectors
+    val bcC = s.sparkContext.broadcast(cents)
+    val dt: Map[(Long, Int, Long), Long] =
+      es.filter(_._1 < nq).collect().flatMap { case (qid, sb, qv) =>
+        cents(sb).map { case (cid, cv) => ((qid, sb, cid), l2(qv, cv)) }
+      }.toMap
+    val bcDt = s.sparkContext.broadcast(dt)
+    val qids = dt.keys.map(_._1).toArray.distinct.sorted
+    val bcQ = s.sparkContext.broadcast(qids)
+    // encode + ADC + per-partition bounded top-3, all in one narrow pass
+    val scored = full.mapPartitions { it =>
+      val cs = bcC.value; val dtm = bcDt.value; val qq = bcQ.value
+      val best = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.PriorityQueue[(Long, Long)]]
+      it.foreach { case (id, v) =>
+        val codes = Array.tabulate(m)(sb => argmin(v.slice(sb * subDim, (sb + 1) * subDim), cs(sb)))
+        qq.foreach { qid =>
+          if (qid != id) {
+            var d = 0L; var sb = 0
+            while (sb < m) { d += dtm((qid, sb, codes(sb))); sb += 1 }
+            val pq = best.getOrElseUpdate(qid, scala.collection.mutable.PriorityQueue.empty[(Long, Long)])
+            if (pq.size < 3) pq.enqueue((d, id))
+            else if (d < pq.head._1 || (d == pq.head._1 && id < pq.head._2)) {
+              pq.dequeue(); pq.enqueue((d, id))
+            }
+          }
+        }
+      }
+      best.iterator.flatMap { case (qid, pq) => pq.iterator.map { case (d, id) => (qid, id, d) } }
+    }.toDF("query_id", "neighbor_id", "adc_dist")
+    val top = Window.partitionBy("query_id").orderBy(col("adc_dist"), col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(top)).filter(col("rnk") <= 3)
+      .select("query_id", "neighbor_id", "rnk", "adc_dist")
+      .orderBy("query_id", "rnk")
+  }
+
+  val sim5Sql: String = {
+    def assign(cTab: String, out: String): String =
+      s"""${out}d AS (SELECT es.vec_id, es.sb, es.sv, c.cid,
+         |    CAST(list_sum(list_transform(range(len(es.sv)),
+         |      j -> (es.sv[j+1]-c.cv[j+1])*(es.sv[j+1]-c.cv[j+1]))) AS BIGINT) AS dist
+         |  FROM es JOIN $cTab c ON es.sb = c.sb),
+         |$out AS (SELECT vec_id, sb, sv, cid AS cell FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id, sb ORDER BY dist, cid) AS rn
+         |   FROM ${out}d) WHERE rn = 1)""".stripMargin
+    def update(aTab: String, out: String): String =
+      s"""${out}s AS (SELECT sb, cell, unnest(range(len(sv))) AS i, unnest(sv) AS x FROM $aTab),
+         |${out}m AS (SELECT sb, cell, i, CAST(SUM(x) AS BIGINT) // COUNT(*) AS cx
+         |  FROM ${out}s GROUP BY sb, cell, i),
+         |$out AS (SELECT sb, cell AS cid, list(cx ORDER BY i) AS cv FROM ${out}m GROUP BY sb, cell)""".stripMargin
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(round(x::DOUBLE * 1048576) AS BIGINT) + 2097152) AS v
+       |  FROM embeddings),
+       |es AS (SELECT vec_id, sb, list_slice(v, sb*16+1, sb*16+16) AS sv
+       |       FROM e CROSS JOIN (SELECT unnest(range(4)) AS sb)),
+       |c0 AS (SELECT sb, vec_id AS cid, sv AS cv FROM es WHERE vec_id < 8),
+       |${assign("c0", "a1")},
+       |${update("a1", "c1")},
+       |${assign("c1", "a2")},
+       |${update("a2", "c2")},
+       |${assign("c2", "a3")},
+       |q AS (SELECT vec_id AS qid, sb, sv AS qv FROM es WHERE vec_id < 10),
+       |dt AS (SELECT q.qid, c.sb, c.cid,
+       |    CAST(list_sum(list_transform(range(len(q.qv)),
+       |      j -> (q.qv[j+1]-c.cv[j+1])*(q.qv[j+1]-c.cv[j+1]))) AS BIGINT) AS d
+       |  FROM q JOIN c2 c ON q.sb = c.sb),
+       |adc AS (SELECT dt.qid AS query_id, a3.vec_id AS neighbor_id,
+       |    CAST(SUM(dt.d) AS BIGINT) AS adc_dist
+       |  FROM a3 JOIN dt ON a3.sb = dt.sb AND a3.cell = dt.cid
+       |  WHERE a3.vec_id != dt.qid GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id, adc_dist,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rnk
+       |  FROM adc)
+       |SELECT query_id, neighbor_id, rnk, adc_dist FROM r WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   // ------------------------------------------------- X1: language-ID score
 
   /** Language-ID heuristic: function-word hit ratio (the 1-feature core of
@@ -1922,6 +2061,7 @@ object PipelineQueries {
     "sim2b_multiprobe" -> (sim2bMultiprobe _),
     "sim3_ivf_ann" -> (sim3IvfAnn _),
     "sim4_kmeans_codebook" -> (sim4KmeansCodebook _),
+    "sim5_pq_ann" -> (sim5PqAnn _),
     "x1_langid" -> (x1Langid _),
     "x2_quality" -> (x2Quality _),
     "x3_token_stats" -> (x3TokenStats _),
@@ -1960,6 +2100,7 @@ object PipelineQueries {
     "sim2b_multiprobe" -> sim2bSql,
     "sim3_ivf_ann" -> sim3Sql,
     "sim4_kmeans_codebook" -> sim4Sql,
+    "sim5_pq_ann" -> sim5Sql,
     "x1_langid" -> x1Sql,
     "x2_quality" -> x2Sql,
     "x3_token_stats" -> x3Sql,

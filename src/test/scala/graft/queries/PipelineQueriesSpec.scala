@@ -364,6 +364,26 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(expected.map(_._4).distinct.size > 1)
   }
 
+  test("sim5 PQ: complete ranked top-3 per query, ADC-ordered, with nontrivial recall") {
+    val rows = PipelineQueries.sim5PqAnn(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 10, s"expected 10 queries, got ${byQ.size}")
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.sameElements(1 to 3))
+      val ds = rs.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("adc_dist"))
+      assert(ds.sameElements(ds.sorted), "adc_dist not monotone in rank")
+      rs.foreach(r => assert(r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id")))
+    }
+    // the quantized index must beat random guessing against the exact
+    // baseline even on near-uniform embeddings (PQ's worst case)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = pairs(PipelineQueries.sim1CosineTopk(spark, sf))
+    val recall = (exact & pairs(PipelineQueries.sim5PqAnn(spark, sf))).size.toDouble / exact.size
+    info(s"sim5 recall@3 vs sim1: $recall")
+    assert(recall >= 0.1, s"PQ recall $recall indistinguishable from chance")
+  }
+
   test("d8 span dedup matches a driver-side brute force") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
