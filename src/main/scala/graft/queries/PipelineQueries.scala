@@ -19,7 +19,8 @@ import graft.Tables.t
   * aggregates (a8s HLL++ distinct, a9s GK quantiles, a10s Count-Min
   * frequency — deterministic per engine, engine-specific across engines, so
   * driver-checked rows-only with error bounds pinned in the specs), and
-  * event analytics (w3 sessionization, w4 ordered funnel).
+  * event analytics (w3 sessionization, w4 ordered funnel, w5 cohort
+  * retention).
   *
   * Every operator is expressed as a declarative DataFrame plan; all but the
   * sketch family and the codec-backed m3 (rows-only by the driver contract,
@@ -2044,6 +2045,38 @@ object PipelineQueries {
       |SELECT user_id, session_id, COUNT(*) AS n_events, MIN(us) AS start_us, MAX(us) AS end_us
       |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  // ------------------------------------------- W5: cohort retention matrix
+
+  /** Cohort retention (the growth-analytics staple): users are cohorted by
+    * their first-activity day and counted on each later active day as an
+    * offset from that cohort day. Shape: one distinct pass over (user, day)
+    * — partial-aggregable, so the exchange carries user×active-day rows,
+    * not events — one min-aggregate for the cohort assignment, one equi-join
+    * back on user_id (both sides already hash-partitioned on user_id from
+    * their aggregates, so AQE elides the re-shuffle), and a final count per
+    * (cohort_day, day_offset) whose key space is days², independent of
+    * corpus size. No COUNT(DISTINCT) anywhere: (user, day) is already
+    * distinct when it reaches the last aggregate, so a plain COUNT(*) is
+    * exact. Day math in integer epoch-days so both engines agree.
+    */
+  def w5Retention(s: SparkSession, dir: String): DataFrame = {
+    val activity = t(s, dir, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val cohorts = activity.groupBy("user_id").agg(min("day").as("cohort_day"))
+    activity.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val w5Sql: String =
+    """WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |c AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY 1)
+      |SELECT cohort_day, day - cohort_day AS day_offset, COUNT(*) AS n_users
+      |FROM a JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2083,6 +2116,7 @@ object PipelineQueries {
     "a10s_cms_freq" -> (a10sCmsFreq _),
     "w3_sessionize" -> (w3Sessionize _),
     "w4_funnel" -> (w4Funnel _),
+    "w5_retention" -> (w5Retention _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2118,5 +2152,6 @@ object PipelineQueries {
     "m2_frame_sample" -> m2Sql,
     "w3_sessionize" -> w3Sql,
     "w4_funnel" -> w4Sql,
+    "w5_retention" -> w5Sql,
   )
 }

@@ -19,6 +19,16 @@ final case class Session(user_id: Long, session_start_us: Long,
 private final case class SessionState(startUs: Long, endUs: Long,
     n: Long, total: Double)
 
+/** A funnel outcome: emitted the moment a user converts (stage 3), or at
+  * the abandonment horizon with the furthest stage reached.
+  */
+final case class FunnelOutcome(user_id: Long, stage: Int,
+    view_us: Option[Long], click_us: Option[Long], purchase_us: Option[Long],
+    converted: Boolean)
+
+private final case class FunnelState(stage: Int, t1: Long, t2: Long,
+    t3: Long, lastUs: Long)
+
 /** Structured Streaming operators over the events stream — the streaming
   * counterparts of the batch `s_tumbling_window` and `w3_sessionize`
   * operators, built on watermarks + windowed aggregation and
@@ -136,6 +146,73 @@ object StreamingOps {
     * their own immediate session — the best a single-summary state can do
     * once earlier history has been emitted.
     */
+  /** Streaming strict-order funnel — the ingest-time twin of the batch
+    * `w4_funnel` operator, same greedy earliest-transition scan per user.
+    * A conversion (view → click → purchase, each strictly later) emits the
+    * moment the purchase arrives AND FREES THE USER'S STATE — on a
+    * 10⁹-user stream the state table holds only users mid-funnel, not
+    * everyone ever seen. A user inactive past the abandonment horizon
+    * (event time) emits their furthest stage via EventTimeTimeout and is
+    * evicted too, so state is bounded by users active within one horizon.
+    * A user re-appearing after either eviction starts a fresh funnel
+    * episode (multiple conversions are separate rows — the per-episode
+    * semantics a funnel over an unbounded stream has to have; the batch
+    * operator's single row per user corresponds to the FIRST episode).
+    * Same ordering caveat as `sessionize`: within-batch disorder is sorted
+    * away; a cross-batch straggler older than an already-taken transition
+    * cannot rewind it.
+    */
+  def funnel(events: Dataset[Event],
+      horizonUs: Long = 7L * 86400L * 1000000L): Dataset[FunnelOutcome] = {
+    import events.sparkSession.implicits._
+    def out(uid: Long, st: FunnelState, converted: Boolean): FunnelOutcome =
+      FunnelOutcome(uid, st.stage,
+        if (st.stage >= 1) Some(st.t1) else None,
+        if (st.stage >= 2) Some(st.t2) else None,
+        if (st.stage >= 3) Some(st.t3) else None, converted)
+    events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOutcome](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val abandoned = state.getOption.map(st => out(userId, st, converted = false))
+            state.remove()
+            abandoned.iterator
+          } else {
+            val emitted = Seq.newBuilder[FunnelOutcome]
+            var st = state.getOption.getOrElse(FunnelState(0, 0L, 0L, 0L, Long.MinValue))
+            it.toSeq.sortBy(e => (eventUs(e.ts), e.event_type)).foreach { e =>
+              val us = eventUs(e.ts)
+              st = (st.stage, e.event_type) match {
+                case (0, "view")                        => st.copy(stage = 1, t1 = us, lastUs = us)
+                case (1, "click") if us > st.t1         => st.copy(stage = 2, t2 = us, lastUs = us)
+                case (2, "purchase") if us > st.t2      => st.copy(stage = 3, t3 = us, lastUs = us)
+                case _                                  => st.copy(lastUs = math.max(st.lastUs, us))
+              }
+              if (st.stage == 3) {
+                emitted += out(userId, st, converted = true)
+                st = FunnelState(0, 0L, 0L, 0L, Long.MinValue)
+              }
+            }
+            if (st.stage == 0 && st.lastUs == Long.MinValue) {
+              // the scan ended on a conversion (emitted + reset) with no
+              // trailing events: nothing to keep — the state table forgets
+              // converted users entirely
+              state.remove()
+            } else {
+              state.update(st)
+              state.setTimeoutTimestamp(
+                math.max(st.lastUs / 1000L + horizonUs / 1000L,
+                  state.getCurrentWatermarkMs() + 1L))
+            }
+            emitted.result().iterator
+          }
+      }
+  }
+
   def sessionize(events: Dataset[Event]): Dataset[Session] = {
     import events.sparkSession.implicits._
     events

@@ -167,6 +167,67 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel agrees with batch w4 on first episodes and frees converted state") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    def tsOfUs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    val evs = graft.Tables.t(spark, sfDir, "events")
+      .selectExpr("event_id", "unix_micros(ts) as us", "user_id", "event_type", "value")
+      .collect().sortBy(_.getAs[Long]("us"))
+      .map(r => Event(r.getAs[Long]("event_id"), tsOfUs(r.getAs[Long]("us")),
+        r.getAs[Long]("user_id"), r.getAs[String]("event_type"), r.getAs[Double]("value")))
+    val lastUs = graft.Tables.t(spark, sfDir, "events")
+      .selectExpr("max(unix_micros(ts))").collect()(0).getLong(0)
+    val in = MemoryStream[Event]
+    val q = StreamingOps.funnel(in.toDS())
+      .writeStream.format("memory").queryName("funnelq")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 888888: a lone view — must surface as a stage-1 abandonment
+      val (b1, b2) = evs.splitAt(evs.length / 2)
+      in.addData(b1.toSeq)
+      q.processAllAvailable()
+      in.addData(b2.toSeq :+ Event(8888881, tsOfUs(lastUs - 1000000L), 888888L, "view", 0.0))
+      q.processAllAvailable()
+      // push the watermark past every abandonment horizon (7 days)
+      val far = lastUs + 8L * 86400L * 1000000L
+      in.addData(Event(9999991, tsOfUs(far), 999999L, "view", 0.0))
+      q.processAllAvailable()
+      in.addData(Event(9999992, tsOfUs(far + 60000000L), 999999L, "view", 0.0))
+      q.processAllAvailable()
+      val real = spark.table("funnelq").as[FunnelOutcome].collect()
+        .filterNot(_.user_id == 999999L)
+      val batch = graft.queries.PipelineQueries.w4Funnel(spark, sfDir).collect().map { r =>
+        def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        r.getLong(0) -> ((r.getInt(1), opt(2), opt(3), opt(4)))
+      }.toMap
+      // first conversion per user == the batch operator's stage-3 rows
+      val firstConv = real.filter(_.converted).groupBy(_.user_id)
+        .map { case (u, rs) => u -> rs.minBy(_.purchase_us.get) }
+      val conv3 = batch.filter(_._2._1 == 3)
+      assert(firstConv.keySet == conv3.keySet)
+      firstConv.foreach { case (u, o) =>
+        assert((o.stage, o.view_us, o.click_us, o.purchase_us) == conv3(u), s"user $u") }
+      assert(conv3.nonEmpty, "no conversions at sf0.001 — test is vacuous")
+      // batch non-converters emit exactly one abandonment row each, matching
+      val nonConvUsers = batch.collect { case (u, st) if st._1 < 3 => u }.toSet
+      val nonConvRows = real.filter(r => nonConvUsers(r.user_id))
+      assert(nonConvRows.map(_.user_id).sorted.toSeq == nonConvUsers.toSeq.sorted)
+      nonConvRows.foreach { o =>
+        assert(!o.converted &&
+          (o.stage, o.view_us, o.click_us, o.purchase_us) == batch(o.user_id)) }
+      // the synthetic lone-view user abandoned at stage 1
+      val lone = real.filter(_.user_id == 888888L)
+      assert(lone.length == 1 && lone.head.stage == 1 && !lone.head.converted,
+        s"lone-view abandonment wrong: ${lone.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming contamination screen agrees with the batch d7 operator") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
