@@ -2077,6 +2077,107 @@ object PipelineQueries {
       |FROM a JOIN c USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ----------------------------- PIPE1: end-to-end corpus curation verdict
+
+  /** The whole curation pipeline as ONE declarative plan: every document
+    * gets a keep/drop verdict with the first failing rule as the reason,
+    * in precedence order holdout → exact_dup → contaminated → boilerplate →
+    * non_en → low_quality → keep. The stages feed each other the way a real
+    * pipeline's must: dedup runs FIRST and the span/contamination screens
+    * run over the *survivors* only — span stats on the raw corpus would
+    * flag the canonical copy of every duplicate pair as boilerplate (its
+    * spans all "recur") and waste screen work on rows dedup already
+    * condemned. One checkpointed 4-gram materialization serves both
+    * screens (df-over-survivors for boilerplate, broadcast semi-join vs
+    * the holdout grams for contamination) — the corpus is shingled once,
+    * not per screen, and the gram column is a 16-hex digest so every
+    * downstream key is constant-width. Catalyst sees the full DAG and
+    * reuses the checkpointed stage for all three consumers. All rules in
+    * integer arithmetic (the language rule is 25·hits ≥ 2·n, i.e. the 0.08
+    * stop-word ratio without the float) so the oracle is bit-exact.
+    */
+  def pipe1Curate(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .withColumn("split",
+        when(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100 < 95,
+          "train").otherwise("eval"))
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n", size(col("w")).cast("long"))
+      .withColumn("hits", expr("cast(size(filter(w, x -> x = 'the' OR x = 'a')) as bigint)"))
+      .withColumn("l", expr("aggregate(w, 0L, (acc, x) -> acc + length(x))"))
+      .withColumn("dd", size(array_distinct(col("w"))).cast("long"))
+      .withColumn("canon", when(col("split") === "train",
+        min("doc_id").over(Window.partitionBy(col("split"), md5(col("text")))))
+        .otherwise(col("doc_id")))
+      .withColumn("gh", expr(
+        "CASE WHEN size(w) >= 4 THEN transform(array_distinct(transform(sequence(0, size(w)-4), " +
+          "i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3]))), g -> substring(md5(g), 1, 16)) " +
+          "ELSE array() END"))
+      .select("doc_id", "split", "n", "hits", "l", "dd", "canon", "gh")
+      .localCheckpoint()
+    val evalGh = base.filter(col("split") === "eval")
+      .select(explode(col("gh")).as("gh")).distinct()
+    val survGh = base.filter(col("split") === "train" && col("doc_id") === col("canon"))
+      .select(col("doc_id"), explode(col("gh")).as("gh"))
+    val contam = survGh.join(broadcast(evalGh), "gh")
+      .select(col("doc_id")).distinct().withColumn("is_contam", lit(1))
+    val spanPpm = survGh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("gh")))
+      .groupBy("doc_id")
+      .agg(expr("1000000 * sum(case when df > 1 then 1 else 0 end) div count(1)").as("ppm"))
+    base.join(contam, Seq("doc_id"), "left")
+      .join(spanPpm, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("split") === "eval", "holdout")
+          .when(col("doc_id") =!= col("canon"), "exact_dup")
+          .when(col("is_contam").isNotNull, "contaminated")
+          .when(coalesce(col("ppm"), lit(0L)) >= 250000L, "boilerplate")
+          .when(col("hits") * 25L < col("n") * 2L, "non_en")
+          .when(least(col("n") * 8000L, lit(400000L))
+            + expr("(600000L * dd + n) div (2L * n)")
+            + least(expr("(75000L * l + n) div (2L * n)"), lit(300000L)) < 550000L,
+            "low_quality")
+          .otherwise("keep").as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  val pipe1Sql: String =
+    s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w,
+       |    CASE WHEN (${md5Hex8Sql("text")}) % 100 < 95 THEN 'train' ELSE 'eval' END AS split
+       |  FROM documents),
+       |b AS (SELECT doc_id, split,
+       |    len(w)::BIGINT AS n,
+       |    len(list_filter(w, x -> x = 'the' OR x = 'a'))::BIGINT AS hits,
+       |    list_sum(list_transform(w, x -> len(x)))::BIGINT AS l,
+       |    len(list_distinct(w))::BIGINT AS dd,
+       |    CASE WHEN split = 'train'
+       |         THEN min(doc_id) OVER (PARTITION BY split, md5(text)) ELSE doc_id END AS canon,
+       |    CASE WHEN len(w) >= 4
+       |         THEN list_transform(list_distinct(list_transform(range(len(w)-3),
+       |           i -> w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4])), g -> substr(md5(g),1,16))
+       |         ELSE []::VARCHAR[] END AS gh
+       |  FROM d),
+       |ev AS (SELECT DISTINCT unnest(gh) AS gh FROM b WHERE split = 'eval'),
+       |sg AS (SELECT doc_id, unnest(gh) AS gh FROM b WHERE split = 'train' AND doc_id = canon),
+       |contam AS (SELECT DISTINCT sg.doc_id FROM sg JOIN ev USING (gh)),
+       |spc AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY gh) AS df FROM sg),
+       |spg AS (SELECT doc_id,
+       |    1000000 * SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) // COUNT(*) AS ppm
+       |  FROM spc GROUP BY doc_id)
+       |SELECT b.doc_id,
+       |  CASE WHEN b.split = 'eval' THEN 'holdout'
+       |       WHEN b.doc_id != b.canon THEN 'exact_dup'
+       |       WHEN contam.doc_id IS NOT NULL THEN 'contaminated'
+       |       WHEN COALESCE(spg.ppm, 0) >= 250000 THEN 'boilerplate'
+       |       WHEN 25 * b.hits < 2 * b.n THEN 'non_en'
+       |       WHEN least(b.n * 8000, 400000) + (600000 * b.dd + b.n) // (2 * b.n)
+       |            + least((75000 * b.l + b.n) // (2 * b.n), 300000) < 550000
+       |         THEN 'low_quality'
+       |       ELSE 'keep' END AS verdict
+       |FROM b LEFT JOIN contam ON b.doc_id = contam.doc_id
+       |       LEFT JOIN spg ON b.doc_id = spg.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2117,6 +2218,7 @@ object PipelineQueries {
     "w3_sessionize" -> (w3Sessionize _),
     "w4_funnel" -> (w4Funnel _),
     "w5_retention" -> (w5Retention _),
+    "pipe1_curate" -> (pipe1Curate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2153,5 +2255,6 @@ object PipelineQueries {
     "w3_sessionize" -> w3Sql,
     "w4_funnel" -> w4Sql,
     "w5_retention" -> w5Sql,
+    "pipe1_curate" -> pipe1Sql,
   )
 }

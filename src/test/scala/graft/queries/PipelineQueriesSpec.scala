@@ -450,6 +450,26 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("weight_ppm") < 4000000L))
   }
 
+  test("pipe1 curation covers every document once and populates the verdict classes") {
+    val rows = PipelineQueries.pipe1Curate(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("verdict")))
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length == nDocs, "a verdict per document, exactly")
+    assert(rows.map(_._1).distinct.length == rows.length)
+    val byVerdict = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    // exact_dup is legitimately empty at this SF (the corpus has no
+    // duplicate texts below sf0.1); every other class must be exercised
+    val expectedClasses =
+      Set("holdout", "contaminated", "boilerplate", "non_en", "low_quality", "keep")
+    expectedClasses.foreach { c =>
+      assert(byVerdict.getOrElse(c, 0) > 0, s"verdict class '$c' unexercised: $byVerdict")
+    }
+    assert(byVerdict.keySet.subsetOf(expectedClasses + "exact_dup"))
+    // holdout is exactly the eval split: 5%-ish by the md5 rule
+    val nEval = byVerdict("holdout")
+    assert(nEval > 0 && nEval < nDocs / 10, s"holdout size $nEval implausible")
+  }
+
   test("d1 exact dedup marks only non-canonical copies as dups") {
     val rows = PipelineQueries.d1ExactDedup(spark, sf).collect()
     rows.foreach { r =>
