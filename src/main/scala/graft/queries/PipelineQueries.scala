@@ -9,7 +9,8 @@ import graft.Tables.t
   * `embeddings` tables: deduplication (d1 exact, d2 MinHash+LSH, d3/d3b
   * SimHash + byte-band pairing, d4 n-gram Jaccard, d5 embedding-cosine NN,
   * d6 connected-component cluster assembly, d7 train/eval contamination
-  * screen, d8 duplicated-span detection), similarity search (sim1 exact
+  * screen, d8 duplicated-span detection, d9 semantic SemDeDup-style
+  * cluster-bounded near-dup removal), similarity search (sim1 exact
   * top-k baseline, sim2 LSH, sim2b
   * multiprobe, sim3 IVF, sim4 k-means trainer, sim5 PQ/ADC), text analysis (x1 language-ID, x2 quality, x3
   * token stats, x4 fingerprint, x5 redaction, x6 hash split, x7 BM25
@@ -1064,6 +1065,73 @@ object PipelineQueries {
        |${update("a2", "c2")},
        |${assign("c2", "a3")}
        |SELECT vec_id, cell, dist FROM a3 ORDER BY vec_id""".stripMargin
+  }
+
+  // ------------------------------------ D9: semantic dedup (SemDeDup shape)
+
+  /** Embedding-space near-dup removal (the SemDeDup recipe, Abbas et al.
+    * 2023): cluster with k-means, compare pairs ONLY within a cluster, drop
+    * the member farther from its centroid. The cluster is what makes the
+    * pair stage scale — candidate pairs are bounded by cell size², never
+    * corpus², exactly the IVF-cell trick `sim3` uses for search, and at
+    * 10⁹ vectors you raise k to hold cell size constant (a runaway cell
+    * gets the same histogram-probe + salt treatment as `bandCandidates`).
+    * Reuses `sim4`'s fixed-point assignment verbatim, so cells AND the
+    * centroid distances the keep-rule compares are bit-exact integers in
+    * both engines; only the final cosine is floating (round6, the shared
+    * rounding contract). The drop rule (farther-from-centroid, ties to the
+    * higher id) is the paper's "keep the most central exemplar".
+    */
+  def d9SemDedup(s: SparkSession, dir: String): DataFrame = {
+    val m = sim4KmeansCodebook(s, dir).join(embVec(s, dir), "vec_id")
+    def side(sfx: String): DataFrame =
+      m.select(col("cell"), col("vec_id").as(s"vec_$sfx"), col("v").as(s"v$sfx"),
+        col("nrm").as(s"n$sfx"), col("dist").as(s"d$sfx"))
+    side("a").join(side("b"), Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(dotCol("va", "vb") / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= 0.30)
+      .select(col("cell"), col("vec_a"), col("vec_b"), col("cos"),
+        when(col("da") > col("db"), col("vec_a"))
+          .when(col("db") > col("da"), col("vec_b"))
+          .otherwise(greatest(col("vec_a"), col("vec_b"))).as("drop_id"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val d9Sql: String = {
+    def assign(cTab: String, out: String): String =
+      s"""${out}d AS (SELECT fe.vec_id, fe.v, c.cid,
+         |    CAST(list_sum(list_transform(range(len(fe.v)),
+         |      j -> (fe.v[j+1]-c.cv[j+1])*(fe.v[j+1]-c.cv[j+1]))) AS BIGINT) AS dist
+         |  FROM fe CROSS JOIN $cTab c),
+         |$out AS (SELECT vec_id, v, cid AS cell, dist FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |   FROM ${out}d) WHERE rn = 1)""".stripMargin
+    def update(aTab: String, out: String): String =
+      s"""${out}s AS (SELECT cell, unnest(range(len(v))) AS i, unnest(v) AS x FROM $aTab),
+         |${out}m AS (SELECT cell, i, CAST(SUM(x) AS BIGINT) // COUNT(*) AS cx
+         |  FROM ${out}s GROUP BY cell, i),
+         |$out AS (SELECT cell AS cid, list(cx ORDER BY i) AS cv FROM ${out}m GROUP BY cell)""".stripMargin
+    s"""WITH fe AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(round(x::DOUBLE * 1048576) AS BIGINT) + 2097152) AS v
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM fe WHERE vec_id < 8),
+       |${assign("c0", "a1")},
+       |${update("a1", "c1")},
+       |${assign("c1", "a2")},
+       |${update("a2", "c2")},
+       |${assign("c2", "a3")},
+       |e2 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |nn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e2),
+       |mm AS (SELECT a3.vec_id, a3.cell, a3.dist, nn.v, nn.nrm FROM a3 JOIN nn USING (vec_id)),
+       |p AS (SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cos,
+       |    CASE WHEN a.dist > b.dist THEN a.vec_id
+       |         WHEN b.dist > a.dist THEN b.vec_id
+       |         ELSE greatest(a.vec_id, b.vec_id) END AS drop_id
+       |  FROM mm a JOIN mm b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+       |SELECT cell, vec_a, vec_b, cos, drop_id FROM p WHERE cos >= 0.30
+       |ORDER BY vec_a, vec_b""".stripMargin
   }
 
   // ------------------------- SIM5: product quantization ANN (PQ codes + ADC)
@@ -2190,6 +2258,7 @@ object PipelineQueries {
     "d6_dup_clusters" -> (d6DupClusters _),
     "d7_contamination" -> (d7Contamination _),
     "d8_span_dedup" -> (d8SpanDedup _),
+    "d9_sem_dedup" -> (d9SemDedup _),
     "sim1_cosine_topk" -> (sim1CosineTopk _),
     "sim2_lsh_ann" -> (sim2LshAnn _),
     "sim2b_multiprobe" -> (sim2bMultiprobe _),
@@ -2231,6 +2300,7 @@ object PipelineQueries {
     "d6_dup_clusters" -> d6Sql,
     "d7_contamination" -> d7Sql,
     "d8_span_dedup" -> d8Sql,
+    "d9_sem_dedup" -> d9Sql,
     "sim1_cosine_topk" -> sim1Sql,
     "sim2_lsh_ann" -> sim2Sql,
     "sim2b_multiprobe" -> sim2bSql,

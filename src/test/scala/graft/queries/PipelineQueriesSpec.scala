@@ -450,6 +450,26 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("weight_ppm") < 4000000L))
   }
 
+  test("d9 semantic dedup drops the less-central member of every flagged pair") {
+    val asg = PipelineQueries.sim4KmeansCodebook(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap // id -> (cell, dist)
+    val pairs = PipelineQueries.d9SemDedup(spark, sf).collect()
+    assert(pairs.nonEmpty, "no semantic near-dups flagged — fixture vacuous")
+    pairs.foreach { r =>
+      val (a, b) = (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))
+      val drop = r.getAs[Long]("drop_id")
+      assert(a < b)
+      assert(r.getAs[Double]("cos") >= 0.30)
+      assert(asg(a)._1 == asg(b)._1 && asg(a)._1 == r.getAs[Long]("cell"),
+        "pair crosses clusters")
+      val keep = if (drop == a) b else a
+      assert(Set(a, b)(drop))
+      assert(asg(drop)._2 > asg(keep)._2 ||
+        (asg(drop)._2 == asg(keep)._2 && drop > keep),
+        s"drop rule violated for ($a,$b)")
+    }
+  }
+
   test("pipe1 curation covers every document once and populates the verdict classes") {
     val rows = PipelineQueries.pipe1Curate(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("verdict")))
