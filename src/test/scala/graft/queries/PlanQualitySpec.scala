@@ -203,6 +203,34 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "slice table shuffled to meet a 1-row frame")
   }
 
+  test("pipe1 curation: contamination screen broadcasts; no join degenerates") {
+    val p = plan(PipelineQueries.pipe1Curate(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "a curation join degenerated to a product:\n" + p.take(1500))
+    assert(p.contains("BroadcastHashJoin"),
+      "eval gram set / flag joins did not broadcast:\n" + p.take(1500))
+  }
+
+  test("d9 semantic dedup pairs join on the cell key, never a product") {
+    val p = plan(PipelineQueries.d9SemDedup(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "within-cell pair join degenerated to a product:\n" + p.take(1500))
+  }
+
+  test("w5 retention: no COUNT(DISTINCT) expansion, joins stay keyed") {
+    val p = plan(PipelineQueries.w5Retention(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // count(distinct) would show an Expand node here; the distinct-first
+    // formulation must not
+    assert(!p.contains("Expand"), "retention re-expanded into COUNT(DISTINCT):\n" + p.take(1200))
+  }
+
+  test("sim5 PQ scoring is narrow: no join anywhere, one window shuffle plus sort") {
+    val p = plan(PipelineQueries.sim5PqAnn(spark, sf))
+    assert(!p.contains("Join"), "PQ scoring should probe broadcast tables, not join:\n" + p.take(1200))
+    assert(p.contains("Window"), "final exact top-k window missing")
+  }
+
   test("d3 simhash reads only the columns it needs from documents") {
     val p = plan(PipelineQueries.d3Simhash(spark, sf))
     val rs = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
