@@ -513,6 +513,31 @@ object RelationalQueries {
        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
        |ORDER BY gid, ret, status""".stripMargin
 
+  /** A12: full cube over two dimensions — rollup's superset (adds the
+    * per-priority-only slice a11's hierarchy lacks). Same single
+    * Expand + one aggregation-pass shape: 4 grouping sets cost one 4×
+    * map-side expansion feeding ONE partial-aggregated exchange, never one
+    * job per slice. NULL group keys are coalesced to a sentinel so neither
+    * engine's NULL-ordering default can flip the presentation sort.
+    */
+  def a12Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid"), col("n"), col("sum_price"))
+      .orderBy("gid", "status", "priority")
+
+  val a12Sql: String =
+    s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status, COALESCE(o_orderpriority, 'ALL') AS priority,
+       |  GROUPING(o_orderstatus, o_orderpriority) AS gid, COUNT(*) AS n,
+       |  ${DSUM.format("o_totalprice")} AS sum_price
+       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       |ORDER BY gid, status, priority""".stripMargin
+
   /** A9: exact interpolated quartiles per group. Oracle-safe despite being a
     * float computation: `l_quantity` is integer-valued and quartile fractions
     * are exact binary (k/4), so `lower + (upper-lower)*frac` is computed
@@ -821,6 +846,7 @@ object RelationalQueries {
     "a9_quartiles" -> (a9Quartiles _),
     "a10_topk_heavy" -> (a10TopkHeavy _),
     "a11_rollup" -> (a11Rollup _),
+    "a12_cube" -> (a12Cube _),
     "w1_row_number" -> (w1RowNumber _),
     "w2_running_sum" -> (w2RunningSum _),
     "s_tumbling_window" -> (sTumblingWindow _),
@@ -860,6 +886,7 @@ object RelationalQueries {
     "a9_quartiles" -> a9Sql,
     "a10_topk_heavy" -> a10Sql,
     "a11_rollup" -> a11Sql,
+    "a12_cube" -> a12Sql,
     "w1_row_number" -> w1Sql,
     "w2_running_sum" -> w2Sql,
     "s_tumbling_window" -> sTumblingSql,

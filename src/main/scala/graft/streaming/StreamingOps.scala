@@ -124,6 +124,32 @@ object StreamingOps {
     }.toDF("doc_id", "ts", "text", "n_shared").as[(Long, Timestamp, String, Long)]
   }
 
+  /** Stream–stream interval join — the ingest twin of the batch
+    * `j10_range_join`: every (purchase, error) pair of the same user within
+    * ±1 hour, matched across two live streams. The time-range predicate
+    * plus both watermarks is what makes this bounded: Spark buffers each
+    * side's rows only until the other side's watermark proves no future
+    * match can arrive (state horizon = watermark delay + band width), so
+    * join state is a sliding window over the streams, not their history.
+    * The equality key (user_id) hash-partitions that state across
+    * executors exactly like the batch join's shuffle — and the batch
+    * bucket-discretization trick is unnecessary here because the range
+    * condition is the state-eviction contract itself, not a nested-loop
+    * trap.
+    */
+  def bandJoin(purchases: DataFrame, errors: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val e = errors.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"), col("ts").as("e_ts"))
+    p.join(e,
+        col("user_id") === col("e_user") &&
+          col("e_ts") >= col("p_ts") - expr("interval 1 hour") &&
+          col("e_ts") <= col("p_ts") + expr("interval 1 hour"))
+      .select(col("user_id"), col("purchase_id"), col("error_id"),
+        (unix_micros(col("e_ts")) - unix_micros(col("p_ts"))).as("micros_offset"))
+  }
+
   private val GapUs = 1800L * 1000000L
 
   /** Event time in microseconds — java.sql.Timestamp.getTime() truncates to

@@ -228,6 +228,47 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream band join emits exactly the batch j10 pair set") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    def tsOfUs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    def side(kind: String): Array[Event] =
+      graft.Tables.t(spark, sfDir, "events")
+        .filter(org.apache.spark.sql.functions.col("event_type") === kind)
+        .selectExpr("event_id", "unix_micros(ts) as us", "user_id", "event_type", "value")
+        .collect().sortBy(_.getAs[Long]("us"))
+        .map(r => Event(r.getAs[Long]("event_id"), tsOfUs(r.getAs[Long]("us")),
+          r.getAs[Long]("user_id"), r.getAs[String]("event_type"), r.getAs[Double]("value")))
+    val purchases = MemoryStream[Event]
+    val errors = MemoryStream[Event]
+    val q = StreamingOps.bandJoin(purchases.toDF(), errors.toDF())
+      .writeStream.format("memory").queryName("bandjoin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two batches per side, both sides advancing together in event time
+      val (p1, p2) = side("purchase").splitAt(side("purchase").length / 2)
+      val (e1, e2) = side("error").splitAt(side("error").length / 2)
+      purchases.addData(p1.toSeq); errors.addData(e1.toSeq)
+      q.processAllAvailable()
+      purchases.addData(p2.toSeq); errors.addData(e2.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("bandjoin").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("purchase_id"),
+          r.getAs[Long]("error_id"), r.getAs[Long]("micros_offset"))).toSet
+      val batch = graft.queries.RelationalQueries.j10RangeJoin(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("purchase_id"),
+          r.getAs[Long]("error_id"), r.getAs[Long]("micros_offset"))).toSet
+      assert(batch.nonEmpty, "no in-band pairs at sf0.001 — test is vacuous")
+      assert(got == batch,
+        s"stream pair set diverged: missing=${(batch -- got).take(5)} extra=${(got -- batch).take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming contamination screen agrees with the batch d7 operator") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
