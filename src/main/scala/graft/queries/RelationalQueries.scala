@@ -818,6 +818,44 @@ object RelationalQueries {
       |SELECT COALESCE(k_old, k_new) AS o_orderkey, op, old_status, new_status
       |FROM d WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin
 
+  /** K9: SCD-type-2 history assembly — turn a per-key event log into
+    * validity intervals (the warehouse-dimension twin of k8's changelog:
+    * k8 diffs two snapshots, k9 builds the full history). Per user, each
+    * run of consecutive equal states collapses to one row valid
+    * [first_seen, next_change); the open row carries NULL valid_to. Two
+    * window passes over ONE hash partitioning on the key (change-detect
+    * via lag, interval-close via lead on the filtered change rows — AQE
+    * reuses the exchange), so a 100 TB log pays a single shuffle and no
+    * self-join; state per key during the window is one row. Integer
+    * epoch-micros timestamps keep the oracle exact.
+    */
+  def k9Scd2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val changes = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type").as("state"))
+      .withColumn("prev_state", lag("state", 1).over(byUser))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("state"))
+    changes
+      .withColumn("valid_to_us",
+        lead("us", 1).over(Window.partitionBy("user_id").orderBy("us", "event_id")))
+      .select(col("user_id"), col("state"), col("us").as("valid_from_us"),
+        col("valid_to_us"))
+      .orderBy("user_id", "valid_from_us")
+  }
+
+  val k9Sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type AS state FROM events),
+      |c AS (SELECT user_id, event_id, us, state,
+      |        lag(state) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_state
+      |      FROM e),
+      |ch AS (SELECT user_id, event_id, us, state FROM c
+      |       WHERE prev_state IS NULL OR prev_state != state)
+      |SELECT user_id, state, us AS valid_from_us,
+      |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us
+      |FROM ch ORDER BY user_id, valid_from_us""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -858,6 +896,7 @@ object RelationalQueries {
     "k6_antijoin_delete" -> (k6AntiJoinDelete _),
     "k7_coalesce_update" -> (k7CoalesceUpdate _),
     "k8_snapshot_diff" -> (k8SnapshotDiff _),
+    "k9_scd2" -> (k9Scd2 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -898,5 +937,6 @@ object RelationalQueries {
     "k6_antijoin_delete" -> k6Sql,
     "k7_coalesce_update" -> k7Sql,
     "k8_snapshot_diff" -> k8Sql,
+    "k9_scd2" -> k9Sql,
   )
 }

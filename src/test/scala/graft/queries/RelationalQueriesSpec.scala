@@ -195,6 +195,26 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(ops == Set("I", "D", "U"), s"fixture misses an op class: $ops")
   }
 
+  test("k9 SCD2 intervals are contiguous, change-only, with one open row per user") {
+    val rows = RelationalQueries.k9Scd2(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("state"),
+        r.getAs[Long]("valid_from_us"),
+        if (r.isNullAt(3)) None else Some(r.getAs[Long]("valid_to_us"))))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { hist =>
+      val h = hist.sortBy(_._3)
+      // contiguous: each interval closes exactly where the next opens
+      h.sliding(2).foreach {
+        case Array((_, s1, _, to1), (_, s2, from2, _)) =>
+          assert(to1.contains(from2), "gap or overlap in history")
+          assert(s1 != s2, "non-change row survived collapse")
+        case _ =>
+      }
+      assert(h.init.forall(_._4.isDefined) && h.last._4.isEmpty,
+        "exactly the last row must be open-ended")
+    }
+  }
+
   test("queries and oracleSql keys line up in SparkEntry") {
     val q = graft.SparkEntry.queries.keySet
     val o = graft.SparkEntry.oracleSql.keySet
