@@ -1391,6 +1391,52 @@ object PipelineQueries {
       |SELECT tok, n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS vocab_id
       |FROM t ORDER BY vocab_id""".stripMargin
 
+  // ------------------------------------- X14: tokenizer application (encode)
+
+  /** Apply the trained vocabulary (x9) to encode every document as id
+    * sequences — the tokenization pass that turns a curated corpus into
+    * model input, and the consumption side of x9's artifact the same way
+    * sim3 consumes sim4's codebook. The vocabulary is collected (1000 rows
+    * BY CONSTRUCTION — an artifact, not data) and embedded as a map
+    * literal, so encoding is a pure narrow row-local pass: zero joins, zero
+    * shuffles, whole-stage-codegen'd, and a 100 TB corpus streams through
+    * map tasks at scan speed. OOV tokens encode as 0 (the reserved id; x9
+    * ids start at 1). The oracle proves the broadcast-map formulation
+    * equals the join-based relational one (unnest → left join vocab →
+    * re-gather ordered) — the plan you'd get if you DIDN'T know the
+    * artifact side was small, paying a token-count shuffle for nothing.
+    */
+  def x14Tokenize(s: SparkSession, dir: String): DataFrame = {
+    val vocab = x9Vocab(s, dir).collect()
+      .map(r => (r.getAs[String]("tok"), r.getAs[Int]("vocab_id")))
+    val m = map(vocab.flatMap { case (t0, id) => Seq(lit(t0), lit(id)) }.toIndexedSeq: _*)
+    t(s, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("ids", transform(col("w"), tk => coalesce(element_at(m, tk), lit(0))))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        expr("cast(size(filter(ids, x -> x = 0)) as bigint)").as("n_oov"),
+        array_join(col("ids"), ",").as("ids_csv"))
+      .orderBy("doc_id")
+  }
+
+  val x14Sql: String =
+    """WITH c AS (
+      |  SELECT tok, COUNT(*) AS n
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE tok != '' GROUP BY tok),
+      |v AS (SELECT tok, n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS vocab_id
+      |      FROM (SELECT tok, n FROM c ORDER BY n DESC, tok LIMIT 1000)),
+      |wd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |tk AS (SELECT doc_id, ord, w[ord+1] AS tok
+      |       FROM (SELECT doc_id, w, unnest(range(len(w))) AS ord FROM wd)),
+      |enc AS (SELECT tk.doc_id, tk.ord, COALESCE(v.vocab_id, 0) AS id
+      |        FROM tk LEFT JOIN v ON tk.tok = v.tok)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  string_agg(id, ',' ORDER BY ord) AS ids_csv
+      |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------- D7: train/eval contamination screening
 
   /** Hex→decimal expansion DuckDB-side for the first 8 md5 hex chars of
@@ -2278,6 +2324,7 @@ object PipelineQueries {
     "x11_pack" -> (x11Pack _),
     "x12_lm_score" -> (x12LmScore _),
     "x13_mix_weights" -> (x13MixWeights _),
+    "x14_tokenize" -> (x14Tokenize _),
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_frame_sample" -> (m2FrameSample _),
     "m3_feature_ann" -> (m3FeatureAnn _),
@@ -2320,6 +2367,7 @@ object PipelineQueries {
     "x11_pack" -> x11Sql,
     "x12_lm_score" -> x12Sql,
     "x13_mix_weights" -> x13Sql,
+    "x14_tokenize" -> x14Sql,
     "m1_binary_meta" -> m1Sql,
     "m2_frame_sample" -> m2Sql,
     "w3_sessionize" -> w3Sql,

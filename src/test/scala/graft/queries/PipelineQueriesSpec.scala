@@ -470,6 +470,28 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("x14 tokenization round-trips through the x9 vocabulary") {
+    val vocab = PipelineQueries.x9Vocab(spark, sf).collect()
+      .map(r => r.getAs[Int]("vocab_id") -> r.getAs[String]("tok")).toMap
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = PipelineQueries.x14Tokenize(spark, sf).collect()
+    assert(rows.length == texts.size)
+    val inVocab = vocab.values.toSet
+    rows.foreach { r =>
+      val ids = r.getAs[String]("ids_csv").split(",", -1).map(_.toInt)
+      val toks = texts(r.getAs[Long]("doc_id")).split(" ", -1)
+      assert(ids.length == toks.length && ids.length == r.getAs[Long]("n_tokens"))
+      assert(ids.count(_ == 0) == r.getAs[Long]("n_oov"))
+      ids.zip(toks).foreach { case (id, tok) =>
+        if (id == 0) assert(!inVocab(tok), s"in-vocab token '$tok' encoded as OOV")
+        else assert(vocab(id) == tok, s"id $id decoded wrong")
+      }
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("pipe1 curation covers every document once and populates the verdict classes") {
     val rows = PipelineQueries.pipe1Curate(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("verdict")))
