@@ -231,6 +231,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Window"), "final exact top-k window missing")
   }
 
+  test("x14 tokenization is a zero-join narrow pass over the corpus") {
+    val p = plan(PipelineQueries.x14Tokenize(spark, sf))
+    assert(!p.contains("Join"), "encoding joined instead of probing the map literal:\n" + p.take(1200))
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, s"expected <=1 exchange (output sort), got $exchanges")
+  }
+
   test("d3 simhash reads only the columns it needs from documents") {
     val p = plan(PipelineQueries.d3Simhash(spark, sf))
     val rs = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
