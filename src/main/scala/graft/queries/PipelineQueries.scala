@@ -1437,6 +1437,46 @@ object PipelineQueries {
       |  string_agg(id, ',' ORDER BY ord) AS ids_csv
       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------- X15: corpus profiling (data audit)
+
+  /** Per-column corpus profile (the Deequ/dbt-test shape every ingest run
+    * emits): non-null count, exact distinct count, empty-string count, and
+    * lexicographic min/max per column, computed in ONE scan — the stats land
+    * in a single wide aggregate row that `stack` unpivots into one row per
+    * column, so adding columns widens the aggregate, never adds passes.
+    * Values profile through their string form so one operator covers every
+    * column type with deterministic cross-engine ordering (ASCII
+    * lexicographic). The exact COUNT(DISTINCT)s cost one Expand here; at
+    * 100 TB each swaps for `approx_count_distinct` (a8s's HLL) — same plan
+    * minus the Expand, which is precisely why the profile op and the sketch
+    * op both ship.
+    */
+  def x15Profile(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c).cast("string")).as(s"${c}_n"),
+        countDistinct(col(c).cast("string")).as(s"${c}_d"),
+        sum(when(col(c).isNull || col(c).cast("string") === "", 1L).otherwise(0L)).as(s"${c}_e"),
+        min(col(c).cast("string")).as(s"${c}_min"),
+        max(col(c).cast("string")).as(s"${c}_max"))
+    }
+    t(s, dir, "documents")
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr("stack(" + cols.length + ", " +
+        cols.map(c => s"'$c', ${c}_n, ${c}_d, ${c}_e, ${c}_min, ${c}_max").mkString(", ") +
+        ") as (column_name, n_nonnull, n_distinct, n_empty, min_str, max_str)")
+      .orderBy("column_name")
+  }
+
+  val x15Sql: String =
+    Seq("doc_id", "lang", "n_chars", "source", "text").map { c =>
+      s"""SELECT '$c' AS column_name, COUNT($c::VARCHAR) AS n_nonnull,
+         |  COUNT(DISTINCT $c::VARCHAR) AS n_distinct,
+         |  SUM(CASE WHEN $c IS NULL OR $c::VARCHAR = '' THEN 1 ELSE 0 END)::BIGINT AS n_empty,
+         |  MIN($c::VARCHAR) AS min_str, MAX($c::VARCHAR) AS max_str
+         |FROM documents""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY column_name"
+
   // ------------------------------- D7: train/eval contamination screening
 
   /** Hex→decimal expansion DuckDB-side for the first 8 md5 hex chars of
@@ -2325,6 +2365,7 @@ object PipelineQueries {
     "x12_lm_score" -> (x12LmScore _),
     "x13_mix_weights" -> (x13MixWeights _),
     "x14_tokenize" -> (x14Tokenize _),
+    "x15_profile" -> (x15Profile _),
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_frame_sample" -> (m2FrameSample _),
     "m3_feature_ann" -> (m3FeatureAnn _),
@@ -2368,6 +2409,7 @@ object PipelineQueries {
     "x12_lm_score" -> x12Sql,
     "x13_mix_weights" -> x13Sql,
     "x14_tokenize" -> x14Sql,
+    "x15_profile" -> x15Sql,
     "m1_binary_meta" -> m1Sql,
     "m2_frame_sample" -> m2Sql,
     "w3_sessionize" -> w3Sql,

@@ -492,6 +492,20 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(rows.nonEmpty)
   }
 
+  test("x15 profile: key column is unique, nothing is null, bounds bracket values") {
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    val byCol = PipelineQueries.x15Profile(spark, sf).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(byCol.keySet == Set("doc_id", "lang", "n_chars", "source", "text"))
+    byCol.values.foreach { r =>
+      assert(r.getAs[Long]("n_nonnull") == n, "unexpected nulls")
+      assert(r.getAs[Long]("n_empty") == 0L)
+      assert(r.getAs[String]("min_str") <= r.getAs[String]("max_str"))
+    }
+    assert(byCol("doc_id").getAs[Long]("n_distinct") == n, "doc_id not unique")
+    assert(byCol("lang").getAs[Long]("n_distinct") < 20, "lang cardinality implausible")
+  }
+
   test("pipe1 curation covers every document once and populates the verdict classes") {
     val rows = PipelineQueries.pipe1Curate(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("verdict")))
