@@ -88,6 +88,26 @@ object PipelineQueries {
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(len($a)), i -> $a[i+1] * $b[i+1]))"
 
+  /** The x6 train/eval hash-split rule as a reusable Column — shared by x6,
+    * d7, and pipe1 so the split every screen keys off can never drift
+    * between the standalone operators and the composed pipeline.
+    */
+  private def splitCol: Column =
+    when(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100 < 95, "train")
+      .otherwise("eval")
+
+  /** x2's quality formula (integer ppm) over caller-supplied column names —
+    * shared with pipe1's low_quality rule so the standalone scorer and the
+    * composed pipeline use the one formula. SQL twin below.
+    */
+  private def qualityPpmExpr(n: String, l: String, d: String): String =
+    s"least($n * 8000L, 400000L) + (600000L * $d + $n) div (2L * $n) + " +
+      s"least((75000L * $l + $n) div (2L * $n), 300000L)"
+
+  private def qualityPpmSql(n: String, l: String, d: String): String =
+    s"least($n * 8000, 400000) + (600000 * $d + $n) // (2 * $n) + " +
+      s"least((75000 * $l + $n) // (2 * $n), 300000)"
+
   /** Decimal-string HALF_UP rounding to 6 places — same result as Spark's
     * `round()` and DuckDB's `round()` on this data (relied on by every
     * similarity score the oracles compare).
@@ -1099,6 +1119,11 @@ object PipelineQueries {
   }
 
   val d9Sql: String = {
+    // NOTE: these builders mirror sim4Sql's (the canonical copy of the
+    // fixed-point Lloyd's oracle contract: ×2^20+2^21 quantization, floor
+    // means via `//`, argmin ties to lowest cid) over the `fe` table name;
+    // the crosscheck gate pins all three against the same Spark codebooks,
+    // so a drift in any copy fails its oracle immediately
     def assign(cTab: String, out: String): String =
       s"""${out}d AS (SELECT fe.vec_id, fe.v, c.cid,
          |    CAST(list_sum(list_transform(range(len(fe.v)),
@@ -1233,6 +1258,9 @@ object PipelineQueries {
   }
 
   val sim5Sql: String = {
+    // NOTE: mirrors sim4Sql's canonical fixed-point Lloyd's contract (see
+    // the note on d9Sql) with the subspace key `sb` threaded through every
+    // stage; pinned against the Spark side by the crosscheck gate
     def assign(cTab: String, out: String): String =
       s"""${out}d AS (SELECT es.vec_id, es.sb, es.sv, c.cid,
          |    CAST(list_sum(list_transform(range(len(es.sv)),
@@ -1314,23 +1342,20 @@ object PipelineQueries {
       .select(col("doc_id"), col("n").as("n_words"),
         expr("(2000000L * l + n) div (2L * n)").as("mean_wlen_ppm"),
         expr("(2000000L * d + n) div (2L * n)").as("ttr_ppm"),
-        (least(col("n") * 8000L, lit(400000L))
-          + expr("(600000L * d + n) div (2L * n)")
-          + least(expr("(75000L * l + n) div (2L * n)"), lit(300000L))).as("quality_ppm"))
+        expr(qualityPpmExpr("n", "l", "d")).as("quality_ppm"))
       .orderBy("doc_id")
 
   val x2Sql: String =
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |m AS (SELECT doc_id, len(w)::BIGINT AS n,
-      |        list_sum(list_transform(w, x -> len(x)))::BIGINT AS l,
-      |        len(list_distinct(w))::BIGINT AS d
-      |      FROM w)
-      |SELECT doc_id, n AS n_words,
-      |  (2000000 * l + n) // (2 * n) AS mean_wlen_ppm,
-      |  (2000000 * d + n) // (2 * n) AS ttr_ppm,
-      |  least(n * 8000, 400000) + (600000 * d + n) // (2 * n)
-      |    + least((75000 * l + n) // (2 * n), 300000) AS quality_ppm
-      |FROM m ORDER BY doc_id""".stripMargin
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |m AS (SELECT doc_id, len(w)::BIGINT AS n,
+       |        list_sum(list_transform(w, x -> len(x)))::BIGINT AS l,
+       |        len(list_distinct(w))::BIGINT AS d
+       |      FROM w)
+       |SELECT doc_id, n AS n_words,
+       |  (2000000 * l + n) // (2 * n) AS mean_wlen_ppm,
+       |  (2000000 * d + n) // (2 * n) AS ttr_ppm,
+       |  ${qualityPpmSql("n", "l", "d")} AS quality_ppm
+       |FROM m ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------ X3: token statistics
 
@@ -1521,9 +1546,7 @@ object PipelineQueries {
     // "write the shingle table, then screen against it" shape a production
     // decontamination pass uses.
     val gramArrays = t(s, dir, "documents")
-      .withColumn("split",
-        when(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100 < 95,
-          "train").otherwise("eval"))
+      .withColumn("split", splitCol)
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 4)
       .withColumn("gh", expr(
@@ -1705,14 +1728,20 @@ object PipelineQueries {
     */
   def d8SpanDedup(s: SparkSession, dir: String): DataFrame = {
     val k = 8
-    val spans = t(s, dir, "documents")
+    // span digests materialize per document BEFORE the explode
+    // (localCheckpoint) for the same reason d7 materializes its gram
+    // arrays: InferFiltersFromGenerate + pushdown otherwise inline the
+    // span lambda into scan-level filters where it runs interpreted,
+    // re-evaluating split(text) per element access — O(words²) per doc
+    // (measured 21× on d7's identical shape at sf0.1)
+    val spanArrays = t(s, dir, "documents")
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= k)
-      .select(col("doc_id"), explode(expr(
-        s"array_distinct(transform(sequence(0, size(w)-$k), " +
-          s"i -> concat_ws(' ', slice(w, i+1, $k))))")).as("sp"))
-      .select(col("doc_id"), expr("substr(md5(sp), 1, 16)").as("hk"))
-    spans
+      .select(col("doc_id"), expr(
+        s"transform(array_distinct(transform(sequence(0, size(w)-$k), " +
+          s"i -> concat_ws(' ', slice(w, i+1, $k)))), sp -> substring(md5(sp), 1, 16))").as("hks"))
+      .localCheckpoint()
+    spanArrays.select(col("doc_id"), explode(col("hks")).as("hk"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("hk")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
@@ -1797,7 +1826,12 @@ object PipelineQueries {
     * bit-for-bit. The per-slice aggregate is fully partial-aggregable (one
     * narrow shuffle ∝ slice count); the corpus totals are a one-row
     * aggregate of the slice table cross-joined back — at any scale the
-    * second phase moves slice-count rows, never corpus rows.
+    * second phase moves slice-count rows, never corpus rows. Arithmetic
+    * headroom: `1e6 × total_tokens` stays in BIGINT up to ~9.2e12 corpus
+    * tokens (~40 TB of text); past that the ppm products move to
+    * DECIMAL(38,0) — same plan, wider type (the knob, documented in
+    * SCALING.md, NOT silently absorbed: Spark would wrap, DuckDB would
+    * error, and the oracle exists to catch exactly that divergence).
     */
   def x13MixWeights(s: SparkSession, dir: String): DataFrame = {
     val slices = t(s, dir, "documents")
@@ -1880,9 +1914,7 @@ object PipelineQueries {
     */
   def x6Split(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .withColumn("h", conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100)
-      .select(col("doc_id"),
-        when(col("h") < 95, "train").otherwise("eval").as("split"))
+      .select(col("doc_id"), splitCol.as("split"))
       .orderBy("doc_id")
 
   val x6Sql: String =
@@ -2252,9 +2284,7 @@ object PipelineQueries {
     */
   def pipe1Curate(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "documents")
-      .withColumn("split",
-        when(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100 < 95,
-          "train").otherwise("eval"))
+      .withColumn("split", splitCol)
       .withColumn("w", split(col("text"), " "))
       .withColumn("n", size(col("w")).cast("long"))
       .withColumn("hits", expr("cast(size(filter(w, x -> x = 'the' OR x = 'a')) as bigint)"))
@@ -2287,10 +2317,7 @@ object PipelineQueries {
           .when(col("is_contam").isNotNull, "contaminated")
           .when(coalesce(col("ppm"), lit(0L)) >= 250000L, "boilerplate")
           .when(col("hits") * 25L < col("n") * 2L, "non_en")
-          .when(least(col("n") * 8000L, lit(400000L))
-            + expr("(600000L * dd + n) div (2L * n)")
-            + least(expr("(75000L * l + n) div (2L * n)"), lit(300000L)) < 550000L,
-            "low_quality")
+          .when(expr(qualityPpmExpr("n", "l", "dd")) < 550000L, "low_quality")
           .otherwise("keep").as("verdict"))
       .orderBy("doc_id")
   }
@@ -2324,9 +2351,7 @@ object PipelineQueries {
        |       WHEN contam.doc_id IS NOT NULL THEN 'contaminated'
        |       WHEN COALESCE(spg.ppm, 0) >= 250000 THEN 'boilerplate'
        |       WHEN 25 * b.hits < 2 * b.n THEN 'non_en'
-       |       WHEN least(b.n * 8000, 400000) + (600000 * b.dd + b.n) // (2 * b.n)
-       |            + least((75000 * b.l + b.n) // (2 * b.n), 300000) < 550000
-       |         THEN 'low_quality'
+       |       WHEN ${qualityPpmSql("b.n", "b.l", "b.dd")} < 550000 THEN 'low_quality'
        |       ELSE 'keep' END AS verdict
        |FROM b LEFT JOIN contam ON b.doc_id = contam.doc_id
        |       LEFT JOIN spg ON b.doc_id = spg.doc_id

@@ -841,8 +841,11 @@ object RelationalQueries {
       .withColumn("valid_to_us",
         lead("us", 1).over(Window.partitionBy("user_id").orderBy("us", "event_id")))
       .select(col("user_id"), col("state"), col("us").as("valid_from_us"),
-        col("valid_to_us"))
-      .orderBy("user_id", "valid_from_us")
+        col("valid_to_us"), col("event_id").as("change_event_id"))
+      // change_event_id makes the presentation sort a TOTAL order — two
+      // state changes for one user in the same microsecond would otherwise
+      // tie and the engines could emit them in different orders
+      .orderBy("user_id", "valid_from_us", "change_event_id")
   }
 
   val k9Sql: String =
@@ -853,8 +856,9 @@ object RelationalQueries {
       |ch AS (SELECT user_id, event_id, us, state FROM c
       |       WHERE prev_state IS NULL OR prev_state != state)
       |SELECT user_id, state, us AS valid_from_us,
-      |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us
-      |FROM ch ORDER BY user_id, valid_from_us""".stripMargin
+      |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us,
+      |  event_id AS change_event_id
+      |FROM ch ORDER BY user_id, valid_from_us, change_event_id""".stripMargin
 
   // -------------------------------------------------------------- registry
 

@@ -172,6 +172,47 @@ object StreamingOps {
     * their own immediate session — the best a single-summary state can do
     * once earlier history has been emitted.
     */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val closed = state.getOption.map(s =>
+              Session(userId, s.startUs, s.endUs, s.n, s.total)).toSeq
+            state.remove()
+            closed.iterator
+          } else {
+            val out = Seq.newBuilder[Session]
+            var cur = state.getOption.orNull
+            // events within a micro-batch arrive unordered: sort by event time
+            it.toSeq.sortBy(e => (eventUs(e.ts), e.event_id)).foreach { e =>
+              val us = eventUs(e.ts)
+              if (cur == null) cur = SessionState(us, us, 1L, e.value)
+              else if (us - cur.endUs > GapUs) {
+                out += Session(userId, cur.startUs, cur.endUs, cur.n, cur.total)
+                cur = SessionState(us, us, 1L, e.value)
+              } else if (cur.startUs - us > GapUs) {
+                // straggler strictly before this session's window: emit alone
+                out += Session(userId, us, us, 1L, e.value)
+              } else cur = SessionState(math.min(cur.startUs, us),
+                math.max(cur.endUs, us), cur.n + 1L, cur.total + e.value)
+            }
+            if (cur != null) {
+              state.update(cur)
+              // close via watermark once the gap can no longer be beaten
+              state.setTimeoutTimestamp(
+                math.max(cur.endUs / 1000L + GapUs / 1000L,
+                  state.getCurrentWatermarkMs() + 1L))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming strict-order funnel — the ingest-time twin of the batch
     * `w4_funnel` operator, same greedy earliest-transition scan per user.
     * A conversion (view → click → purchase, each strictly later) emits the
@@ -235,47 +276,6 @@ object StreamingOps {
                   state.getCurrentWatermarkMs() + 1L))
             }
             emitted.result().iterator
-          }
-      }
-  }
-
-  def sessionize(events: Dataset[Event]): Dataset[Session] = {
-    import events.sparkSession.implicits._
-    events
-      .withWatermark("ts", "30 minutes")
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val closed = state.getOption.map(s =>
-              Session(userId, s.startUs, s.endUs, s.n, s.total)).toSeq
-            state.remove()
-            closed.iterator
-          } else {
-            val out = Seq.newBuilder[Session]
-            var cur = state.getOption.orNull
-            // events within a micro-batch arrive unordered: sort by event time
-            it.toSeq.sortBy(e => (eventUs(e.ts), e.event_id)).foreach { e =>
-              val us = eventUs(e.ts)
-              if (cur == null) cur = SessionState(us, us, 1L, e.value)
-              else if (us - cur.endUs > GapUs) {
-                out += Session(userId, cur.startUs, cur.endUs, cur.n, cur.total)
-                cur = SessionState(us, us, 1L, e.value)
-              } else if (cur.startUs - us > GapUs) {
-                // straggler strictly before this session's window: emit alone
-                out += Session(userId, us, us, 1L, e.value)
-              } else cur = SessionState(math.min(cur.startUs, us),
-                math.max(cur.endUs, us), cur.n + 1L, cur.total + e.value)
-            }
-            if (cur != null) {
-              state.update(cur)
-              // close via watermark once the gap can no longer be beaten
-              state.setTimeoutTimestamp(
-                math.max(cur.endUs / 1000L + GapUs / 1000L,
-                  state.getCurrentWatermarkMs() + 1L))
-            }
-            out.result().iterator
           }
       }
   }

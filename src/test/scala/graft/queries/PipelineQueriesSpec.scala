@@ -376,10 +376,10 @@ class PipelineQueriesSpec extends SparkSpec {
     }
     // the quantized index must beat random guessing against the exact
     // baseline even on near-uniform embeddings (PQ's worst case)
-    def pairs(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
-    val exact = pairs(PipelineQueries.sim1CosineTopk(spark, sf))
-    val recall = (exact & pairs(PipelineQueries.sim5PqAnn(spark, sf))).size.toDouble / exact.size
+    val exact = PipelineQueries.sim1CosineTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val got = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
     info(s"sim5 recall@3 vs sim1: $recall")
     assert(recall >= 0.1, s"PQ recall $recall indistinguishable from chance")
   }
