@@ -150,6 +150,33 @@ object StreamingOps {
         (unix_micros(col("e_ts")) - unix_micros(col("p_ts"))).as("micros_offset"))
   }
 
+  /** Streaming corpus profile — the ingest-observability twin of the batch
+    * `x15_profile` audit: running per-column non-null counts, approximate
+    * distincts, and min/max over a document stream, updated every
+    * micro-batch. The global (group-less) aggregation keeps exactly ONE
+    * state row whose width is columns × 4 statistics; the distinct counter
+    * is the HLL++ buffer (exact streaming distinct would buffer every value
+    * ever seen — the same unbounded-state argument as
+    * `approxDistinctUsers`), and min/max/count are trivially mergeable.
+    * Downstream alerting reads the Update-mode stream and fires on
+    * invariant breaks (doc_id distinct falling behind count ⇒ duplicate
+    * ingest, empty-string min ⇒ corrupt batch) without ever scanning the
+    * corpus.
+    */
+  def profileStream(docs: DataFrame): DataFrame = {
+    val cols = Seq("doc_id", "lang", "source", "text")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c).cast("string")).as(s"${c}_n"),
+        approx_count_distinct(col(c).cast("string")).as(s"${c}_d"),
+        min(col(c).cast("string")).as(s"${c}_min"),
+        max(col(c).cast("string")).as(s"${c}_max"))
+    }
+    docs.groupBy().agg(aggs.head, aggs.tail: _*)
+      .selectExpr("stack(" + cols.length + ", " +
+        cols.map(c => s"'$c', ${c}_n, ${c}_d, ${c}_min, ${c}_max").mkString(", ") +
+        ") as (column_name, n_nonnull, approx_distinct, min_str, max_str)")
+  }
+
   private val GapUs = 1800L * 1000000L
 
   /** Event time in microseconds — java.sql.Timestamp.getTime() truncates to

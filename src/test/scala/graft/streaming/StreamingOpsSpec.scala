@@ -269,6 +269,32 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming profile folds stats across micro-batches in one state row") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[StreamDoc]
+    val q = StreamingOps.profileStream(
+      in.toDF().selectExpr("doc_id", "'en' as lang", "'s0' as source", "text"))
+      .writeStream.format("memory").queryName("profilestream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(StreamDoc(1, ts(0), "alpha"), StreamDoc(2, ts(1), "beta"))
+      q.processAllAvailable()
+      in.addData(StreamDoc(3, ts(2), "alpha")) // repeated text, new doc_id
+      q.processAllAvailable()
+      // memory sink in Update mode appends updated rows; take the LAST
+      // emission per column = the running totals after both batches
+      val last = spark.table("profilestream").collect()
+        .zipWithIndex.groupBy(_._1.getAs[String]("column_name"))
+        .map { case (c, rs) => c -> rs.maxBy(_._2)._1 }
+      assert(last("doc_id").getAs[Long]("n_nonnull") == 3L)
+      assert(last("doc_id").getAs[Long]("approx_distinct") == 3L) // exact at n=3
+      assert(last("text").getAs[Long]("approx_distinct") == 2L, "HLL state did not merge")
+      assert(last("text").getAs[String]("min_str") == "alpha" &&
+        last("text").getAs[String]("max_str") == "beta")
+    } finally q.stop()
+  }
+
   test("streaming contamination screen agrees with the batch d7 operator") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
