@@ -1301,6 +1301,205 @@ object PipelineQueries {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  // --------------------------- SIM6: IVF+PQ composed index (FAISS IVFPQ shape)
+
+  /** The composed production ANN index (Jégou et al.'s IVFADC, FAISS's
+    * IVFPQ): coarse k-means cells PRUNE the candidate set (queries probe
+    * nprobe=2 cells — `sim3`'s move), PQ codes over the cell-RESIDUALS
+    * score what's left in RAM (`sim5`'s move, but quantizing `v − centroid`
+    * so the sub-codebooks spend their bits on within-cell variation — the
+    * composition is what lets 10⁹ vectors live behind one index). Everything
+    * stays in the fixed-point discipline: residuals re-shift positive
+    * (+2²², differences cancel the shift so distances are unaffected) to
+    * keep Spark's truncating `div` equal to DuckDB's flooring `//` on every
+    * centroid mean — the one place IVFPQ's subtraction could have broken
+    * the cross-engine contract. Training is three bounded-shuffle jobs
+    * (coarse Lloyd's ×2, PQ Lloyd's ×2 over an m-exploded residual table);
+    * encode + probe + ADC is ONE narrow pass over the checkpointed residual
+    * table with per-partition bounded top-3 (sim5's pre-cut), and a member
+    * scores for a query only when its coarse cell is probed — candidate
+    * work is nprobe/k of the corpus by construction.
+    */
+  def sim6IvfPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 8; val m = 4; val subDim = 16; val k2 = 8; val nq = 10; val nprobe = 2
+    val Shift = 4194304L
+    val full = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1048576) as bigint) + 2097152)").as("v"))
+      .as[(Long, Array[Long])]
+    def l2(a: Array[Long], b: Array[Long]): Long = {
+      var d = 0L; var j = 0
+      while (j < a.length) { val t0 = a(j) - b(j); d += t0 * t0; j += 1 }
+      d
+    }
+    def argmin(v: Array[Long], cs: Array[(Long, Array[Long])]): (Long, Long) = {
+      var bestD = Long.MaxValue; var bestC = Long.MaxValue
+      cs.foreach { case (cid, cv) =>
+        val d = l2(v, cv)
+        if (d < bestD || (d == bestD && cid < bestC)) { bestD = d; bestC = cid }
+      }
+      (bestC, bestD)
+    }
+    // ---- coarse codebook: sim4's two fixed-point Lloyd rounds
+    var coarse: Array[(Long, Array[Long])] = full.filter(_._1 < k).collect().sortBy(_._1)
+    for (_ <- 0 until 2) {
+      val bc = s.sparkContext.broadcast(coarse)
+      val sums = full.map { case (_, v) => (argmin(v, bc.value)._1, v) }
+        .toDF("cell", "v")
+        .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("cell", "i").agg(expr("sum(x) div count(1)").as("cx"))
+        .collect()
+      coarse = sums.groupBy(_.getLong(0)).map { case (cid, rs) =>
+        (cid, rs.sortBy(_.getInt(1)).map(_.getLong(2)).toArray)
+      }.toArray.sortBy(_._1)
+    }
+    val bcCoarse = s.sparkContext.broadcast(coarse)
+    val coarseMap = coarse.toMap
+    // ---- checkpointed residual table: (vec_id, coarse cell, shifted residual)
+    val res = full.map { case (id, v) =>
+      val cell = argmin(v, bcCoarse.value)._1
+      val cv = bcCoarse.value.find(_._1 == cell).get._2
+      (id, cell, Array.tabulate(v.length)(j => v(j) - cv(j) + Shift))
+    }.localCheckpoint()
+    // ---- PQ codebooks over residual subspaces: sim5's two rounds
+    val rs = res.toDF("vec_id", "coarse", "r")
+      .select(col("vec_id"), col("coarse"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), sb -> struct(sb, slice(r, sb * $subDim + 1, $subDim) as sv))")).as("e"))
+      .select(col("vec_id"), col("coarse"), col("e.sb").as("sb"), col("e.sv").as("sv"))
+      .as[(Long, Long, Int, Array[Long])]
+    var pq: Map[Int, Array[(Long, Array[Long])]] =
+      rs.filter(_._1 < k2).collect().groupBy(_._3)
+        .map { case (sb, rows) => (sb, rows.map(r => (r._1, r._4)).sortBy(_._1)) }
+    for (_ <- 0 until 2) {
+      val bc = s.sparkContext.broadcast(pq)
+      val sums = rs.map { case (_, _, sb, sv) => (sb, argmin(sv, bc.value(sb))._1, sv) }
+        .toDF("sb", "cell", "sv")
+        .select(col("sb"), col("cell"), posexplode(col("sv")).as(Seq("i", "x")))
+        .groupBy("sb", "cell", "i").agg(expr("sum(x) div count(1)").as("cx"))
+        .collect()
+      pq = sums.groupBy(r => (r.getInt(0), r.getLong(1))).toSeq
+        .map { case ((sb, cid), rows) =>
+          (sb, (cid, rows.sortBy(_.getInt(2)).map(_.getLong(3)).toArray))
+        }
+        .groupBy(_._1).map { case (sb, xs) => (sb, xs.map(_._2).sortBy(_._1).toArray) }
+    }
+    val bcPq = s.sparkContext.broadcast(pq)
+    // ---- driver-built probe sets + per-(query, probed cell) ADC tables
+    val queries = full.filter(_._1 < nq).collect()
+    val probes: Map[Long, Seq[Long]] = queries.map { case (qid, qv) =>
+      qid -> coarse.map { case (cid, cv) => (l2(qv, cv), cid) }
+        .sortBy(identity).take(nprobe).map(_._2).toSeq
+    }.toMap
+    val dt: Map[(Long, Long, Int, Long), Long] = queries.flatMap { case (qid, qv) =>
+      probes(qid).flatMap { pcell =>
+        val cv = coarseMap(pcell)
+        val rq = Array.tabulate(qv.length)(j => qv(j) - cv(j) + Shift)
+        (0 until m).flatMap { sb =>
+          val qsub = rq.slice(sb * subDim, (sb + 1) * subDim)
+          pq(sb).map { case (cid, pcv) => ((qid, pcell, sb, cid), l2(qsub, pcv)) }
+        }
+      }
+    }.toMap
+    val bcDt = s.sparkContext.broadcast(dt)
+    val bcProbes = s.sparkContext.broadcast(probes)
+    // ---- encode + probe + ADC + bounded top-3 in one narrow pass
+    val scored = res.mapPartitions { it =>
+      val pqc = bcPq.value; val dtm = bcDt.value; val pr = bcProbes.value
+      val best = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.PriorityQueue[(Long, Long)]]
+      it.foreach { case (id, cell, r) =>
+        val codes = Array.tabulate(m)(sb => argmin(r.slice(sb * subDim, (sb + 1) * subDim), pqc(sb))._1)
+        pr.foreach { case (qid, pcells) =>
+          if (qid != id && pcells.contains(cell)) {
+            var d = 0L; var sb = 0
+            while (sb < m) { d += dtm((qid, cell, sb, codes(sb))); sb += 1 }
+            val heap = best.getOrElseUpdate(qid, scala.collection.mutable.PriorityQueue.empty[(Long, Long)])
+            if (heap.size < 3) heap.enqueue((d, id))
+            else if (d < heap.head._1 || (d == heap.head._1 && id < heap.head._2)) {
+              heap.dequeue(); heap.enqueue((d, id))
+            }
+          }
+        }
+      }
+      best.iterator.flatMap { case (qid, heap) => heap.iterator.map { case (d, id) => (qid, id, d) } }
+    }.toDF("query_id", "neighbor_id", "adc_dist")
+    val top = Window.partitionBy("query_id").orderBy(col("adc_dist"), col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(top)).filter(col("rnk") <= 3)
+      .select("query_id", "neighbor_id", "rnk", "adc_dist")
+      .orderBy("query_id", "rnk")
+  }
+
+  val sim6Sql: String = {
+    // coarse chain mirrors d9Sql's canonical fixed-point Lloyd's; the PQ
+    // chain threads the coarse cell through every stage (see the d9Sql note)
+    def assign(cTab: String, out: String): String =
+      s"""${out}d AS (SELECT fe.vec_id, fe.v, c.cid,
+         |    CAST(list_sum(list_transform(range(len(fe.v)),
+         |      j -> (fe.v[j+1]-c.cv[j+1])*(fe.v[j+1]-c.cv[j+1]))) AS BIGINT) AS dist
+         |  FROM fe CROSS JOIN $cTab c),
+         |$out AS (SELECT vec_id, v, cid AS cell, dist FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |   FROM ${out}d) WHERE rn = 1)""".stripMargin
+    def update(aTab: String, out: String): String =
+      s"""${out}s AS (SELECT cell, unnest(range(len(v))) AS i, unnest(v) AS x FROM $aTab),
+         |${out}m AS (SELECT cell, i, CAST(SUM(x) AS BIGINT) // COUNT(*) AS cx
+         |  FROM ${out}s GROUP BY cell, i),
+         |$out AS (SELECT cell AS cid, list(cx ORDER BY i) AS cv FROM ${out}m GROUP BY cell)""".stripMargin
+    def pqAssign(cTab: String, out: String): String =
+      s"""${out}d AS (SELECT rs.vec_id, rs.coarse, rs.sb, rs.sv, c.cid,
+         |    CAST(list_sum(list_transform(range(len(rs.sv)),
+         |      j -> (rs.sv[j+1]-c.cv[j+1])*(rs.sv[j+1]-c.cv[j+1]))) AS BIGINT) AS dist
+         |  FROM rs JOIN $cTab c ON rs.sb = c.sb),
+         |$out AS (SELECT vec_id, coarse, sb, sv, cid AS cell FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id, sb ORDER BY dist, cid) AS rn
+         |   FROM ${out}d) WHERE rn = 1)""".stripMargin
+    def pqUpdate(aTab: String, out: String): String =
+      s"""${out}s AS (SELECT sb, cell, unnest(range(len(sv))) AS i, unnest(sv) AS x FROM $aTab),
+         |${out}m AS (SELECT sb, cell, i, CAST(SUM(x) AS BIGINT) // COUNT(*) AS cx
+         |  FROM ${out}s GROUP BY sb, cell, i),
+         |$out AS (SELECT sb, cell AS cid, list(cx ORDER BY i) AS cv FROM ${out}m GROUP BY sb, cell)""".stripMargin
+    s"""WITH fe AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(round(x::DOUBLE * 1048576) AS BIGINT) + 2097152) AS v
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM fe WHERE vec_id < 8),
+       |${assign("c0", "a1")},
+       |${update("a1", "c1")},
+       |${assign("c1", "a2")},
+       |${update("a2", "c2")},
+       |${assign("c2", "a3")},
+       |res AS (SELECT a3.vec_id, a3.cell AS coarse,
+       |    list_transform(range(len(a3.v)), j -> a3.v[j+1] - c.cv[j+1] + 4194304) AS r
+       |  FROM a3 JOIN c2 c ON a3.cell = c.cid),
+       |rs AS (SELECT vec_id, coarse, sb, list_slice(r, sb*16+1, sb*16+16) AS sv
+       |       FROM res CROSS JOIN (SELECT unnest(range(4)) AS sb)),
+       |p0 AS (SELECT sb, vec_id AS cid, sv AS cv FROM rs WHERE vec_id < 8),
+       |${pqAssign("p0", "pa1")},
+       |${pqUpdate("pa1", "pc1")},
+       |${pqAssign("pc1", "pa2")},
+       |${pqUpdate("pa2", "pc2")},
+       |${pqAssign("pc2", "pa3")},
+       |probe AS (SELECT vec_id AS qid, cid AS pcell FROM
+       |  (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS pr
+       |   FROM a3d WHERE vec_id < 10) WHERE pr <= 2),
+       |qres AS (SELECT p.qid, p.pcell,
+       |    list_transform(range(len(fe.v)), j -> fe.v[j+1] - c.cv[j+1] + 4194304) AS r
+       |  FROM probe p JOIN fe ON fe.vec_id = p.qid JOIN c2 c ON c.cid = p.pcell),
+       |dt AS (SELECT q.qid, q.pcell, pc.sb, pc.cid,
+       |    CAST(list_sum(list_transform(range(16),
+       |      j -> (list_slice(q.r, pc.sb*16+1, pc.sb*16+16)[j+1] - pc.cv[j+1])
+       |         * (list_slice(q.r, pc.sb*16+1, pc.sb*16+16)[j+1] - pc.cv[j+1]))) AS BIGINT) AS d
+       |  FROM qres q CROSS JOIN pc2 pc),
+       |adc AS (SELECT dt.qid AS query_id, pa3.vec_id AS neighbor_id,
+       |    CAST(SUM(dt.d) AS BIGINT) AS adc_dist
+       |  FROM pa3 JOIN dt ON pa3.coarse = dt.pcell AND pa3.sb = dt.sb AND pa3.cell = dt.cid
+       |  WHERE pa3.vec_id != dt.qid GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id, adc_dist,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rnk
+       |  FROM adc)
+       |SELECT query_id, neighbor_id, rnk, adc_dist FROM r WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   // ------------------------------------------------- X1: language-ID score
 
   /** Language-ID heuristic: function-word hit ratio (the 1-feature core of
@@ -2376,6 +2575,7 @@ object PipelineQueries {
     "sim3_ivf_ann" -> (sim3IvfAnn _),
     "sim4_kmeans_codebook" -> (sim4KmeansCodebook _),
     "sim5_pq_ann" -> (sim5PqAnn _),
+    "sim6_ivfpq" -> (sim6IvfPq _),
     "x1_langid" -> (x1Langid _),
     "x2_quality" -> (x2Quality _),
     "x3_token_stats" -> (x3TokenStats _),
@@ -2420,6 +2620,7 @@ object PipelineQueries {
     "sim3_ivf_ann" -> sim3Sql,
     "sim4_kmeans_codebook" -> sim4Sql,
     "sim5_pq_ann" -> sim5Sql,
+    "sim6_ivfpq" -> sim6Sql,
     "x1_langid" -> x1Sql,
     "x2_quality" -> x2Sql,
     "x3_token_stats" -> x3Sql,

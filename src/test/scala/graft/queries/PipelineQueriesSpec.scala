@@ -384,6 +384,25 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(recall >= 0.1, s"PQ recall $recall indistinguishable from chance")
   }
 
+  test("sim6 IVFPQ: ranked probed-cell top-3, and pruning costs recall vs unpruned PQ") {
+    val rows = PipelineQueries.sim6IvfPq(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 10)
+    byQ.values.foreach { rs =>
+      assert(rs.length <= 3 && rs.nonEmpty)
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.sameElements(1 to rs.length))
+      val ds = rs.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("adc_dist"))
+      assert(ds.sameElements(ds.sorted))
+      rs.foreach(r => assert(r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id")))
+    }
+    def pairs(rws: Array[org.apache.spark.sql.Row]) =
+      rws.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = pairs(PipelineQueries.sim1CosineTopk(spark, sf).collect())
+    val recall = (exact & pairs(rows)).size.toDouble / exact.size
+    info(s"sim6 recall@3 vs sim1: $recall (nprobe=2 of 8 cells)")
+    assert(recall > 0.0, "IVFPQ found nothing from the exact top-3")
+  }
+
   test("d8 span dedup matches a driver-side brute force") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
