@@ -108,6 +108,29 @@ object PipelineQueries {
     s"least($n * 8000, 400000) + (600000 * $d + $n) // (2 * $n) + " +
       s"least((75000 * $l + $n) // (2 * $n), 300000)"
 
+  /** Fixed-point squared L2 — the ONE copy of the distance the k-means
+    * family (sim4/sim5/sim6 training, encoding, and ADC tables) computes;
+    * operands are the ×2²⁰+2²¹-quantized longs (or re-shifted residuals),
+    * always positive, so sums never overflow at these dims.
+    */
+  private def fxL2(a: Array[Long], b: Array[Long]): Long = {
+    var d = 0L; var j = 0
+    while (j < a.length) { val t0 = a(j) - b(j); d += t0 * t0; j += 1 }
+    d
+  }
+
+  /** Fixed-point argmin with the family-wide tie-break (lowest centroid id)
+    * — mirrors every oracle's `ORDER BY dist, cid … rn = 1`.
+    */
+  private def fxArgmin(v: Array[Long], cs: Array[(Long, Array[Long])]): (Long, Long) = {
+    var bestD = Long.MaxValue; var bestC = Long.MaxValue
+    cs.foreach { case (cid, cv) =>
+      val d = fxL2(v, cv)
+      if (d < bestD || (d == bestD && cid < bestC)) { bestD = d; bestC = cid }
+    }
+    (bestC, bestD)
+  }
+
   /** Decimal-string HALF_UP rounding to 6 places — same result as Spark's
     * `round()` and DuckDB's `round()` on this data (relied on by every
     * similarity score the oracles compare).
@@ -1037,15 +1060,8 @@ object PipelineQueries {
     def assigned(cents: Array[(Long, Array[Long])]) = {
       val bc = s.sparkContext.broadcast(cents)
       e.mapPartitions(_.map { case (id, v) =>
-        var bestD = Long.MaxValue
-        var bestC = Long.MaxValue
-        bc.value.foreach { case (cid, cv) =>
-          var d = 0L
-          var j = 0
-          while (j < v.length) { val t = v(j) - cv(j); d += t * t; j += 1 }
-          if (d < bestD || (d == bestD && cid < bestC)) { bestD = d; bestC = cid }
-        }
-        (id, v, bestC, bestD)
+        val (cell, dist) = fxArgmin(v, bc.value)
+        (id, v, cell, dist)
       }).toDF("vec_id", "v", "cell", "dist")
     }
     var cents = e.filter(_._1 < k).collect().sortBy(_._1)
@@ -1192,26 +1208,13 @@ object PipelineQueries {
         s"transform(sequence(0, ${m - 1}), sb -> struct(sb, slice(v, sb * $subDim + 1, $subDim) as sv))")).as("e"))
       .select(col("vec_id"), col("e.sb").as("sb"), col("e.sv").as("sv"))
       .as[(Long, Int, Array[Long])]
-    def l2(a: Array[Long], b: Array[Long]): Long = {
-      var d = 0L; var j = 0
-      while (j < a.length) { val t0 = a(j) - b(j); d += t0 * t0; j += 1 }
-      d
-    }
-    def argmin(v: Array[Long], cs: Array[(Long, Array[Long])]): Long = {
-      var bestD = Long.MaxValue; var bestC = Long.MaxValue
-      cs.foreach { case (cid, cv) =>
-        val d = l2(v, cv)
-        if (d < bestD || (d == bestD && cid < bestC)) { bestD = d; bestC = cid }
-      }
-      bestC
-    }
     // train: two Lloyd rounds over all m subspaces in one job per round
     var cents: Map[Int, Array[(Long, Array[Long])]] =
       es.filter(_._1 < k).collect().groupBy(_._2)
         .map { case (sb, rows) => (sb, rows.map(r => (r._1, r._3)).sortBy(_._1)) }
     for (_ <- 0 until 2) {
       val bc = s.sparkContext.broadcast(cents)
-      val sums = es.map { case (_, sb, v) => (sb, argmin(v, bc.value(sb)), v) }
+      val sums = es.map { case (_, sb, v) => (sb, fxArgmin(v, bc.value(sb))._1, v) }
         .toDF("sb", "cell", "sv")
         .select(col("sb"), col("cell"), posexplode(col("sv")).as(Seq("i", "x")))
         .groupBy("sb", "cell", "i").agg(expr("sum(x) div count(1)").as("cx"))
@@ -1226,7 +1229,7 @@ object PipelineQueries {
     val bcC = s.sparkContext.broadcast(cents)
     val dt: Map[(Long, Int, Long), Long] =
       es.filter(_._1 < nq).collect().flatMap { case (qid, sb, qv) =>
-        cents(sb).map { case (cid, cv) => ((qid, sb, cid), l2(qv, cv)) }
+        cents(sb).map { case (cid, cv) => ((qid, sb, cid), fxL2(qv, cv)) }
       }.toMap
     val bcDt = s.sparkContext.broadcast(dt)
     val qids = dt.keys.map(_._1).toArray.distinct.sorted
@@ -1236,7 +1239,7 @@ object PipelineQueries {
       val cs = bcC.value; val dtm = bcDt.value; val qq = bcQ.value
       val best = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.PriorityQueue[(Long, Long)]]
       it.foreach { case (id, v) =>
-        val codes = Array.tabulate(m)(sb => argmin(v.slice(sb * subDim, (sb + 1) * subDim), cs(sb)))
+        val codes = Array.tabulate(m)(sb => fxArgmin(v.slice(sb * subDim, (sb + 1) * subDim), cs(sb))._1)
         qq.foreach { qid =>
           if (qid != id) {
             var d = 0L; var sb = 0
@@ -1328,24 +1331,11 @@ object PipelineQueries {
       .select(col("vec_id"), expr(
         "transform(embedding, x -> cast(round(cast(x as double) * 1048576) as bigint) + 2097152)").as("v"))
       .as[(Long, Array[Long])]
-    def l2(a: Array[Long], b: Array[Long]): Long = {
-      var d = 0L; var j = 0
-      while (j < a.length) { val t0 = a(j) - b(j); d += t0 * t0; j += 1 }
-      d
-    }
-    def argmin(v: Array[Long], cs: Array[(Long, Array[Long])]): (Long, Long) = {
-      var bestD = Long.MaxValue; var bestC = Long.MaxValue
-      cs.foreach { case (cid, cv) =>
-        val d = l2(v, cv)
-        if (d < bestD || (d == bestD && cid < bestC)) { bestD = d; bestC = cid }
-      }
-      (bestC, bestD)
-    }
     // ---- coarse codebook: sim4's two fixed-point Lloyd rounds
     var coarse: Array[(Long, Array[Long])] = full.filter(_._1 < k).collect().sortBy(_._1)
     for (_ <- 0 until 2) {
       val bc = s.sparkContext.broadcast(coarse)
-      val sums = full.map { case (_, v) => (argmin(v, bc.value)._1, v) }
+      val sums = full.map { case (_, v) => (fxArgmin(v, bc.value)._1, v) }
         .toDF("cell", "v")
         .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
         .groupBy("cell", "i").agg(expr("sum(x) div count(1)").as("cx"))
@@ -1358,7 +1348,7 @@ object PipelineQueries {
     val coarseMap = coarse.toMap
     // ---- checkpointed residual table: (vec_id, coarse cell, shifted residual)
     val res = full.map { case (id, v) =>
-      val cell = argmin(v, bcCoarse.value)._1
+      val cell = fxArgmin(v, bcCoarse.value)._1
       val cv = bcCoarse.value.find(_._1 == cell).get._2
       (id, cell, Array.tabulate(v.length)(j => v(j) - cv(j) + Shift))
     }.localCheckpoint()
@@ -1373,7 +1363,7 @@ object PipelineQueries {
         .map { case (sb, rows) => (sb, rows.map(r => (r._1, r._4)).sortBy(_._1)) }
     for (_ <- 0 until 2) {
       val bc = s.sparkContext.broadcast(pq)
-      val sums = rs.map { case (_, _, sb, sv) => (sb, argmin(sv, bc.value(sb))._1, sv) }
+      val sums = rs.map { case (_, _, sb, sv) => (sb, fxArgmin(sv, bc.value(sb))._1, sv) }
         .toDF("sb", "cell", "sv")
         .select(col("sb"), col("cell"), posexplode(col("sv")).as(Seq("i", "x")))
         .groupBy("sb", "cell", "i").agg(expr("sum(x) div count(1)").as("cx"))
@@ -1388,7 +1378,7 @@ object PipelineQueries {
     // ---- driver-built probe sets + per-(query, probed cell) ADC tables
     val queries = full.filter(_._1 < nq).collect()
     val probes: Map[Long, Seq[Long]] = queries.map { case (qid, qv) =>
-      qid -> coarse.map { case (cid, cv) => (l2(qv, cv), cid) }
+      qid -> coarse.map { case (cid, cv) => (fxL2(qv, cv), cid) }
         .sortBy(identity).take(nprobe).map(_._2).toSeq
     }.toMap
     val dt: Map[(Long, Long, Int, Long), Long] = queries.flatMap { case (qid, qv) =>
@@ -1397,7 +1387,7 @@ object PipelineQueries {
         val rq = Array.tabulate(qv.length)(j => qv(j) - cv(j) + Shift)
         (0 until m).flatMap { sb =>
           val qsub = rq.slice(sb * subDim, (sb + 1) * subDim)
-          pq(sb).map { case (cid, pcv) => ((qid, pcell, sb, cid), l2(qsub, pcv)) }
+          pq(sb).map { case (cid, pcv) => ((qid, pcell, sb, cid), fxL2(qsub, pcv)) }
         }
       }
     }.toMap
@@ -1408,7 +1398,7 @@ object PipelineQueries {
       val pqc = bcPq.value; val dtm = bcDt.value; val pr = bcProbes.value
       val best = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.PriorityQueue[(Long, Long)]]
       it.foreach { case (id, cell, r) =>
-        val codes = Array.tabulate(m)(sb => argmin(r.slice(sb * subDim, (sb + 1) * subDim), pqc(sb))._1)
+        val codes = Array.tabulate(m)(sb => fxArgmin(r.slice(sb * subDim, (sb + 1) * subDim), pqc(sb))._1)
         pr.foreach { case (qid, pcells) =>
           if (qid != id && pcells.contains(cell)) {
             var d = 0L; var sb = 0
@@ -1675,20 +1665,37 @@ object PipelineQueries {
     * minus the Expand, which is precisely why the profile op and the sketch
     * op both ship.
     */
+  /** Shared per-column profile scaffolding (batch x15 + its streaming twin
+    * in `StreamingOps.profileStream`): one wide aggregate row, stack-
+    * unpivoted. `exact` selects the batch stats (exact distinct + empty
+    * count) vs the streaming ones (HLL distinct, no empty count) — one
+    * builder, so adding a column or statistic updates both twins together.
+    */
+  private[graft] def profileAggs(cols: Seq[String], exact: Boolean): Seq[Column] =
+    cols.flatMap { c =>
+      val sc = col(c).cast("string")
+      Seq(count(sc).as(s"${c}_n"),
+        (if (exact) countDistinct(sc) else approx_count_distinct(sc)).as(s"${c}_d")) ++
+        (if (exact) Seq(sum(when(col(c).isNull || sc === "", 1L).otherwise(0L)).as(s"${c}_e"))
+         else Nil) ++
+        Seq(min(sc).as(s"${c}_min"), max(sc).as(s"${c}_max"))
+    }
+
+  private[graft] def profileStack(cols: Seq[String], exact: Boolean): String = {
+    val suf = if (exact) Seq("_n", "_d", "_e", "_min", "_max") else Seq("_n", "_d", "_min", "_max")
+    val out = if (exact) "column_name, n_nonnull, n_distinct, n_empty, min_str, max_str"
+              else "column_name, n_nonnull, approx_distinct, min_str, max_str"
+    s"stack(${cols.length}, " +
+      cols.map(c => s"'$c', " + suf.map(c + _).mkString(", ")).mkString(", ") +
+      s") as ($out)"
+  }
+
   def x15Profile(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
-    val aggs = cols.flatMap { c =>
-      Seq(count(col(c).cast("string")).as(s"${c}_n"),
-        countDistinct(col(c).cast("string")).as(s"${c}_d"),
-        sum(when(col(c).isNull || col(c).cast("string") === "", 1L).otherwise(0L)).as(s"${c}_e"),
-        min(col(c).cast("string")).as(s"${c}_min"),
-        max(col(c).cast("string")).as(s"${c}_max"))
-    }
+    val aggs = profileAggs(cols, exact = true)
     t(s, dir, "documents")
       .agg(aggs.head, aggs.tail: _*)
-      .selectExpr("stack(" + cols.length + ", " +
-        cols.map(c => s"'$c', ${c}_n, ${c}_d, ${c}_e, ${c}_min, ${c}_max").mkString(", ") +
-        ") as (column_name, n_nonnull, n_distinct, n_empty, min_str, max_str)")
+      .selectExpr(profileStack(cols, exact = true))
       .orderBy("column_name")
   }
 

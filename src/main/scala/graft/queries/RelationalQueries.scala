@@ -838,8 +838,7 @@ object RelationalQueries {
       .withColumn("prev_state", lag("state", 1).over(byUser))
       .filter(col("prev_state").isNull || col("prev_state") =!= col("state"))
     changes
-      .withColumn("valid_to_us",
-        lead("us", 1).over(Window.partitionBy("user_id").orderBy("us", "event_id")))
+      .withColumn("valid_to_us", lead("us", 1).over(byUser))
       .select(col("user_id"), col("state"), col("us").as("valid_from_us"),
         col("valid_to_us"), col("event_id").as("change_event_id"))
       // change_event_id makes the presentation sort a TOTAL order — two

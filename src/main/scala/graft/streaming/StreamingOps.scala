@@ -165,16 +165,9 @@ object StreamingOps {
     */
   def profileStream(docs: DataFrame): DataFrame = {
     val cols = Seq("doc_id", "lang", "source", "text")
-    val aggs = cols.flatMap { c =>
-      Seq(count(col(c).cast("string")).as(s"${c}_n"),
-        approx_count_distinct(col(c).cast("string")).as(s"${c}_d"),
-        min(col(c).cast("string")).as(s"${c}_min"),
-        max(col(c).cast("string")).as(s"${c}_max"))
-    }
+    val aggs = graft.queries.PipelineQueries.profileAggs(cols, exact = false)
     docs.groupBy().agg(aggs.head, aggs.tail: _*)
-      .selectExpr("stack(" + cols.length + ", " +
-        cols.map(c => s"'$c', ${c}_n, ${c}_d, ${c}_min, ${c}_max").mkString(", ") +
-        ") as (column_name, n_nonnull, approx_distinct, min_str, max_str)")
+      .selectExpr(graft.queries.PipelineQueries.profileStack(cols, exact = false))
   }
 
   private val GapUs = 1800L * 1000000L

@@ -399,8 +399,12 @@ class PipelineQueriesSpec extends SparkSpec {
       rws.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val exact = pairs(PipelineQueries.sim1CosineTopk(spark, sf).collect())
     val recall = (exact & pairs(rows)).size.toDouble / exact.size
-    info(s"sim6 recall@3 vs sim1: $recall (nprobe=2 of 8 cells)")
-    assert(recall > 0.0, "IVFPQ found nothing from the exact top-3")
+    // the composed index's residual codebooks must pay for the pruning:
+    // recall stays within one pair of UNPRUNED sim5's (SCALING.md's claim)
+    val pqRecall = (exact & pairs(PipelineQueries.sim5PqAnn(spark, sf).collect())).size.toDouble / exact.size
+    info(s"sim6 recall@3 vs sim1: $recall (sim5 unpruned: $pqRecall)")
+    assert(recall >= pqRecall - 1.0 / exact.size,
+      s"IVFPQ recall $recall fell more than one pair below unpruned PQ's $pqRecall")
   }
 
   test("d8 span dedup matches a driver-side brute force") {
