@@ -11,17 +11,19 @@ import graft.Tables.t
   * d6 connected-component cluster assembly, d7 train/eval contamination
   * screen, d8 duplicated-span detection, d9 semantic SemDeDup-style
   * cluster-bounded near-dup removal), similarity search (sim1 exact
-  * top-k baseline, sim2 LSH, sim2b
-  * multiprobe, sim3 IVF, sim4 k-means trainer, sim5 PQ/ADC), text analysis (x1 language-ID, x2 quality, x3
-  * token stats, x4 fingerprint, x5 redaction, x6 hash split, x7 BM25
-  * relevance, x8 stratified sample, x9 vocabulary, x10 repetition score,
-  * x11 sequence packing, x12 corpus-LM scoring, x13 corpus mixing weights),
-  * multimodal binary plumbing (m1 metadata, m2 frame sampling), sketch
-  * aggregates (a8s HLL++ distinct, a9s GK quantiles, a10s Count-Min
-  * frequency — deterministic per engine, engine-specific across engines, so
-  * driver-checked rows-only with error bounds pinned in the specs), and
-  * event analytics (w3 sessionization, w4 ordered funnel, w5 cohort
-  * retention).
+  * top-k baseline, sim2 LSH, sim2b multiprobe, sim3 IVF, sim4 k-means
+  * trainer, sim5 PQ/ADC, sim6 composed IVF+PQ), text analysis (x1
+  * language-ID, x2 quality, x3 token stats, x4 fingerprint, x5 redaction,
+  * x6 hash split, x7 BM25 relevance, x8 stratified sample, x9 vocabulary,
+  * x10 repetition score, x11 sequence packing, x12 corpus-LM scoring,
+  * x13 corpus mixing weights, x14 tokenizer application, x15 corpus
+  * profiling), multimodal binary plumbing (m1 metadata, m2 frame
+  * sampling), sketch aggregates (a8s HLL++ distinct, a9s GK quantiles,
+  * a10s Count-Min frequency — deterministic per engine, engine-specific
+  * across engines, so driver-checked rows-only with error bounds pinned
+  * in the specs), event analytics (w3 sessionization, w4 ordered funnel,
+  * w5 cohort retention), and the composed end-to-end curation verdict
+  * (pipe1).
   *
   * Every operator is expressed as a declarative DataFrame plan; all but the
   * sketch family and the codec-backed m3 (rows-only by the driver contract,
