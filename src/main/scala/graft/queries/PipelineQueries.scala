@@ -22,7 +22,7 @@ import graft.Tables.t
   * a10s Count-Min frequency — deterministic per engine, engine-specific
   * across engines, so driver-checked rows-only with error bounds pinned
   * in the specs), event analytics (w3 sessionization, w4 ordered funnel,
-  * w5 cohort retention), and the composed end-to-end curation verdict
+  * w5 cohort retention, w6 outlier flags), and the composed end-to-end curation verdict
   * (pipe1).
   *
   * Every operator is expressed as a declarative DataFrame plan; all but the
@@ -2565,6 +2565,40 @@ object PipelineQueries {
        |       LEFT JOIN spg ON b.doc_id = spg.doc_id
        |ORDER BY b.doc_id""".stripMargin
 
+  // ------------------------------------------- W6: rank-based outlier flags
+
+  /** Distribution-tail outlier detection per event type: flag the bottom
+    * and top 1% of `value` by exact percent_rank — the data-quality tripwire
+    * that runs after every ingest (price glitches, sensor spikes). Exact
+    * rank needs a per-type global order, which at 100 TB concentrates each
+    * type in one window partition — the same wall as any exact per-group
+    * order-statistic, and the same documented swap as a9 → a9s: compute the
+    * two thresholds with the GK quantile sketch (constant-size, mergeable),
+    * broadcast them, and flag with a narrow filter — sketch-threshold
+    * flagging is one scan, no sort. This exact form is the oracle-checkable
+    * contract the sketch form is validated against. percent_rank is
+    * (rank−1)/(n−1) of identical integers in both engines, so even the
+    * double compares are bit-exact.
+    */
+  def w6Outliers(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("value")
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") <= 0.01 || col("pr") >= 0.99)
+      .select(col("event_id"), col("event_type"), col("value"),
+        when(col("pr") <= 0.01, "low").otherwise("high").as("side"))
+      .orderBy("event_id")
+  }
+
+  val w6Sql: String =
+    """WITH r AS (SELECT event_id, event_type, value,
+      |        percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS pr
+      |      FROM events)
+      |SELECT event_id, event_type, value,
+      |  CASE WHEN pr <= 0.01 THEN 'low' ELSE 'high' END AS side
+      |FROM r WHERE pr <= 0.01 OR pr >= 0.99 ORDER BY event_id""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2609,6 +2643,7 @@ object PipelineQueries {
     "w3_sessionize" -> (w3Sessionize _),
     "w4_funnel" -> (w4Funnel _),
     "w5_retention" -> (w5Retention _),
+    "w6_outliers" -> (w6Outliers _),
     "pipe1_curate" -> (pipe1Curate _),
   )
 
@@ -2650,6 +2685,7 @@ object PipelineQueries {
     "w3_sessionize" -> w3Sql,
     "w4_funnel" -> w4Sql,
     "w5_retention" -> w5Sql,
+    "w6_outliers" -> w6Sql,
     "pipe1_curate" -> pipe1Sql,
   )
 }
