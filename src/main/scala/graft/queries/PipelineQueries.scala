@@ -2565,6 +2565,39 @@ object PipelineQueries {
        |       LEFT JOIN spg ON b.doc_id = spg.doc_id
        |ORDER BY b.doc_id""".stripMargin
 
+  // -------------------------------- X16: deterministic shard shuffle (epochs)
+
+  /** Deterministic corpus shuffle into training shards: every document gets
+    * a (shard, pos) address from a seeded hash — the epoch-reproducible
+    * "global shuffle" a training run needs WITHOUT a global sort. The shard
+    * assignment is a narrow hash; the within-shard ordering is a window
+    * PER SHARD, so the sort parallelism equals the shard count and each
+    * partition sorts corpus/nshards rows — no single-task total order
+    * anywhere (the x11 prefix-sum pattern solves the one truly global
+    * assignment; shuffling deliberately doesn't need it). Changing the
+    * seed literal reshuffles every epoch reproducibly; md5 keys make both
+    * engines agree on the permutation bit-for-bit.
+    */
+  def x16ShardShuffle(s: SparkSession, dir: String): DataFrame = {
+    val nShards = 8
+    val seed = "epoch-0"
+    val key = md5(concat(lit(seed), lit(":"), col("doc_id").cast("string")))
+    val byShard = Window.partitionBy("shard").orderBy("k")
+    t(s, dir, "documents")
+      .select(col("doc_id"), key.as("k"))
+      .withColumn("shard", expr(s"cast(conv(substring(k, 1, 8), 16, 10) as bigint) % $nShards"))
+      .withColumn("pos", row_number().over(byShard).cast("long") - 1L)
+      .select("doc_id", "shard", "pos")
+      .orderBy("doc_id")
+  }
+
+  val x16Sql: String =
+    s"""WITH k AS (SELECT doc_id, md5('epoch-0:' || doc_id::VARCHAR) AS k FROM documents),
+       |sh AS (SELECT doc_id, k, (${md5Hex8Sql("'epoch-0:' || doc_id::VARCHAR")}) % 8 AS shard FROM k)
+       |SELECT doc_id, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY k) AS BIGINT) - 1 AS pos
+       |FROM sh ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------- W6: rank-based outlier flags
 
   /** Distribution-tail outlier detection per event type: flag the bottom
@@ -2634,6 +2667,7 @@ object PipelineQueries {
     "x13_mix_weights" -> (x13MixWeights _),
     "x14_tokenize" -> (x14Tokenize _),
     "x15_profile" -> (x15Profile _),
+    "x16_shard_shuffle" -> (x16ShardShuffle _),
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_frame_sample" -> (m2FrameSample _),
     "m3_feature_ann" -> (m3FeatureAnn _),
@@ -2680,6 +2714,7 @@ object PipelineQueries {
     "x13_mix_weights" -> x13Sql,
     "x14_tokenize" -> x14Sql,
     "x15_profile" -> x15Sql,
+    "x16_shard_shuffle" -> x16Sql,
     "m1_binary_meta" -> m1Sql,
     "m2_frame_sample" -> m2Sql,
     "w3_sessionize" -> w3Sql,

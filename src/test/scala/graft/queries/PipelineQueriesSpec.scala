@@ -515,6 +515,21 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(rows.nonEmpty)
   }
 
+  test("x16 shard shuffle: dense per-shard positions, full coverage, real permutation") {
+    val rows = PipelineQueries.x16ShardShuffle(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"), r.getAs[Long]("pos")))
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length == n && rows.map(_._1).distinct.length == n)
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 8))
+    rows.groupBy(_._2).values.foreach { sh =>
+      assert(sh.map(_._3).sorted.sameElements(0L until sh.length), "positions not dense")
+    }
+    // the seeded permutation must not degenerate to doc_id order
+    val inOrder = rows.sortBy(_._1).map(r => (r._2, r._3))
+    assert(inOrder.sliding(2).exists { case Array(a, b) => a._1 == b._1 && a._2 > b._2; case _ => false },
+      "shuffle preserved doc_id order — permutation vacuous")
+  }
+
   test("x15 profile: key column is unique, nothing is null, bounds bracket values") {
     val n = spark.read.parquet(s"$sf/documents.parquet").count()
     val byCol = PipelineQueries.x15Profile(spark, sf).collect()
