@@ -1716,9 +1716,15 @@ object PipelineQueries {
     * `e` — the same value Spark computes as `conv(substring(md5(e),1,8),
     * 16,10)` (shared with the x6 split rule).
     */
-  private def md5Hex8Sql(e: String): String =
-    (1 to 8).map { k =>
-      val mult = 1L << (4 * (8 - k))
+  private def md5Hex8Sql(e: String): String = md5HexSql(e, 8)
+
+  /** General form: first `n` md5 hex chars of `e` as a decimal bigint —
+    * Spark's `conv(substring(md5(e),1,n),16,10)`. n ≤ 15 keeps the value
+    * inside 60 bits, so signed-long semantics can never diverge.
+    */
+  private def md5HexSql(e: String, n: Int): String =
+    (1 to n).map { k =>
+      val mult = 1L << (4 * (n - k))
       s"(strpos('0123456789abcdef', substr(md5($e),$k,1))-1) * $mult"
     }.mkString(" + ")
 
@@ -2598,6 +2604,54 @@ object PipelineQueries {
        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY k) AS BIGINT) - 1 AS pos
        |FROM sh ORDER BY doc_id""".stripMargin
 
+  // ---------------------------- X17: cross-shard novelty (incremental crawl)
+
+  /** Cross-snapshot novelty audit: treating shard k = the k-th crawl
+    * increment (deterministic doc_id % 4 here), measure what fraction of
+    * each shard's distinct 3-gram shingles is genuinely NEW — never seen in
+    * any earlier shard. This is the metric that decides whether the next
+    * crawl is worth ingesting, and the aggregate twin of d7/d8's gram
+    * screens. Shape: one (shard, gram) distinct digest (partial-aggregable,
+    * the d8 discipline — per-doc dedup happens in the shingle transform
+    * BEFORE the explode), then two independent partial-aggregable passes —
+    * totals per shard, and first-appearance per gram (min shard) re-counted
+    * per shard — joined at #shards × #shards size. The corpus is touched
+    * once; nothing after the digest is proportional to corpus volume. A
+    * gram seen in shards 2 and 3 counts as novel in 2 only — exactly the
+    * "first crawl owns the line" rule incremental dedup enforces.
+    */
+  def x17Novelty(s: SparkSession, dir: String): DataFrame = {
+    // grams are digested to a 60-bit md5 prefix BEFORE the distinct: the
+    // exchange then carries 8-byte keys instead of multi-word strings (the
+    // d8 digest-key discipline — shuffle width stays constant as the gram
+    // unit grows). Both engines hash identically, so counts stay exact.
+    val grams = shingled(s, dir)
+      .select((col("doc_id") % 4).as("shard"),
+        explode(expr(
+          "transform(sh, g -> cast(conv(substring(md5(g),1,15),16,10) as bigint))")).as("g"))
+      .distinct()
+    val totals = grams.groupBy("shard").agg(count(lit(1)).as("n_grams"))
+    val novel = grams.groupBy("g").agg(min("shard").as("shard"))
+      .groupBy("shard").agg(count(lit(1)).as("n_novel"))
+    totals.join(novel, Seq("shard"), "left")
+      .select(col("shard"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        expr("coalesce(n_novel, 0L) * 1000000L div n_grams").as("novel_ppm"))
+      .orderBy("shard")
+  }
+
+  val x17Sql: String =
+    s"""WITH $shingleSqlCte,
+       |g AS (SELECT DISTINCT shard, ${md5HexSql("g0", 15)} AS g
+       |      FROM (SELECT doc_id % 4 AS shard, unnest(s) AS g0 FROM sh)),
+       |tot AS (SELECT shard, COUNT(*) AS n_grams FROM g GROUP BY shard),
+       |nov AS (SELECT shard, COUNT(*) AS n_novel
+       |        FROM (SELECT g, MIN(shard) AS shard FROM g GROUP BY g) GROUP BY shard)
+       |SELECT tot.shard AS shard, n_grams, COALESCE(n_novel, 0) AS n_novel,
+       |  COALESCE(n_novel, 0) * 1000000 // n_grams AS novel_ppm
+       |FROM tot LEFT JOIN nov ON tot.shard = nov.shard
+       |ORDER BY shard""".stripMargin
+
   // ------------------------------------------- W6: rank-based outlier flags
 
   /** Distribution-tail outlier detection per event type: flag the bottom
@@ -2668,6 +2722,7 @@ object PipelineQueries {
     "x14_tokenize" -> (x14Tokenize _),
     "x15_profile" -> (x15Profile _),
     "x16_shard_shuffle" -> (x16ShardShuffle _),
+    "x17_novelty" -> (x17Novelty _),
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_frame_sample" -> (m2FrameSample _),
     "m3_feature_ann" -> (m3FeatureAnn _),
@@ -2715,6 +2770,7 @@ object PipelineQueries {
     "x14_tokenize" -> x14Sql,
     "x15_profile" -> x15Sql,
     "x16_shard_shuffle" -> x16Sql,
+    "x17_novelty" -> x17Sql,
     "m1_binary_meta" -> m1Sql,
     "m2_frame_sample" -> m2Sql,
     "w3_sessionize" -> w3Sql,

@@ -428,6 +428,42 @@ object RelationalQueries {
       |  AND abs(epoch_ns(e2.ts)//1000 - epoch_ns(e1.ts)//1000) <= 3600000000
       |ORDER BY user_id, purchase_id, error_id""".stripMargin
 
+  /** J11: interval-lookup join — classify each fact row by membership in a
+    * small table of non-uniform [lo, hi) bands (rate cards, SLA tiers,
+    * geo/IP ranges). The dim is constant-size, so the right physical shape
+    * is a broadcast nested-loop join: the fact side streams through codegen
+    * probing ≤ |bands| comparisons per row and NEVER shuffles — at 100 TB
+    * the corpus-side scan dominates and the BNLJ adds a constant factor,
+    * not an exchange. (A *growing* interval dim is a different operator:
+    * discretize to buckets and equi-join, the j10 shape; the two compose —
+    * bucket first, residual-check inside the bucket.) Aggregation after the
+    * classify is ordinary partial-aggregable groupBy on ≤ |bands| keys.
+    * Band bounds are exact literals compared identically by both engines.
+    */
+  def j11IntervalLookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      ("b0_[0,1)", 0.0, 1.0), ("b1_[1,5)", 1.0, 5.0), ("b2_[5,10)", 5.0, 10.0),
+      ("b3_[10,25)", 10.0, 25.0), ("b4_[25,50)", 25.0, 50.0),
+      ("b5_[50,100)", 50.0, 100.0), ("b6_[100,250)", 100.0, 250.0),
+      ("b7_[250,1000)", 250.0, 1000.0)).toDF("band", "lo", "hi")
+    t(s, dir, "events")
+      .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy("band")
+  }
+
+  val j11Sql: String =
+    s"""SELECT band, COUNT(*) AS n_events, ${DSUM.format("value")} AS sum_value
+       |FROM events JOIN (VALUES
+       |  ('b0_[0,1)', 0.0, 1.0), ('b1_[1,5)', 1.0, 5.0), ('b2_[5,10)', 5.0, 10.0),
+       |  ('b3_[10,25)', 10.0, 25.0), ('b4_[25,50)', 25.0, 50.0),
+       |  ('b5_[50,100)', 50.0, 100.0), ('b6_[100,250)', 100.0, 250.0),
+       |  ('b7_[250,1000)', 250.0, 1000.0)) AS bands(band, lo, hi)
+       |ON value >= lo AND value < hi
+       |GROUP BY band ORDER BY band""".stripMargin
+
   // ------------------------------------------------------------- aggregates
 
   /** A4: COUNT(DISTINCT …) with an emptiness guard, as in covSonar info. */
@@ -537,6 +573,36 @@ object RelationalQueries {
        |  ${DSUM.format("o_totalprice")} AS sum_price
        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
        |ORDER BY gid, status, priority""".stripMargin
+
+  /** A13: explicit GROUPING SETS — the general form a11/a12 are sugar for,
+    * here with two *disjoint* single-column slices ((flag), (status)) that
+    * neither ROLLUP (hierarchical) nor CUBE (power set, incl. finer levels)
+    * would produce alone. Same execution shape as a11/a12: ONE Expand
+    * multiplies each input row by the 2 sets it belongs to BEFORE the
+    * exchange, partial aggregation combines map-side, so the shuffle carries
+    * #groups × #sets rows — per-slice jobs would instead scan the fact table
+    * once per slice. Sentinel-coalesced NULL keys + grouping_id keep the
+    * cross-engine compare free of NULL-ordering differences.
+    */
+  def a13GroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("ret"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("gid"), col("n"), col("sum_qty"))
+      .orderBy("gid", "ret", "status")
+
+  val a13Sql: String =
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS ret, COALESCE(l_linestatus, 'ALL') AS status,
+       |  GROUPING(l_returnflag, l_linestatus) AS gid, COUNT(*) AS n,
+       |  ${DSUM.format("l_quantity")} AS sum_qty
+       |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+       |ORDER BY gid, ret, status""".stripMargin
 
   /** A9: exact interpolated quartiles per group. Oracle-safe despite being a
     * float computation: `l_quantity` is integer-valued and quartile fractions
@@ -664,6 +730,41 @@ object RelationalQueries {
        |  ${DSUM.format("value")} AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
 
+  /** W7: windowed heavy hitters — top-3 event types per 1-hour bucket
+    * ("trending now", the time-bucketed twin of a10's global top-k). Phase 1
+    * is a partial-aggregable (bucket, type) count — the only full-data
+    * shuffle; phase 2 ranks WITHIN each bucket, so the window partitions by
+    * bucket over data already reduced to #buckets × #types rows, never a
+    * single-task global sort. At 100 TB the rank input stays tiny because
+    * the type domain is bounded; an unbounded domain is exactly when the
+    * bounded TopK aggregator (a10) or a SpaceSaving sketch replaces the
+    * window — same contract, pinned by the a10 spec.
+    */
+  def w7HourlyTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = t(s, dir, "events")
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val byBucket = Window.partitionBy("bucket").orderBy(col("n").desc, col("event_type"))
+    counts
+      .withColumn("rank", row_number().over(byBucket))
+      .filter(col("rank") <= 3)
+      .select("bucket", "rank", "event_type", "n")
+      .orderBy("bucket", "rank")
+  }
+
+  val w7Sql: String =
+    """WITH c AS (
+      |  SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:00') AS bucket,
+      |    event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT bucket, rank, event_type, n FROM (
+      |  SELECT bucket, event_type, n,
+      |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY n DESC, event_type) AS rank
+      |  FROM c)
+      |WHERE rank <= 3 ORDER BY bucket, rank""".stripMargin
+
   // ------------------------------------------------------- scalar functions
 
   /** F1/F5: harmonize analog — trim/upper/translate normalization chain. */
@@ -785,7 +886,10 @@ object RelationalQueries {
     * the join — nothing downstream sees full-table volume. String equality
     * on the compared column keeps the oracle exact.
     */
-  def k8SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+  /** The two deterministic table versions k8 diffs and k10 merges — one
+    * derivation so the pair of operators can never disagree on the input.
+    */
+  private def snapshotPair(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val base = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
     val vOld = base.filter(col("o_orderkey") % 7 =!= 0)
       .select(col("o_orderkey").as("k_old"), col("o_orderstatus").as("old_status"))
@@ -793,6 +897,11 @@ object RelationalQueries {
       .select(col("o_orderkey").as("k_new"),
         when(col("o_orderkey") % 3 === 0, lit("X"))
           .otherwise(col("o_orderstatus")).as("new_status"))
+    (vOld, vNew)
+  }
+
+  def k8SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val (vOld, vNew) = snapshotPair(s, dir)
     vOld.join(vNew, col("k_old") === col("k_new"), "full_outer")
       .withColumn("op",
         when(col("k_old").isNull, lit("I"))
@@ -859,6 +968,63 @@ object RelationalQueries {
       |  event_id AS change_event_id
       |FROM ch ORDER BY user_id, valid_from_us, change_event_id""".stripMargin
 
+  /** K10: changelog apply (MERGE INTO) — the closing arc of the CDC family:
+    * k8 produces the I/U/D changelog between two snapshots; k10 applies that
+    * changelog back onto the old snapshot and must land exactly on the new
+    * one. The merge is upsert = anti-join the old snapshot against the
+    * changed keys (U ∪ D) then union the I ∪ U rows — in a real refresh the
+    * changelog is orders of magnitude smaller than the snapshot, so the
+    * anti-join resolves as a broadcast of changelog keys and the snapshot
+    * side never shuffles; with key-bucketed layouts even the diff side is
+    * exchange-free. Output holds per-status counts of the applied snapshot
+    * NEXT TO the same counts recomputed from the target snapshot, so the
+    * oracle compare itself certifies apply ≡ target cross-engine (the spec
+    * additionally pins row-level equality).
+    */
+  def k10ChangelogApply(s: SparkSession, dir: String): DataFrame = {
+    val (vOld, vNew) = snapshotPair(s, dir)
+    val log = k8SnapshotDiff(s, dir)
+    val changedKeys = log.filter(col("op").isin("U", "D"))
+      .select(col("o_orderkey").as("ck"))
+    val upserts = log.filter(col("op").isin("I", "U"))
+      .select(col("o_orderkey").as("k"), col("new_status").as("status"))
+    val applied = vOld
+      .join(changedKeys, col("k_old") === col("ck"), "left_anti")
+      .select(col("k_old").as("k"), col("old_status").as("status"))
+      .unionByName(upserts)
+    val appliedCounts = applied.groupBy("status").agg(count(lit(1)).as("n_applied"))
+    val targetCounts = vNew.groupBy(col("new_status").as("status"))
+      .agg(count(lit(1)).as("n_target"))
+    appliedCounts.join(targetCounts, Seq("status"), "full_outer")
+      .select(col("status"),
+        coalesce(col("n_applied"), lit(0L)).as("n_applied"),
+        coalesce(col("n_target"), lit(0L)).as("n_target"))
+      .orderBy("status")
+  }
+
+  val k10Sql: String =
+    """WITH o AS (SELECT o_orderkey, o_orderstatus FROM orders),
+      |old AS (SELECT o_orderkey AS k_old, o_orderstatus AS old_status
+      |        FROM o WHERE o_orderkey % 7 != 0),
+      |new AS (SELECT o_orderkey AS k_new,
+      |          CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END AS new_status
+      |        FROM o WHERE o_orderkey % 5 != 0),
+      |log AS (SELECT COALESCE(k_old, k_new) AS k, old_status, new_status,
+      |          CASE WHEN k_old IS NULL THEN 'I' WHEN k_new IS NULL THEN 'D'
+      |               WHEN old_status != new_status THEN 'U' END AS op
+      |        FROM old FULL OUTER JOIN new ON k_old = k_new),
+      |applied AS (
+      |  SELECT k_old AS k, old_status AS status FROM old
+      |  WHERE k_old NOT IN (SELECT k FROM log WHERE op IN ('U','D'))
+      |  UNION ALL
+      |  SELECT k, new_status AS status FROM log WHERE op IN ('I','U')),
+      |ac AS (SELECT status, COUNT(*) AS n_applied FROM applied GROUP BY status),
+      |tc AS (SELECT new_status AS status, COUNT(*) AS n_target FROM new GROUP BY new_status)
+      |SELECT COALESCE(ac.status, tc.status) AS status,
+      |  COALESCE(n_applied, 0) AS n_applied, COALESCE(n_target, 0) AS n_target
+      |FROM ac FULL OUTER JOIN tc ON ac.status = tc.status
+      |ORDER BY status""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -880,6 +1046,7 @@ object RelationalQueries {
     "j8_bloom_semi" -> (j8BloomSemi _),
     "j9_asof_join" -> (j9AsofJoin _),
     "j10_range_join" -> (j10RangeJoin _),
+    "j11_interval_lookup" -> (j11IntervalLookup _),
     "a4_count_distinct" -> (a4CountDistinct _),
     "a5_group_order" -> (a5GroupOrder _),
     "a6_min_max" -> (a6MinMax _),
@@ -888,8 +1055,10 @@ object RelationalQueries {
     "a10_topk_heavy" -> (a10TopkHeavy _),
     "a11_rollup" -> (a11Rollup _),
     "a12_cube" -> (a12Cube _),
+    "a13_grouping_sets" -> (a13GroupingSets _),
     "w1_row_number" -> (w1RowNumber _),
     "w2_running_sum" -> (w2RunningSum _),
+    "w7_hourly_topk" -> (w7HourlyTopk _),
     "s_tumbling_window" -> (sTumblingWindow _),
     "f1_harmonize" -> (f1Harmonize _),
     "f2_content_hash" -> (f2ContentHash _),
@@ -900,6 +1069,7 @@ object RelationalQueries {
     "k7_coalesce_update" -> (k7CoalesceUpdate _),
     "k8_snapshot_diff" -> (k8SnapshotDiff _),
     "k9_scd2" -> (k9Scd2 _),
+    "k10_changelog_apply" -> (k10ChangelogApply _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -921,6 +1091,7 @@ object RelationalQueries {
     "j8_bloom_semi" -> j8Sql,
     "j9_asof_join" -> j9Sql,
     "j10_range_join" -> j10Sql,
+    "j11_interval_lookup" -> j11Sql,
     "a4_count_distinct" -> a4Sql,
     "a5_group_order" -> a5Sql,
     "a6_min_max" -> a6Sql,
@@ -929,8 +1100,10 @@ object RelationalQueries {
     "a10_topk_heavy" -> a10Sql,
     "a11_rollup" -> a11Sql,
     "a12_cube" -> a12Sql,
+    "a13_grouping_sets" -> a13Sql,
     "w1_row_number" -> w1Sql,
     "w2_running_sum" -> w2Sql,
+    "w7_hourly_topk" -> w7Sql,
     "s_tumbling_window" -> sTumblingSql,
     "f1_harmonize" -> f1Sql,
     "f2_content_hash" -> f2Sql,
@@ -941,5 +1114,6 @@ object RelationalQueries {
     "k7_coalesce_update" -> k7Sql,
     "k8_snapshot_diff" -> k8Sql,
     "k9_scd2" -> k9Sql,
+    "k10_changelog_apply" -> k10Sql,
   )
 }

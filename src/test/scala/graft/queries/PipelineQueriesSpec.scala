@@ -530,6 +530,29 @@ class PipelineQueriesSpec extends SparkSpec {
       "shuffle preserved doc_id order — permutation vacuous")
   }
 
+  test("x17 novelty: shard 0 is all-novel, novel counts partition the gram universe") {
+    val rows = PipelineQueries.x17Novelty(spark, sf).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_novel"), r.getAs[Long]("novel_ppm")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L until rows.length))
+    // the first crawl increment has no predecessor: everything it holds is new
+    assert(rows.head._3 == rows.head._2 && rows.head._4 == 1000000L)
+    rows.foreach { case (_, total, novel, ppm) =>
+      assert(novel <= total && ppm == novel * 1000000L / total)
+    }
+    // each distinct gram is novel in exactly one shard (its first), so the
+    // novel counts partition the global gram universe
+    import org.apache.spark.sql.functions.{col, explode}
+    val universe = graft.Tables.t(spark, sf, "documents")
+      .withColumn("w", org.apache.spark.sql.functions.split(col("text"), " "))
+      .filter(org.apache.spark.sql.functions.size(col("w")) >= 3)
+      .selectExpr("explode(array_distinct(transform(sequence(0, size(w)-3), " +
+        "i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS g")
+      .select("g").distinct().count()
+    assert(rows.map(_._3).sum == universe)
+  }
+
   test("x15 profile: key column is unique, nothing is null, bounds bracket values") {
     val n = spark.read.parquet(s"$sf/documents.parquet").count()
     val byCol = PipelineQueries.x15Profile(spark, sf).collect()

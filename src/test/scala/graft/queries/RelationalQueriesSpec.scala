@@ -215,6 +215,70 @@ class RelationalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("k10 changelog apply lands exactly on the target snapshot") {
+    // the query's own contract: applied counts equal target counts per status
+    val rows = RelationalQueries.k10ChangelogApply(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_applied") == r.getAs[Long]("n_target"),
+        s"apply diverged for status ${r.getString(0)}"))
+    // independent driver-side replay: applying k8's changelog to the old
+    // snapshot must reproduce the new snapshot row-for-row, not just by count
+    val orders = graft.Tables.t(spark, sf, "orders")
+      .select("o_orderkey", "o_orderstatus").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val vOld = orders.collect { case (k, st) if k % 7 != 0 => k -> st }.toMap
+    val vNew = orders.collect { case (k, st) if k % 5 != 0 =>
+      k -> (if (k % 3 == 0) "X" else st)
+    }.toMap
+    val log = RelationalQueries.k8SnapshotDiff(spark, sf).collect().map { r =>
+      (r.getLong(0), r.getString(1), if (r.isNullAt(3)) None else Some(r.getString(3)))
+    }
+    val applied = log.foldLeft(vOld) {
+      case (acc, (k, "D", _)) => acc - k
+      case (acc, (k, _, Some(n))) => acc + (k -> n) // I and U both upsert
+      case (acc, _) => acc
+    }
+    assert(applied == vNew)
+  }
+
+  test("j11 interval lookup classifies every in-range event exactly once") {
+    val rows = RelationalQueries.j11IntervalLookup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val classified = rows.map(_.getAs[Long]("n_events")).sum
+    val inRange = graft.Tables.t(spark, sf, "events")
+      .filter(col("value") >= 0.0 && col("value") < 1000.0).count()
+    assert(classified == inRange, "bands must partition the value domain")
+    // the fact side must not shuffle: a constant dim resolves as a
+    // broadcast nested-loop join, never an exchange on the event stream
+    val plan = RelationalQueries.j11IntervalLookup(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("a13 grouping sets: each slice independently totals the fact table") {
+    val rows = RelationalQueries.a13GroupingSets(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._3).toSet == Set(1L, 2L), "exactly the two declared slices")
+    val total = graft.Tables.t(spark, sf, "lineitem").count()
+    val byFlag = rows.filter(_._3 == 1) // (l_returnflag) slice: status rolled up
+    val byStatus = rows.filter(_._3 == 2) // (l_linestatus) slice: flag rolled up
+    assert(byFlag.forall(_._2 == "ALL") && byStatus.forall(_._1 == "ALL"))
+    assert(byFlag.map(_._4).sum == total && byStatus.map(_._4).sum == total)
+  }
+
+  test("w7 hourly top-k: ranks dense from 1, counts non-increasing per bucket") {
+    val rows = RelationalQueries.w7HourlyTopk(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("bucket")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.length <= 3)
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      val counts = sorted.map(_.getAs[Long]("n"))
+      assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("queries and oracleSql keys line up in SparkEntry") {
     val q = graft.SparkEntry.queries.keySet
     val o = graft.SparkEntry.oracleSql.keySet
