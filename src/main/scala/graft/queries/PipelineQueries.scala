@@ -22,8 +22,9 @@ import graft.Tables.t
   * a10s Count-Min frequency — deterministic per engine, engine-specific
   * across engines, so driver-checked rows-only with error bounds pinned
   * in the specs), event analytics (w3 sessionization, w4 ordered funnel,
-  * w5 cohort retention, w6 outlier flags), and the composed end-to-end curation verdict
-  * (pipe1).
+  * w5 cohort retention, w6 outlier flags), iterative graph analytics
+  * (g1 fixed-point PageRank), the x17 cross-shard novelty audit, and the
+  * composed end-to-end curation verdict (pipe1).
   *
   * Every operator is expressed as a declarative DataFrame plan; all but the
   * sketch family and the codec-backed m3 (rows-only by the driver contract,
@@ -759,6 +760,67 @@ object PipelineQueries {
        |SELECT doc_id, cluster_id,
        |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
        |FROM lab ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------- G1: fixed-point PageRank (iterative graph)
+
+  /** Iterative graph analytics beyond connectivity (d6): K Pregel-style
+    * PageRank rounds over the bipartite customer–supplier trade graph
+    * (distinct (cust, supp) pairs that ever traded, both directions). Each
+    * round is ONE shuffle — contributions `r div deg` flow along edges and
+    * re-aggregate on dst; the unrolled driver loop composes K such rounds
+    * into one declarative plan, exactly how an iterate-to-convergence job
+    * runs on a cluster (driver loop + per-round checkpoint; the edge list
+    * is localCheckpoint'd once and re-joined every round, never rebuilt).
+    * Rank mass is integer ppm with truncating division on BOTH engines
+    * (the sim4 fixed-point discipline), so 4 rounds of
+    * `150000 + 850000·Σ contrib ÷ 10⁶` are bit-exact cross-engine and the
+    * oracle is the same recursion unrolled as chained CTEs. At 1000× the
+    * per-round shuffle partitions by dst — skew (a mega-hub) is AQE's
+    * skew-split case, and the round count is the driver knob (stop when
+    * `max |r_k − r_{k−1}|` under-runs a threshold — a one-row agg per
+    * round).
+    */
+  def g1Pagerank(s: SparkSession, dir: String): DataFrame = {
+    val iters = 4
+    val pairs = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("cn"),
+        concat(lit("s"), col("l_suppkey")).as("sn"))
+      .distinct()
+    val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"))
+      .unionByName(pairs.select(col("sn").as("src"), col("cn").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    var rank = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      rank = edges
+        .join(deg, "src")
+        .join(rank, col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("r div deg")).as("contrib"))
+        .select(col("dst").as("node"),
+          (lit(150000L) + expr("850000L * contrib div 1000000L")).as("r"))
+    }
+    rank.orderBy(col("r").desc, col("node")).limit(50)
+  }
+
+  val g1Sql: String = {
+    val rounds = (1 to 4).map { k =>
+      s"""r$k AS (SELECT e.dst AS node,
+         |  150000 + 850000 * CAST(SUM(p.r // d.deg) AS BIGINT) // 1000000 AS r
+         |  FROM edges e JOIN deg d ON e.src = d.src JOIN r${k - 1} p ON e.src = p.node
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT DISTINCT 'c' || o_custkey AS cn, 's' || l_suppkey AS sn
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (SELECT cn AS src, sn AS dst FROM pairs
+       |          UNION ALL SELECT sn, cn FROM pairs),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+       |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+       |$rounds
+       |SELECT node, CAST(r AS BIGINT) AS r FROM r4
+       |ORDER BY r DESC, node LIMIT 50""".stripMargin
   }
 
   // ------------------------------------- D5: embedding-cosine nearest dup
@@ -2696,6 +2758,7 @@ object PipelineQueries {
     "d4_ngram_jaccard" -> (d4NgramJaccard _),
     "d5_embedding_nn" -> (d5EmbeddingNn _),
     "d6_dup_clusters" -> (d6DupClusters _),
+    "g1_pagerank" -> (g1Pagerank _),
     "d7_contamination" -> (d7Contamination _),
     "d8_span_dedup" -> (d8SpanDedup _),
     "d9_sem_dedup" -> (d9SemDedup _),
@@ -2744,6 +2807,7 @@ object PipelineQueries {
     "d4_ngram_jaccard" -> d4Sql,
     "d5_embedding_nn" -> d5Sql,
     "d6_dup_clusters" -> d6Sql,
+    "g1_pagerank" -> g1Sql,
     "d7_contamination" -> d7Sql,
     "d8_span_dedup" -> d8Sql,
     "d9_sem_dedup" -> d9Sql,

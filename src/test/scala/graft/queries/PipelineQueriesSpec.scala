@@ -530,6 +530,27 @@ class PipelineQueriesSpec extends SparkSpec {
       "shuffle preserved doc_id order — permutation vacuous")
   }
 
+  test("g1 pagerank matches a driver-side fixed-point iteration") {
+    val pairs = graft.Tables.t(spark, sf, "orders")
+      .join(graft.Tables.t(spark, sf, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .selectExpr("concat('c', o_custkey) AS c", "concat('s', l_suppkey) AS s")
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    val edges = pairs.map { case (c, p) => (c, p) } ++ pairs.map { case (c, p) => (p, c) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var rank = deg.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 4) {
+      val contrib = edges.groupBy(_._2).view.mapValues(
+        _.map { case (src, _) => rank(src) / deg(src) }.sum).toMap
+      rank = contrib.map { case (n, c) => n -> (150000L + 850000L * c / 1000000L) }
+    }
+    val expected = rank.toSeq.sortBy { case (n, r) => (-r, n) }.take(50)
+    val got = PipelineQueries.g1Pagerank(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected)
+    // damping floor: no node can fall below the teleport mass
+    assert(got.forall(_._2 >= 150000L))
+  }
+
   test("x17 novelty: shard 0 is all-novel, novel counts partition the gram universe") {
     val rows = PipelineQueries.x17Novelty(spark, sf).collect()
       .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_grams"),
