@@ -19,6 +19,12 @@ final case class Session(user_id: Long, session_start_us: Long,
 private final case class SessionState(startUs: Long, endUs: Long,
     n: Long, total: Double)
 
+/** One trending row: a top-k event type of a CLOSED hour window. */
+final case class Trending(window_start_us: Long, rank: Int,
+    event_type: String, n_events: Long)
+
+private final case class TrendState(counts: Map[String, Long])
+
 /** A funnel outcome: emitted the moment a user converts (stage 3), or at
   * the abandonment horizon with the furthest stage reached.
   */
@@ -229,6 +235,51 @@ object StreamingOps {
                   state.getCurrentWatermarkMs() + 1L))
             }
             out.result().iterator
+          }
+      }
+  }
+
+  /** Streaming trending top-k — the ingest-time twin of the batch
+    * `w7_hourly_topk` operator. A rank over a streaming aggregate is not
+    * expressible as a second streaming agg (no windowed sort in append
+    * mode), so the streaming-native shape is stateful: state is ONE count
+    * map per open hour window (bounded by the event-type domain — exactly
+    * the bound w7's scale note names; an unbounded domain swaps the map
+    * for a SpaceSaving sketch, same contract), and the ranked top-k is
+    * emitted EXACTLY ONCE, when the event-time watermark passes the window
+    * end and the ranking can no longer change. Ties break (count desc,
+    * type asc) precisely as in batch w7, so on identical input the emitted
+    * rows equal w7's rows for every closed window (spec-pinned). Windows
+    * are keyed, so state and emission hash-partition across executors.
+    */
+  def trendingTopK(events: Dataset[Event], k: Int = 3): Dataset[Trending] = {
+    import events.sparkSession.implicits._
+    val HourUs = 3600L * 1000000L
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(e => eventUs(e.ts) / HourUs)
+      .flatMapGroupsWithState[TrendState, Trending](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (bucket: Long, it: Iterator[Event], state: GroupState[TrendState]) =>
+          if (state.hasTimedOut) {
+            val ranked = state.getOption.toSeq.flatMap(_.counts.toSeq
+              .sortBy { case (t, n) => (-n, t) }.take(k).zipWithIndex
+              .map { case ((t, n), i) => Trending(bucket * HourUs, i + 1, t, n) })
+            state.remove()
+            ranked.iterator
+          } else {
+            var counts = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+            it.foreach { e =>
+              counts = counts.updated(e.event_type, counts.getOrElse(e.event_type, 0L) + 1L)
+            }
+            state.update(TrendState(counts))
+            // emit when the watermark clears the window end: the 2 h
+            // watermark delay is the lateness horizon, after which the
+            // window's ranking is final
+            state.setTimeoutTimestamp(
+              math.max((bucket + 1L) * HourUs / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
           }
       }
   }

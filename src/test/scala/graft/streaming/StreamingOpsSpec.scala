@@ -228,6 +228,50 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming trending top-k emits each closed window once, equal to batch w7") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    def tsOfUs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    val evs = graft.Tables.t(spark, sfDir, "events")
+      .selectExpr("event_id", "unix_micros(ts) as us", "user_id", "event_type", "value")
+      .collect().sortBy(_.getAs[Long]("us"))
+      .map(r => Event(r.getAs[Long]("event_id"), tsOfUs(r.getAs[Long]("us")),
+        r.getAs[Long]("user_id"), r.getAs[String]("event_type"), r.getAs[Double]("value")))
+    val lastUs = evs.map(e => e.ts.getTime * 1000L).max
+    val in = MemoryStream[Event]
+    val q = StreamingOps.trendingTopK(in.toDS())
+      .writeStream.format("memory").queryName("trending")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = evs.splitAt(evs.length / 2)
+      in.addData(b1.toSeq); q.processAllAvailable()
+      in.addData(b2.toSeq); q.processAllAvailable()
+      // two ticks far ahead: the first advances the watermark past every
+      // real window's end + 2 h delay, the second triggers the timeouts
+      val far = lastUs + 10L * 3600L * 1000000L
+      in.addData(Event(-1, tsOfUs(far), 0L, "tick", 0.0)); q.processAllAvailable()
+      in.addData(Event(-2, tsOfUs(far + 3600L * 1000000L), 0L, "tick", 0.0))
+      q.processAllAvailable()
+      val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:00")
+        .withZone(java.time.ZoneOffset.UTC)
+      val got = spark.table("trending").as[Trending].collect()
+        .filterNot(_.event_type == "tick")
+        .map(t => (fmt.format(java.time.Instant.ofEpochSecond(t.window_start_us / 1000000L)),
+          t.rank, t.event_type, t.n_events))
+      // exactly-once: one row per (window, rank)
+      assert(got.map(t => (t._1, t._2)).distinct.length == got.length)
+      val batch = graft.queries.RelationalQueries.w7HourlyTopk(spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      assert(got.sorted.toSeq == batch.sorted.toSeq)
+      assert(batch.nonEmpty, "no closed windows — test is vacuous")
+    } finally q.stop()
+  }
+
   test("stream-stream band join emits exactly the batch j10 pair set") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
