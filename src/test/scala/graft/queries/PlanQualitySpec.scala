@@ -238,6 +238,52 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges <= 1, s"expected <=1 exchange (output sort), got $exchanges")
   }
 
+  test("a13 grouping sets is one Expand + one aggregation pass") {
+    val p = plan(RelationalQueries.a13GroupingSets(spark, sf))
+    assert(p.contains("Expand"), "grouping-sets expand missing")
+    // partial/final HashAggregate around one group-key exchange + the output
+    // sort: never one scan per declared slice
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges")
+  }
+
+  test("w7 trending: the rank window partitions by bucket over pre-aggregated rows") {
+    val p = plan(RelationalQueries.w7HourlyTopk(spark, sf))
+    assert(p.contains("Window"), "per-bucket rank window missing")
+    assert(p.contains("HashAggregate"), "counts must pre-aggregate before the window")
+    // count exchange + window repartition (AQE may merge them) + output sort
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges:\n" +
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("k10 merge apply: changed keys anti-join without a product, log side broadcastable") {
+    val p = plan(RelationalQueries.k10ChangelogApply(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "merge apply degenerated to a product:\n" + p.take(1500))
+    assert(p.contains("LeftAnti"), "changed-key anti-join missing")
+  }
+
+  test("x17 novelty digest shuffles 8-byte gram keys, never raw shingle strings") {
+    val p = plan(PipelineQueries.x17Novelty(spark, sf))
+    // the distinct exchange must hash on the bigint digest column; a raw
+    // string gram key would appear as a string-typed partition expression
+    assert(p.contains("HashAggregate"), "distinct digest aggregation missing")
+    assert(!p.contains("Join") || !p.contains("CartesianProduct"))
+    val gramCast = p.contains("conv(substring(md5")
+    assert(gramCast, "md5-digest gram key missing from the plan:\n" + p.take(1200))
+  }
+
+  test("g1 pagerank reuses the checkpointed edge list; every round joins on a key") {
+    val p = plan(PipelineQueries.g1Pagerank(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "a PageRank round degenerated to a product:\n" + p.take(1500))
+    // the edge list is localCheckpoint'd: rounds must scan the checkpoint RDD,
+    // not re-derive the distinct-pairs join four times
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
+      "edge checkpoint missing — rounds would rebuild the pair join each time")
+  }
+
   test("d3 simhash reads only the columns it needs from documents") {
     val p = plan(PipelineQueries.d3Simhash(spark, sf))
     val rs = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
