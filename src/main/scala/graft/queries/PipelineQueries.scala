@@ -783,43 +783,52 @@ object PipelineQueries {
     */
   def g1Pagerank(s: SparkSession, dir: String): DataFrame = {
     val iters = 4
+    // integer node ids (customer = 2k, supplier = 2k+1): 8-byte join/shuffle
+    // keys through every round; the display name is reconstructed only at
+    // the 50-row output
     val pairs = t(s, dir, "orders")
       .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("cn"),
-        concat(lit("s"), col("l_suppkey")).as("sn"))
+      .select((col("o_custkey") * 2).as("cn"), (col("l_suppkey") * 2 + 1).as("sn"))
       .distinct()
     val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"))
       .unionByName(pairs.select(col("sn").as("src"), col("cn").as("dst")))
-      .localCheckpoint()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // one checkpointed (src, dst, deg) table: rounds pay a single rank join
+    // + the dst re-aggregation, never a per-round degree recomputation
+    val edgeDeg = edges.join(deg, "src").localCheckpoint()
     var rank = deg.select(col("src").as("node"), lit(1000000L).as("r"))
     for (_ <- 1 to iters) {
-      rank = edges
-        .join(deg, "src")
+      rank = edgeDeg
         .join(rank, col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(sum(expr("r div deg")).as("contrib"))
         .select(col("dst").as("node"),
           (lit(150000L) + expr("850000L * contrib div 1000000L")).as("r"))
     }
-    rank.orderBy(col("r").desc, col("node")).limit(50)
+    rank
+      .select(concat(when(col("node") % 2 === 0, "c").otherwise("s"),
+        expr("node div 2")).as("node"), col("r"))
+      .orderBy(col("r").desc, col("node")).limit(50)
   }
 
   val g1Sql: String = {
     val rounds = (1 to 4).map { k =>
       s"""r$k AS (SELECT e.dst AS node,
-         |  150000 + 850000 * CAST(SUM(p.r // d.deg) AS BIGINT) // 1000000 AS r
-         |  FROM edges e JOIN deg d ON e.src = d.src JOIN r${k - 1} p ON e.src = p.node
+         |  150000 + 850000 * CAST(SUM(p.r // e.deg) AS BIGINT) // 1000000 AS r
+         |  FROM edges e JOIN r${k - 1} p ON e.src = p.node
          |  GROUP BY e.dst)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pairs AS (SELECT DISTINCT 'c' || o_custkey AS cn, 's' || l_suppkey AS sn
+    s"""WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-       |edges AS (SELECT cn AS src, sn AS dst FROM pairs
-       |          UNION ALL SELECT sn, cn FROM pairs),
-       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
-       |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+       |e0 AS (SELECT cn AS src, sn AS dst FROM pairs
+       |       UNION ALL SELECT sn, cn FROM pairs),
+       |deg AS (SELECT src AS dn, CAST(COUNT(*) AS BIGINT) AS deg FROM e0 GROUP BY src),
+       |edges AS (SELECT src, dst, deg FROM e0 JOIN deg ON src = dn),
+       |r0 AS (SELECT dn AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
        |$rounds
-       |SELECT node, CAST(r AS BIGINT) AS r FROM r4
+       |SELECT CASE WHEN node % 2 = 0 THEN 'c' || (node // 2)
+       |            ELSE 's' || (node // 2) END AS node,
+       |  CAST(r AS BIGINT) AS r FROM r4
        |ORDER BY r DESC, node LIMIT 50""".stripMargin
   }
 
