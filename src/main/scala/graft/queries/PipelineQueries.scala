@@ -798,8 +798,13 @@ object PipelineQueries {
     val edgeDeg = edges.join(deg, "src").localCheckpoint()
     var rank = deg.select(col("src").as("node"), lit(1000000L).as("r"))
     for (_ <- 1 to iters) {
+      // the rank table is node-sized — dimension cardinality (customers +
+      // suppliers), orders of magnitude below the edge fact table — so each
+      // round broadcasts it and the checkpointed edges stream through
+      // narrowly; the only per-round exchange is the dst re-aggregation.
+      // (Past broadcastable node counts, drop the hint and AQE picks SMJ.)
       rank = edgeDeg
-        .join(rank, col("src") === col("node"))
+        .join(broadcast(rank), col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(sum(expr("r div deg")).as("contrib"))
         .select(col("dst").as("node"),
