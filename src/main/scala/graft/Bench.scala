@@ -11,6 +11,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the full suite is ~90 plans × several codegen units each; the default
+      // 100-entry codegen cache evicts between passes, so every timed pass
+      // would re-pay Janino compilation that a long-running cluster pays once
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

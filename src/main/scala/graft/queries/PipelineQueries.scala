@@ -796,7 +796,11 @@ object PipelineQueries {
     // one checkpointed (src, dst, deg) table: rounds pay a single rank join
     // + the dst re-aggregation, never a per-round degree recomputation
     val edgeDeg = edges.join(deg, "src").localCheckpoint()
-    var rank = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+    // seed ranks from the checkpoint, not from `deg`: deg's own plan re-runs
+    // the orders⋈lineitem distinct (twice, once per union branch), which the
+    // checkpoint already paid for
+    var rank = edgeDeg.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1000000L).as("r"))
     for (_ <- 1 to iters) {
       // the rank table is node-sized — dimension cardinality (customers +
       // suppliers), orders of magnitude below the edge fact table — so each
