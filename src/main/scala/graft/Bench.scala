@@ -19,28 +19,68 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.configure(spark)
+    // A failed query must be LOUD: it records "err" (not a fake
+    // time-to-throw duration), lands in the "errors" map with its message,
+    // and bumps the failed count in the summary line. Silently swallowed
+    // failures masquerade as 65 ms successes and poison the round artifact.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // Untimed warm-up pass: first execution of each plan pays one-time JVM
     // costs (encoder/codegen Janino compilation, JIT) that a long-running
     // cluster amortizes to zero; the timed pass below measures steady-state
     // engine speed.
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.take(1).mkString.take(200)
+          System.err.println(s"[bench] $name FAILED: ${errors(name)}")
+      }
     }
     // Two timed passes, per-query minimum: a single pass is subject to GC
     // pauses and stats-collection jitter; the min of two is the steady-state
     // number a long-running cluster sees.
     def timedPass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      if (errors.contains(name)) name -> -1.0
+      else {
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.take(1).mkString.take(200)
+            false
+        }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
     }
     val first = timedPass()
     val second = timedPass()
-    val results = first.map { case (k, v) => k -> math.min(v, second(k)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = first.map { case (k, v) =>
+      k -> (if (errors.contains(k)) -1.0 else math.min(v, second(k)))
+    }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) =>
+      jstr(k) + ":" + (if (v < 0) "\"err\"" else v.toString)
+    }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ok = results.filter(_._2 >= 0)
+    val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // Also write to a dedicated file so the artifact survives stdout being
+    // interleaved with Spark logs / truncated by the harness.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $out: $e") }
+    if (errors.nonEmpty)
+      System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -30,18 +30,39 @@ object Tables {
     */
   def configure(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Parquet TIMESTAMP(isAdjustedToUTC=false) would otherwise load as
+    // TIMESTAMP_NTZ, which unix_micros()/window() reject. With inference
+    // off the same stored int64 micros load as plain TIMESTAMP (epoch
+    // micros — exactly how DuckDB's epoch functions read the file), which
+    // is tz-independent for every registered query.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     graft.functions.VectorExpressions.register(spark)
   }
 
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       configure(spark) // defensive for externally-built sessions; idempotent
-      // Integer `div` (not `/`, which is double division: epoch nanos exceed
-      // double's 2^53 exact range and would round ~12% of rows 1µs off vs
-      // exact truncation). Micros truncation itself is lossless for every
-      // registered query (no sub-microsecond semantics).
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts div 1000L)"))
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      // Schema-adaptive `ts`: datasets written as parquet TIMESTAMP(NANOS)
+      // arrive as raw long nanos (via nanosAsLong above) and need converting;
+      // TIMESTAMP(MICROS)/(MILLIS) datasets arrive as plain TimestampType
+      // (NTZ inference is off, see configure) and pass through. Branching on
+      // the loaded dtype keeps both vintages readable without a config flip.
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // Integer `div` (not `/`, which is double division: epoch nanos
+          // exceed double's 2^53 exact range and would round ~12% of rows
+          // 1µs off vs exact truncation). Micros truncation itself is
+          // lossless for every registered query (no sub-µs semantics).
+          raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+            "timestamp_micros(ts div 1000L)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // defensive: only reachable on a session that resolved the scan
+          // before configure() ran; session tz is UTC everywhere we run, so
+          // the cast is the identity epoch mapping
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 }

@@ -24,13 +24,25 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     Tables.configure(spark)
     new java.io.File(outDir).mkdirs()
+    var nFailed = 0
     SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Loud failure: a marker file the driver (and a human) can see, so a
+        // broken query shows up as an explicit FAILED row rather than a
+        // silently absent one in the round's correctness artifact.
+        nFailed += 1
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        val dir = Paths.get(s"$outDir/$name")
+        try {
+          Files.createDirectories(dir)
+          Files.writeString(dir.resolve("_FAILED"),
+            Option(e.getMessage).getOrElse(e.getClass.getName) + "\n")
+        } catch { case _: Throwable => }
       }
     }
+    if (nFailed > 0) System.err.println(s"[verify] $nFailed queries FAILED")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -19,12 +19,14 @@ final case class SampledFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
   * (`mapPartitions` — the JVM analog of `mapInPandas`: one iterator per
   * partition, no shuffle, codec state reused across the batch).
   *
-  * The actual byte→pixel codec is STUBBED with a deterministic
-  * hash-expansion fake (no image/audio libraries in this environment); the
-  * stub is confined to [[FakeCodec]] so swapping in a real libjpeg/ffmpeg
-  * binding changes one object. Everything around it — schemas, typed
-  * Datasets, batch iteration, partitioning behavior, resize/pooling math —
-  * is real and tested.
+  * The byte→pixel boundary is the [[ImageCodec]] trait. Two implementations
+  * ship: [[ImageIoCodec]] — a REAL pure-JVM decoder (javax.imageio, part of
+  * the JDK) for JPEG/PNG/GIF/BMP payloads — and [[FakeCodec]], a
+  * deterministic hash-expansion stub for the synthetic testdata blobs
+  * (which are random bytes, not encoded images). [[SniffCodec]] routes by
+  * magic number so a mixed corpus decodes real media and degrades
+  * explicably on junk. Video demux stays stubbed (no pure-JVM container
+  * demuxer in the JDK); the frame-sampling dataflow around it is real.
   *
   * Scale notes: decode is narrow map work (partition-local, no shuffle), so
   * media datasets parallelize by input split exactly like text; blobs never
@@ -34,11 +36,20 @@ final case class SampledFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
   */
 object Multimodal {
 
-  /** The codec boundary. A production build replaces this object with real
-    * decoders; signatures and determinism (same blob → same output) are the
-    * contract the rest of the pipeline tests against.
+  /** The codec boundary: same blob → same output, one instance reused per
+    * partition batch. Implementations must be serializable (they ride the
+    * task closure).
     */
-  object FakeCodec {
+  trait ImageCodec extends Serializable {
+    def decodeImage(docId: Long, blob: Array[Byte]): DecodedImage
+    def frames(blob: Array[Byte], frameBytes: Int): Iterator[Array[Byte]]
+  }
+
+  /** Deterministic stub codec for synthetic (non-media) blobs; the
+    * testdata's binary columns are random bytes, so specs and the m-query
+    * oracles pin against this.
+    */
+  object FakeCodec extends ImageCodec {
     /** Cheap xorshift64* expansion of a seed into n pseudo-pixels. */
     private def expand(seed0: Long, n: Int): Array[Byte] = {
       val out = new Array[Byte](n)
@@ -76,18 +87,90 @@ object Multimodal {
       blob.grouped(frameBytes)
   }
 
+  /** REAL image decode on the pure JVM: javax.imageio (JDK built-in, no
+    * external dependency) reads JPEG/PNG/GIF/BMP bytes into row-major
+    * interleaved pixels matching the [[DecodedImage]] contract. Alpha is
+    * preserved when the source has it (channels = 4, RGBA order), else
+    * channels = 3 (RGB). Undecodable bytes throw `IllegalArgumentException`
+    * — route mixed corpora through [[SniffCodec]] instead. ImageIO is
+    * headless-safe; the registry forces headless mode so executors without
+    * a display never touch X11.
+    */
+  object ImageIoCodec extends ImageCodec {
+    def decodeImage(docId: Long, blob: Array[Byte]): DecodedImage = {
+      // set per-JVM, lazily from whichever task decodes first on an executor
+      if (System.getProperty("java.awt.headless") == null)
+        System.setProperty("java.awt.headless", "true")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+      if (img == null)
+        throw new IllegalArgumentException(
+          s"doc $docId: no ImageIO reader for blob (${blob.length} bytes)")
+      val w = img.getWidth; val h = img.getHeight
+      val hasAlpha = img.getColorModel.hasAlpha
+      val channels = if (hasAlpha) 4 else 3
+      val out = new Array[Byte](w * h * channels)
+      // getRGB converts any source color model to packed ARGB sRGB — one
+      // per-row batch call keeps the hot loop allocation-free per pixel
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val argb = row(x)
+          val base = (y * w + x) * channels
+          out(base) = ((argb >>> 16) & 0xff).toByte     // R
+          out(base + 1) = ((argb >>> 8) & 0xff).toByte  // G
+          out(base + 2) = (argb & 0xff).toByte          // B
+          if (hasAlpha) out(base + 3) = ((argb >>> 24) & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      DecodedImage(docId, w, h, channels, out)
+    }
+
+    /** Container demux has no pure-JVM decoder in the JDK; same explicit
+      * stub as FakeCodec (a production build binds ffmpeg here).
+      */
+    def frames(blob: Array[Byte], frameBytes: Int): Iterator[Array[Byte]] =
+      blob.grouped(frameBytes)
+  }
+
+  /** Magic-number router: real media decodes for real (ImageIO), anything
+    * else falls back to the deterministic stub — the shape a mixed/dirty
+    * 100 TB corpus needs, where a junk blob must not kill the task.
+    */
+  object SniffCodec extends ImageCodec {
+    private def isImage(b: Array[Byte]): Boolean =
+      (b.length >= 3 &&
+        (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff) || // JPEG
+      (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') || // PNG
+      (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') || // GIF
+      (b.length >= 2 && b(0) == 'B' && b(1) == 'M') // BMP
+
+    def decodeImage(docId: Long, blob: Array[Byte]): DecodedImage =
+      if (isImage(blob)) ImageIoCodec.decodeImage(docId, blob)
+      else FakeCodec.decodeImage(docId, blob)
+
+    def frames(blob: Array[Byte], frameBytes: Int): Iterator[Array[Byte]] =
+      FakeCodec.frames(blob, frameBytes)
+  }
+
   /** Decode a binary column into typed images — one codec instance per
-    * partition batch, no shuffle.
+    * partition batch, no shuffle. Default codec stays [[FakeCodec]] (the
+    * synthetic-testdata oracles pin it); pass [[SniffCodec]] for a corpus
+    * with real media payloads.
     */
   def decodeImages(df: DataFrame, idCol: String = "doc_id",
-      blobCol: String = "blob"): Dataset[DecodedImage] = {
+      blobCol: String = "blob", codec: ImageCodec = FakeCodec): Dataset[DecodedImage] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(blobCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition codec setup would happen here (native handles etc.)
-        it.map { case (id, blob) => FakeCodec.decodeImage(id, blob) }
+        it.map { case (id, blob) => codec.decodeImage(id, blob) }
       }
   }
 

@@ -801,18 +801,35 @@ object PipelineQueries {
     // checkpoint already paid for
     var rank = edgeDeg.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1000000L).as("r"))
-    for (_ <- 1 to iters) {
+      .localCheckpoint()
+    // Early-stop on EXACT fixed point: with integer-ppm truncating
+    // arithmetic, max|r_k − r_{k−1}| == 0 means every later round is the
+    // identity map, so stopping early returns bit-identical output to the
+    // unrolled-K oracle while skipping dead rounds on converged graphs. The
+    // convergence probe is a one-row agg over the node-sized rank table —
+    // negligible next to the round's edge shuffle. Each round's rank is
+    // localCheckpoint'd (node-sized), which also caps plan depth at one
+    // join per round instead of a K-deep composed lineage.
+    var round = 0
+    var converged = false
+    while (round < iters && !converged) {
       // the rank table is node-sized — dimension cardinality (customers +
       // suppliers), orders of magnitude below the edge fact table — so each
       // round broadcasts it and the checkpointed edges stream through
       // narrowly; the only per-round exchange is the dst re-aggregation.
       // (Past broadcastable node counts, drop the hint and AQE picks SMJ.)
-      rank = edgeDeg
+      val next = edgeDeg
         .join(broadcast(rank), col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(sum(expr("r div deg")).as("contrib"))
         .select(col("dst").as("node"),
           (lit(150000L) + expr("850000L * contrib div 1000000L")).as("r"))
+        .localCheckpoint()
+      val maxDelta = next.join(rank.withColumnRenamed("r", "pr"), "node")
+        .agg(max(abs(col("r") - col("pr")))).first().getLong(0)
+      converged = maxDelta == 0L
+      rank = next
+      round += 1
     }
     rank
       .select(concat(when(col("node") % 2 === 0, "c").otherwise("s"),
@@ -2664,8 +2681,18 @@ object PipelineQueries {
     * seed literal reshuffles every epoch reproducibly; md5 keys make both
     * engines agree on the permutation bit-for-bit.
     */
-  def x16ShardShuffle(s: SparkSession, dir: String): DataFrame = {
-    val nShards = 8
+  def x16ShardShuffle(s: SparkSession, dir: String): DataFrame =
+    x16ShardShuffle(s, dir, nShards = 8)
+
+  /** The shard count IS the sort-parallelism knob: each shard is one
+    * window-sort task over corpus/nShards rows, so at production scale pick
+    * `nShards ≈ corpus_rows / rows_per_shard_budget` (e.g. 100 TB / 1 GB
+    * shards → ~100k shards) and the per-task sort stays executor-memory
+    * sized no matter how the corpus grows. The registry entry pins 8 to
+    * match the oracle; the knob is this overload.
+    */
+  def x16ShardShuffle(s: SparkSession, dir: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
     val seed = "epoch-0"
     val key = md5(concat(lit(seed), lit(":"), col("doc_id").cast("string")))
     val byShard = Window.partitionBy("shard").orderBy("k")

@@ -57,6 +57,64 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  // --- real (pure-JVM, javax.imageio) codec ------------------------------
+
+  /** Encode a deterministic w×h RGB test image to `fmt` bytes via ImageIO —
+    * the spec builds real media payloads without any external fixture.
+    */
+  private def encoded(w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 41 + y * 17) % 256 << 16) | ((x * 7) % 256 << 8) | (y * 13) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("ImageIoCodec round-trips a real PNG bit-exactly (lossless)") {
+    val w = 21; val h = 13
+    val im = Multimodal.ImageIoCodec.decodeImage(7L, encoded(w, h, "png"))
+    assert(im.doc_id == 7L && im.width == w && im.height == h && im.channels == 3)
+    assert(im.pixels.length == w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = (y * w + x) * 3
+      assert((im.pixels(base) & 0xff) == (x * 41 + y * 17) % 256, s"R($x,$y)")
+      assert((im.pixels(base + 1) & 0xff) == (x * 7) % 256, s"G($x,$y)")
+      assert((im.pixels(base + 2) & 0xff) == (y * 13) % 256, s"B($x,$y)")
+    }
+  }
+
+  test("ImageIoCodec decodes a real JPEG (lossy: dims exact, pixels close)") {
+    val w = 32; val h = 24
+    val im = Multimodal.ImageIoCodec.decodeImage(8L, encoded(w, h, "jpg"))
+    assert(im.width == w && im.height == h && im.channels == 3)
+    // JPEG is lossy; mean absolute error per channel stays small
+    var err = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = (y * w + x) * 3
+      err += math.abs((im.pixels(base) & 0xff) - (x * 41 + y * 17) % 256)
+    }
+    assert(err / (w * h) < 48, s"JPEG mean error too high: ${err / (w * h)}")
+    // undecodable bytes fail loudly, not silently
+    intercept[IllegalArgumentException] {
+      Multimodal.ImageIoCodec.decodeImage(9L, Array[Byte](1, 2, 3, 4))
+    }
+  }
+
+  test("SniffCodec routes real media to ImageIO and junk to the stub; distributed decode") {
+    import spark.implicits._
+    val png = encoded(10, 10, "png")
+    val junk = "not an image".getBytes("UTF-8")
+    val mixed = Seq((1L, png), (2L, junk)).toDF("doc_id", "blob").repartition(2)
+    val out = Multimodal.decodeImages(mixed, codec = Multimodal.SniffCodec)
+      .collect().sortBy(_.doc_id)
+    assert(out(0).width == 10 && out(0).height == 10 && out(0).channels == 3)
+    val fake = Multimodal.FakeCodec.decodeImage(2L, junk)
+    assert(out(1).width == fake.width && out(1).pixels.sameElements(fake.pixels),
+      "junk blob must fall back to the deterministic stub")
+  }
+
   test("feature extraction yields 16-dim pooled vectors in [0,255]") {
     val feats = Multimodal.extractFeatures(Multimodal.decodeImages(blobs))
     assert(feats.columns.toSeq == Seq("doc_id", "features"))

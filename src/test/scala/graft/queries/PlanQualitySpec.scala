@@ -284,6 +284,20 @@ class PlanQualitySpec extends SparkSpec {
       "edge checkpoint missing — rounds would rebuild the pair join each time")
   }
 
+  test("x16 shard shuffle: window sort stays per-shard at any shard count") {
+    // The shard count is the sort-parallelism knob; whatever it is set to,
+    // the row_number window must sort AFTER a hash exchange on `shard` (each
+    // task sorts corpus/nShards rows) — a plan that sorts before a single-
+    // partition exchange would serialize the whole corpus through one task.
+    Seq(8, 64).foreach { n =>
+      val p = plan(PipelineQueries.x16ShardShuffle(spark, sf, n))
+      assert(p.contains("hashpartitioning(shard"),
+        s"nShards=$n: window exchange must hash on shard:\n" + p.take(1500))
+      assert(!p.contains("SinglePartition") || p.contains("rangepartitioning"),
+        s"nShards=$n: corpus collapsed to one partition before the window sort")
+    }
+  }
+
   test("d3 simhash reads only the columns it needs from documents") {
     val p = plan(PipelineQueries.d3Simhash(spark, sf))
     val rs = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")

@@ -64,9 +64,15 @@ class StreamingOpsSpec extends SparkSpec {
     val dir = Files.createTempDirectory("ev-stream").toString
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
       Paths.get(dir, "events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    val raw = spark.read.parquet(dir) // ts arrives as raw nanos (legacy conf)
-    val stream = spark.readStream.schema(raw.schema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000L)"))
+    // schema-adaptive ts, same branch as Tables.t: raw-nanos vintages need
+    // the micros conversion, TIMESTAMP(MICROS) vintages stream through
+    val raw = spark.read.parquet(dir)
+    val streamRaw = spark.readStream.schema(raw.schema).parquet(dir)
+    val stream = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        streamRaw.withColumn("ts", expr("timestamp_micros(ts div 1000L)"))
+      case _ => streamRaw
+    }
     val q = StreamingOps.tumblingCounts(stream)
       .writeStream.format("memory").queryName("filetumbling")
       .outputMode(OutputMode.Update()).start()
