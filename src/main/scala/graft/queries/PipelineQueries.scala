@@ -234,15 +234,19 @@ object PipelineQueries {
     * plenty for banding, and hashing is the dominant cost of signature
     * computation — this is 8× cheaper than 8 seeded hashes).
     */
-  def d2MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+  /** Shared MinHash signature derivation: one narrow typed pass over
+    * `documents` → (doc_id, shingle set, 4 band keys), checkpointed.
+    * Signature computation is per-document narrow work: one typed pass
+    * derives shingles, the 8 16-bit minima (the 8 disjoint 16-bit substrings
+    * of a single md5 per shingle — hashing once is 8× cheaper than 8 seeded
+    * hashes), and the banded keys, in tight JVM code instead of interpreted
+    * higher-order functions. Checkpointed because the candidate join and
+    * the exact-Jaccard verification both reuse it. Used by d2 (within-corpus
+    * dedup) and d10 (increment-vs-index dedup).
+    */
+  private[queries] def minhashDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // Signature computation is per-document narrow work: one typed pass
-    // derives shingles, the 8 16-bit minima (the 8 disjoint 16-bit substrings
-    // of a single md5 per shingle — hashing once is 8× cheaper than 8 seeded
-    // hashes), and the banded keys, in tight JVM code instead of interpreted
-    // higher-order functions. Checkpointed because the candidate join and
-    // the exact-Jaccard verification both reuse it.
-    val docsh = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    t(s, dir, "documents").select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -279,7 +283,10 @@ object PipelineQueries {
           }
         }
       }.toDF("doc_id", "sh", "bands").localCheckpoint()
+  }
 
+  def d2MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val docsh = minhashDocs(s, dir)
     // light checkpoint of just (doc_id, band key): the histogram probe and
     // both sides of the candidate join scan this tiny projection instead of
     // re-deserializing the heavy shingle arrays from the docsh checkpoint
@@ -319,6 +326,127 @@ object PipelineQueries {
        |      FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b)
        |SELECT doc_a, doc_b, (1000000 * inter) // uni AS jaccard_ppm
        |FROM j WHERE inter * 2 >= uni ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ------------------------- D10: incremental dedup (increment vs corpus index)
+
+  /** Dedup a new crawl increment against the EXISTING corpus without
+    * re-pairing the corpus with itself — the shape every recurring ingest
+    * needs at 100 TB, where within-corpus dedup (d1/d2) already ran and the
+    * nightly question is only "which of the new documents are already in the
+    * index". Increment = `doc_id % 4 == 0` here; in production the two sides
+    * are separate tables and the index side's (band key → doc) table is
+    * PRECOMPUTED and bucketed by band key, so the corpus is never re-read,
+    * let alone re-shingled — only the increment computes signatures, and the
+    * band join prunes corpus work to colliding buckets.
+    *
+    * Two tiers, exact before near (the d1/d2 pair, asymmetrized): content
+    * hash equi-join for exact duplicates, then MinHash band-key candidates
+    * verified by exact Jaccard at the d2 threshold. The band join is
+    * skew-guarded by the same measured-histogram salting as bandCandidates,
+    * with the salt-explosion on the SMALL (increment) side — the corpus-side
+    * mega-bucket splits across r tasks while only increment rows replicate.
+    * Verdict per new doc: `exact_dup` > `near_dup` (best match = max
+    * Jaccard, ties to the lowest corpus doc) > `novel`.
+    */
+  def d10IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val isNew = col("doc_id") % 4 === 0
+    val docs = t(s, dir, "documents")
+    // exact tier: hash-keyed equi-join, increment side orders of magnitude
+    // smaller than the index → AQE broadcasts it; min() picks the canonical
+    val exact = docs.filter(isNew).select(col("doc_id"), md5(col("text")).as("h"))
+      .join(docs.filter(!isNew).select(md5(col("text")).as("h"), col("doc_id").as("m")), "h")
+      .groupBy("doc_id").agg(min("m").as("exact_match"))
+    // near tier: increment bands probe the index's band table
+    val docsh = minhashDocs(s, dir)
+    val nb = docsh.filter(isNew)
+      .select(col("doc_id"), explode(col("bands")).as("bk"))
+    val ib = docsh.filter(!isNew)
+      .select(col("doc_id").as("m"), explode(col("bands")).as("bk"))
+    // measured-skew salting, asymmetric: probe the BIG (index) side's band
+    // histogram; hot buckets split by hashing the index doc over r salts
+    // while the increment side replicates r× — increment×r stays tiny
+    val saltThreshold = 4096L; val r = 16
+    val hotKeys: Seq[Any] = ib.groupBy("bk").agg(count(lit(1)).as("n"))
+      .filter(col("n") > saltThreshold).select("bk")
+      .collect().map(_.get(0)).toSeq
+    val joined =
+      if (hotKeys.isEmpty) nb.join(ib, Seq("bk"))
+      else {
+        val isHot = col("bk").isin(hotKeys: _*)
+        val cold = nb.filter(!isHot).join(ib.filter(!isHot), Seq("bk"))
+        val salted = nb.filter(isHot)
+          .withColumn("salt", explode(expr(s"sequence(0, ${r - 1})")))
+          .join(ib.filter(isHot).withColumn("salt", pmod(hash(col("m")), lit(r))),
+            Seq("bk", "salt"))
+        cold.unionByName(salted.select(cold.columns.map(col).toIndexedSeq: _*))
+      }
+    val near = joined.select("doc_id", "m").distinct()
+      .join(docsh.select(col("doc_id"), col("sh").as("sa")), "doc_id")
+      .join(docsh.select(col("doc_id").as("m"), col("sh").as("sb")), "m")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("uni", size(array_union(col("sa"), col("sb"))).cast("long"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .select(col("doc_id"), col("m"), expr("(1000000L * inter) div uni").as("jp"))
+      // best match: max Jaccard, ties to lowest corpus doc — struct max is
+      // lexicographic, so (jp, -m) encodes exactly that order
+      .groupBy("doc_id")
+      .agg(max(struct(col("jp"), (-col("m")).as("negm"))).as("best"))
+      .select(col("doc_id"), col("best.jp").as("near_ppm"),
+        (-col("best.negm")).as("near_match"))
+    docs.filter(isNew).select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, "exact_dup")
+          .when(col("near_match").isNotNull, "near_dup")
+          .otherwise("novel").as("verdict"),
+        coalesce(col("exact_match"), col("near_match")).as("match_id"),
+        when(col("exact_match").isNotNull, lit(1000000L))
+          .otherwise(col("near_ppm")).as("jaccard_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val d10Sql: String = {
+    val sigExprs = (0 until MinhashPerms)
+      .map(i => s"list_min(list_transform(hs, x -> substr(x, ${4 * i + 1}, 4))) AS h$i")
+      .mkString(",\n  ")
+    val bandExprs = BandPairs.map { case (a, b) => s"md5(h$a || h$b)" }.mkString(", ")
+    s"""WITH $shingleSqlCte,
+       |hashed AS (SELECT doc_id, s, list_transform(s, x -> md5(x)) AS hs FROM sh),
+       |sig AS (SELECT doc_id,
+       |  $sigExprs
+       |  FROM hashed),
+       |bands AS (SELECT doc_id, unnest([$bandExprs]) AS bk FROM sig),
+       |nb AS (SELECT doc_id, bk FROM bands WHERE doc_id % 4 = 0),
+       |ib AS (SELECT doc_id AS m, bk FROM bands WHERE doc_id % 4 != 0),
+       |cand AS (SELECT DISTINCT nb.doc_id, ib.m FROM nb JOIN ib USING (bk)),
+       |j AS (SELECT cand.doc_id, cand.m,
+       |        len(list_intersect(x.s, y.s))::BIGINT AS inter,
+       |        len(list_distinct(x.s || y.s))::BIGINT AS uni
+       |      FROM cand JOIN sh x ON x.doc_id = cand.doc_id
+       |                JOIN sh y ON y.doc_id = cand.m),
+       |nearall AS (SELECT doc_id, m, (1000000 * inter) // uni AS jp
+       |            FROM j WHERE inter * 2 >= uni),
+       |near AS (SELECT doc_id, jp AS near_ppm, m AS near_match FROM (
+       |    SELECT doc_id, m, jp,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY jp DESC, m ASC) AS rn
+       |    FROM nearall) WHERE rn = 1),
+       |ex AS (SELECT n.doc_id, min(i.doc_id) AS exact_match
+       |       FROM documents n JOIN documents i ON md5(n.text) = md5(i.text)
+       |       WHERE n.doc_id % 4 = 0 AND i.doc_id % 4 != 0
+       |       GROUP BY n.doc_id)
+       |SELECT d.doc_id,
+       |  CASE WHEN ex.exact_match IS NOT NULL THEN 'exact_dup'
+       |       WHEN near.near_match IS NOT NULL THEN 'near_dup'
+       |       ELSE 'novel' END AS verdict,
+       |  COALESCE(ex.exact_match, near.near_match) AS match_id,
+       |  CAST(CASE WHEN ex.exact_match IS NOT NULL THEN 1000000
+       |       ELSE near.near_ppm END AS BIGINT) AS jaccard_ppm
+       |FROM documents d
+       |LEFT JOIN ex ON d.doc_id = ex.doc_id
+       |LEFT JOIN near ON d.doc_id = near.doc_id
+       |WHERE d.doc_id % 4 = 0 ORDER BY d.doc_id""".stripMargin
   }
 
   // ------------------------------------------------------------ D3: SimHash
@@ -2807,6 +2935,7 @@ object PipelineQueries {
     "d7_contamination" -> (d7Contamination _),
     "d8_span_dedup" -> (d8SpanDedup _),
     "d9_sem_dedup" -> (d9SemDedup _),
+    "d10_incremental_dedup" -> (d10IncrementalDedup _),
     "sim1_cosine_topk" -> (sim1CosineTopk _),
     "sim2_lsh_ann" -> (sim2LshAnn _),
     "sim2b_multiprobe" -> (sim2bMultiprobe _),
@@ -2856,6 +2985,7 @@ object PipelineQueries {
     "d7_contamination" -> d7Sql,
     "d8_span_dedup" -> d8Sql,
     "d9_sem_dedup" -> d9Sql,
+    "d10_incremental_dedup" -> d10Sql,
     "sim1_cosine_topk" -> sim1Sql,
     "sim2_lsh_ann" -> sim2Sql,
     "sim2b_multiprobe" -> sim2bSql,

@@ -271,6 +271,58 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(expected.nonEmpty, "fixture has no cross-split overlap — test is vacuous")
   }
 
+  test("d10 incremental dedup: increment-only output, exact dominates, corpus-only matches") {
+    val out = PipelineQueries.d10IncrementalDedup(spark, sf).collect()
+    assert(out.nonEmpty)
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val id = r.getLong(0); val verdict = r.getString(1)
+      assert(id % 4 == 0, s"$id is not an increment doc")
+      assert(Set("exact_dup", "near_dup", "novel")(verdict), verdict)
+      if (verdict == "novel") assert(r.isNullAt(2) && r.isNullAt(3))
+      else {
+        val m = r.getLong(2)
+        assert(m % 4 != 0, s"match $m must be a corpus doc, never increment-vs-increment")
+        if (verdict == "exact_dup") {
+          assert(texts(id) == texts(m), s"$id exact-matched $m with different text")
+          assert(r.getLong(3) == 1000000L)
+        } else assert(r.getLong(3) >= 500000L, "near match below the Jaccard threshold")
+      }
+    }
+  }
+
+  test("d10 tiers on a planted fixture: exact beats near, near needs the threshold") {
+    // the shipped testdata has no exact duplicates and few cross-split
+    // near-dups, so both tiers are pinned on a purpose-built corpus:
+    // doc 4 (increment) == docs 1 and 5 (corpus) verbatim → exact_dup with
+    // the LOWEST corpus id; doc 8 is one word off corpus doc 2 → near_dup;
+    // doc 12 shares nothing → novel
+    import spark.implicits._
+    // disjoint vocabularies per tier: the near pair must not also tie with
+    // the exact-dup text at equal Jaccard
+    val base = (1 to 30).map(i => s"a$i").mkString(" ")
+    val near = (1 to 29).map(i => s"w$i").mkString(" ") + " zz"
+    val dir = java.nio.file.Files.createTempDirectory("d10-fix").toString
+    Seq(
+      1L -> base, 5L -> base, 2L -> near.replace("zz", "yy"),
+      3L -> "completely different text here entirely",
+      4L -> base, 8L -> near, 12L -> "nothing shared with any corpus doc at all")
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = PipelineQueries.d10IncrementalDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(got(4L)._1 == "exact_dup" && got(4L)._2 == 1L && got(4L)._3 == 1000000L,
+      s"doc 4: ${got(4L)}")
+    assert(got(8L)._1 == "near_dup" && got(8L)._2 == 2L && got(8L)._3 >= 500000L,
+      s"doc 8: ${got(8L)}")
+    assert(got(12L) == (("novel", -1L, -1L)), s"doc 12: ${got(12L)}")
+    assert(got.size == 2 + 1, "exactly the three increment docs appear")
+  }
+
   test("x10 repetition matches a driver-side brute force") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()

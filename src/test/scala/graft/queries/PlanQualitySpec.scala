@@ -284,6 +284,40 @@ class PlanQualitySpec extends SparkSpec {
       "edge checkpoint missing — rounds would rebuild the pair join each time")
   }
 
+  test("d10 incremental dedup joins on band/hash keys, never a product") {
+    val p = plan(PipelineQueries.d10IncrementalDedup(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "increment-vs-index join degenerated to a product:\n" + p.take(1500))
+  }
+
+  test("d10 production layout: bucketed index band table joins with no index-side shuffle") {
+    // The nightly-ingest claim in SCALING.md: with the corpus's (band key →
+    // doc) table PRECOMPUTED and bucketed by bk, the increment's candidate
+    // probe shuffles only the increment — the 100 TB index is read in place.
+    import org.apache.spark.sql.functions._
+    val idx = spark.range(0, 4000)
+      .select(concat(lit("b"), col("id") % 512).as("bk"), col("id").as("m"))
+    val inc = spark.range(0, 40)
+      .select(concat(lit("b"), col("id") % 512).as("bk"), col("id").as("doc_id"))
+    spark.sql("DROP TABLE IF EXISTS bands_idx_bkt")
+    idx.write.bucketBy(8, "bk").sortBy("bk").saveAsTable("bands_idx_bkt")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = inc.join(spark.table("bands_idx_bkt"), Seq("bk"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      // exactly ONE exchange: the increment re-buckets to meet the index's
+      // layout; a second exchange would mean the index side shuffled too
+      val exchanges = "(?<!Reused)Exchange".r.findAllIn(plan).size
+      assert(exchanges == 1, s"expected 1 exchange (increment only), got $exchanges:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bands_idx_bkt")
+    }
+  }
+
   test("x16 shard shuffle: window sort stays per-shard at any shard count") {
     // The shard count is the sort-parallelism knob; whatever it is set to,
     // the row_number window must sort AFTER a hash exchange on `shard` (each
