@@ -953,11 +953,15 @@ object PipelineQueries {
         .select(col("dst").as("node"),
           (lit(150000L) + expr("850000L * contrib div 1000000L")).as("r"))
         .localCheckpoint()
-      val maxDelta = next.join(rank.withColumnRenamed("r", "pr"), "node")
-        .agg(max(abs(col("r") - col("pr")))).first().getLong(0)
-      converged = maxDelta == 0L
-      rank = next
       round += 1
+      // the probe only matters if another round could run — the last
+      // round's delta would be discarded, so don't pay its join
+      if (round < iters) {
+        val maxDelta = next.join(rank.withColumnRenamed("r", "pr"), "node")
+          .agg(max(abs(col("r") - col("pr")))).first().getLong(0)
+        converged = maxDelta == 0L
+      }
+      rank = next
     }
     rank
       .select(concat(when(col("node") % 2 === 0, "c").otherwise("s"),

@@ -53,6 +53,11 @@ def main(sf_dir, out_dir):
     for name, sql in sorted(oracle.items()):
         pdir = f"{out_dir}/{name}"
         try:
+            marker = f"{pdir}/_FAILED"
+            if glob.glob(marker):
+                msg = open(marker).read().strip().splitlines()[:1]
+                print(f"FAIL {name}: spark query FAILED: {msg[0][:160] if msg else ''}")
+                n_bad += 1; continue
             spark_df = canon(pd.concat([pd.read_parquet(f) for f in
                                         sorted(glob.glob(f"{pdir}/*.parquet"))]))
         except Exception as e:
