@@ -57,16 +57,10 @@ object Bench {
     val results = first.map { case (k, v) =>
       k -> (if (errors.contains(k)) -1.0 else math.min(v, second(k)))
     }
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
     val qs = results.map { case (k, v) =>
-      jstr(k) + ":" + (if (v < 0) "\"err\"" else v.toString)
+      Json.str(k) + ":" + (if (v < 0) "\"err\"" else v.toString)
     }.mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+    val errJson = errors.map { case (k, v) => Json.str(k) + ":" + Json.str(v) }
       .mkString("{", ",", "}")
     val ok = results.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.values.sum else 0.0

@@ -97,15 +97,27 @@ object Multimodal {
     * a display never touch X11.
     */
   object ImageIoCodec extends ImageCodec {
+    /** Reject decompression bombs before allocating: a ~100 KB PNG can
+      * declare 50000×50000 px; Int math on w*h*c would wrap. 64 Mpx RGBA
+      * = 256 MB pixels, already past any sane per-row budget.
+      */
+    private val MaxPixels = 64L * 1024 * 1024
+
     def decodeImage(docId: Long, blob: Array[Byte]): DecodedImage = {
       // set per-JVM, lazily from whichever task decodes first on an executor
       if (System.getProperty("java.awt.headless") == null)
         System.setProperty("java.awt.headless", "true")
+      // default ImageIO stream cache spills every blob to an executor temp
+      // file and reads it back — pure wasted disk I/O for byte-array input
+      if (javax.imageio.ImageIO.getUseCache) javax.imageio.ImageIO.setUseCache(false)
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
       if (img == null)
         throw new IllegalArgumentException(
           s"doc $docId: no ImageIO reader for blob (${blob.length} bytes)")
       val w = img.getWidth; val h = img.getHeight
+      if (w.toLong * h > MaxPixels)
+        throw new IllegalArgumentException(
+          s"doc $docId: ${w}x$h exceeds the $MaxPixels-pixel decode budget")
       val hasAlpha = img.getColorModel.hasAlpha
       val channels = if (hasAlpha) 4 else 3
       val out = new Array[Byte](w * h * channels)
@@ -150,8 +162,13 @@ object Multimodal {
       (b.length >= 2 && b(0) == 'B' && b(1) == 'M') // BMP
 
     def decodeImage(docId: Long, blob: Array[Byte]): DecodedImage =
-      if (isImage(blob)) ImageIoCodec.decodeImage(docId, blob)
-      else FakeCodec.decodeImage(docId, blob)
+      if (isImage(blob)) {
+        // magic bytes can lie: a truncated/corrupt body behind a valid
+        // header must degrade to the stub, not kill the task (Spark would
+        // retry the same deterministic blob 4× and fail the job)
+        try ImageIoCodec.decodeImage(docId, blob)
+        catch { case scala.util.control.NonFatal(_) => FakeCodec.decodeImage(docId, blob) }
+      } else FakeCodec.decodeImage(docId, blob)
 
     def frames(blob: Array[Byte], frameBytes: Int): Iterator[Array[Byte]] =
       FakeCodec.frames(blob, frameBytes)

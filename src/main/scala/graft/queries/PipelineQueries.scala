@@ -957,9 +957,10 @@ object PipelineQueries {
       // the probe only matters if another round could run — the last
       // round's delta would be discarded, so don't pay its join
       if (round < iters) {
-        val maxDelta = next.join(rank.withColumnRenamed("r", "pr"), "node")
-          .agg(max(abs(col("r") - col("pr")))).first().getLong(0)
-        converged = maxDelta == 0L
+        val probe = next.join(rank.withColumnRenamed("r", "pr"), "node")
+          .agg(max(abs(col("r") - col("pr")))).first()
+        // empty graph → max over zero rows is null → trivially converged
+        converged = probe.isNullAt(0) || probe.getLong(0) == 0L
       }
       rank = next
     }

@@ -34,8 +34,12 @@ class TablesSpec extends SparkSpec {
   }
 
   test("timestamp-micros vintage passes through with identical epoch micros") {
+    // cast to TIMESTAMP_NTZ so the parquet footer gets the REAL vintage —
+    // TIMESTAMP(MICROS, isAdjustedToUTC=false) — which only loads as plain
+    // TIMESTAMP because Tables.configure disables NTZ inference; a plain
+    // TimestampType write would pass this test even without that conf
     val dir = java.nio.file.Files.createTempDirectory("tbl-micros").toString
-    writeEvents(dir, timestamp_micros(expr("ns div 1000L")))
+    writeEvents(dir, timestamp_micros(expr("ns div 1000L")).cast("timestamp_ntz"))
     val ev = Tables.t(spark, dir, "events")
     assert(ev.schema("ts").dataType == TimestampType, ev.schema("ts").dataType)
     val us = ev.orderBy("event_id").select(expr("unix_micros(ts)"))

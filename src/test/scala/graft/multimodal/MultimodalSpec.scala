@@ -115,6 +115,18 @@ class MultimodalSpec extends SparkSpec {
       "junk blob must fall back to the deterministic stub")
   }
 
+  test("SniffCodec degrades per-blob when the magic bytes lie (corrupt body)") {
+    // valid JPEG magic, garbage body: ImageIO fails mid-decode; the sniff
+    // codec must fall back to the stub instead of killing the task (Spark
+    // would retry the same deterministic blob and fail the job)
+    val liar = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++
+      "definitely not jpeg entropy data".getBytes("UTF-8")
+    val got = Multimodal.SniffCodec.decodeImage(3L, liar)
+    val fake = Multimodal.FakeCodec.decodeImage(3L, liar)
+    assert(got.width == fake.width && got.pixels.sameElements(fake.pixels),
+      "corrupt-bodied blob must degrade to the deterministic stub")
+  }
+
   test("feature extraction yields 16-dim pooled vectors in [0,255]") {
     val feats = Multimodal.extractFeatures(Multimodal.decodeImages(blobs))
     assert(feats.columns.toSeq == Seq("doc_id", "features"))
