@@ -244,9 +244,16 @@ object PipelineQueries {
     * the exact-Jaccard verification both reuse it. Used by d2 (within-corpus
     * dedup) and d10 (increment-vs-index dedup).
     */
-  private[queries] def minhashDocs(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def minhashDocs(s: SparkSession, dir: String): DataFrame =
+    signaturesOf(t(s, dir, "documents"))
+
+  /** The same derivation over any (doc_id, text) frame — the public form
+    * the streaming ingest twin feeds micro-batches through.
+    */
+  def signaturesOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    t(s, dir, "documents").select(col("doc_id"), col("text"))
+    docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -352,17 +359,24 @@ object PipelineQueries {
   def d10IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val isNew = col("doc_id") % 4 === 0
     val docs = t(s, dir, "documents")
+    incrementalDedup(docs.filter(isNew), docs.filter(!isNew))
+  }
+
+  /** The library form over any two (doc_id, text) tables — also the body
+    * each micro-batch runs through in the streaming ingest twin
+    * (`StreamingOps.dedupAgainstIndex`).
+    */
+  def incrementalDedup(increment: DataFrame, corpus: DataFrame): DataFrame = {
     // exact tier: hash-keyed equi-join, increment side orders of magnitude
     // smaller than the index → AQE broadcasts it; min() picks the canonical
-    val exact = docs.filter(isNew).select(col("doc_id"), md5(col("text")).as("h"))
-      .join(docs.filter(!isNew).select(md5(col("text")).as("h"), col("doc_id").as("m")), "h")
+    val exact = increment.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(corpus.select(md5(col("text")).as("h"), col("doc_id").as("m")), "h")
       .groupBy("doc_id").agg(min("m").as("exact_match"))
     // near tier: increment bands probe the index's band table
-    val docsh = minhashDocs(s, dir)
-    val nb = docsh.filter(isNew)
-      .select(col("doc_id"), explode(col("bands")).as("bk"))
-    val ib = docsh.filter(!isNew)
-      .select(col("doc_id").as("m"), explode(col("bands")).as("bk"))
+    val incSig = signaturesOf(increment)
+    val corpSig = signaturesOf(corpus)
+    val nb = incSig.select(col("doc_id"), explode(col("bands")).as("bk"))
+    val ib = corpSig.select(col("doc_id").as("m"), explode(col("bands")).as("bk"))
     // measured-skew salting, asymmetric: probe the BIG (index) side's band
     // histogram; hot buckets split by hashing the index doc over r salts
     // while the increment side replicates r× — increment×r stays tiny
@@ -382,8 +396,8 @@ object PipelineQueries {
         cold.unionByName(salted.select(cold.columns.map(col).toIndexedSeq: _*))
       }
     val near = joined.select("doc_id", "m").distinct()
-      .join(docsh.select(col("doc_id"), col("sh").as("sa")), "doc_id")
-      .join(docsh.select(col("doc_id").as("m"), col("sh").as("sb")), "m")
+      .join(incSig.select(col("doc_id"), col("sh").as("sa")), "doc_id")
+      .join(corpSig.select(col("doc_id").as("m"), col("sh").as("sb")), "m")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("uni", size(array_union(col("sa"), col("sb"))).cast("long"))
       .filter(col("inter") * 2 >= col("uni"))
@@ -394,7 +408,7 @@ object PipelineQueries {
       .agg(max(struct(col("jp"), (-col("m")).as("negm"))).as("best"))
       .select(col("doc_id"), col("best.jp").as("near_ppm"),
         (-col("best.negm")).as("near_match"))
-    docs.filter(isNew).select("doc_id")
+    increment.select("doc_id")
       .join(exact, Seq("doc_id"), "left")
       .join(near, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -130,6 +130,27 @@ object StreamingOps {
     }.toDF("doc_id", "ts", "text", "n_shared").as[(Long, Timestamp, String, Long)]
   }
 
+  /** Streaming incremental dedup — the ingest-time twin of the batch
+    * `d10_incremental_dedup` operator: each arriving micro-batch of
+    * documents is screened against the STATIC corpus index (exact content
+    * hash, then MinHash band candidates + exact-Jaccard verify) and its
+    * per-document verdict handed to `onBatch`. Runs the batch operator's
+    * exact code per micro-batch via foreachBatch — the SonarStreamIngest
+    * discipline — so the only streaming state is the source checkpoint:
+    * joins against the (bucketed, precomputed in production) index are
+    * batch jobs, replays are idempotent because verdicts are a pure
+    * function of (batch, corpus), and within-stream duplicates are
+    * `dedupByContent`'s job upstream, exactly as within-corpus dedup is
+    * d1/d2's job in the batch pipeline.
+    */
+  def dedupAgainstIndex(docs: DataFrame, corpus: DataFrame)(
+      onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        onBatch(graft.queries.PipelineQueries.incrementalDedup(
+          batch.select("doc_id", "text"), corpus))
+      }
+
   /** Stream–stream interval join — the ingest twin of the batch
     * `j10_range_join`: every (purchase, error) pair of the same user within
     * ±1 hour, matched across two live streams. The time-range predicate

@@ -85,6 +85,48 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup agrees with batch d10 verdicts across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // same planted shape as the batch d10 fixture: corpus docs 1/5 (exact
+    // base), 2 (near base), 3 (unrelated); streamed docs 4 (exact dup of
+    // 1), 8 (one word off 2), 12 (novel), split across TWO micro-batches
+    val base = (1 to 30).map(i => s"a$i").mkString(" ")
+    val near = (1 to 29).map(i => s"w$i").mkString(" ") + " zz"
+    val corpus = Seq(
+      1L -> base, 5L -> base, 2L -> near.replace("zz", "yy"),
+      3L -> "completely different text here entirely").toDF("doc_id", "text")
+    val in = MemoryStream[StreamDoc]
+    val got = new scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long)]()
+    val q = StreamingOps.dedupAgainstIndex(in.toDF(), corpus) { out =>
+      got.synchronized {
+        got ++= out.collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))
+      }
+    }.start()
+    try {
+      in.addData(StreamDoc(4, ts(1), base), StreamDoc(8, ts(2), near))
+      q.processAllAvailable()
+      in.addData(StreamDoc(12, ts(3), "nothing shared with any corpus doc at all"))
+      q.processAllAvailable()
+      val byId = got.synchronized(got.toList).map(t => t._1 -> t).toMap
+      assert(byId(4L) == ((4L, "exact_dup", 1L, 1000000L)), byId(4L))
+      assert(byId(8L)._2 == "near_dup" && byId(8L)._3 == 2L && byId(8L)._4 >= 500000L,
+        byId(8L))
+      assert(byId(12L) == ((12L, "novel", -1L, -1L)), byId(12L))
+      // micro-batched verdicts must equal the one-shot batch operator's
+      val streamed = Seq(4L -> base, 8L -> near,
+        12L -> "nothing shared with any corpus doc at all").toDF("doc_id", "text")
+      val batch = graft.queries.PipelineQueries.incrementalDedup(streamed, corpus)
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      assert(got.synchronized(got.toSet) == batch,
+        "streaming verdicts diverge from the batch operator")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins each micro-batch against the dimension") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
