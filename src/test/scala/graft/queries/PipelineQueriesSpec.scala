@@ -323,6 +323,77 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(got.size == 2 + 1, "exactly the three increment docs appear")
   }
 
+  test("d10 matches a driver-side brute force on a randomized corpus") {
+    // independent reimplementation of BOTH tiers (md5 minhash bands
+    // included — banding recall is part of the contract, a high-Jaccard
+    // pair sharing no band is correctly absent), run against 120 random
+    // docs over a tiny vocabulary so near-dups and exact dups both occur
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = Vector("red", "blue", "fox", "dog", "run", "eat", "sky", "sea")
+    def doc(): String = Seq.fill(8 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    (1L to 120L).foreach { id =>
+      // every 10th doc verbatim-copies an earlier one (exact dups) and
+      // every 7th mutates one word of a LONG earlier doc (near dups, high
+      // shingle overlap) — both land on each side of the id%4 split
+      val t =
+        if (id % 10 == 0) buf(rnd.nextInt(buf.size))._2
+        else if (id % 7 == 0) {
+          val base = buf.maxBy(_._2.length)._2.split(" ")
+          base.updated(rnd.nextInt(base.length), "mut" + id).mkString(" ")
+        } else doc()
+      buf += id -> t
+    }
+    val texts = buf.toSeq
+    val docs = texts.toDF("doc_id", "text")
+
+    def md5hex(t: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def shingles(t: String): Seq[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 3) Nil
+      else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").distinct
+    }
+    def bands(sh: Seq[String]): Set[String] = {
+      if (sh.isEmpty) return Set.empty
+      val mins = Array.fill(8)("ffff")
+      sh.foreach { g =>
+        val h = md5hex(g)
+        (0 until 8).foreach { p =>
+          val sub = h.substring(4 * p, 4 * p + 4)
+          if (sub < mins(p)) mins(p) = sub
+        }
+      }
+      Seq((0, 1), (2, 3), (4, 5), (6, 7)).map { case (a, b) => md5hex(mins(a) + mins(b)) }.toSet
+    }
+    val sh = texts.map { case (id, t) => id -> shingles(t) }.toMap
+    val bd = texts.map { case (id, t) => id -> bands(sh(id)) }.toMap
+    val inc = texts.filter(_._1 % 4 == 0)
+    val corp = texts.filter(_._1 % 4 != 0)
+    val expected = inc.map { case (id, t) =>
+      val exact = corp.filter(c => md5hex(c._2) == md5hex(t)).map(_._1).sorted.headOption
+      lazy val nearCands = corp.filter(c => bd(id).intersect(bd(c._1)).nonEmpty)
+        .flatMap { case (m, _) =>
+          val inter = sh(id).toSet.intersect(sh(m).toSet).size.toLong
+          val uni = sh(id).toSet.union(sh(m).toSet).size.toLong
+          if (uni > 0 && inter * 2 >= uni) Some((1000000L * inter / uni, m)) else None
+        }
+      val best = nearCands.sortBy { case (jp, m) => (-jp, m) }.headOption
+      (id,
+        if (exact.isDefined) ("exact_dup", exact.get, 1000000L)
+        else best.map { case (jp, m) => ("near_dup", m, jp) }.getOrElse(("novel", -1L, -1L)))
+    }.toMap
+    val got = PipelineQueries.incrementalDedup(
+        docs.filter(col("doc_id") % 4 === 0), docs.filter(col("doc_id") % 4 =!= 0))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, e) => assert(got(id) == e, s"doc $id: got ${got(id)}, want $e") }
+    assert(expected.values.exists(_._1 == "near_dup"), "fixture produced no near dup — vacuous")
+  }
+
   test("x10 repetition matches a driver-side brute force") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
