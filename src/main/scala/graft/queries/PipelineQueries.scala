@@ -366,7 +366,8 @@ object PipelineQueries {
     * each micro-batch runs through in the streaming ingest twin
     * (`StreamingOps.dedupAgainstIndex`).
     */
-  def incrementalDedup(increment: DataFrame, corpus: DataFrame): DataFrame = {
+  def incrementalDedup(increment: DataFrame, corpus: DataFrame,
+      saltThreshold: Long = 4096L): DataFrame = {
     // exact tier: hash-keyed equi-join, increment side orders of magnitude
     // smaller than the index → AQE broadcasts it; min() picks the canonical
     val exact = increment.select(col("doc_id"), md5(col("text")).as("h"))
@@ -380,7 +381,7 @@ object PipelineQueries {
     // measured-skew salting, asymmetric: probe the BIG (index) side's band
     // histogram; hot buckets split by hashing the index doc over r salts
     // while the increment side replicates r× — increment×r stays tiny
-    val saltThreshold = 4096L; val r = 16
+    val r = 16
     val hotKeys: Seq[Any] = ib.groupBy("bk").agg(count(lit(1)).as("n"))
       .filter(col("n") > saltThreshold).select("bk")
       .collect().map(_.get(0)).toSeq

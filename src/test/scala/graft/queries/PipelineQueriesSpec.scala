@@ -394,6 +394,26 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(expected.values.exists(_._1 == "near_dup"), "fixture produced no near dup — vacuous")
   }
 
+  test("d10's asymmetric hot-band salting preserves the exact verdict set") {
+    // 12 corpus docs share every band (identical long text) so any
+    // threshold below 12 forces the salted branch; verdicts must be
+    // byte-identical to the unsalted run
+    import spark.implicits._
+    val hot = (1 to 25).map(i => s"h$i").mkString(" ")
+    val corpus = ((1L to 12L).map(i => (i * 2 + 1) -> hot) :+ (99L -> "totally unrelated corpus text here"))
+      .toDF("doc_id", "text")
+    val increment = Seq(4L -> ((1 to 24).map(i => s"h$i").mkString(" ") + " hx"),
+      8L -> "nothing in common at all").toDF("doc_id", "text")
+    def run(th: Long) = PipelineQueries.incrementalDedup(increment, corpus, th)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val salted = run(2L)     // hot branch: 12-doc bands exceed threshold
+    val plain = run(1000L)   // cold branch only
+    assert(salted == plain, s"salted=$salted plain=$plain")
+    assert(salted.exists(_._2 == "near_dup"), "fixture produced no near dup — vacuous")
+  }
+
   test("x10 repetition matches a driver-side brute force") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
