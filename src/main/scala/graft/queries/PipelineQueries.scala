@@ -259,7 +259,9 @@ object PipelineQueries {
         val md = java.security.MessageDigest.getInstance("MD5")
         val utf8 = java.nio.charset.StandardCharsets.UTF_8
         it.flatMap { case (id, text) =>
-          val w = text.split(" ", -1)
+          // null text (e.g. a PERMISSIVE-quarantined row where only doc_id
+          // parsed) carries no shingles; it must not kill a streaming batch
+          val w = if (text == null) Array.empty[String] else text.split(" ", -1)
           if (w.length < 3) None
           else {
             val seen = new java.util.LinkedHashSet[String]()
@@ -362,29 +364,57 @@ object PipelineQueries {
     incrementalDedup(docs.filter(isNew), docs.filter(!isNew))
   }
 
-  /** The library form over any two (doc_id, text) tables — also the body
-    * each micro-batch runs through in the streaming ingest twin
-    * (`StreamingOps.dedupAgainstIndex`).
+  /** The corpus side of incremental dedup, built ONCE and reused across
+    * queries or micro-batches: content-hash table, signature table, band
+    * table (all checkpointed) and the measured hot-band keys. This is the
+    * in-session analog of the production layout where the index tables are
+    * persisted bucketed by their join keys — a streaming query screens
+    * thousands of micro-batches against ONE of these without ever
+    * re-reading, re-shingling, or re-histogramming the corpus.
+    */
+  final case class CorpusIndex(hash: DataFrame, sig: DataFrame,
+      bands: DataFrame, hotKeys: Seq[Any])
+
+  def prepareCorpusIndex(corpus: DataFrame,
+      saltThreshold: Long = 4096L): CorpusIndex = {
+    val hash = corpus.select(md5(col("text")).as("h"), col("doc_id").as("m"))
+      .localCheckpoint()
+    val sig = signaturesOf(corpus) // checkpointed inside
+    val bands = sig.select(col("doc_id").as("m"), explode(col("bands")).as("bk"))
+      .localCheckpoint()
+    // histogram probe: one partial-aggregated job; hot keys are by
+    // definition few (each exceeds the threshold), so the collect is tiny
+    val hot: Seq[Any] = bands.groupBy("bk").agg(count(lit(1)).as("n"))
+      .filter(col("n") > saltThreshold).select("bk")
+      .collect().map(_.get(0)).toSeq
+    CorpusIndex(hash, sig, bands, hot)
+  }
+
+  /** The library form over any two (doc_id, text) tables. Convenience
+    * wrapper — callers screening repeatedly against the same corpus (the
+    * streaming twin) build the [[CorpusIndex]] once instead.
     */
   def incrementalDedup(increment: DataFrame, corpus: DataFrame,
-      saltThreshold: Long = 4096L): DataFrame = {
+      saltThreshold: Long = 4096L): DataFrame =
+    incrementalDedup(increment, prepareCorpusIndex(corpus, saltThreshold))
+
+  def incrementalDedup(increment: DataFrame, index: CorpusIndex): DataFrame = {
     // exact tier: hash-keyed equi-join, increment side orders of magnitude
     // smaller than the index → AQE broadcasts it; min() picks the canonical
     val exact = increment.select(col("doc_id"), md5(col("text")).as("h"))
-      .join(corpus.select(md5(col("text")).as("h"), col("doc_id").as("m")), "h")
+      .join(index.hash, "h")
       .groupBy("doc_id").agg(min("m").as("exact_match"))
     // near tier: increment bands probe the index's band table
     val incSig = signaturesOf(increment)
-    val corpSig = signaturesOf(corpus)
+    val corpSig = index.sig
     val nb = incSig.select(col("doc_id"), explode(col("bands")).as("bk"))
-    val ib = corpSig.select(col("doc_id").as("m"), explode(col("bands")).as("bk"))
-    // measured-skew salting, asymmetric: probe the BIG (index) side's band
-    // histogram; hot buckets split by hashing the index doc over r salts
-    // while the increment side replicates r× — increment×r stays tiny
+    val ib = index.bands
+    // measured-skew salting, asymmetric: the BIG (index) side's band
+    // histogram was probed at index build; hot buckets split by hashing the
+    // index doc over r salts while the increment side replicates r× —
+    // increment×r stays tiny
     val r = 16
-    val hotKeys: Seq[Any] = ib.groupBy("bk").agg(count(lit(1)).as("n"))
-      .filter(col("n") > saltThreshold).select("bk")
-      .collect().map(_.get(0)).toSeq
+    val hotKeys = index.hotKeys
     val joined =
       if (hotKeys.isEmpty) nb.join(ib, Seq("bk"))
       else {

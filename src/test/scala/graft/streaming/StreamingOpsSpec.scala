@@ -98,8 +98,10 @@ class StreamingOpsSpec extends SparkSpec {
       3L -> "completely different text here entirely").toDF("doc_id", "text")
     val in = MemoryStream[StreamDoc]
     val got = new scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long)]()
-    val q = StreamingOps.dedupAgainstIndex(in.toDF(), corpus) { out =>
+    val batchIds = new scala.collection.mutable.ArrayBuffer[Long]()
+    val q = StreamingOps.dedupAgainstIndex(in.toDF(), corpus) { (out, batchId) =>
       got.synchronized {
+        batchIds += batchId
         got ++= out.collect().map(r => (r.getLong(0), r.getString(1),
           if (r.isNullAt(2)) -1L else r.getLong(2),
           if (r.isNullAt(3)) -1L else r.getLong(3)))
@@ -124,6 +126,12 @@ class StreamingOpsSpec extends SparkSpec {
           if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
       assert(got.synchronized(got.toSet) == batch,
         "streaming verdicts diverge from the batch operator")
+      // distinct, monotone batch ids — the idempotent-sink handle
+      assert(batchIds.synchronized(batchIds.toList) == batchIds.synchronized(batchIds.toList).distinct.sorted)
+      // null text must classify as novel, not kill the query
+      in.addData(StreamDoc(16, ts(4), null))
+      q.processAllAvailable()
+      assert(got.synchronized(got.find(_._1 == 16L)).contains((16L, "novel", -1L, -1L)))
     } finally q.stop()
   }
 
