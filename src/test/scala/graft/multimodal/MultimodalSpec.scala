@@ -127,6 +127,29 @@ class MultimodalSpec extends SparkSpec {
       "corrupt-bodied blob must degrade to the deterministic stub")
   }
 
+  test("real media end-to-end: PNG blobs → SniffCodec decode → resize → features") {
+    // the full multimodal pipeline over REAL encoded payloads, distributed:
+    // decode via the sniffing codec, resize to a fixed raster, pool to the
+    // embeddings-schema feature vector — no stub anywhere on this path
+    import spark.implicits._
+    val blobs = (1L to 6L).map(i => i -> encoded(8 + i.toInt * 3, 10 + i.toInt * 2, "png"))
+      .toDF("doc_id", "blob").repartition(3)
+    val decoded = Multimodal.decodeImages(blobs, codec = Multimodal.SniffCodec)
+    val feats = Multimodal.extractFeatures(Multimodal.resize(decoded, 16, 16)).collect()
+    assert(feats.length == 6)
+    feats.foreach { r =>
+      val f = r.getAs[scala.collection.Seq[Float]]("features")
+      assert(f.length == 16 && f.forall(v => v >= 0f && v <= 255f))
+      // the deterministic gradient fixture is non-constant, so pooled cells
+      // must differ — a stubbed/flat decode would collapse them
+      assert(f.distinct.length > 1, s"doc ${r.getLong(0)}: flat features $f")
+    }
+    // determinism across runs (the codec contract)
+    val again = Multimodal.extractFeatures(Multimodal.resize(
+      Multimodal.decodeImages(blobs, codec = Multimodal.SniffCodec), 16, 16)).collect()
+    assert(feats.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
   test("feature extraction yields 16-dim pooled vectors in [0,255]") {
     val feats = Multimodal.extractFeatures(Multimodal.decodeImages(blobs))
     assert(feats.columns.toSeq == Seq("doc_id", "features"))
