@@ -57,8 +57,11 @@ object Bench {
     val results = first.map { case (k, v) =>
       k -> (if (errors.contains(k)) -1.0 else math.min(v, second(k)))
     }
+    // Failed queries record the numeric sentinel -1 (never a string) so the
+    // queries map stays uniformly numeric for strict parsers; the human-readable
+    // failure detail lives in the errors map and the failed count.
     val qs = results.map { case (k, v) =>
-      Json.str(k) + ":" + (if (v < 0) "\"err\"" else v.toString)
+      Json.str(k) + ":" + (if (v < 0) "-1" else v.toString)
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => Json.str(k) + ":" + Json.str(v) }
       .mkString("{", ",", "}")

@@ -58,8 +58,15 @@ object Tables {
             "timestamp_micros(ts div 1000L)"))
         case org.apache.spark.sql.types.TimestampNTZType =>
           // defensive: only reachable on a session that resolved the scan
-          // before configure() ran; session tz is UTC everywhere we run, so
-          // the cast is the identity epoch mapping
+          // before configure() ran. cast(NTZ as TIMESTAMP) interprets the
+          // wall-clock in the SESSION timezone, which is the identity epoch
+          // mapping only under UTC — on any other tz it would silently shift
+          // every event timestamp, so refuse instead of guessing.
+          val tz = spark.conf.get("spark.sql.session.timeZone")
+          require(tz == "UTC",
+            s"events.ts resolved as TIMESTAMP_NTZ on a non-UTC session (tz=$tz); " +
+              "call Tables.configure(spark) before the first read so the scan " +
+              "resolves as TimestampType, or set spark.sql.session.timeZone=UTC")
           raw.withColumn("ts",
             org.apache.spark.sql.functions.col("ts").cast("timestamp"))
         case _ => raw

@@ -242,7 +242,8 @@ object PipelineQueries {
     * hashes), and the banded keys, in tight JVM code instead of interpreted
     * higher-order functions. Checkpointed because the candidate join and
     * the exact-Jaccard verification both reuse it. Used by d2 (within-corpus
-    * dedup) and d10 (increment-vs-index dedup).
+    * dedup); d10 shares the per-document derivation via `signaturesOf` but
+    * checkpoints its own corpus index through `prepareCorpusIndex`.
     */
   private[queries] def minhashDocs(s: SparkSession, dir: String): DataFrame =
     signaturesOf(t(s, dir, "documents"))
@@ -2715,7 +2716,7 @@ object PipelineQueries {
       |        CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nf
       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
       |s AS (SELECT user_id, us,
-      |        SUM(nf) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      |        CAST(SUM(nf) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       |      FROM f)
       |SELECT user_id, session_id, COUNT(*) AS n_events, MIN(us) AS start_us, MAX(us) AS end_us
       |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin

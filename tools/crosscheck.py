@@ -21,6 +21,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("datetime64[us]")
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            # width-normalize only (float32 parquet vs float64 duckdb); a
+            # float-vs-INT mismatch is deliberately NOT healed here — the
+            # driver's hash distinguishes 1.0 from 1, so we must too.
+            df[c] = df[c].astype("float64")
     # Sort on a rounded view so near-equal floats land in the same order in
     # both frames, but keep full-precision values for the isclose compare.
     key = df.copy()
@@ -71,6 +76,16 @@ def main(sf_dir, out_dir):
             n_bad += 1; continue
         if len(spark_df) != len(duck_df):
             print(f"FAIL {name}: rows {len(spark_df)} vs {len(duck_df)}"); n_bad += 1; continue
+        # Dtype-strict after canonicalization: the driver hashes typed values,
+        # so e.g. a DuckDB HUGEINT (-> pandas float64) vs Spark BIGINT (int64)
+        # fails its hash even when every value is numerically identical
+        # (the w3_sessionize round-3 red row). Mirror that strictness here.
+        dt_bad = [f"{c}: spark={spark_df[c].dtype} duck={duck_df[c].dtype}"
+                  for c in spark_df.columns
+                  if spark_df[c].dtype != duck_df[c].dtype]
+        if dt_bad:
+            print(f"FAIL {name}: dtype mismatch after canon ({'; '.join(dt_bad)})")
+            n_bad += 1; continue
         if not frames_equal(spark_df, duck_df):
             neq = (spark_df != duck_df) & ~(spark_df.isna() & duck_df.isna())
             bad_cols = [c for c in spark_df.columns if neq[c].any()]
