@@ -97,9 +97,12 @@ object Multimodal {
     * a display never touch X11.
     */
   object ImageIoCodec extends ImageCodec {
-    /** Reject decompression bombs before allocating: a ~100 KB PNG can
-      * declare 50000×50000 px; Int math on w*h*c would wrap. 64 Mpx RGBA
-      * = 256 MB pixels, already past any sane per-row budget.
+    /** Reject decompression bombs BEFORE decoding: a ~100 KB PNG can
+      * declare 50000×50000 px (~10 GB of raster). The declared dimensions
+      * are read from the container header via the reader's metadata — no
+      * pixel data is touched — and only an in-budget image reaches
+      * `reader.read`. 64 Mpx RGBA = 256 MB pixels, already past any sane
+      * per-row budget.
       */
     private val MaxPixels = 64L * 1024 * 1024
 
@@ -110,14 +113,30 @@ object Multimodal {
       // default ImageIO stream cache spills every blob to an executor temp
       // file and reads it back — pure wasted disk I/O for byte-array input
       if (javax.imageio.ImageIO.getUseCache) javax.imageio.ImageIO.setUseCache(false)
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(blob))
+      val img =
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext)
+            throw new IllegalArgumentException(
+              s"doc $docId: no ImageIO reader for blob (${blob.length} bytes)")
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            // getWidth/getHeight(0) parse only the header — the bomb check
+            // runs before a single pixel row is allocated or inflated
+            val dw = reader.getWidth(0); val dh = reader.getHeight(0)
+            if (dw <= 0 || dh <= 0 || dw.toLong * dh > MaxPixels)
+              throw new IllegalArgumentException(
+                s"doc $docId: declared ${dw}x$dh exceeds the $MaxPixels-pixel decode budget")
+            reader.read(0)
+          } finally reader.dispose()
+        } finally iis.close()
       if (img == null)
         throw new IllegalArgumentException(
-          s"doc $docId: no ImageIO reader for blob (${blob.length} bytes)")
+          s"doc $docId: ImageIO reader returned no image (${blob.length} bytes)")
       val w = img.getWidth; val h = img.getHeight
-      if (w.toLong * h > MaxPixels)
-        throw new IllegalArgumentException(
-          s"doc $docId: ${w}x$h exceeds the $MaxPixels-pixel decode budget")
       val hasAlpha = img.getColorModel.hasAlpha
       val channels = if (hasAlpha) 4 else 3
       val out = new Array[Byte](w * h * channels)

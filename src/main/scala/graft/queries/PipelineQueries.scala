@@ -1001,8 +1001,12 @@ object PipelineQueries {
         .localCheckpoint()
       round += 1
       // the probe only matters if another round could run — the last
-      // round's delta would be discarded, so don't pay its join
-      if (round < iters) {
+      // round's delta would be discarded, so don't pay its join. Probing
+      // only on EVEN rounds halves probe jobs on non-converging graphs and
+      // stays exact: once the integer fixed point is reached every further
+      // round is the identity map, so the worst case is one extra identity
+      // round (node-sized) before the skipped probe's successor catches it.
+      if (round < iters && round % 2 == 0) {
         val probe = next.join(rank.withColumnRenamed("r", "pr"), "node")
           .agg(max(abs(col("r") - col("pr")))).first()
         // empty graph → max over zero rows is null → trivially converged
@@ -2860,15 +2864,28 @@ object PipelineQueries {
     * seed literal reshuffles every epoch reproducibly; md5 keys make both
     * engines agree on the permutation bit-for-bit.
     */
-  def x16ShardShuffle(s: SparkSession, dir: String): DataFrame =
-    x16ShardShuffle(s, dir, nShards = 8)
+  def x16ShardShuffle(s: SparkSession, dir: String): DataFrame = {
+    // The registered entry derives the shard count from the corpus itself —
+    // nShards = max(1, rows / rows_per_shard) — so the sort parallelism
+    // scales with the data instead of a bound constant. The count is one
+    // metadata-cheap job whose single long the driver uses to parameterize
+    // the plan (same constant-size-collect discipline as the codebooks).
+    // The oracle replicates the identical formula via a scalar subquery.
+    val rows = t(s, dir, "documents").count()
+    x16ShardShuffle(s, dir, nShards = math.max(1L, rows / X16RowsPerShard).toInt)
+  }
+
+  /** Rows-per-shard budget for the registered x16 entry: 16 keeps multiple
+    * shards in play even at sf0.001 (~50 docs → 3 shards) while mirroring
+    * the production rule (100 TB / 1 GB shards → ~100k shards).
+    */
+  private[queries] val X16RowsPerShard = 16L
 
   /** The shard count IS the sort-parallelism knob: each shard is one
     * window-sort task over corpus/nShards rows, so at production scale pick
     * `nShards ≈ corpus_rows / rows_per_shard_budget` (e.g. 100 TB / 1 GB
     * shards → ~100k shards) and the per-task sort stays executor-memory
-    * sized no matter how the corpus grows. The registry entry pins 8 to
-    * match the oracle; the knob is this overload.
+    * sized no matter how the corpus grows.
     */
   def x16ShardShuffle(s: SparkSession, dir: String, nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
@@ -2884,8 +2901,9 @@ object PipelineQueries {
   }
 
   val x16Sql: String =
-    s"""WITH k AS (SELECT doc_id, md5('epoch-0:' || doc_id::VARCHAR) AS k FROM documents),
-       |sh AS (SELECT doc_id, k, (${md5Hex8Sql("'epoch-0:' || doc_id::VARCHAR")}) % 8 AS shard FROM k)
+    s"""WITH n AS (SELECT greatest(1, count(*) // $X16RowsPerShard) AS nsh FROM documents),
+       |k AS (SELECT doc_id, md5('epoch-0:' || doc_id::VARCHAR) AS k FROM documents),
+       |sh AS (SELECT doc_id, k, (${md5Hex8Sql("'epoch-0:' || doc_id::VARCHAR")}) % (SELECT nsh FROM n) AS shard FROM k)
        |SELECT doc_id, shard,
        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY k) AS BIGINT) - 1 AS pos
        |FROM sh ORDER BY doc_id""".stripMargin

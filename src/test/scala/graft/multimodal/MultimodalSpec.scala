@@ -150,6 +150,104 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("decompression bomb: huge declared dims are rejected from the header, pre-decode") {
+    // A real 8×8 PNG whose IHDR is patched to declare 50000×50000 (~10 GB of
+    // raster), with the chunk CRC recomputed so the reader trusts the header.
+    // The budget check must fire from header metadata alone — a post-decode
+    // check would have ImageIO allocate the full raster first and OOM this
+    // very JVM, so the test completing at all proves the ordering.
+    def putInt(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v >>> 24).toByte; b(off + 1) = (v >>> 16).toByte
+      b(off + 2) = (v >>> 8).toByte; b(off + 3) = v.toByte
+    }
+    val bomb = encoded(8, 8, "png").clone()
+    putInt(bomb, 16, 50000) // IHDR width  (offset: 8 sig + 4 len + 4 type)
+    putInt(bomb, 20, 50000) // IHDR height
+    val crc = new java.util.zip.CRC32()
+    crc.update(bomb, 12, 17) // chunk type + 13 IHDR data bytes
+    putInt(bomb, 29, crc.getValue.toInt)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.ImageIoCodec.decodeImage(11L, bomb)
+    }
+    assert(e.getMessage.contains("decode budget"), e.getMessage)
+    // and the sniffing router degrades the same blob to the stub instead of
+    // failing the task — a 100 KB bomb in a dirty corpus is data, not a crash
+    val got = Multimodal.SniffCodec.decodeImage(11L, bomb)
+    val fake = Multimodal.FakeCodec.decodeImage(11L, bomb)
+    assert(got.pixels.sameElements(fake.pixels), "bomb must degrade to the stub")
+  }
+
+  test("ImageIoCodec preserves alpha: RGBA PNG decodes to channels=4 in R,G,B,A order") {
+    val w = 9; val h = 7
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    def px(x: Int, y: Int): (Int, Int, Int, Int) =
+      ((x * 41 + y * 17) % 256, (x * 7 + 3) % 256, (y * 13 + 5) % 256, (x * 29 + y * 31 + 7) % 256)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b, a) = px(x, y)
+      img.setRGB(x, y, (a << 24) | (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos), "no png writer")
+    val im = Multimodal.ImageIoCodec.decodeImage(12L, bos.toByteArray)
+    assert(im.width == w && im.height == h && im.channels == 4,
+      s"expected ${w}x$h RGBA, got ${im.width}x${im.height} c=${im.channels}")
+    assert(im.pixels.length == w * h * 4)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b, a) = px(x, y)
+      val base = (y * w + x) * 4
+      assert((im.pixels(base) & 0xff) == r, s"R($x,$y)")
+      assert((im.pixels(base + 1) & 0xff) == g, s"G($x,$y)")
+      assert((im.pixels(base + 2) & 0xff) == b, s"B($x,$y)")
+      assert((im.pixels(base + 3) & 0xff) == a, s"A($x,$y)")
+    }
+  }
+
+  test("real media batch (JPEG+PNG mix) through decode → resize → features → ANN top-1") {
+    // the m3 composition over REAL encoded payloads: sniffed decode, fixed
+    // raster, pooled features, exact-cosine top-1 — verified against a
+    // driver-side brute force over the same collected feature vectors
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val blobs = (1L to 8L).map { i =>
+      i -> encoded(10 + i.toInt * 2, 12 + i.toInt, if (i % 2 == 0) "jpg" else "png")
+    }.toDF("doc_id", "blob").repartition(3)
+    val feats = Multimodal.extractFeatures(Multimodal.resize(
+        Multimodal.decodeImages(blobs, codec = Multimodal.SniffCodec), 16, 16))
+      .withColumn("v", expr("transform(features, x -> cast(x as double))"))
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
+      .localCheckpoint()
+    val q = feats.filter(col("doc_id") <= 3)
+      .select(col("doc_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val top = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val ann = feats
+      .select(col("doc_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", call_function("graft_dot", col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(top))
+      .filter(col("rnk") === 1)
+      .select("query_id", "neighbor_id", "cos")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // brute force on the driver over the identical vectors
+    val vecs = feats.select("doc_id", "v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    assert(ann.keySet == Set(1L, 2L, 3L))
+    for ((qid, (nid, c)) <- ann) {
+      val best = vecs.keys.filter(_ != qid)
+        .map(k => k -> cos(vecs(qid), vecs(k)))
+        .maxBy { case (k, cc) => (cc, -k) }
+      assert(nid == best._1, s"query $qid: ANN said $nid, brute force ${best._1}")
+      assert(math.abs(c - best._2) < 1e-9, s"query $qid cosine drift")
+    }
+  }
+
   test("feature extraction yields 16-dim pooled vectors in [0,255]") {
     val feats = Multimodal.extractFeatures(Multimodal.decodeImages(blobs))
     assert(feats.columns.toSeq == Seq("doc_id", "features"))

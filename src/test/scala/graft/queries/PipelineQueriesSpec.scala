@@ -663,7 +663,11 @@ class PipelineQueriesSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"), r.getAs[Long]("pos")))
     val n = spark.read.parquet(s"$sf/documents.parquet").count()
     assert(rows.length == n && rows.map(_._1).distinct.length == n)
-    assert(rows.forall(r => r._2 >= 0 && r._2 < 8))
+    // registered entry derives the shard count from the corpus row count
+    val nShards = math.max(1L, n / PipelineQueries.X16RowsPerShard)
+    assert(nShards > 1, s"fixture too small for a multi-shard check ($n docs)")
+    assert(rows.forall(r => r._2 >= 0 && r._2 < nShards))
+    assert(rows.map(_._2).distinct.length > 1, "all docs landed in one shard")
     rows.groupBy(_._2).values.foreach { sh =>
       assert(sh.map(_._3).sorted.sameElements(0L until sh.length), "positions not dense")
     }

@@ -196,6 +196,22 @@ class PlanQualitySpec extends SparkSpec {
       "full-outer key join missing")
   }
 
+  test("k6 delete anti-join broadcasts the doomed key set; orders never shuffles for it") {
+    // The orders side must stream through a BroadcastHashJoin LeftAnti with
+    // the (filter-pushed) doomed customer keys as the build side, then
+    // partial-aggregate before the only data exchange. A SortMergeJoin here
+    // would shuffle the full fact table to delete against a dim-sized set.
+    val p = plan(RelationalQueries.k6AntiJoinDelete(spark, sf))
+    assert(p.contains("BroadcastHashJoin LeftAnti BuildRight"),
+      "anti-join did not broadcast the doomed side:\n" + p.take(1200))
+    assert(p.contains("LessThan(c_acctbal,0.0)"), "acctbal filter not pushed to the scan")
+    // exchanges: one for the group-by, one range partition for the sort, plus
+    // the broadcast exchange — no shuffle of the orders rows before the join
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"expected <=2 data exchanges, got $exchanges:\n" +
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("x13 mixing weights broadcasts the 1-row totals back; slices never re-shuffle to meet it") {
     val p = plan(PipelineQueries.x13MixWeights(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
