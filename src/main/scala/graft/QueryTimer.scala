@@ -18,10 +18,13 @@ object QueryTimer {
     spark.sparkContext.setLogLevel("WARN")
     Tables.configure(spark)
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
     for (q <- names) {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(q)(spark, sfDir).count()
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      val n = df.count()
       println(f"TIME $q ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      if (explain) df.explain("formatted")
     }
     spark.stop()
   }

@@ -7,7 +7,7 @@ import graft.Tables.t
 
 /** Large-scale training-data pipeline operators over the `documents` and
   * `embeddings` tables: deduplication (d1 exact, d2 MinHash+LSH, d3/d3b
-  * SimHash + byte-band pairing, d4 n-gram Jaccard, d5 embedding-cosine NN,
+  * SimHash + block-band pairing, d4 n-gram Jaccard, d5 embedding-cosine NN,
   * d6 connected-component cluster assembly, d7 train/eval contamination
   * screen, d8 duplicated-span detection, d9 semantic SemDeDup-style
   * cluster-bounded near-dup removal), similarity search (sim1 exact
@@ -497,18 +497,28 @@ object PipelineQueries {
 
   // ------------------------------------------------------------ D3: SimHash
 
-  /** 32-bit SimHash per document from per-token md5 bits (sign of per-bit
-    * ±1 counters). The signature is per-document, so this is pure narrow map
-    * work: one typed mapPartitions pass, no explode, no shuffle at all —
-    * exactly the shape that scales to arbitrary corpus sizes. (An earlier
-    * formulation exploded tokens into a 32-counter aggregation; correct, but
-    * it shuffled every token and its 32-column generated aggregate cost ~5 s
-    * of Janino compilation alone.)
+  /** 64-bit SimHash per document from per-token md5 bits (sign of per-bit
+    * ±1 counters) — the Manku et al. (WWW'07) production parameterization.
+    * The signature is per-document, so this is pure narrow map work: one
+    * typed mapPartitions pass, no explode, no shuffle at all — exactly the
+    * shape that scales to arbitrary corpus sizes. (An earlier formulation
+    * exploded tokens into a per-bit counter aggregation; correct, but it
+    * shuffled every token and its generated wide aggregate cost ~5 s of
+    * Janino compilation alone.)
     *
-    * Token bits = the first 8 hex chars (4 bytes) of md5(token), matching
-    * the DuckDB oracle's `conv(substr(md5(tk),1,8),16,10)` exactly; tokens
-    * come from split-on-space with trailing empties KEPT, like both engines'
-    * split functions.
+    * Why 64 bits and not fewer: the banded pair stage (d3b) keys on 16-bit
+    * signature blocks, and block width is what bounds candidate work — an
+    * 8-bit block universe (256 buckets) makes bucket occupancy, and thus
+    * the candidate join, grow quadratically with the corpus. Worse than
+    * slow, a short signature is WRONG at scale: P(two random docs land
+    * within Hamming 3) ≈ 5.6e-6 for 32 bits, so a 10⁹-doc corpus would
+    * flag ~10¹² random pairs as near-dups; for 64 bits it is ≈ 2.4e-15 —
+    * about one false pair per 10⁹-doc corpus.
+    *
+    * Token bits = the first 16 hex chars (8 bytes) of md5(token), matching
+    * the DuckDB oracle's per-hex-digit bit sums exactly; tokens come from
+    * split-on-space with trailing empties KEPT, like both engines' split
+    * functions.
     */
   def d3Simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -516,32 +526,41 @@ object PipelineQueries {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
-          val counters = new Array[Int](32)
+          val counters = new Array[Int](64)
           text.split(" ", -1).foreach { tk =>
             md.reset()
             val d = md.digest(tk.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+            var v = 0L
+            var i = 0
+            while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
             var b = 0
-            while (b < 32) {
+            while (b < 64) {
               if (((v >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
               b += 1
             }
           }
           var sim = 0L
           var b = 0
-          while (b < 32) { if (counters(b) > 0) sim |= 1L << b; b += 1 }
+          while (b < 64) { if (counters(b) > 0) sim |= 1L << b; b += 1 }
           (id, sim)
         }
       }.toDF("doc_id", "simhash").orderBy("doc_id")
   }
 
   val d3Sql: String = {
-    val bitSums = (for { p <- 1 to 8; b <- 0 to 3 } yield
+    val bitSums = (for { p <- 1 to 16; b <- 0 to 3 } yield
       s"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, $p, 1)) - 1) // ${1 << b}) % 2 = 1" +
         s" THEN 1 ELSE -1 END) AS s_${p}_$b").mkString(",\n  ")
-    val weights = (for { p <- 1 to 8; b <- 0 to 3 } yield
-      s"CASE WHEN s_${p}_$b > 0 THEN ${1L << (4 * (8 - p) + b)} ELSE 0 END").mkString(" + ")
+    // bitwise-OR assembly (addition would promote to HUGEINT and overflow the
+    // BIGINT cast at bit 63); the top bit's weight is spelled as min-BIGINT
+    // because DuckDB's checked 1::BIGINT << 63 refuses to wrap
+    val weights = (for { p <- 1 to 16; b <- 0 to 3 } yield {
+      val bit = 4 * (16 - p) + b
+      if (bit == 63)
+        s"(CASE WHEN s_${p}_$b > 0 THEN (-9223372036854775807::BIGINT - 1) ELSE 0 END)"
+      else
+        s"(CASE WHEN s_${p}_$b > 0 THEN (1::BIGINT << $bit) ELSE 0 END)"
+    }).mkString(" | ")
     s"""WITH tok AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
        |bits AS (SELECT doc_id,
        |  $bitSums
@@ -552,25 +571,31 @@ object PipelineQueries {
   // ----------------------------------- D3b: SimHash near-dup pair detection
 
   /** The pairing stage that makes SimHash a dedup operator: candidate pairs
-    * agree on at least one of the 4 signature bytes (pigeonhole: any pair
-    * within Hamming distance 3 of a 32-bit signature must match a full
-    * byte), verified with the exact popcount distance. Same LSH-shaped plan
-    * as d2: band explode → equi-join on (band, key) → cheap exact verify;
-    * shuffle volume is 4 rows per doc, group sizes are byte-collision
-    * rates. At larger corpora: more/wider bands, same plan.
+    * agree on at least one of the 4 16-bit signature blocks (pigeonhole:
+    * any pair within Hamming distance 3 of the 64-bit signature has its ≤3
+    * differing bits in at most 3 blocks, so at least one block matches
+    * exactly), verified with the exact popcount distance — Manku et al.'s
+    * (WWW'07) block-permute scheme with 4 blocks. Same LSH-shaped plan as
+    * d2: band explode → equi-join on (band, key) → cheap exact verify;
+    * shuffle volume is 4 rows per doc, group sizes are block-collision
+    * rates. The 16-bit block universe (4×65536 keys) is what keeps bucket
+    * occupancy — and with it candidate-join work — linear in the corpus
+    * where an 8-bit universe went quadratic (measured: 10× docs → 97× band
+    * candidates at 8-bit, ~10× at 16-bit).
     */
   def d3bSimhashPairs(s: SparkSession, dir: String): DataFrame = {
     // doc_id, simhash — already oracle-matched; checkpointed because the
     // band explode and both verification re-joins read it
     val sig = d3Simhash(s, dir).localCheckpoint()
-    // band key = plane index and byte value fused into one long — the
-    // (p, k) universe is only 4×256, so low-entropy corpora WILL pile up
-    // mega-buckets here; going through bandCandidates gives d3b the same
-    // measured-skew salting as d2. The signature rides through the join as
-    // a carried column (simhash_a/simhash_b) for the exact verify.
+    // band key = block index and block value fused into one long; a
+    // low-entropy corpus can still pile up mega-buckets (all-identical
+    // texts share all 4 blocks), so going through bandCandidates gives d3b
+    // the same measured-skew salting as d2. The signature rides through
+    // the join as a carried column (simhash_a/simhash_b) for the exact
+    // verify.
     val bands = sig.select(col("doc_id"), col("simhash"),
       explode(expr("transform(sequence(0, 3), " +
-        "p -> p * 256L + (shiftright(simhash, 8 * p) & 255L))")).as("bk"))
+        "p -> p * 65536L + (shiftright(simhash, 16 * p) & 65535L))")).as("bk"))
     bandCandidates(bands, saltThreshold = 4096L,
         preDedupFilter = Some(expr("bit_count(simhash_a ^ simhash_b) <= 3")))
       .withColumn("hamming", expr("bit_count(simhash_a ^ simhash_b)"))
@@ -584,7 +609,7 @@ object PipelineQueries {
       .replace("SELECT doc_id, (", ", sig AS (SELECT doc_id, (")
       .replace(")::BIGINT AS simhash FROM bits ORDER BY doc_id", ")::BIGINT AS simhash FROM bits)")
     s"""$sigCte,
-       |bands AS (SELECT doc_id, simhash, p, (simhash >> (8 * p)) & 255 AS k
+       |bands AS (SELECT doc_id, simhash, p, (simhash >> (16 * p)) & 65535 AS k
        |          FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) t(p)),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |                a.simhash AS sa, b.simhash AS sb
@@ -913,7 +938,7 @@ object PipelineQueries {
       .replace("SELECT doc_id, (", ", sig AS (SELECT doc_id, (")
       .replace(")::BIGINT AS simhash FROM bits ORDER BY doc_id", ")::BIGINT AS simhash FROM bits)")
     s"""$sigCte,
-       |bands AS (SELECT doc_id, simhash, p, (simhash >> (8 * p)) & 255 AS k
+       |bands AS (SELECT doc_id, simhash, p, (simhash >> (16 * p)) & 65535 AS k
        |          FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) t(p)),
        |sp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |       FROM bands a JOIN bands b ON a.p = b.p AND a.k = b.k
