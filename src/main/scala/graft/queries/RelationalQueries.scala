@@ -833,6 +833,17 @@ object RelationalQueries {
 
   /** K6: remove-with-GC analog — anti-join delete of a derived key set
     * (orders of the bottom-balance customers), then orphan count.
+    *
+    * The final total order deliberately avoids a global `orderBy`: a global
+    * sort plans a RangePartitioning exchange whose bounds come from a
+    * driver-side sampling job over the child, and directly above a
+    * broadcast-join stage that sampling pass re-pays the join (measured:
+    * 1.12 s → 0.54 s at sf0.1 swapping the ending, bringing k6 in line with
+    * its structural siblings k7/k8). The result is bounded by the order
+    * status domain (3 rows), so one round-robin exchange of O(statuses)
+    * rows into a single sorted partition gives the identical total order
+    * with no sampling job — strictly better at any scale for a
+    * constant-cardinality result.
     */
   def k6AntiJoinDelete(s: SparkSession, dir: String): DataFrame = {
     val doomed = t(s, dir, "customer").filter(col("c_acctbal") < 0.0).select(col("c_custkey"))
@@ -840,7 +851,8 @@ object RelationalQueries {
       .join(doomed, col("o_custkey") === col("c_custkey"), "left_anti")
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("remaining"))
-      .orderBy("o_orderstatus")
+      .repartition(1)
+      .sortWithinPartitions("o_orderstatus")
   }
 
   val k6Sql: String =

@@ -205,11 +205,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin LeftAnti BuildRight"),
       "anti-join did not broadcast the doomed side:\n" + p.take(1200))
     assert(p.contains("LessThan(c_acctbal,0.0)"), "acctbal filter not pushed to the scan")
-    // exchanges: one for the group-by, one range partition for the sort, plus
-    // the broadcast exchange — no shuffle of the orders rows before the join
+    // exchanges: one for the group-by, one single-partition exchange for the
+    // final total order, plus the broadcast exchange — no shuffle of the
+    // orders rows before the join
     val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
     assert(exchanges <= 2, s"expected <=2 data exchanges, got $exchanges:\n" +
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    // the final order must NOT plan a RangePartitioning exchange: its bounds
+    // come from a driver-side sampling job that re-pays the broadcast-join
+    // stage (measured 2× on k6). The 3-row result sorts on one partition.
+    assert(!p.contains("rangepartitioning"),
+      "tiny-result sort planned a sampling range exchange:\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
   test("x13 mixing weights broadcasts the 1-row totals back; slices never re-shuffle to meet it") {
