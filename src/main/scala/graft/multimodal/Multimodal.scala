@@ -25,8 +25,13 @@ final case class SampledFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
   * deterministic hash-expansion stub for the synthetic testdata blobs
   * (which are random bytes, not encoded images). [[SniffCodec]] routes by
   * magic number so a mixed corpus decodes real media and degrades
-  * explicably on junk. Video demux stays stubbed (no pure-JVM container
-  * demuxer in the JDK); the frame-sampling dataflow around it is real.
+  * explicably on junk. Container demux is REAL for the two formats the
+  * pure JVM can carry end-to-end — animated GIF (ImageIO's multi-frame
+  * reader) and AVI/MJPEG (a RIFF chunk walk yielding the per-frame JPEG
+  * payloads) — each sampled frame is itself a decodable image blob, so
+  * demux composes with [[decodeImages]]. Other containers (MP4/H.264 etc.
+  * need a native codec) fall back to the deterministic stub under
+  * [[SniffCodec]] and throw under the strict codec.
   *
   * Scale notes: decode is narrow map work (partition-local, no shuffle), so
   * media datasets parallelize by input split exactly like text; blobs never
@@ -161,11 +166,108 @@ object Multimodal {
       DecodedImage(docId, w, h, channels, out)
     }
 
-    /** Container demux has no pure-JVM decoder in the JDK; same explicit
-      * stub as FakeCodec (a production build binds ffmpeg here).
+    /** Frame-count budget for container demux: a malformed index must not
+      * expand one blob into millions of rows (the temporal analog of the
+      * pixel bomb — each frame also passes the MaxPixels check on decode).
+      */
+    private val MaxFrames = 4096
+
+    /** REAL container demux for the two formats a pure JVM carries:
+      *
+      *  - animated GIF: ImageIO's GIF reader exposes every stored frame
+      *    (`getNumImages(true)` / `read(i)`); each frame raster is
+      *    re-encoded as PNG so the emitted blob is itself a decodable
+      *    image. Frames are the STORED rectangles (GIF inter-frame
+      *    patches), not composited playback state — the right unit for
+      *    sampling/feature work, and the honest one.
+      *  - AVI / motion-JPEG: a RIFF chunk walk (the container is just
+      *    nested fourcc-tagged chunks) collects the `##dc`/`##db` video
+      *    chunks; for MJPEG each chunk IS a complete JPEG, emitted as-is.
+      *
+      * Anything else (MP4/H.264 and friends need a native codec) throws —
+      * route mixed corpora through [[SniffCodec]], which degrades to the
+      * stub. Both paths are bounded: at most [[MaxFrames]] frames per blob,
+      * and GIF frames pass the same per-image pixel budget as decode.
+      * `frameBytes` is the stub codec's chunk width and is ignored here —
+      * real containers carry their own frame boundaries.
       */
     def frames(blob: Array[Byte], frameBytes: Int): Iterator[Array[Byte]] =
-      blob.grouped(frameBytes)
+      if (SniffCodec.isGif(blob)) gifFrames(blob)
+      else if (SniffCodec.isAvi(blob)) aviFrames(blob)
+      else throw new IllegalArgumentException(
+        s"no pure-JVM demuxer for blob (${blob.length} bytes); " +
+          "supported containers: GIF, AVI/MJPEG")
+
+    private def gifFrames(blob: Array[Byte]): Iterator[Array[Byte]] = {
+      if (System.getProperty("java.awt.headless") == null)
+        System.setProperty("java.awt.headless", "true")
+      if (javax.imageio.ImageIO.getUseCache) javax.imageio.ImageIO.setUseCache(false)
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(blob))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext)
+          throw new IllegalArgumentException("no ImageIO reader for GIF blob")
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false, true)
+          // allowSearch=true: the frame count needs one pass over the chunk
+          // headers, no pixel decode
+          val n = math.min(reader.getNumImages(true), MaxFrames)
+          val out = new Array[Array[Byte]](n)
+          var i = 0
+          while (i < n) {
+            val dw = reader.getWidth(i); val dh = reader.getHeight(i)
+            if (dw <= 0 || dh <= 0 || dw.toLong * dh > MaxPixels)
+              throw new IllegalArgumentException(
+                s"GIF frame $i declares ${dw}x$dh, over the $MaxPixels-pixel budget")
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(reader.read(i), "png", bos)
+            out(i) = bos.toByteArray
+            i += 1
+          }
+          out.iterator
+        } finally reader.dispose()
+      } finally iis.close()
+    }
+
+    /** RIFF is length-prefixed fourcc chunks; `LIST` chunks nest. Video
+      * frames live in `##dc` (compressed) / `##db` (uncompressed) chunks,
+      * conventionally under the `movi` list, but the walk accepts them
+      * anywhere — real-world AVIs are sloppy. A size that runs past the
+      * enclosing chunk stops the walk (truncated/hostile file) rather than
+      * reading out of bounds.
+      */
+    private def aviFrames(blob: Array[Byte]): Iterator[Array[Byte]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      def u32(off: Int): Long =
+        (blob(off) & 0xffL) | (blob(off + 1) & 0xffL) << 8 |
+          (blob(off + 2) & 0xffL) << 16 | (blob(off + 3) & 0xffL) << 24
+      def isVideoChunk(off: Int): Boolean = {
+        def digit(b: Byte) = b >= '0' && b <= '9'
+        digit(blob(off)) && digit(blob(off + 1)) &&
+          (blob(off + 2) == 'd' && (blob(off + 3) == 'c' || blob(off + 3) == 'b'))
+      }
+      def walk(start: Int, end: Int): Unit = {
+        var p = start
+        while (p + 8 <= end && out.length < MaxFrames) {
+          val size = u32(p + 4)
+          val body = p + 8
+          if (size < 0 || size > Int.MaxValue || body + size > end) return
+          val sz = size.toInt
+          val isList = blob(p) == 'L' && blob(p + 1) == 'I' &&
+            blob(p + 2) == 'S' && blob(p + 3) == 'T'
+          if (isList && sz >= 4) walk(body + 4, body + sz)
+          else if (isVideoChunk(p) && sz > 0)
+            out += java.util.Arrays.copyOfRange(blob, body, body + sz)
+          p = body + sz + (sz & 1) // chunks are 16-bit aligned
+        }
+      }
+      if (blob.length < 12)
+        throw new IllegalArgumentException(s"AVI blob too short (${blob.length} bytes)")
+      walk(12, blob.length) // skip RIFF header: 'RIFF' + size + 'AVI '
+      out.iterator
+    }
   }
 
   /** Magic-number router: real media decodes for real (ImageIO), anything
@@ -173,11 +275,18 @@ object Multimodal {
     * 100 TB corpus needs, where a junk blob must not kill the task.
     */
   object SniffCodec extends ImageCodec {
+    private[multimodal] def isGif(b: Array[Byte]): Boolean =
+      b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'
+
+    private[multimodal] def isAvi(b: Array[Byte]): Boolean =
+      b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+
     private def isImage(b: Array[Byte]): Boolean =
       (b.length >= 3 &&
         (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff) || // JPEG
       (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') || // PNG
-      (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') || // GIF
+      isGif(b) || // GIF
       (b.length >= 2 && b(0) == 'B' && b(1) == 'M') // BMP
 
     def decodeImage(docId: Long, blob: Array[Byte]): DecodedImage =
@@ -189,8 +298,21 @@ object Multimodal {
         catch { case scala.util.control.NonFatal(_) => FakeCodec.decodeImage(docId, blob) }
       } else FakeCodec.decodeImage(docId, blob)
 
+    /** Real demux for real containers (GIF animation, AVI/MJPEG), stub
+      * chunking for everything else — same degrade-don't-die contract as
+      * image decode: a corrupt body behind a valid container magic falls
+      * back to the stub instead of fail-looping the task.
+      */
     def frames(blob: Array[Byte], frameBytes: Int): Iterator[Array[Byte]] =
-      FakeCodec.frames(blob, frameBytes)
+      if (isGif(blob) || isAvi(blob)) {
+        // a container that throws OR yields zero recoverable frames (e.g.
+        // truncated before its first video chunk) counts as junk; the
+        // materialization is bounded by MaxFrames either way
+        val real =
+          try ImageIoCodec.frames(blob, frameBytes).toArray
+          catch { case scala.util.control.NonFatal(_) => Array.empty[Array[Byte]] }
+        if (real.nonEmpty) real.iterator else FakeCodec.frames(blob, frameBytes)
+      } else FakeCodec.frames(blob, frameBytes)
   }
 
   /** Decode a binary column into typed images — one codec instance per
@@ -239,10 +361,16 @@ object Multimodal {
   }
 
   /** Sample every `everyN`-th frame from a video blob column — flatMap
-    * (1 row in, k rows out), still partition-local.
+    * (1 row in, k rows out), still partition-local. `frame_idx` is the
+    * frame's position in the SOURCE stream, so sampling density is
+    * recoverable downstream. Default codec stays [[FakeCodec]] (the
+    * synthetic-testdata oracles pin it); pass [[SniffCodec]] for a corpus
+    * with real GIF/AVI payloads — each emitted frame is then itself a
+    * decodable image blob, feeding straight back into [[decodeImages]].
     */
   def sampleFrames(df: DataFrame, everyN: Int, frameBytes: Int = 256,
-      idCol: String = "doc_id", blobCol: String = "blob"): Dataset[SampledFrame] = {
+      idCol: String = "doc_id", blobCol: String = "blob",
+      codec: ImageCodec = FakeCodec): Dataset[SampledFrame] = {
     require(everyN > 0, s"everyN must be positive, got $everyN")
     require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
     val spark = df.sparkSession
@@ -250,7 +378,7 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(blobCol))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, blob) =>
-        FakeCodec.frames(blob, frameBytes).zipWithIndex.collect {
+        codec.frames(blob, frameBytes).zipWithIndex.collect {
           case (f, i) if i % everyN == 0 => SampledFrame(id, i, f)
         }
       }

@@ -259,4 +259,125 @@ class MultimodalSpec extends SparkSpec {
       assert(f.forall(v => v >= 0f && v <= 255f))
     }
   }
+
+  // --- real (pure-JVM) container demux -----------------------------------
+
+  /** A solid-color w×h frame (palette-friendly: GIF quantizes to ≤256
+    * colors, so solid frames round-trip exactly).
+    */
+  private def solidFrame(w: Int, h: Int, rgb: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    img
+  }
+
+  /** Encode frames as a real animated GIF via ImageIO's sequence writer. */
+  private def animatedGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Hand-assemble a minimal AVI/MJPEG: RIFF('AVI ' LIST('movi' 00dc…)).
+    * Each 00dc chunk carries one complete JPEG — exactly what an MJPEG
+    * encoder writes; the demuxer must not require the optional hdrl/idx1.
+    */
+  private def mjpegAvi(jpegs: Seq[Array[Byte]]): Array[Byte] = {
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val chunks = jpegs.flatMap { j =>
+      "00dc".getBytes("US-ASCII") ++ le32(j.length) ++ j ++
+        (if (j.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    }
+    val movi = "LIST".getBytes("US-ASCII") ++ le32(4 + chunks.length) ++
+      "movi".getBytes("US-ASCII") ++ chunks
+    "RIFF".getBytes("US-ASCII") ++ le32(4 + movi.length) ++
+      "AVI ".getBytes("US-ASCII") ++ movi
+  }
+
+  test("animated GIF demuxes to its real frames, each a decodable image") {
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff, 0x000000)
+    val gif = animatedGif(colors.map(solidFrame(9, 7, _)))
+    val frames = Multimodal.ImageIoCodec.frames(gif, frameBytes = 64).toSeq
+    assert(frames.length == colors.length, s"expected ${colors.length} frames")
+    frames.zip(colors).zipWithIndex.foreach { case ((f, rgb), i) =>
+      val im = Multimodal.ImageIoCodec.decodeImage(100L + i, f)
+      assert(im.width == 9 && im.height == 7, s"frame $i dims")
+      val ch = im.channels
+      (0 until im.width * im.height).foreach { p =>
+        assert((im.pixels(p * ch) & 0xff) == ((rgb >> 16) & 0xff) &&
+          (im.pixels(p * ch + 1) & 0xff) == ((rgb >> 8) & 0xff) &&
+          (im.pixels(p * ch + 2) & 0xff) == (rgb & 0xff),
+          s"frame $i pixel $p is not the solid source color")
+      }
+    }
+  }
+
+  test("AVI/MJPEG demuxes the 00dc chunks verbatim; frames survive odd-length padding") {
+    // odd-length JPEGs force the RIFF word-alignment path
+    val jpegs = Seq(encoded(10, 8, "jpg"), encoded(11, 9, "jpg"), encoded(12, 10, "jpg"))
+    val avi = mjpegAvi(jpegs)
+    val frames = Multimodal.ImageIoCodec.frames(avi, frameBytes = 64).toSeq
+    assert(frames.length == 3)
+    frames.zip(jpegs).foreach { case (got, want) =>
+      assert(got.sameElements(want), "MJPEG chunk not emitted verbatim")
+    }
+    // and each demuxed frame decodes like the standalone JPEG it is
+    val dims = frames.map(f => Multimodal.ImageIoCodec.decodeImage(0L, f))
+      .map(im => (im.width, im.height))
+    assert(dims == Seq((10, 8), (11, 9), (12, 10)))
+  }
+
+  test("sampleFrames with SniffCodec: real containers demux, junk chunks via the stub") {
+    import spark.implicits._
+    val gif = animatedGif((0 until 6).map(i => solidFrame(5, 5, i * 40)))
+    val avi = mjpegAvi(Seq(encoded(6, 6, "jpg"), encoded(7, 7, "jpg")))
+    val junk = Array.tabulate[Byte](130)(i => (i * 31).toByte)
+    val df = Seq((1L, gif), (2L, avi), (3L, junk)).toDF("doc_id", "blob").repartition(2)
+    val got = Multimodal.sampleFrames(df, everyN = 2, frameBytes = 64,
+      codec = Multimodal.SniffCodec).collect().groupBy(_.doc_id)
+    assert(got(1L).map(_.frame_idx).sorted.toSeq == Seq(0, 2, 4)) // 6 frames, every 2nd
+    assert(got(2L).map(_.frame_idx).sorted.toSeq == Seq(0))       // 2 frames, every 2nd
+    assert(got(3L).map(_.frame_idx).sorted.toSeq == Seq(0, 2))    // 130B/64 = 3 chunks
+    // demuxed GIF frames feed straight back through image decode
+    val im = Multimodal.ImageIoCodec.decodeImage(1L, got(1L).minBy(_.frame_idx).frame)
+    assert(im.width == 5 && im.height == 5)
+  }
+
+  test("hostile containers: truncated AVI stops cleanly, over-budget GIF frame is rejected") {
+    // a 00dc chunk whose declared size runs past the blob must not OOB-read
+    val truncated = mjpegAvi(Seq(encoded(6, 6, "jpg"))).dropRight(40)
+    val got = Multimodal.ImageIoCodec.frames(truncated, 64).toSeq
+    assert(got.isEmpty, "truncated chunk should be dropped, not partially read")
+    // SniffCodec degrades the same blob to stub chunking instead of failing
+    val viaSniff = Multimodal.SniffCodec.frames(truncated, 64).toSeq
+    assert(viaSniff.nonEmpty)
+    // GIF frame bomb: walk header + extensions to the first image
+    // descriptor (0x2C) and patch ITS width/height to 50000×50000 — that is
+    // the field reader.getWidth(i) reports, so the per-frame budget check
+    // must fire before any pixel decode
+    val bomb = animatedGif(Seq(solidFrame(8, 8, 0xabcdef))).clone()
+    var p = 13 + (if ((bomb(10) & 0x80) != 0) 3 << ((bomb(10) & 7) + 1) else 0)
+    while ((bomb(p) & 0xff) == 0x21) { // extension: introducer+label+subblocks
+      p += 2
+      while (bomb(p) != 0) p += (bomb(p) & 0xff) + 1
+      p += 1
+    }
+    assert((bomb(p) & 0xff) == 0x2c, "no GIF image descriptor found")
+    bomb(p + 5) = 0x50.toByte; bomb(p + 6) = 0xc3.toByte // width 50000 LE
+    bomb(p + 7) = 0x50.toByte; bomb(p + 8) = 0xc3.toByte // height 50000 LE
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.ImageIoCodec.frames(bomb, 64).toSeq
+    }
+    assert(e.getMessage.contains("budget"))
+  }
 }
