@@ -1011,27 +1011,36 @@ object PipelineQueries {
     // join per round instead of a K-deep composed lineage.
     var round = 0
     var converged = false
+    // the probe only matters if another round could run — the last round's
+    // delta would be discarded, so don't pay its join. Probing only on EVEN
+    // rounds halves probe jobs on non-converging graphs and stays exact:
+    // once the integer fixed point is reached every further round is the
+    // identity map, so the worst case is one extra identity round
+    // (node-sized) before the skipped probe's successor catches it.
+    def willProbe(r: Int): Boolean = r < iters && r % 2 == 0
     while (round < iters && !converged) {
       // the rank table is node-sized — dimension cardinality (customers +
       // suppliers), orders of magnitude below the edge fact table — so each
       // round broadcasts it and the checkpointed edges stream through
       // narrowly; the only per-round exchange is the dst re-aggregation.
       // (Past broadcastable node counts, drop the hint and AQE picks SMJ.)
-      val next = edgeDeg
+      val next0 = edgeDeg
         .join(broadcast(rank), col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(sum(expr("r div deg")).as("contrib"))
         .select(col("dst").as("node"),
           (lit(150000L) + expr("850000L * contrib div 1000000L")).as("r"))
-        .localCheckpoint()
       round += 1
-      // the probe only matters if another round could run — the last
-      // round's delta would be discarded, so don't pay its join. Probing
-      // only on EVEN rounds halves probe jobs on non-converging graphs and
-      // stays exact: once the integer fixed point is reached every further
-      // round is the identity map, so the worst case is one extra identity
-      // round (node-sized) before the skipped probe's successor catches it.
-      if (round < iters && round % 2 == 0) {
+      // Materialize (localCheckpoint, node-sized) every round EXCEPT the
+      // last: a non-final round's ranks are read again (broadcast into the
+      // next round, and by a probe), so materializing once beats
+      // re-deriving them inside later subplans — measured: leaving interior
+      // rounds lazy regressed g1 3× (8.3 s vs 2.8 s at sf0.1; the nested
+      // broadcast builds re-execute the composed tail). The FINAL round's
+      // output is consumed exactly once by the terminal action, so its
+      // checkpoint job is pure waste — skip it.
+      val next = if (round < iters) next0.localCheckpoint() else next0
+      if (willProbe(round)) {
         val probe = next.join(rank.withColumnRenamed("r", "pr"), "node")
           .agg(max(abs(col("r") - col("pr")))).first()
         // empty graph → max over zero rows is null → trivially converged
