@@ -17,7 +17,8 @@ import graft.Tables.t
   * x6 hash split, x7 BM25 relevance, x8 stratified sample, x9 vocabulary,
   * x10 repetition score, x11 sequence packing, x12 corpus-LM scoring,
   * x13 corpus mixing weights, x14 tokenizer application, x15 corpus
-  * profiling), multimodal binary plumbing (m1 metadata, m2 frame
+  * profiling, x18 BPE merge training, x19 BPE encoding), multimodal
+  * binary plumbing (m1 metadata, m2 frame
   * sampling), sketch aggregates (a8s HLL++ distinct, a9s GK quantiles,
   * a10s Count-Min frequency — deterministic per engine, engine-specific
   * across engines, so driver-checked rows-only with error bounds pinned
@@ -2990,6 +2991,163 @@ object PipelineQueries {
        |FROM tot LEFT JOIN nov ON tot.shard = nov.shard
        |ORDER BY shard""".stripMargin
 
+  // --------------------------- X18/X19: BPE subword merges (train + encode)
+
+  /** The corpus collapsed to a distinct-word frequency table, each word
+    * rendered as a parenthesized symbol sequence `(c)(c)(c)`. This collapse
+    * is THE scale property of BPE training (Sennrich et al., ACL 2016):
+    * every later round runs over distinct words (a bounded vocabulary —
+    * ~10⁷ rows even at 100 TB of text), never the corpus, and the groupBy
+    * shuffle that builds it is fully partial-aggregable.
+    *
+    * The `(sym)(sym)` string encoding is load-bearing: applying one merge
+    * `(a)(b) → (ab)` becomes a literal (non-regex) `replace`, whose
+    * left-to-right continue-after-replacement scan IS the greedy leftmost
+    * non-overlapping semantics of a BPE round — `(a)(a)(a)` under merge
+    * (a,a) yields `(aa)(a)`, never `(aa)(aa)` — and the same function with
+    * the same semantics exists in DuckDB, so the oracle replays training
+    * exactly. No UDF, no fold state: one codegen'd string op per round.
+    */
+  private[queries] def bpeWordTable(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .select(expr(
+        "concat('(', array_join(filter(split(w, ''), c -> c <> ''), ')('), ')')").as("repr"),
+        col("f"))
+
+  /** Adjacent-symbol pair statistics of one training round, weighted by
+    * word frequency. The transform/explode emits (len−1) pairs per distinct
+    * word; the SUM is partial-aggregable, so the exchange carries one row
+    * per distinct PAIR (alphabet², tiny), not per occurrence.
+    */
+  private[queries] def bpePairCounts(words: DataFrame): DataFrame =
+    words
+      .select(col("f"), expr(
+        "split(substring(repr, 2, length(repr) - 2), '\\\\)\\\\(')").as("sy"))
+      .select(col("f"), explode(expr(
+        "transform(slice(sy, 1, size(sy) - 1), (x, i) -> struct(x AS s1, element_at(sy, i + 2) AS s2))")).as("p"))
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .agg(sum("f").as("n"))
+
+  /** Driver-owned BPE merge loop, the sim4/g1 iteration shape: per round,
+    * one pair-count aggregation whose argmax (count desc, pair asc — the
+    * deterministic tie-break that makes a resumed or re-sharded training
+    * job reproduce the identical vocabulary) is a 1-row TakeOrdered to the
+    * driver, then one narrow `replace` pass applies the chosen merge. The
+    * word table is checkpointed once up front (it is re-read every round)
+    * and every 4 rounds to keep the replace-chain lineage bounded; the
+    * merge list itself is the driver state, like sim4's centroids. Stops
+    * early if the corpus runs out of pairs (every word one symbol).
+    */
+  def bpeTrain(s: SparkSession, dir: String, nMerges: Int): Seq[(Int, String, String, String, Long)] = {
+    var words = bpeWordTable(s, dir).localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      val top = bpePairCounts(words)
+        .orderBy(col("n").desc, col("s1").asc, col("s2").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((r, a, b, a + b, n))
+        words = words.withColumn("repr", expr(s"replace(repr, '($a)($b)', '($a$b)')"))
+        if (r % 4 == 0 && r < nMerges) words = words.localCheckpoint()
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** X18: the learned merge table for 10 rounds — rank, pair, merged
+    * symbol, and the pair's weighted count at merge time (the tokenizer
+    * artifact x19 consumes, as x14 consumes x9's vocabulary). The oracle
+    * replays all 10 rounds as unrolled CTEs (g1's discipline for iterative
+    * fixed points), so the full training trajectory — argmax, tie-break,
+    * and greedy merge application — is hash-checked cross-engine, not just
+    * the final state.
+    */
+  def x18BpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeTrain(s, dir, 10).toDF("mrank", "lhs", "rhs", "merged", "pair_n")
+  }
+
+  /** The oracle's unrolled rounds. MATERIALIZED is required, not a hint:
+    * DuckDB inlines plain CTEs, and each round references its predecessors
+    * from three scalar subqueries, so un-materialized expansion is 3^rounds
+    * parquet scans — at 10 rounds that exhausts the fd limit before it
+    * exhausts patience. Materialized, each round computes once, linear like
+    * the Spark loop it mirrors.
+    */
+  private def bpeOracleRounds(m: Int): String =
+    (0 until m).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT sy[i] AS s1, sy[i+1] AS s2, SUM(f)::BIGINT AS n
+         |  FROM (SELECT string_split(trim(repr, '()'), ')(') AS sy, f FROM w$i),
+         |       unnest(range(1, len(sy))) AS t(i)
+         |  GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (SELECT s1, s2, n FROM p$i ORDER BY n DESC, s1, s2 LIMIT 1),
+         |w${i + 1} AS MATERIALIZED (SELECT replace(repr,
+         |    '(' || (SELECT s1 FROM m$i) || ')(' || (SELECT s2 FROM m$i) || ')',
+         |    '(' || (SELECT s1 || s2 FROM m$i) || ')') AS repr, f FROM w$i)""".stripMargin
+    }.mkString(",\n")
+
+  private val bpeOracleW0: String =
+    s"""w0 AS MATERIALIZED (
+       |  SELECT '(' || array_to_string(string_split(w, ''), ')(') || ')' AS repr,
+       |         COUNT(*)::BIGINT AS f
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY 1)""".stripMargin
+
+  val x18Sql: String = {
+    val union = (0 until 10).map { i =>
+      s"SELECT ${i + 1} AS mrank, s1 AS lhs, s2 AS rhs, s1 || s2 AS merged, n AS pair_n FROM m$i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH $bpeOracleW0,
+       |${bpeOracleRounds(10)}
+       |SELECT * FROM ($union) ORDER BY mrank""".stripMargin
+  }
+
+  /** X19: tokenize the corpus with the trained merges — the consumption
+    * side of x18's artifact. The 10 merges are collected (10 rows BY
+    * CONSTRUCTION — an artifact, not data) and compiled into one nested
+    * `replace` chain applied per word inside an `aggregate` lambda, so
+    * encoding is a pure narrow row-local pass: zero joins, zero shuffles
+    * before the output sort, and a 100 TB corpus streams through map tasks
+    * at scan speed. Token count per word is counted as '(' occurrences
+    * (`size(split(.., '[(]')) - 1`), one use of the chain per word. Docs
+    * with no `[a-z]+` words are absent on both sides (none exist in this
+    * corpus; the contract is explicit).
+    */
+  def x19BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeTrain(s, dir, 10)
+    var enc = "concat('(', array_join(filter(split(x, ''), c -> c <> ''), ')('), ')')"
+    for ((_, a, b, _, _) <- merges) enc = s"replace($enc, '($a)($b)', '($a$b)')"
+    t(s, dir, "documents")
+      .withColumn("ws", expr("filter(split(text, ' '), x -> x rlike '^[a-z]+$')"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), expr(
+        s"aggregate(ws, 0L, (acc, x) -> acc + cast(size(split($enc, '[(]')) - 1 AS bigint))").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val x19Sql: String = {
+    var applied = "'(' || array_to_string(string_split(w, ''), ')(') || ')'"
+    for (i <- 0 until 10)
+      applied =
+        s"""replace($applied,
+           |    '(' || (SELECT s1 FROM m$i) || ')(' || (SELECT s2 FROM m$i) || ')',
+           |    '(' || (SELECT s1 || s2 FROM m$i) || ')')""".stripMargin
+    s"""WITH $bpeOracleW0,
+       |${bpeOracleRounds(10)}
+       |SELECT doc_id, SUM(len(string_split(trim($applied, '()'), ')(')))::BIGINT AS n_tokens
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |WHERE regexp_matches(w, '^[a-z]+$$')
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------- W6: rank-based outlier flags
 
   /** Distribution-tail outlier detection per event type: flag the bottom
@@ -3063,6 +3221,8 @@ object PipelineQueries {
     "x15_profile" -> (x15Profile _),
     "x16_shard_shuffle" -> (x16ShardShuffle _),
     "x17_novelty" -> (x17Novelty _),
+    "x18_bpe_merges" -> (x18BpeMerges _),
+    "x19_bpe_encode" -> (x19BpeEncode _),
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_frame_sample" -> (m2FrameSample _),
     "m3_feature_ann" -> (m3FeatureAnn _),
@@ -3113,6 +3273,8 @@ object PipelineQueries {
     "x15_profile" -> x15Sql,
     "x16_shard_shuffle" -> x16Sql,
     "x17_novelty" -> x17Sql,
+    "x18_bpe_merges" -> x18Sql,
+    "x19_bpe_encode" -> x19Sql,
     "m1_binary_meta" -> m1Sql,
     "m2_frame_sample" -> m2Sql,
     "w3_sessionize" -> w3Sql,

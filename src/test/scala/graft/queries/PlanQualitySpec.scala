@@ -362,4 +362,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(!rs.contains("lang") && !rs.contains("source"),
       "simhash scan reads unneeded columns:\n" + rs)
   }
+
+  test("x18 BPE round: pair counts partial-aggregate before the exchange; no product") {
+    // The per-round shuffle must carry one row per distinct PAIR (map-side
+    // combine over the word table), never one row per pair occurrence —
+    // that partial/final split is what keeps a training round's exchange
+    // alphabet²-sized at any corpus size.
+    // x18's registered result is the driver artifact (a LocalRelation); the
+    // per-round plan under test is the pair-count aggregation itself.
+    val p = plan(PipelineQueries.bpePairCounts(PipelineQueries.bpeWordTable(spark, sf)))
+    assert(p.contains("partial_sum"),
+      "pair-count aggregation lost its map-side combine:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("x19 BPE encode is shuffle-free up to the output sort") {
+    // Encoding compiles the 10-merge artifact into a per-row replace chain:
+    // the only exchange the plan may contain is the deterministic output
+    // ORDER BY's range partitioning — no join, no aggregation shuffle.
+    val p = plan(PipelineQueries.x19BpeEncode(spark, sf))
+    val exchanges = p.linesIterator.filter(_.trim.startsWith("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      "encode pass shuffles before the output sort:\n" + exchanges.mkString("\n"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "encode pass should not join at all")
+  }
 }
