@@ -3121,16 +3121,28 @@ object PipelineQueries {
     * with no `[a-z]+` words are absent on both sides (none exist in this
     * corpus; the contract is explicit).
     */
-  def x19BpeEncode(s: SparkSession, dir: String): DataFrame = {
-    val merges = bpeTrain(s, dir, 10)
+  def x19BpeEncode(s: SparkSession, dir: String): DataFrame =
+    encodeWithMerges(t(s, dir, "documents"), bpeTrain(s, dir, 10))
+      .select("doc_id", "n_tokens")
+      .orderBy("doc_id")
+
+  /** Tokenize any (…, text) frame — batch or streaming — with a FIXED
+    * trained merge artifact: the merges compile into one nested replace
+    * chain, so the whole encode is a stateless narrow projection (adds
+    * `n_tokens`, keeps every other column). This is the form the streaming
+    * ingest twin runs per micro-batch: the artifact is a literal in the
+    * plan, so replays are idempotent by construction.
+    */
+  def encodeWithMerges(docs: DataFrame,
+      merges: Seq[(Int, String, String, String, Long)]): DataFrame = {
     var enc = "concat('(', array_join(filter(split(x, ''), c -> c <> ''), ')('), ')')"
     for ((_, a, b, _, _) <- merges) enc = s"replace($enc, '($a)($b)', '($a$b)')"
-    t(s, dir, "documents")
+    docs
       .withColumn("ws", expr("filter(split(text, ' '), x -> x rlike '^[a-z]+$')"))
       .filter(size(col("ws")) > 0)
-      .select(col("doc_id"), expr(
-        s"aggregate(ws, 0L, (acc, x) -> acc + cast(size(split($enc, '[(]')) - 1 AS bigint))").as("n_tokens"))
-      .orderBy("doc_id")
+      .withColumn("n_tokens", expr(
+        s"aggregate(ws, 0L, (acc, x) -> acc + cast(size(split($enc, '[(]')) - 1 AS bigint))"))
+      .drop("ws")
   }
 
   val x19Sql: String = {

@@ -161,6 +161,22 @@ object StreamingOps {
       }
   }
 
+  /** Streaming tokenization — the ingest-time twin of the batch
+    * `x19_bpe_encode`: documents stream through the nested-replace chain
+    * compiled from a FIXED trained merge artifact
+    * ([[graft.queries.PipelineQueries.bpeTrain]], run once at query start —
+    * tokenizing against drifting merges would make replayed batches encode
+    * differently, the classic non-idempotent-sink bug). Stateless by
+    * construction: the artifact is a literal in the plan, so this is one
+    * narrow whole-stage-codegen projection per micro-batch — no watermark,
+    * no state store, and throughput is scan speed, exactly the batch
+    * operator's plan applied to an unbounded source.
+    */
+  def tokenizeStream(docs: DataFrame,
+      merges: Seq[(Int, String, String, String, Long)]): DataFrame =
+    graft.queries.PipelineQueries.encodeWithMerges(docs, merges)
+      .select("doc_id", "ts", "n_tokens")
+
   /** Stream–stream interval join — the ingest twin of the batch
     * `j10_range_join`: every (purchase, error) pair of the same user within
     * ±1 hour, matched across two live streams. The time-range predicate

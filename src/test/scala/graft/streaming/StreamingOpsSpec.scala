@@ -436,4 +436,29 @@ class StreamingOpsSpec extends SparkSpec {
       assert(spark.table("decontam").count() == trainDocs.length)
     } finally q.stop()
   }
+
+  test("streaming tokenization equals the batch encoder on every document") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // artifact trained ONCE on the static corpus, reused across micro-batches
+    val merges = graft.queries.PipelineQueries.bpeTrain(spark, sf, 10)
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).take(6)
+    val in = MemoryStream[StreamDoc]
+    val q = StreamingOps.tokenizeStream(in.toDF(), merges)
+      .writeStream.format("memory").queryName("bpetok")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(corpus.take(3).map { case (id, t) => StreamDoc(id, ts(0), t) }.toSeq)
+      q.processAllAvailable()
+      in.addData(corpus.drop(3).map { case (id, t) => StreamDoc(id, ts(1), t) }.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("bpetok").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+      val batch = graft.queries.PipelineQueries.x19BpeEncode(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == corpus.map { case (id, _) => id -> batch(id) }.toMap)
+    } finally q.stop()
+  }
 }
