@@ -122,6 +122,30 @@ class BpeSpec extends SparkSpec {
     assert(got == want, s"\nengine: $got\nref:    $want")
   }
 
+  test("randomized corpora: engine equals the reference on 3 seeded random word sets") {
+    // the d10 discipline: the crafted corpus can only catch the mistakes we
+    // anticipated; seeded random corpora (skewed frequencies, shared
+    // prefixes/suffixes, repeated letters) catch the ones we didn't.
+    import spark.implicits._
+    for (seed <- Seq(11, 42, 97)) {
+      val rnd = new scala.util.Random(seed)
+      val words = (0 until 40).map { _ =>
+        val len = 1 + rnd.nextInt(7)
+        (0 until len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      }
+      val freqs = words.map(w => w -> (1L + rnd.nextInt(9)))
+      val text = freqs.flatMap { case (w, f) => Seq.fill(f.toInt)(w) }
+      val docs = rnd.shuffle(text).grouped(25).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      val dir = java.nio.file.Files.createTempDirectory(s"bpe-rnd$seed").toString
+      docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+      val freq = text.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+      val got = PipelineQueries.bpeTrain(spark, dir, 12)
+      val want = refTrain(freq, 12)
+      assert(got == want, s"seed=$seed\nengine: $got\nref:    $want")
+    }
+  }
+
   test("x18 output schema and determinism across two runs") {
     val a = PipelineQueries.x18BpeMerges(spark, sf)
     assert(a.columns.toSeq == Seq("mrank", "lhs", "rhs", "merged", "pair_n"))
