@@ -1367,9 +1367,16 @@ object PipelineQueries {
     * bit-identical integers. Ties in the argmin break to the lowest
     * centroid id on both engines.
     */
-  def sim4KmeansCodebook(s: SparkSession, dir: String): DataFrame = {
+  def sim4KmeansCodebook(s: SparkSession, dir: String): DataFrame =
+    sim4KmeansCodebook(s, dir, 8)
+
+  /** The production knob form: k is the cell-size dial — at 10⁹ vectors
+    * raise k ∝ n so per-cell work stays constant (the registered entry
+    * binds 8, the oracle contract). The per-round plan is k-independent:
+    * broadcast centroids, narrow argmin, k×dim-counter update shuffle.
+    */
+  def sim4KmeansCodebook(s: SparkSession, dir: String, k: Int): DataFrame = {
     import s.implicits._
-    val k = 8
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), expr(
         "transform(embedding, x -> cast(round(cast(x as double) * 1048576) as bigint) + 2097152)").as("v"))
@@ -1435,8 +1442,17 @@ object PipelineQueries {
     * rounding contract). The drop rule (farther-from-centroid, ties to the
     * higher id) is the paper's "keep the most central exemplar".
     */
-  def d9SemDedup(s: SparkSession, dir: String): DataFrame = {
-    val m = sim4KmeansCodebook(s, dir).join(embVec(s, dir), "vec_id")
+  def d9SemDedup(s: SparkSession, dir: String): DataFrame =
+    d9SemDedup(s, dir, 8)
+
+  /** The knob form SCALING.md names: raising k with corpus size holds cell
+    * size — and so within-cell pair work — constant. Any k yields a SOUND
+    * dedup (every emitted pair really has cos ≥ 0.30; the spec pins this);
+    * k only tunes which near-dup pairs are *discovered*, exactly SemDeDup's
+    * recall/cost dial. The registered entry binds 8 (the oracle contract).
+    */
+  def d9SemDedup(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val m = sim4KmeansCodebook(s, dir, k).join(embVec(s, dir), "vec_id")
     def side(sfx: String): DataFrame =
       m.select(col("cell"), col("vec_id").as(s"vec_$sfx"), col("v").as(s"v$sfx"),
         col("nrm").as(s"n$sfx"), col("dist").as(s"d$sfx"))

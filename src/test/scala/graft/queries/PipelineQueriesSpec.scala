@@ -636,6 +636,32 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("d9's k knob: higher k shrinks cells, and any k yields a sound dedup") {
+    // SCALING.md's production dial made code: at 10⁹ vectors you raise k to
+    // hold cell size (and so within-cell pair work) constant. Soundness is
+    // k-independent — every emitted pair must really clear the cosine
+    // threshold and drop its less-central member — while cell occupancy
+    // must actually respond to the dial.
+    def cellSizes(k: Int): Map[Long, Int] =
+      PipelineQueries.sim4KmeansCodebook(spark, sf, k).collect()
+        .groupBy(_.getLong(1)).map { case (c, rs) => c -> rs.length }
+    val max8 = cellSizes(8).values.max
+    val max32 = cellSizes(32).values.max
+    assert(max32 < max8, s"k=32 max cell $max32 !< k=8 max cell $max8")
+    val asg = PipelineQueries.sim4KmeansCodebook(spark, sf, 32).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val pairs = PipelineQueries.d9SemDedup(spark, sf, 32).collect()
+    pairs.foreach { r =>
+      val (a, b) = (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))
+      assert(r.getAs[Double]("cos") >= 0.30)
+      assert(asg(a)._1 == asg(b)._1, "pair crosses clusters")
+      val drop = r.getAs[Long]("drop_id")
+      val keep = if (drop == a) b else a
+      assert(asg(drop)._2 > asg(keep)._2 ||
+        (asg(drop)._2 == asg(keep)._2 && drop > keep))
+    }
+  }
+
   test("x14 tokenization round-trips through the x9 vocabulary") {
     val vocab = PipelineQueries.x9Vocab(spark, sf).collect()
       .map(r => r.getAs[Int]("vocab_id") -> r.getAs[String]("tok")).toMap
