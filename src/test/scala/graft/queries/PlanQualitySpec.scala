@@ -376,6 +376,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("x18's word-table build reads only text from documents") {
+    // the ONE corpus-sized pass of BPE training; at 100 TB reading any
+    // other column multiplies the only term that grows with the corpus
+    val p = plan(PipelineQueries.bpeWordTable(spark, sf))
+    val rs = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(rs.contains("text"), rs)
+    assert(!rs.contains("doc_id") && !rs.contains("lang") && !rs.contains("source"),
+      "word-table scan reads unneeded columns:\n" + rs)
+  }
+
   test("x19 BPE encode is shuffle-free up to the output sort") {
     // Encoding compiles the 10-merge artifact into a per-row replace chain:
     // the only exchange the plan may contain is the deterministic output
