@@ -1293,11 +1293,20 @@ object PipelineQueries {
     * at 10⁹ vectors you grow the codebook (√n cells) and nprobe, same plan.
     * Recall is measured against the exact `sim1` baseline.
     */
-  def sim3IvfAnn(s: SparkSession, dir: String): DataFrame = {
+  def sim3IvfAnn(s: SparkSession, dir: String): DataFrame =
+    sim3IvfAnn(s, dir, nCells = 8, nProbe = 2)
+
+  /** The production dial form: `nCells` (√n at scale) divides the corpus
+    * into cells and `nProbe` trades recall for candidates scanned — each
+    * query touches ~nProbe/nCells of the corpus. The registered entry binds
+    * (8, 2), the oracle contract; the spec pins that recall@3 vs `sim1` is
+    * monotone in nProbe and that nProbe = nCells recovers sim1 exactly.
+    */
+  def sim3IvfAnn(s: SparkSession, dir: String, nCells: Int, nProbe: Int): DataFrame = {
     import s.implicits._
     val vecs = embVec(s, dir).filter(col("nrm") > 0)
       .select(col("vec_id"), col("v"), col("nrm")).as[(Long, Array[Double], Double)]
-    val cents = vecs.filter(_._1 < 8).collect().sortBy(_._1)
+    val cents = vecs.filter(_._1 < nCells).collect().sortBy(_._1)
     val bc = s.sparkContext.broadcast(cents)
     // cell = argmax rounded cosine (ties → lowest cent_id), probes = top-2;
     // one pass derives both, so the corpus never moves for assignment
@@ -1308,7 +1317,7 @@ object PipelineQueries {
         while (k < v.length) { d += v(k) * cv(k); k += 1 }
         (round6(d / (nrm * cn)), cid)
       }.sortBy { case (c, cid) => (-c, cid) }
-      (id, v, nrm, scored(0)._2, scored.take(2).map(_._2).toSeq)
+      (id, v, nrm, scored(0)._2, scored.take(nProbe).map(_._2).toSeq)
     }).toDF("vec_id", "v", "nrm", "cell", "probes")
     val corpus = rows.select(col("vec_id").as("neighbor_id"),
       col("v").as("cv"), col("nrm").as("cn"), col("cell"))

@@ -47,6 +47,24 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall below floor")
   }
 
+  test("sim3's dials: recall is monotone in nProbe, and nProbe=nCells recovers sim1 exactly") {
+    // probe lists are nested prefixes, so candidate sets are nested and
+    // recall can only rise with nProbe; at nProbe = nCells every cell is
+    // probed and the index degenerates to the exact scan — the structural
+    // guarantee that makes the dial safe to turn at 10⁹ vectors.
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = pairs(PipelineQueries.sim1CosineTopk(spark, sf))
+    val recalls = Seq(1, 2, 4).map { np =>
+      (exact & pairs(PipelineQueries.sim3IvfAnn(spark, sf, 8, np))).size.toDouble / exact.size
+    }
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone in nProbe: $recalls")
+    val full = PipelineQueries.sim3IvfAnn(spark, sf, 8, 8).collect().map(_.toSeq).toSeq
+    val ref = PipelineQueries.sim1CosineTopk(spark, sf).collect().map(_.toSeq).toSeq
+    assert(full == ref, "probing every cell must equal the exact baseline row-for-row")
+  }
+
   test("sim2b multiprobe recall is at least sim2's single-bucket recall") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
