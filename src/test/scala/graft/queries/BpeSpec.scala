@@ -146,6 +146,22 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("pair exhaustion: a single-letter corpus trains zero merges and still encodes") {
+    // every word is one symbol from round 0, so there are no pairs: the
+    // trainer must stop (not loop or throw), and encoding with an empty
+    // artifact is the identity tokenization — one token per word. The
+    // oracle agrees by construction: LIMIT 1 of an empty pair table emits
+    // no merge row for that round on either engine.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe-exh").toString
+    Seq((0L, "a b c a"), (1L, "b c")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    assert(PipelineQueries.bpeTrain(spark, dir, 10).isEmpty)
+    val enc = PipelineQueries.x19BpeEncode(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(enc == Seq((0L, 4L), (1L, 2L)))
+  }
+
   test("x18 output schema and determinism across two runs") {
     val a = PipelineQueries.x18BpeMerges(spark, sf)
     assert(a.columns.toSeq == Seq("mrank", "lhs", "rhs", "merged", "pair_n"))
