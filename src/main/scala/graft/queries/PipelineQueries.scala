@@ -1177,14 +1177,19 @@ object PipelineQueries {
     * as literals (xorshift64*, fixed seed — both engines parse the identical
     * shortest-round-trip decimal to the same double).
     */
-  private[queries] val planes: Array[Array[Double]] = {
+  private val allPlanes: Array[Array[Double]] = {
     var state = 0x9E3779B97F4A7C15L
     def next(): Double = {
       state ^= state << 13; state ^= state >>> 7; state ^= state << 17
       (state >>> 11).toDouble / (1L << 53).toDouble - 0.5
     }
-    Array.fill(4, 64)(next())
+    // the first 4 rows are the oracle contract (sim2Sql/sim2bSql embed
+    // exactly `planes`); the remaining rows extend the SAME stream so the
+    // dial form's plane sets are prefix-nested — bucket n+1 refines bucket n
+    Array.fill(8, 64)(next())
   }
+
+  private[queries] val planes: Array[Array[Double]] = allPlanes.take(4)
 
   /** Random-hyperplane LSH ANN: 4 signed projections → 16 buckets; queries
     * probe only their own bucket. The corpus shuffles once on the bucket key;
@@ -1192,11 +1197,23 @@ object PipelineQueries {
     * takes this from 500 vectors to 10^9 (more planes → smaller buckets,
     * multiprobe for recall). Compare against `sim1` for recall.
     */
-  def sim2LshAnn(s: SparkSession, dir: String): DataFrame = {
+  def sim2LshAnn(s: SparkSession, dir: String): DataFrame =
+    sim2LshAnn(s, dir, 4)
+
+  /** The dial form: `nPlanes` is the bucket-count knob (2^nPlanes buckets,
+    * candidates ~corpus/2^nPlanes per query). Plane sets are prefix-nested
+    * by construction, so candidate sets shrink monotonically as planes are
+    * added and recall@k can only fall — the spec pins that structure, and
+    * sim2b's multiprobe is the recovery lever. The registered entry binds
+    * 4, the oracle contract.
+    */
+  def sim2LshAnn(s: SparkSession, dir: String, nPlanes: Int): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= allPlanes.length,
+      s"nPlanes must be in [1, ${allPlanes.length}], got $nPlanes")
     def planeDot(p: Int): Column =
-      call_function("graft_dot", col("v"), array(planes(p).toIndexedSeq.map(lit): _*))
+      call_function("graft_dot", col("v"), array(allPlanes(p).toIndexedSeq.map(lit): _*))
     val bucketed = embVec(s, dir).withColumn("bucket",
-      (0 until 4).map(p => when(planeDot(p) > 0, lit(1 << p)).otherwise(lit(0))).reduce(_ + _).cast("long"))
+      (0 until nPlanes).map(p => when(planeDot(p) > 0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _).cast("long"))
     val q = bucketed.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
     val c = bucketed.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"), col("bucket"))

@@ -65,6 +65,22 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(full == ref, "probing every cell must equal the exact baseline row-for-row")
   }
 
+  test("sim2's nPlanes dial: prefix-nested planes make recall monotone non-increasing") {
+    // bucket n+1 refines bucket n (the extra plane splits, never re-mixes),
+    // so candidate sets shrink as planes are added and recall@3 vs the
+    // exact baseline can only fall — the structural guarantee that lets
+    // production raise nPlanes for 10⁹ vectors and buy recall back with
+    // multiprobe instead of re-tuning blindly.
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = pairs(PipelineQueries.sim1CosineTopk(spark, sf))
+    val recalls = Seq(2, 4, 8).map { np =>
+      (exact & pairs(PipelineQueries.sim2LshAnn(spark, sf, np))).size.toDouble / exact.size
+    }
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a >= b },
+      s"recall rose when planes were added — planes are not nested: $recalls")
+  }
+
   test("sim2b multiprobe recall is at least sim2's single-bucket recall") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
