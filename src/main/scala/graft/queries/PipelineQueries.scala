@@ -1257,17 +1257,32 @@ object PipelineQueries {
     * Measured on the sf0.01 embeddings (near-uniform — LSH's worst case):
     * recall@3 vs the exact sim1 baseline rises from 0.10 to ~0.5.
     */
-  def sim2bMultiprobe(s: SparkSession, dir: String): DataFrame = {
+  def sim2bMultiprobe(s: SparkSession, dir: String): DataFrame =
+    sim2bMultiprobe(s, dir, 4, 1)
+
+  /** The dial form: `radius` widens the probe set to every bucket within
+    * that Hamming distance of the query's own — probe sets are nested in
+    * radius (recall monotone non-decreasing, spec-pinned) and radius =
+    * nPlanes probes every bucket, recovering the exact `sim1` scan. Only
+    * the tiny query side multiplies (Σ C(nPlanes, i) probe rows); the
+    * corpus still shuffles once. The registered entry binds (4, 1), the
+    * oracle contract.
+    */
+  def sim2bMultiprobe(s: SparkSession, dir: String, nPlanes: Int, radius: Int): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 8 && radius >= 0 && radius <= nPlanes,
+      s"need 1 <= nPlanes <= 8 and 0 <= radius <= nPlanes, got ($nPlanes, $radius)")
     def planeDot(p: Int): Column =
-      call_function("graft_dot", col("v"), array(planes(p).toIndexedSeq.map(lit): _*))
+      call_function("graft_dot", col("v"), array(allPlanes(p).toIndexedSeq.map(lit): _*))
     val bucketed = embVec(s, dir).withColumn("bucket",
-      (0 until 4).map(p => when(planeDot(p) > 0, lit(1 << p)).otherwise(lit(0))).reduce(_ + _).cast("long"))
+      (0 until nPlanes).map(p => when(planeDot(p) > 0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _).cast("long"))
     val q = bucketed.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
     val c = bucketed.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"), col("bucket"))
     val top = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    val masks = (0L until (1L << nPlanes))
+      .filter(m => java.lang.Long.bitCount(m) <= radius)
     q.withColumn("bucket", explode(expr(
-        "array(bucket, bucket ^ 1L, bucket ^ 2L, bucket ^ 4L, bucket ^ 8L)")))
+        s"array(${masks.map(m => s"bucket ^ ${m}L").mkString(", ")})")))
       .join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(dotCol("qv", "cv") / (col("qn") * col("cn")), 6))

@@ -81,6 +81,23 @@ class PipelineQueriesSpec extends SparkSpec {
       s"recall rose when planes were added — planes are not nested: $recalls")
   }
 
+  test("sim2b's radius dial: recall monotone non-decreasing, full radius equals sim1") {
+    // probe sets are nested in radius, so candidates only grow; at radius =
+    // nPlanes every bucket is probed and the index degenerates to the exact
+    // scan — the two ends of the recall/cost dial, both structural.
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = pairs(PipelineQueries.sim1CosineTopk(spark, sf))
+    val recalls = Seq(0, 1, 2).map { rad =>
+      (exact & pairs(PipelineQueries.sim2bMultiprobe(spark, sf, 4, rad))).size.toDouble / exact.size
+    }
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall fell as the probe radius grew: $recalls")
+    val full = PipelineQueries.sim2bMultiprobe(spark, sf, 4, 4).collect().map(_.toSeq).toSeq
+    val ref = PipelineQueries.sim1CosineTopk(spark, sf).collect().map(_.toSeq).toSeq
+    assert(full == ref, "probing every bucket must equal the exact baseline row-for-row")
+  }
+
   test("sim2b multiprobe recall is at least sim2's single-bucket recall") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
