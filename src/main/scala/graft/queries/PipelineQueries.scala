@@ -1269,7 +1269,7 @@ object PipelineQueries {
     * oracle contract.
     */
   def sim2bMultiprobe(s: SparkSession, dir: String, nPlanes: Int, radius: Int): DataFrame = {
-    require(nPlanes >= 1 && nPlanes <= 8 && radius >= 0 && radius <= nPlanes,
+    require(nPlanes >= 1 && nPlanes <= allPlanes.length && radius >= 0 && radius <= nPlanes,
       s"need 1 <= nPlanes <= 8 and 0 <= radius <= nPlanes, got ($nPlanes, $radius)")
     def planeDot(p: Int): Column =
       call_function("graft_dot", col("v"), array(allPlanes(p).toIndexedSeq.map(lit): _*))
@@ -1332,16 +1332,21 @@ object PipelineQueries {
     * into cells and `nProbe` trades recall for candidates scanned — each
     * query touches ~nProbe/nCells of the corpus. The registered entry binds
     * (8, 2), the oracle contract; the spec pins that recall@3 vs `sim1` is
-    * monotone in nProbe and that nProbe = nCells recovers sim1 exactly.
+    * monotone in nProbe and that nProbe = nCells recovers sim1 exactly on
+    * any corpus without zero-norm vectors (sim3 drops them via the
+    * nrm > 0 guard; sim1, the oracle-pinned baseline, keeps every row).
     */
   def sim3IvfAnn(s: SparkSession, dir: String, nCells: Int, nProbe: Int): DataFrame = {
+    require(nCells >= 1 && nProbe >= 1 && nProbe <= nCells,
+      s"need 1 <= nProbe <= nCells, got (nCells=$nCells, nProbe=$nProbe)")
     import s.implicits._
     val vecs = embVec(s, dir).filter(col("nrm") > 0)
       .select(col("vec_id"), col("v"), col("nrm")).as[(Long, Array[Double], Double)]
     val cents = vecs.filter(_._1 < nCells).collect().sortBy(_._1)
     val bc = s.sparkContext.broadcast(cents)
-    // cell = argmax rounded cosine (ties → lowest cent_id), probes = top-2;
-    // one pass derives both, so the corpus never moves for assignment
+    // cell = argmax rounded cosine (ties → lowest cent_id), probes = the
+    // nProbe closest; one pass derives both, so the corpus never moves for
+    // assignment
     val rows = vecs.mapPartitions(_.map { case (id, v, nrm) =>
       val scored = bc.value.map { case (cid, cv, cn) =>
         var d = 0.0
@@ -3137,7 +3142,12 @@ object PipelineQueries {
     * from three scalar subqueries, so un-materialized expansion is 3^rounds
     * parquet scans — at 10 rounds that exhausts the fd limit before it
     * exhausts patience. Materialized, each round computes once, linear like
-    * the Spark loop it mirrors.
+    * the Spark loop it mirrors. An exhausted round (empty m_i — every word
+    * one symbol) must leave words UNCHANGED, not NULL: the scalar
+    * subqueries return NULL on empty input and replace() propagates it, so
+    * each round guards on COUNT(m_i) — exhaustion is permanent, so the
+    * guarded rounds emit no further merges, exactly the engine's early
+    * stop.
     */
   private def bpeOracleRounds(m: Int): String =
     (0 until m).map { i =>
@@ -3146,9 +3156,10 @@ object PipelineQueries {
          |       unnest(range(1, len(sy))) AS t(i)
          |  GROUP BY 1, 2),
          |m$i AS MATERIALIZED (SELECT s1, s2, n FROM p$i ORDER BY n DESC, s1, s2 LIMIT 1),
-         |w${i + 1} AS MATERIALIZED (SELECT replace(repr,
-         |    '(' || (SELECT s1 FROM m$i) || ')(' || (SELECT s2 FROM m$i) || ')',
-         |    '(' || (SELECT s1 || s2 FROM m$i) || ')') AS repr, f FROM w$i)""".stripMargin
+         |w${i + 1} AS MATERIALIZED (SELECT CASE WHEN (SELECT COUNT(*) FROM m$i) = 0 THEN repr
+         |    ELSE replace(repr,
+         |      '(' || (SELECT s1 FROM m$i) || ')(' || (SELECT s2 FROM m$i) || ')',
+         |      '(' || (SELECT s1 || s2 FROM m$i) || ')') END AS repr, f FROM w$i)""".stripMargin
     }.mkString(",\n")
 
   private val bpeOracleW0: String =
@@ -3192,6 +3203,13 @@ object PipelineQueries {
     */
   def encodeWithMerges(docs: DataFrame,
       merges: Seq[(Int, String, String, String, Long)]): DataFrame = {
+    // symbols are interpolated into a SQL expression as literals; bpeTrain
+    // can only emit [a-z]+ (the word filter), but this is a public entry
+    // point, so enforce the shape instead of assuming the caller
+    merges.foreach { case (_, a, b, _, _) =>
+      require(a.matches("[a-z]+") && b.matches("[a-z]+"),
+        s"merge symbols must be [a-z]+ (got '$a', '$b')")
+    }
     var enc = "concat('(', array_join(filter(split(x, ''), c -> c <> ''), ')('), ')')"
     for ((_, a, b, _, _) <- merges) enc = s"replace($enc, '($a)($b)', '($a$b)')"
     docs
@@ -3203,12 +3221,17 @@ object PipelineQueries {
   }
 
   val x19Sql: String = {
+    // exhaustion guard WITHOUT duplicating the chain (a CASE whose THEN and
+    // ELSE both contain `applied` doubles the expression per round — 2^10
+    // copies blows the parser): an empty m$i makes the search pattern
+    // COALESCE to chr(1), which cannot occur in a parenthesized [a-z]+
+    // repr, so the replace is a no-op instead of NULL-propagating.
     var applied = "'(' || array_to_string(string_split(w, ''), ')(') || ')'"
     for (i <- 0 until 10)
       applied =
         s"""replace($applied,
-           |    '(' || (SELECT s1 FROM m$i) || ')(' || (SELECT s2 FROM m$i) || ')',
-           |    '(' || (SELECT s1 || s2 FROM m$i) || ')')""".stripMargin
+           |    COALESCE('(' || (SELECT s1 FROM m$i) || ')(' || (SELECT s2 FROM m$i) || ')', chr(1)),
+           |    COALESCE('(' || (SELECT s1 || s2 FROM m$i) || ')', ''))""".stripMargin
     s"""WITH $bpeOracleW0,
        |${bpeOracleRounds(10)}
        |SELECT doc_id, SUM(len(string_split(trim($applied, '()'), ')(')))::BIGINT AS n_tokens

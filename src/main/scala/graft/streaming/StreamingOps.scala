@@ -170,7 +170,10 @@ object StreamingOps {
     * construction: the artifact is a literal in the plan, so this is one
     * narrow whole-stage-codegen projection per micro-batch — no watermark,
     * no state store, and throughput is scan speed, exactly the batch
-    * operator's plan applied to an unbounded source.
+    * operator's plan applied to an unbounded source. Same row contract as
+    * the batch operator: a document with no `[a-z]+` word (null/empty/
+    * non-latin text) emits NO output row — reconcile counts against the
+    * filtered input, not the raw stream.
     */
   def tokenizeStream(docs: DataFrame,
       merges: Seq[(Int, String, String, String, Long)]): DataFrame =

@@ -14,7 +14,12 @@ class BpeSpec extends SparkSpec {
 
   // ---- independent reference: symbol-vector BPE with explicit loops ----
 
-  private def refTrain(wordFreq: Map[String, Long], m: Int): Seq[(Int, String, String, String, Long)] = {
+  /** One reference pass: the learned merges AND the final symbol tables —
+    * a single implementation so the train- and encode-pinning tests cannot
+    * drift apart on what "the reference" is.
+    */
+  private def refBpe(wordFreq: Map[String, Long], m: Int)
+      : (Seq[(Int, String, String, String, Long)], Map[String, Vector[String]]) = {
     var syms: Map[String, Vector[String]] =
       wordFreq.keys.map(w => w -> w.map(_.toString).toVector).toMap
     val out = mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
@@ -36,31 +41,14 @@ class BpeSpec extends SparkSpec {
         }
       }
     }
-    (out.toSeq, syms)._1
+    (out.toSeq, syms)
   }
 
-  private def refSyms(wordFreq: Map[String, Long], m: Int): Map[String, Vector[String]] = {
-    var syms: Map[String, Vector[String]] =
-      wordFreq.keys.map(w => w -> w.map(_.toString).toVector).toMap
-    for (r <- 1 to m) {
-      val pc = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
-      for ((w, f) <- wordFreq; s = syms(w); i <- 0 until s.length - 1)
-        pc((s(i), s(i + 1))) += f
-      if (pc.nonEmpty) {
-        val ((a, b), _) = pc.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
-        syms = syms.map { case (w, s) =>
-          val o = Vector.newBuilder[String]
-          var i = 0
-          while (i < s.length) {
-            if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { o += a + b; i += 2 }
-            else { o += s(i); i += 1 }
-          }
-          w -> o.result()
-        }
-      }
-    }
-    syms
-  }
+  private def refTrain(wordFreq: Map[String, Long], m: Int): Seq[(Int, String, String, String, Long)] =
+    refBpe(wordFreq, m)._1
+
+  private def refSyms(wordFreq: Map[String, Long], m: Int): Map[String, Vector[String]] =
+    refBpe(wordFreq, m)._2
 
   private val docs = Seq(
     (0L, "aaaa abab aaa cab banana"),
@@ -150,8 +138,9 @@ class BpeSpec extends SparkSpec {
     // every word is one symbol from round 0, so there are no pairs: the
     // trainer must stop (not loop or throw), and encoding with an empty
     // artifact is the identity tokenization — one token per word. The
-    // oracle agrees by construction: LIMIT 1 of an empty pair table emits
-    // no merge row for that round on either engine.
+    // oracle side guards every round on COUNT(m_i): an exhausted round's
+    // scalar subqueries are NULL and an unguarded replace() would NULL
+    // every word (caught in review; the Spark side was never affected).
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bpe-exh").toString
     Seq((0L, "a b c a"), (1L, "b c")).toDF("doc_id", "text")
@@ -160,6 +149,17 @@ class BpeSpec extends SparkSpec {
     val enc = PipelineQueries.x19BpeEncode(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(enc == Seq((0L, 4L), (1L, 2L)))
+    // partial exhaustion: two merges possible, then every word is one
+    // symbol — the trainer emits exactly those two and stops (DuckDB run
+    // of the generated oracle on this corpus: same 2 rows, encode = 3)
+    val dir2 = java.nio.file.Files.createTempDirectory("bpe-exh2").toString
+    Seq((0L, "ab ab cd")).toDF("doc_id", "text")
+      .write.parquet(s"$dir2/documents.parquet")
+    assert(PipelineQueries.bpeTrain(spark, dir2, 10) ==
+      Seq((1, "a", "b", "ab", 2L), (2, "c", "d", "cd", 1L)))
+    val enc2 = PipelineQueries.x19BpeEncode(spark, dir2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(enc2 == Seq((0L, 3L)))
   }
 
   test("x18 output schema and determinism across two runs") {
