@@ -2124,7 +2124,18 @@ object PipelineQueries {
     * Per-doc grams are `array_distinct`ed before the explode, so `n_shared`
     * counts distinct leaked grams and needs no post-join dedup.
     */
-  def d7Contamination(s: SparkSession, dir: String): DataFrame = {
+  def d7Contamination(s: SparkSession, dir: String): DataFrame =
+    d7Contamination(s, dir, 4)
+
+  /** The dial form: `gramLen` is the selectivity knob SCALING.md names —
+    * longer grams are rarer, so the broadcast eval set and the flagged doc
+    * set both shrink. Structurally monotone: a shared (n+1)-gram contains
+    * two shared n-grams, so the docs flagged at gramLen n+1 are a subset of
+    * those flagged at n (spec-pinned). The registered entry binds 4, the
+    * oracle contract.
+    */
+  def d7Contamination(s: SparkSession, dir: String, gramLen: Int): DataFrame = {
+    require(gramLen >= 1, s"gramLen must be >= 1, got $gramLen")
     // The gram arrays are materialized once, BEFORE the explode
     // (localCheckpoint), for two reasons: the eval and train branches would
     // otherwise each rescan and re-shingle the corpus, and — worse —
@@ -2139,10 +2150,10 @@ object PipelineQueries {
     val gramArrays = t(s, dir, "documents")
       .withColumn("split", splitCol)
       .withColumn("w", split(col("text"), " "))
-      .filter(size(col("w")) >= 4)
+      .filter(size(col("w")) >= gramLen)
       .withColumn("gh", expr(
-        "transform(array_distinct(transform(sequence(0, size(w)-4), " +
-          "i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3]))), " +
+        s"transform(array_distinct(transform(sequence(0, size(w)-$gramLen), " +
+          s"i -> concat_ws(' ', slice(w, i+1, $gramLen)))), " +
           "g -> substring(md5(g), 1, 16))"))
       .select(col("doc_id"), col("split"), col("gh"))
       .localCheckpoint()

@@ -322,6 +322,38 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(expected.nonEmpty, "fixture has no cross-split overlap — test is vacuous")
   }
 
+  test("d7's gramLen dial: flagged docs at n+1 nest inside n; counts match brute force at n=3") {
+    // a shared (n+1)-gram contains two shared n-grams, so raising the gram
+    // length can only shrink the flagged set — the structural guarantee
+    // that makes gramLen the selectivity dial. The n=3 run is re-pinned
+    // against an independent brute force (the n=4 default already is).
+    def flagged(n: Int): Map[Long, Long] =
+      PipelineQueries.d7Contamination(spark, sf, n).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val f3 = flagged(3); val f4 = flagged(4); val f5 = flagged(5)
+    assert(f4.keySet.subsetOf(f3.keySet) && f5.keySet.subsetOf(f4.keySet),
+      s"flagged sets not nested: |f3|=${f3.size} |f4|=${f4.size} |f5|=${f5.size}")
+    assert(f3.nonEmpty, "no overlap at n=3 — dial test is vacuous")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def split(t: String): String =
+      if (java.lang.Long.parseLong(md5hex(t).take(8), 16) % 100 < 95) "train" else "eval"
+    def grams(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 3) Set.empty
+      else (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val ev = docs.filter(d => split(d._2) == "eval").flatMap(d => grams(d._2)).toSet
+    val expected = docs.filter(d => split(d._2) == "train")
+      .map(d => d._1 -> grams(d._2).count(ev.contains).toLong)
+      .filter(_._2 > 0).toMap
+    assert(f3 == expected)
+  }
+
   test("d10 incremental dedup: increment-only output, exact dominates, corpus-only matches") {
     val out = PipelineQueries.d10IncrementalDedup(spark, sf).collect()
     assert(out.nonEmpty)
