@@ -92,6 +92,47 @@ object Multimodal {
       blob.grouped(frameBytes)
   }
 
+  /** Deterministic stub codec whose decode is RANDOM-ACCESS in the pixel
+    * index: seed = first 64 bits of md5(blob); pixel(i) = a two-round
+    * small-multiplier mix of (seed + i·K). Unlike [[FakeCodec]]'s xorshift
+    * STREAM (pixel i needs i sequential steps), every pixel here is a pure
+    * function of (seed, i), so the whole decode is SQL-expressible and
+    * vectorizes: both engines share md5, and K < 2³¹ keeps every 32-bit-lane
+    * product of the two-lane 64-bit emulation inside a checked BIGINT. This
+    * is the codec the `m3` oracle pins — it turns decode→pool→ANN
+    * hash-exact across engines. Same [[DecodedImage]] contract and dims
+    * derivation as [[FakeCodec]].
+    */
+  object SqlCodec extends ImageCodec {
+    private val K = 1103515245L // < 2^31: the oracle's lane products fit BIGINT
+
+    def decodeImage(docId: Long, blob: Array[Byte]): DecodedImage = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(blob)
+      var s = 0L
+      var i = 0
+      while (i < 8) { s = (s << 8) | (d(i) & 0xffL); i += 1 }
+      val width = 16 + ((s >>> 8) % 17).toInt  // 16..32, as FakeCodec
+      val height = 16 + ((s >>> 16) % 17).toInt
+      val channels = 1 + ((s >>> 24) % 3).toInt // 1..3
+      val n = width * height * channels
+      val px = new Array[Byte](n)
+      var j = 0
+      while (j < n) {
+        var z = s + j * K
+        var r = 0
+        while (r < 2) { z ^= z >>> 29; z *= K; r += 1 }
+        z ^= z >>> 32
+        px(j) = (z & 0xff).toByte
+        j += 1
+      }
+      DecodedImage(docId, width, height, channels, px)
+    }
+
+    /** Same fixed-size chunking stub as [[FakeCodec]]. */
+    def frames(blob: Array[Byte], frameBytes: Int): Iterator[Array[Byte]] =
+      blob.grouped(frameBytes)
+  }
+
   /** REAL image decode on the pure JVM: javax.imageio (JDK built-in, no
     * external dependency) reads JPEG/PNG/GIF/BMP bytes into row-major
     * interleaved pixels matching the [[DecodedImage]] contract. Alpha is
@@ -422,5 +463,48 @@ object Multimodal {
       }
       (im.doc_id, feat)
     }.toDF("doc_id", "features")
+  }
+
+  /** Fixed-point twin of [[extractFeatures]]: the same 4×4 average pool, but
+    * each cell lands as an integer ppm value `⌊sum·10⁶ / count⌋` instead of a
+    * float mean. Integer features make every downstream dot product and
+    * squared norm an EXACT 64-bit sum (order-independent, so engine-
+    * reproducible — the sim4 fixed-point discipline applied to pooling);
+    * ppm ≤ 255·10⁶ and 16-dim dots stay under 2⁶³. `m3` pools through this
+    * so its cosines are bit-stable against the DuckDB oracle.
+    */
+  def extractFeaturesPpm(images: Dataset[DecodedImage]): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.map { im =>
+      val grid = 4
+      val feat = new Array[Long](grid * grid)
+      var gy = 0
+      while (gy < grid) {
+        var gx = 0
+        while (gx < grid) {
+          val y0 = gy * im.height / grid; val y1 = (gy + 1) * im.height / grid
+          val x0 = gx * im.width / grid; val x1 = (gx + 1) * im.width / grid
+          var sum = 0L; var cnt = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              var c = 0
+              while (c < im.channels) {
+                sum += im.pixels((y * im.width + x) * im.channels + c) & 0xff
+                cnt += 1; c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          feat(gy * grid + gx) = if (cnt == 0) 0L else sum * 1000000L / cnt
+          gx += 1
+        }
+        gy += 1
+      }
+      (im.doc_id, feat)
+    }.toDF("doc_id", "features_ppm")
   }
 }

@@ -28,9 +28,10 @@ import graft.Tables.t
   * composed end-to-end curation verdict (pipe1).
   *
   * Every operator is expressed as a declarative DataFrame plan; all but the
-  * sketch family and the codec-backed m3 (rows-only by the driver contract,
-  * spec-verified instead) carry a DuckDB oracle. Cross-engine determinism
-  * rules used throughout:
+  * sketch family (rows-only by the driver contract, spec-verified error
+  * bounds instead) carry a DuckDB oracle — including m3, whose SqlCodec
+  * decode the oracle reproduces in two-lane integer SQL. Cross-engine
+  * determinism rules used throughout:
   *  - shared randomness (MinHash permutations, LSH hyperplanes) is derived
   *    from md5 / a fixed-seed xorshift generator and embedded as literals in
   *    BOTH the Spark plan and the oracle SQL;
@@ -2692,43 +2693,111 @@ object PipelineQueries {
   // --------------------------------------- M3: decode → features → ANN
 
   /** End-to-end multimodal → similarity composition: binary blobs through
-    * the `graft.multimodal` stages (decode via the stubbed codec, 4×4
-    * average-pool features) and straight into the exact-cosine ANN shape —
-    * top-1 neighbor for the 10 probe documents, tiny probe side broadcast
-    * against the streamed corpus like `sim1`. Demonstrates that the decode/
-    * extract plumbing lands on the `array<float>` contract of the
-    * `embeddings` table, so a real codec plugs into the ANN operators with
-    * no schema work. Decode is deterministic (seeded fake codec) but not
-    * SQL-expressible, so this takes the driver's rows-only check by the
-    * declared contract for non-SQL ops; the spec verifies top-1 against a
-    * driver-side brute force instead.
+    * the `graft.multimodal` stages (decode via the SQL-expressible stub
+    * codec, fixed-point 4×4 average pool) and straight into the exact-cosine
+    * ANN shape — top-1 neighbor for the 10 probe documents, tiny probe side
+    * broadcast against the streamed corpus like `sim1`. Demonstrates that
+    * the decode/extract plumbing lands on the embedding-array contract, so a
+    * real codec (SniffCodec) plugs into the ANN operators with no schema
+    * work — only the codec argument changes, never the plan. Cross-engine
+    * exactness (sim4's discipline applied to the multimodal path): decode is
+    * `SqlCodec` (md5 seed + random-access pixel mix, reproduced by the
+    * oracle in two 32-bit lanes), pooling is integer ppm
+    * (`extractFeaturesPpm`), and dot products / squared norms are exact
+    * 64-bit sums — only the final cosine is floating, under the shared
+    * round-6 contract. The oracle assumes the synthetic corpus is ASCII
+    * (DuckDB-side byte access via md5(text) = md5(blob) holds for any UTF-8
+    * text, so this is only a doc note, not a restriction).
     */
   def m3FeatureAnn(s: SparkSession, dir: String): DataFrame = {
     val blobs = t(s, dir, "documents")
       .withColumn("blob", col("text").cast("binary"))
       .select("doc_id", "blob")
+    val dotL = (a: String, b: String) =>
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, p) -> acc + p)")
     val feats = graft.multimodal.Multimodal
-      .extractFeatures(graft.multimodal.Multimodal.decodeImages(blobs))
-      .withColumn("v", expr("transform(features, x -> cast(x as double))"))
-      .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
-      .filter(col("nrm") > 0)
+      .extractFeaturesPpm(graft.multimodal.Multimodal.decodeImages(
+        blobs, codec = graft.multimodal.Multimodal.SqlCodec))
+      .withColumn("nsq", dotL("features_ppm", "features_ppm"))
+      .filter(col("nsq") > 0)
       // both join sides read the features; without this the probe side's
       // broadcast subtree re-runs the whole decode+pool pipeline
       .localCheckpoint()
     val q = feats.filter(col("doc_id") < 10)
-      .select(col("doc_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .select(col("doc_id").as("query_id"), col("features_ppm").as("qv"), col("nsq").as("qsq"))
     val top = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     feats
-      .select(col("doc_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+      .select(col("doc_id").as("neighbor_id"), col("features_ppm").as("cv"), col("nsq").as("csq"))
       .crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
-        round(call_function("graft_dot", col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+        round(dotL("qv", "cv").cast("double") /
+          (sqrt(col("qsq").cast("double")) * sqrt(col("csq").cast("double"))), 6))
       .withColumn("rnk", row_number().over(top))
       .filter(col("rnk") === 1)
       .select("query_id", "neighbor_id", "cos")
       .orderBy("query_id")
+  }
+
+  /** The oracle reproduces `SqlCodec` + ppm pooling entirely in SQL. DuckDB
+    * BIGINT arithmetic is overflow-CHECKED, so the codec's wrapping 64-bit
+    * ops are emulated in two 32-bit lanes (hi, lo): shifts become `//`/`*`
+    * by powers of two, xor is lane-wise, and the ×K multiply carries
+    * `(lo·K) // 2³²` into the hi lane — every intermediate stays under 2⁶³
+    * because K < 2³¹. Pixels are random-access (`unnest(range(npix))`), so
+    * the whole decode vectorizes with no recursive CTE.
+    */
+  val m3Sql: String = {
+    // 8 hex nibbles of md5 starting at `start` (1-based) -> one 32-bit lane
+    def lane(start: Int): String =
+      (0 to 7).map(k =>
+        s"(strpos('0123456789abcdef', substr(hx, ${start + k}, 1)) - 1) * ${1L << (4 * (7 - k))}")
+        .mkString("(", " + ", ")")
+    val K = 1103515245L
+    s"""WITH
+       |sd AS (SELECT doc_id, CAST(${lane(1)} AS BIGINT) AS hi, CAST(${lane(9)} AS BIGINT) AS lo
+       |       FROM (SELECT doc_id, md5(text) AS hx FROM documents)),
+       |dims AS (SELECT doc_id, hi, lo,
+       |    16 + (hi * 16777216 + lo // 256) % 17 AS w,
+       |    16 + (hi * 65536 + lo // 65536) % 17 AS h,
+       |    1 + (hi * 256 + lo // 16777216) % 3 AS c
+       |  FROM sd),
+       |idx AS (SELECT doc_id, hi, lo, w, h, c, unnest(range(w * h * c)) AS j FROM dims),
+       |z0 AS (SELECT doc_id, w, h, c, j,
+       |    (hi + (lo + j * $K) // 4294967296) % 4294967296 AS zh,
+       |    (lo + j * $K) % 4294967296 AS zl
+       |  FROM idx),
+       |r1a AS (SELECT doc_id, w, h, c, j, xor(zh, zh // 536870912) AS zh,
+       |    xor(zl, zl // 536870912 + (zh % 536870912) * 8) AS zl FROM z0),
+       |r1b AS (SELECT doc_id, w, h, c, j,
+       |    (zh * $K + (zl * $K) // 4294967296) % 4294967296 AS zh,
+       |    (zl * $K) % 4294967296 AS zl FROM r1a),
+       |r2a AS (SELECT doc_id, w, h, c, j, xor(zh, zh // 536870912) AS zh,
+       |    xor(zl, zl // 536870912 + (zh % 536870912) * 8) AS zl FROM r1b),
+       |r2b AS (SELECT doc_id, w, h, c, j,
+       |    (zh * $K + (zl * $K) // 4294967296) % 4294967296 AS zh,
+       |    (zl * $K) % 4294967296 AS zl FROM r2a),
+       |pxv AS (SELECT doc_id, w, h, c, j, xor(zl, zh) % 256 AS pix FROM r2b),
+       |cells AS (SELECT doc_id,
+       |    ((4 * ((j // c) // w) + 3) // h) * 4 + (4 * ((j // c) % w) + 3) // w AS cell, pix
+       |  FROM pxv),
+       |feat AS (SELECT doc_id, cell, (CAST(SUM(pix) AS BIGINT) * 1000000) // COUNT(*) AS ppm
+       |  FROM cells GROUP BY doc_id, cell),
+       |v AS (SELECT doc_id, list(ppm ORDER BY cell) AS v, CAST(SUM(ppm * ppm) AS BIGINT) AS nsq
+       |  FROM feat GROUP BY doc_id),
+       |corpus AS (SELECT doc_id AS neighbor_id, v AS cv, nsq AS csq FROM v WHERE nsq > 0),
+       |probe AS (SELECT doc_id AS query_id, v AS qv, nsq AS qsq FROM v
+       |  WHERE nsq > 0 AND doc_id < 10),
+       |pairs AS (SELECT query_id, neighbor_id,
+       |    round(CAST(CAST(list_sum(list_transform(range(len(qv)),
+       |        i -> qv[i + 1] * cv[i + 1])) AS BIGINT) AS DOUBLE)
+       |      / (sqrt(CAST(qsq AS DOUBLE)) * sqrt(CAST(csq AS DOUBLE))), 6) AS cos
+       |  FROM probe CROSS JOIN corpus WHERE query_id <> neighbor_id),
+       |rk AS (SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+       |  FROM pairs)
+       |SELECT query_id, neighbor_id, cos FROM rk WHERE rn = 1 ORDER BY query_id""".stripMargin
   }
 
   // ---------------------------------------- A8s: sketch aggregates (HLL)
@@ -3380,6 +3449,7 @@ object PipelineQueries {
     "x19_bpe_encode" -> x19Sql,
     "m1_binary_meta" -> m1Sql,
     "m2_frame_sample" -> m2Sql,
+    "m3_feature_ann" -> m3Sql,
     "w3_sessionize" -> w3Sql,
     "w4_funnel" -> w4Sql,
     "w5_retention" -> w5Sql,

@@ -277,16 +277,32 @@ class PipelineQueriesSpec extends SparkSpec {
     val blobs = graft.Tables.t(spark, sf, "documents")
       .withColumn("blob", col("text").cast(org.apache.spark.sql.types.BinaryType))
       .select("doc_id", "blob")
-    val feats = Multimodal.extractFeatures(Multimodal.decodeImages(blobs))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      val dot = a.zip(b).map { case (x, y) => x * y }.sum
-      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
-      BigDecimal(dot / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // brute force over the ppm features computed by an INDEPENDENT local
+    // decode (SqlCodec + the pooling loop re-run on the driver), exact
+    // integer dots, cosine rounded at 6 like the query contract
+    val feats = blobs.collect().map { r =>
+      val im = Multimodal.SqlCodec.decodeImage(r.getLong(0), r.getAs[Array[Byte]](1))
+      val f = new Array[Long](16)
+      for (gy <- 0 until 4; gx <- 0 until 4) {
+        val y0 = gy * im.height / 4; val y1 = (gy + 1) * im.height / 4
+        val x0 = gx * im.width / 4; val x1 = (gx + 1) * im.width / 4
+        var sum = 0L; var cnt = 0L
+        for (y <- y0 until y1; x <- x0 until x1; c <- 0 until im.channels) {
+          sum += im.pixels((y * im.width + x) * im.channels + c) & 0xff
+          cnt += 1
+        }
+        f(gy * 4 + gx) = if (cnt == 0) 0L else sum * 1000000L / cnt
+      }
+      (im.doc_id, f)
     }
-    val expected = feats.filter(_._1 < 10).map { case (qid, qv) =>
-      val best = feats.filter(_._1 != qid)
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Array[Long], b: Array[Long]): Double =
+      BigDecimal(dot(a, b).toDouble / (math.sqrt(dot(a, a).toDouble) * math.sqrt(dot(b, b).toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val live = feats.filter(f => dot(f._2, f._2) > 0)
+    val expected = live.filter(_._1 < 10).map { case (qid, qv) =>
+      val best = live.filter(_._1 != qid)
         .map { case (nid, nv) => (nid, cos(qv, nv)) }
         .minBy { case (nid, c) => (-c, nid) }
       (qid, best._1, best._2)
