@@ -2280,19 +2280,54 @@ object PipelineQueries {
     * keeps the statistic exact cross-engine, and the two-phase shape is
     * identical: one partial-aggregable count per distinct bigram (the
     * "model", shuffle ∝ vocabulary² not corpus), then one join of doc
-    * bigram occurrences against it — the model side is one row per distinct
-    * bigram, so the join's build side is bounded by vocabulary, and a
-    * mega-common bigram is ONE build row joined by many probe rows:
-    * streaming through, not exploding.
+    * bigram occurrences against it.
+    *
+    * Scale treatment (the two classic bigram-join hazards):
+    *  - SHUFFLE WIDTH: bigrams are digested to a 60-bit md5 prefix before
+    *    any exchange (the d8/x17 digest-key discipline) — the model groupBy
+    *    and the occurrence join both carry 8-byte keys instead of 20–50-byte
+    *    text, and both engines compute the identical digest so the oracle
+    *    stays exact.
+    *  - KEY SKEW: "of the"-class bigrams are textbook heavy hitters; a
+    *    hash-partitioned occurrence join would land every occurrence of a
+    *    hot key on one reducer. The top-`hotK` model rows (a bounded, tiny
+    *    table) broadcast instead: hot occurrences score in a map-side join
+    *    and NEVER shuffle on their key, while the residual cold join is
+    *    skew-free by construction (everything hot was anti-joined out
+    *    against the same broadcast set). The split is a pure plan detail —
+    *    hot ∪ cold is exactly the original join, so results and the oracle
+    *    are unchanged by the dial.
     */
-  def x12LmScore(s: SparkSession, dir: String): DataFrame = {
+  def x12LmScore(s: SparkSession, dir: String): DataFrame =
+    x12LmScore(s, dir, hotK = 64)
+
+  /** `hotK` is the skew dial: how many heavy-hitter bigrams ride the
+    * broadcast path. 0 disables the split (pure shuffled join); any value
+    * yields identical results (spec-pinned) — at 100 TB size it so the
+    * broadcast stays a few KB while covering the Zipf head, e.g. 10⁴–10⁵.
+    */
+  def x12LmScore(s: SparkSession, dir: String, hotK: Int): DataFrame = {
+    require(hotK >= 0, s"hotK must be non-negative, got $hotK")
     val occ = t(s, dir, "documents")
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))")).as("bg"))
-    val model = occ.groupBy("bg").agg(count(lit(1)).as("c"))
-    occ.join(model, "bg")
+        "transform(sequence(0, size(w)-2), i -> " +
+          "cast(conv(substring(md5(concat_ws(' ', w[i], w[i+1])),1,15),16,10) as bigint))"))
+        .as("hk"))
+    // the model is vocabulary-sized and read three times (hot pick, anti
+    // set, cold join) — materialize once instead of re-counting the corpus
+    val model = occ.groupBy("hk").agg(count(lit(1)).as("c")).localCheckpoint()
+    val scored =
+      if (hotK == 0) occ.join(model, "hk")
+      else {
+        val hot = model.orderBy(col("c").desc, col("hk")).limit(hotK)
+        occ.join(broadcast(hot), "hk")
+          .unionByName(
+            occ.join(broadcast(hot.select("hk")), Seq("hk"), "left_anti")
+              .join(model, "hk"))
+      }
+    scored
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("c").as("c_sum"))
       .withColumn("mean_bg_freq", expr("c_sum div n_bigrams"))
@@ -2300,15 +2335,16 @@ object PipelineQueries {
   }
 
   val x12Sql: String =
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |o AS (SELECT doc_id, unnest(list_transform(range(len(w)-1),
-      |        i -> w[i+1]||' '||w[i+2])) AS bg
-      |      FROM w WHERE len(w) >= 2),
-      |m AS (SELECT bg, COUNT(*) AS c FROM o GROUP BY bg)
-      |SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(c) AS BIGINT) AS c_sum,
-      |  CAST(SUM(c) AS BIGINT) // COUNT(*) AS mean_bg_freq
-      |FROM o JOIN m USING (bg)
-      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |bg AS (SELECT doc_id, unnest(list_transform(range(len(w)-1),
+       |        i -> w[i+1]||' '||w[i+2])) AS bg
+       |      FROM w WHERE len(w) >= 2),
+       |o AS (SELECT doc_id, ${md5HexSql("bg", 15)} AS hk FROM bg),
+       |m AS (SELECT hk, COUNT(*) AS c FROM o GROUP BY hk)
+       |SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(c) AS BIGINT) AS c_sum,
+       |  CAST(SUM(c) AS BIGINT) // COUNT(*) AS mean_bg_freq
+       |FROM o JOIN m USING (hk)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ------------------------------------- D8: duplicated-span detection
 

@@ -606,6 +606,16 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(expected.map(_._4).distinct.size > 1)
   }
 
+  test("x12's hotK skew dial is result-invariant: 0 (no split) ≡ small ≡ larger-than-vocab") {
+    // hot ∪ cold must be EXACTLY the original join for every split point —
+    // hotK only moves occurrences between the broadcast and shuffled paths
+    val base = PipelineQueries.x12LmScore(spark, sf, hotK = 0).collect().toSeq
+    assert(base.nonEmpty)
+    for (k <- Seq(1, 64, 1000000))
+      assert(PipelineQueries.x12LmScore(spark, sf, hotK = k).collect().toSeq == base,
+        s"hotK=$k changed results")
+  }
+
   test("sim5 PQ: complete ranked top-3 per query, ADC-ordered, with nontrivial recall") {
     val rows = PipelineQueries.sim5PqAnn(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("query_id"))

@@ -397,4 +397,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
       "encode pass should not join at all")
   }
+
+  test("x12 LM score shuffles 8-byte digest keys; hot bigrams ride a broadcast path") {
+    val p = plan(PipelineQueries.x12LmScore(spark, sf))
+    // every content exchange hashes the bigint md5-prefix digest — a raw
+    // bigram string key would surface as a string-typed partition expression
+    assert(p.contains("conv(substring(md5"),
+      "md5-digest bigram key missing from the plan:\n" + p.take(1200))
+    // the Zipf head joins map-side: top-hotK model rows broadcast, and the
+    // cold residual is carved out by an anti-join against the same set, so
+    // no shuffled join ever sees a heavy-hitter key
+    assert(p.contains("BroadcastHashJoin"), "hot-key broadcast join missing")
+    assert(p.contains("LeftAnti"), "cold-side anti-join against the hot set missing")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "x12 degenerated to a product")
+    val stringKeyed = p.linesIterator.filter(_.contains("hashpartitioning(bg"))
+    assert(stringKeyed.isEmpty,
+      "an exchange still hashes the raw bigram string:\n" + stringKeyed.mkString("\n"))
+  }
 }
