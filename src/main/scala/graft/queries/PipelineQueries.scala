@@ -221,6 +221,7 @@ object PipelineQueries {
   // ---------------------------------------------------- D2: MinHash + LSH
 
   private val MinhashPerms = 8
+  private val MinhashBands = 4
   private val BandPairs = Seq((0, 1), (2, 3), (4, 5), (6, 7))
 
   /** MinHash + LSH near-dup detection: shingle → 8-permutation MinHash
@@ -236,24 +237,39 @@ object PipelineQueries {
     * plenty for banding, and hashing is the dominant cost of signature
     * computation — this is 8× cheaper than 8 seeded hashes).
     */
-  /** Shared MinHash signature derivation: one narrow typed pass over
-    * `documents` → (doc_id, shingle set, 4 band keys), checkpointed.
-    * Signature computation is per-document narrow work: one typed pass
-    * derives shingles, the 8 16-bit minima (the 8 disjoint 16-bit substrings
-    * of a single md5 per shingle — hashing once is 8× cheaper than 8 seeded
-    * hashes), and the banded keys, in tight JVM code instead of interpreted
-    * higher-order functions. Checkpointed because the candidate join and
-    * the exact-Jaccard verification both reuse it. Used by d2 (within-corpus
-    * dedup); d10 shares the per-document derivation via `signaturesOf` but
-    * checkpoints its own corpus index through `prepareCorpusIndex`.
+  /** Shared MinHash signature derivation over any (doc_id, text) frame:
+    * one narrow typed pass → (doc_id, shingle set, band keys), checkpointed
+    * (the candidate join and the exact-Jaccard verification both reuse it).
+    * Per-document narrow work in tight JVM code: shingles, the 16-bit minima
+    * (disjoint 16-bit substrings of a SINGLE md5 per shingle — hashing once
+    * is 8× cheaper than 8 seeded hashes), and the banded keys. Used by d2
+    * (within-corpus dedup), d10/`prepareCorpusIndex` (increment-vs-index),
+    * and the streaming ingest twin's micro-batches.
+    *
+    * `(numPerms, bands)` is the LSH band-shape dial. Permutation p is the
+    * p-th disjoint 16-bit substring of ONE md5 per shingle, so numPerms ≤ 8;
+    * bands must divide numPerms, and band g keys on the CONSECUTIVE run of
+    * numPerms/bands minima starting at g·(numPerms/bands). Consecutive
+    * grouping is what makes the dial provably monotone (spec-pinned):
+    *  - at fixed numPerms, a coarser shape's band is a superset run of a
+    *    finer shape's, so its collisions imply the finer shape's —
+    *    candidates (and, after exact-Jaccard verify, results) NEST as bands
+    *    grows: 1 ⊆ 2 ⊆ 4 ⊆ 8;
+    *  - at fixed rows-per-band, a smaller numPerms uses a PREFIX of the
+    *    larger's bands, so its candidates nest inside the larger's (the
+    *    sim2 prefix-nested-planes discipline).
+    * The registered d2 entry binds (8, 4) — the oracle contract. At 100 TB
+    * the shape is the recall/collision-rate trade: more bands of fewer rows
+    * → more candidates (higher recall, bigger join); production tunes it
+    * against the verify budget since exact Jaccard keeps every shape sound.
     */
-  private[queries] def minhashDocs(s: SparkSession, dir: String): DataFrame =
-    signaturesOf(t(s, dir, "documents"))
-
-  /** The same derivation over any (doc_id, text) frame — the public form
-    * the streaming ingest twin feeds micro-batches through.
-    */
-  def signaturesOf(docs: DataFrame): DataFrame = {
+  def signaturesOf(docs: DataFrame, numPerms: Int = MinhashPerms,
+      bands: Int = MinhashBands): DataFrame = {
+    require(numPerms >= 1 && numPerms <= 8, s"numPerms must be in 1..8, got $numPerms")
+    require(bands >= 1 && numPerms % bands == 0,
+      s"bands must divide numPerms, got numPerms=$numPerms bands=$bands")
+    val rows = numPerms / bands
+    val nBands = bands
     val s = docs.sparkSession
     import s.implicits._
     docs.select(col("doc_id"), col("text"))
@@ -272,13 +288,13 @@ object PipelineQueries {
             while (i + 2 < w.length) {
               seen.add(w(i) + " " + w(i + 1) + " " + w(i + 2)); i += 1
             }
-            val mins = Array.fill(MinhashPerms)(0x10000)
+            val mins = Array.fill(numPerms)(0x10000)
             val itr = seen.iterator()
             while (itr.hasNext) {
               md.reset()
               val d = md.digest(itr.next().getBytes(utf8))
               var p = 0
-              while (p < MinhashPerms) {
+              while (p < numPerms) {
                 val v = ((d(2 * p) & 0xff) << 8) | (d(2 * p + 1) & 0xff)
                 if (v < mins(p)) mins(p) = v
                 p += 1
@@ -287,25 +303,33 @@ object PipelineQueries {
             // lexicographic min over fixed-width lowercase hex == numeric min,
             // so these equal the oracle's array_min(substr(md5(x),4i+1,4))
             val hex = mins.map(v => f"$v%04x")
-            val bands = BandPairs.map { case (a, b) =>
+            val bandKeys = (0 until nBands).map { g =>
               md.reset()
-              md.digest((hex(a) + hex(b)).getBytes(utf8)).map(x => f"$x%02x").mkString
+              md.digest((g * rows until (g + 1) * rows).map(hex).mkString
+                .getBytes(utf8)).map(x => f"$x%02x").mkString
             }
-            Some((id, seen.toArray(new Array[String](0)).toSeq, bands))
+            Some((id, seen.toArray(new Array[String](0)).toSeq, bandKeys))
           }
         }
       }.toDF("doc_id", "sh", "bands").localCheckpoint()
   }
 
-  def d2MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val docsh = minhashDocs(s, dir)
+  def d2MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    d2MinhashLsh(s, dir, MinhashPerms, MinhashBands)
+
+  /** The band-shape-dial form (see [[signaturesOf]] for the monotonicity
+    * contract). Every shape is SOUND — candidates are verified by exact
+    * Jaccard at the same threshold — so the dial only moves recall/cost.
+    */
+  def d2MinhashLsh(s: SparkSession, dir: String, numPerms: Int, bands: Int): DataFrame = {
+    val docsh = signaturesOf(t(s, dir, "documents"), numPerms, bands)
     // light checkpoint of just (doc_id, band key): the histogram probe and
     // both sides of the candidate join scan this tiny projection instead of
     // re-deserializing the heavy shingle arrays from the docsh checkpoint
-    val bands = docsh.select(col("doc_id"), explode(col("bands")).as("bk"))
+    val bandTab = docsh.select(col("doc_id"), explode(col("bands")).as("bk"))
       .localCheckpoint()
     // skew-aware band join: salts any measured mega-band (see bandCandidates)
-    val cand = bandCandidates(bands, saltThreshold = 4096L)
+    val cand = bandCandidates(bandTab, saltThreshold = 4096L)
     cand
       .join(docsh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
       .join(docsh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))

@@ -606,6 +606,28 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(expected.map(_._4).distinct.size > 1)
   }
 
+  test("d2's band-shape dial: results nest as bands coarsen and as perms shrink; default = (8,4)") {
+    def pairs(numPerms: Int, bands: Int): Set[(Long, Long, Long)] =
+      PipelineQueries.d2MinhashLsh(spark, sf, numPerms, bands).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the registered entry is exactly the (8,4) shape — the oracle contract
+    val default = PipelineQueries.d2MinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(default == pairs(8, 4) && default.nonEmpty)
+    // at fixed perms, a coarser band is a superset run of a finer band's
+    // minima, so its collisions imply the finer's: results nest 1 ⊆ 2 ⊆ 4 ⊆ 8
+    val Seq(b1, b2, b4, b8) = Seq(1, 2, 4, 8).map(pairs(8, _))
+    assert(b1.subsetOf(b2) && b2.subsetOf(b4) && b4.subsetOf(b8),
+      s"band nesting violated: |b1|=${b1.size} |b2|=${b2.size} |b4|=${b4.size} |b8|=${b8.size}")
+    // recall must actually move somewhere across the dial, or the pin is vacuous
+    assert(b1.size < b8.size, "dial has no effect on this fixture")
+    // at fixed rows-per-band, fewer perms = a PREFIX of the larger shape's
+    // bands (the sim2 prefix-nesting discipline): (4,2) ⊆ (8,4)
+    assert(pairs(4, 2).subsetOf(pairs(8, 4)), "prefix-perm nesting violated")
+    // shapes that don't divide are rejected loudly
+    intercept[IllegalArgumentException](PipelineQueries.d2MinhashLsh(spark, sf, 8, 3))
+  }
+
   test("x12's hotK skew dial is result-invariant: 0 (no split) ≡ small ≡ larger-than-vocab") {
     // hot ∪ cold must be EXACTLY the original join for every split point —
     // hotK only moves occurrences between the broadcast and shuffled paths
