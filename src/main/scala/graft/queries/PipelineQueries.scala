@@ -1600,9 +1600,26 @@ object PipelineQueries {
     * Fixed-point longs end-to-end keep every distance — and therefore the
     * DuckDB oracle — bit-exact.
     */
-  def sim5PqAnn(s: SparkSession, dir: String): DataFrame = {
+  def sim5PqAnn(s: SparkSession, dir: String): DataFrame =
+    sim5PqAnn(s, dir, m = 4, subK = 8)
+
+  /** The PQ-shape dial form: `m` subspaces of 64/m dims, `subK` centroids
+    * per sub-codebook. The registered entry binds (4, 8) — the oracle
+    * contract. Soundness pin (spec-verified, the sim3 "nProbe = nCells ≡
+    * sim1" discipline applied to PQ): when subK ≥ the corpus row count,
+    * every seed subvector is its own centroid at distance 0 — an assignment
+    * Lloyd rounds cannot move — so codes reproduce subvectors exactly and
+    * ADC ≡ exact fixed-point L2 for ANY m. Between the extremes the shape
+    * is the memory/recall trade: code bytes per vector = m·⌈log₂ subK⌉/8,
+    * ADC table cost = m·subK per query; no cross-m monotonicity is CLAIMED
+    * (sub-codebooks retrain per shape, so unlike d2's bands there is no
+    * nesting guarantee) — the measured m-sweep lives in SCALING.md.
+    */
+  def sim5PqAnn(s: SparkSession, dir: String, m: Int, subK: Int): DataFrame = {
     import s.implicits._
-    val m = 4; val subDim = 16; val k = 8; val nq = 10
+    require(m >= 1 && 64 % m == 0, s"m must divide the 64-dim embeddings, got $m")
+    require(subK >= 1, s"subK must be positive, got $subK")
+    val subDim = 64 / m; val k = subK; val nq = 10
     val full = t(s, dir, "embeddings")
       .select(col("vec_id"), expr(
         "transform(embedding, x -> cast(round(cast(x as double) * 1048576) as bigint) + 2097152)").as("v"))
@@ -1727,9 +1744,24 @@ object PipelineQueries {
     * scores for a query only when its coarse cell is probed — candidate
     * work is nprobe/k of the corpus by construction.
     */
-  def sim6IvfPq(s: SparkSession, dir: String): DataFrame = {
+  def sim6IvfPq(s: SparkSession, dir: String): DataFrame =
+    sim6IvfPq(s, dir, m = 4, subK = 8)
+
+  /** The PQ-shape dial form for the composed index (coarse k=8 / nprobe=2
+    * stay sim3's pinned dials; `(m, subK)` moves only the residual-PQ
+    * stage). Registered entry binds (4, 8) — the oracle contract. Soundness
+    * pin (spec-verified): subK ≥ corpus rows makes every residual subvector
+    * its own distance-0 centroid, so every returned adc_dist equals the
+    * EXACT fixed-point L2 between query and neighbor — the index still
+    * prunes by coarse cell (that is nprobe's dial), but scoring degenerates
+    * to exact, for any m. See sim5's docstring for why no cross-m
+    * monotonicity is claimed; the measured m-sweep lives in SCALING.md.
+    */
+  def sim6IvfPq(s: SparkSession, dir: String, m: Int, subK: Int): DataFrame = {
     import s.implicits._
-    val k = 8; val m = 4; val subDim = 16; val k2 = 8; val nq = 10; val nprobe = 2
+    require(m >= 1 && 64 % m == 0, s"m must divide the 64-dim embeddings, got $m")
+    require(subK >= 1, s"subK must be positive, got $subK")
+    val k = 8; val subDim = 64 / m; val k2 = subK; val nq = 10; val nprobe = 2
     val Shift = 4194304L
     val full = t(s, dir, "embeddings")
       .select(col("vec_id"), expr(

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr}
 
 class PipelineQueriesSpec extends SparkSpec {
 
@@ -636,6 +636,48 @@ class PipelineQueriesSpec extends SparkSpec {
     for (k <- Seq(1, 64, 1000000))
       assert(PipelineQueries.x12LmScore(spark, sf, hotK = k).collect().toSeq == base,
         s"hotK=$k changed results")
+  }
+
+  test("sim5/sim6 PQ dials: subK = corpus size degenerates ADC to exact L2, for any m") {
+    // with one centroid per corpus vector, every seed subvector is its own
+    // distance-0 centroid — an assignment Lloyd rounds cannot move — so PQ
+    // codes reproduce subvectors exactly and ADC ≡ exact fixed-point L2
+    // (sim3's "nProbe = nCells ≡ sim1" discipline applied to quantization)
+    val vecs = graft.Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1048576) as bigint) + 2097152)"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val n = vecs.length
+    def fx(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(j => (a(j) - b(j)) * (a(j) - b(j))).sum
+    val byId = vecs.toMap
+    val exactTop3 = vecs.filter(_._1 < 10).flatMap { case (qid, qv) =>
+      vecs.filter(_._1 != qid).map { case (id, v) => (fx(qv, v), id) }
+        .sorted.take(3).zipWithIndex
+        .map { case ((d, id), i) => (qid, id, i + 1, d) }
+    }.sortBy(r => (r._1, r._3)).toSeq
+    for (m <- Seq(2, 4, 8)) {
+      val got = PipelineQueries.sim5PqAnn(spark, sf, m, n).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSeq
+      assert(got == exactTop3, s"sim5 m=$m subK=$n is not the exact top-3")
+    }
+    for (m <- Seq(4, 8)) {
+      // sim6 still PRUNES by coarse cell (nprobe's dial) but must SCORE
+      // exactly: every returned adc_dist equals the true fixed-point L2
+      val got = PipelineQueries.sim6IvfPq(spark, sf, m, n).collect()
+      assert(got.nonEmpty)
+      got.foreach { r =>
+        val (qid, nid, d) = (r.getLong(0), r.getLong(1), r.getLong(3))
+        assert(d == fx(byId(qid), byId(nid)),
+          s"sim6 m=$m subK=$n: adc_dist $d != exact for ($qid,$nid)")
+      }
+    }
+    // the registered entries are exactly the (4, 8) dial position
+    assert(PipelineQueries.sim5PqAnn(spark, sf).collect().map(_.toSeq).toSeq ==
+      PipelineQueries.sim5PqAnn(spark, sf, 4, 8).collect().map(_.toSeq).toSeq)
+    assert(PipelineQueries.sim6IvfPq(spark, sf).collect().map(_.toSeq).toSeq ==
+      PipelineQueries.sim6IvfPq(spark, sf, 4, 8).collect().map(_.toSeq).toSeq)
+    intercept[IllegalArgumentException](PipelineQueries.sim5PqAnn(spark, sf, 3, 8))
   }
 
   test("sim5 PQ: complete ranked top-3 per query, ADC-ordered, with nontrivial recall") {
