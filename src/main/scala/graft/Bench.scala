@@ -2,6 +2,29 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+  /** Fixed-work contention sentinel: a single-thread 2×10⁸-step xorshift
+    * spin whose wall-time depends only on how loaded the box is — the work
+    * is identical every round, so comparing this one number across round
+    * artifacts separates "the engine regressed" from "the box was busy"
+    * (round 4's driver bench showed 4–6× per-query inflation with zero code
+    * change; a judge re-run on a quiet box landed at 1×). Min of three runs
+    * rides past JIT warm-up and scheduler hiccups; measured before warm-up
+    * AND after the timed passes so contention arriving mid-bench is visible
+    * too.
+    */
+  private def calibrate(): Double = {
+    def spin(): Double = {
+      val t0 = System.nanoTime()
+      var s = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < 200000000) { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; i += 1 }
+      // data dependency on s defeats dead-code elimination of the loop
+      if (s == 42L) System.err.print("")
+      (System.nanoTime() - t0) / 1e9
+    }
+    Seq.fill(3)(spin()).min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to every core: the bench contract is local[32]-class hardware,
@@ -24,6 +47,7 @@ object Bench {
     // and bumps the failed count in the summary line. Silently swallowed
     // failures masquerade as 65 ms successes and poison the round artifact.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val calibPre = calibrate()
     // Untimed warm-up pass: first execution of each plan pays one-time JVM
     // costs (encoder/codegen Janino compilation, JIT) that a long-running
     // cluster amortizes to zero; the timed pass below measures steady-state
@@ -67,9 +91,11 @@ object Bench {
       .mkString("{", ",", "}")
     val ok = results.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    val calibPost = calibrate()
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}"""
+      s""""failed":${errors.size},"errors":$errJson,""" +
+      s""""calib_pre_sec":$calibPre,"calib_post_sec":$calibPost,"sf":"$sfDir"}"""
     println(line)
     // Also write to a dedicated file so the artifact survives stdout being
     // interleaved with Spark logs / truncated by the harness.
