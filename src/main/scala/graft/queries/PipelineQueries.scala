@@ -3359,7 +3359,11 @@ object PipelineQueries {
     * at scan speed. Token count per word is counted as '(' occurrences
     * (`size(split(.., '[(]')) - 1`), one use of the chain per word. Docs
     * with no `[a-z]+` words are absent on both sides (none exist in this
-    * corpus; the contract is explicit).
+    * corpus; the contract is explicit). NOTE this registered entry
+    * deliberately composes train+encode (the end-to-end contract); its
+    * bench time is dominated by the 10 training rounds. The cost a pipeline
+    * should quote as "tokenization" is `x19b_encode_only`, which consumes
+    * the pinned [[X19Merges]] artifact.
     */
   def x19BpeEncode(s: SparkSession, dir: String): DataFrame =
     encodeWithMerges(t(s, dir, "documents"), bpeTrain(s, dir, 10))
@@ -3390,6 +3394,43 @@ object PipelineQueries {
       .withColumn("n_tokens", expr(
         s"aggregate(ws, 0L, (acc, x) -> acc + cast(size(split($enc, '[(]')) - 1 AS bigint))"))
       .drop("ws")
+  }
+
+  /** The PINNED tokenizer artifact for the encode-only entry: the 10 merges
+    * `bpeTrain` learns at sf0.01 (hash-checked by x18's oracle), frozen as
+    * source literals. This is the production shape x19b demonstrates — an
+    * artifact is trained ONCE, persisted, and applied to any corpus; the
+    * applying query embeds it as plan literals and never re-trains. Counts
+    * are the training-time statistics (part of the artifact, unused by
+    * encoding).
+    */
+  val X19Merges: Seq[(Int, String, String, String, Long)] = Seq(
+    (1, "e", "r", "er", 4568L), (2, "i", "n", "in", 2760L),
+    (3, "o", "w", "ow", 2747L), (4, "o", "r", "or", 2696L),
+    (5, "s", "t", "st", 2676L), (6, "m", "er", "mer", 1852L),
+    (7, "a", "t", "at", 1845L), (8, "l", "u", "lu", 1831L),
+    (9, "a", "r", "ar", 1758L), (10, "p", "ar", "par", 1758L))
+
+  /** X19b: tokenization with the pinned artifact — what a pipeline actually
+    * benchmarks as "tokenization cost". x19 (train+encode) keeps the
+    * composed contract and re-trains by design; THIS entry consumes
+    * [[X19Merges]] as literals, so its cost is the pure encode pass:
+    * zero joins, zero shuffles before the output sort, no training jobs.
+    * The oracle applies the identical literal replace chain.
+    */
+  def x19bEncodeOnly(s: SparkSession, dir: String): DataFrame =
+    encodeWithMerges(t(s, dir, "documents"), X19Merges)
+      .select("doc_id", "n_tokens")
+      .orderBy("doc_id")
+
+  val x19bSql: String = {
+    var applied = "'(' || array_to_string(string_split(w, ''), ')(') || ')'"
+    for ((_, a, b, m, _) <- X19Merges)
+      applied = s"replace($applied, '($a)($b)', '($m)')"
+    s"""SELECT doc_id, SUM(len(string_split(trim($applied, '()'), ')(')))::BIGINT AS n_tokens
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |WHERE regexp_matches(w, '^[a-z]+$$')
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   val x19Sql: String = {
@@ -3487,6 +3528,7 @@ object PipelineQueries {
     "x17_novelty" -> (x17Novelty _),
     "x18_bpe_merges" -> (x18BpeMerges _),
     "x19_bpe_encode" -> (x19BpeEncode _),
+    "x19b_encode_only" -> (x19bEncodeOnly _),
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_frame_sample" -> (m2FrameSample _),
     "m3_feature_ann" -> (m3FeatureAnn _),
@@ -3539,6 +3581,7 @@ object PipelineQueries {
     "x17_novelty" -> x17Sql,
     "x18_bpe_merges" -> x18Sql,
     "x19_bpe_encode" -> x19Sql,
+    "x19b_encode_only" -> x19bSql,
     "m1_binary_meta" -> m1Sql,
     "m2_frame_sample" -> m2Sql,
     "m3_feature_ann" -> m3Sql,

@@ -606,6 +606,42 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(expected.map(_._4).distinct.size > 1)
   }
 
+  test("x19b encodes with the PINNED artifact, matching an independent greedy-merge replay") {
+    // independent reference: per word, apply the 10 pinned merges via the
+    // same greedy leftmost non-overlapping semantics, implemented directly
+    // on symbol vectors (no string replace) — a different mechanism than
+    // the engine's compiled replace chain
+    def encode(word: String): Int = {
+      var sy = word.map(_.toString).toVector
+      for ((_, a, b, m, _) <- PipelineQueries.X19Merges) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < sy.length) {
+          if (i + 1 < sy.length && sy(i) == a && sy(i + 1) == b) { out += m; i += 2 }
+          else { out += sy(i); i += 1 }
+        }
+        sy = out.result()
+      }
+      sy.length
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.flatMap { case (id, t) =>
+      val ws = t.split(" ", -1).filter(_.matches("[a-z]+"))
+      if (ws.isEmpty) None else Some((id, ws.map(w => encode(w).toLong).sum))
+    }.sortBy(_._1).toSeq
+    val got = PipelineQueries.x19bEncodeOnly(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+    // the artifact must actually merge something on this corpus, or the
+    // encode-only entry is indistinguishable from character counting
+    val chars = docs.flatMap { case (id, t) =>
+      val ws = t.split(" ", -1).filter(_.matches("[a-z]+"))
+      if (ws.isEmpty) None else Some(ws.map(_.length.toLong).sum)
+    }.sum
+    assert(expected.map(_._2).sum < chars, "pinned merges never fired")
+  }
+
   test("d2's band-shape dial: results nest as bands coarsen and as perms shrink; default = (8,4)") {
     def pairs(numPerms: Int, bands: Int): Set[(Long, Long, Long)] =
       PipelineQueries.d2MinhashLsh(spark, sf, numPerms, bands).collect()

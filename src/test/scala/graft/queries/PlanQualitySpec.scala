@@ -398,6 +398,18 @@ class PlanQualitySpec extends SparkSpec {
       "encode pass should not join at all")
   }
 
+  test("x19b encode-only: the pinned artifact compiles to literals; no training job, shuffle-free") {
+    // the artifact is plan LITERALS — encode is the same zero-shuffle narrow
+    // pass as x19's encode stage, with no training rounds in front of it
+    val p = plan(PipelineQueries.x19bEncodeOnly(spark, sf))
+    val exchanges = p.linesIterator.filter(_.trim.startsWith("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      "encode-only pass shuffles before the output sort:\n" + exchanges.mkString("\n"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "encode-only pass should not join at all")
+    assert(p.contains("(mer)"), "pinned merge literals missing from the plan")
+  }
+
   test("x12 LM score shuffles 8-byte digest keys; hot bigrams ride a broadcast path") {
     val p = plan(PipelineQueries.x12LmScore(spark, sf))
     // every content exchange hashes the bigint md5-prefix digest — a raw
