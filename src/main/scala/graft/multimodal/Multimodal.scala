@@ -213,6 +213,16 @@ object Multimodal {
       */
     private val MaxFrames = 4096
 
+    /** Cumulative OUTPUT budget per blob: per-frame pixel and frame-count
+      * caps alone still admit their product — a small, valid LZW GIF
+      * declaring thousands of large frames would expand to multi-GB of
+      * re-encoded frames held simultaneously in one task. Total emitted
+      * frame bytes over one blob may not exceed this; past it the demux
+      * throws (under SniffCodec that degrades to the stub, the same
+      * degrade-don't-die contract as a corrupt body).
+      */
+    private val MaxTotalFrameBytes = 256L * 1024 * 1024
+
     /** REAL container demux for the two formats a pure JVM carries:
       *
       *  - animated GIF: ImageIO's GIF reader exposes every stored frame
@@ -228,7 +238,10 @@ object Multimodal {
       * Anything else (MP4/H.264 and friends need a native codec) throws —
       * route mixed corpora through [[SniffCodec]], which degrades to the
       * stub. Both paths are bounded: at most [[MaxFrames]] frames per blob,
-      * and GIF frames pass the same per-image pixel budget as decode.
+      * GIF frames pass the same per-image pixel budget as decode AND a
+      * cumulative [[MaxTotalFrameBytes]] output budget (the per-frame caps
+      * alone admit their product); AVI chunks are disjoint blob ranges, so
+      * their total is bounded by the blob itself.
       * `frameBytes` is the stub codec's chunk width and is ignored here —
       * real containers carry their own frame boundaries.
       */
@@ -256,6 +269,7 @@ object Multimodal {
           // headers, no pixel decode
           val n = math.min(reader.getNumImages(true), MaxFrames)
           val out = new Array[Array[Byte]](n)
+          var total = 0L
           var i = 0
           while (i < n) {
             val dw = reader.getWidth(i); val dh = reader.getHeight(i)
@@ -265,6 +279,11 @@ object Multimodal {
             val bos = new java.io.ByteArrayOutputStream()
             javax.imageio.ImageIO.write(reader.read(i), "png", bos)
             out(i) = bos.toByteArray
+            total += out(i).length
+            if (total > MaxTotalFrameBytes)
+              throw new IllegalArgumentException(
+                s"GIF demux emitted $total bytes over ${i + 1} frames, " +
+                  s"past the $MaxTotalFrameBytes-byte per-blob budget")
             i += 1
           }
           out.iterator

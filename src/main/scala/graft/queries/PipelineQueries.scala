@@ -1295,7 +1295,7 @@ object PipelineQueries {
     */
   def sim2bMultiprobe(s: SparkSession, dir: String, nPlanes: Int, radius: Int): DataFrame = {
     require(nPlanes >= 1 && nPlanes <= allPlanes.length && radius >= 0 && radius <= nPlanes,
-      s"need 1 <= nPlanes <= 8 and 0 <= radius <= nPlanes, got ($nPlanes, $radius)")
+      s"need 1 <= nPlanes <= ${allPlanes.length} and 0 <= radius <= nPlanes, got ($nPlanes, $radius)")
     def planeDot(p: Int): Column =
       call_function("graft_dot", col("v"), array(allPlanes(p).toIndexedSeq.map(lit): _*))
     val bucketed = embVec(s, dir).withColumn("bucket",
@@ -3245,7 +3245,11 @@ object PipelineQueries {
   private[queries] def bpeWordTable(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
-      .filter(col("w").rlike("^[a-z]+$"))
+      // \A..\z, not ^..$: Java's $ also matches before a trailing newline,
+      // DuckDB's RE2 $ matches only end-of-text — "abc\n" would train on
+      // the engine side but be excluded by the oracle. \A/\z are true
+      // full-string anchors, so both engines apply identical semantics.
+      .filter(col("w").rlike("""\A[a-z]+\z"""))
       .groupBy("w").agg(count(lit(1)).as("f"))
       .select(expr(
         "concat('(', array_join(filter(split(w, ''), c -> c <> ''), ')('), ')')").as("repr"),
@@ -3389,7 +3393,9 @@ object PipelineQueries {
     var enc = "concat('(', array_join(filter(split(x, ''), c -> c <> ''), ')('), ')')"
     for ((_, a, b, _, _) <- merges) enc = s"replace($enc, '($a)($b)', '($a$b)')"
     docs
-      .withColumn("ws", expr("filter(split(text, ' '), x -> x rlike '^[a-z]+$')"))
+      // \A..\z full-string anchors — see bpeWordTable's note; the two word
+      // filters must agree or training and encoding see different corpora
+      .withColumn("ws", expr("filter(split(text, ' '), x -> x rlike '\\\\A[a-z]+\\\\z')"))
       .filter(size(col("ws")) > 0)
       .withColumn("n_tokens", expr(
         s"aggregate(ws, 0L, (acc, x) -> acc + cast(size(split($enc, '[(]')) - 1 AS bigint))"))
