@@ -116,19 +116,37 @@ object SonarVcf {
 
   /** Render sites as VCF body lines for the given sample column order —
     * absent genotypes print '.', like a bcftools-merged matrix. Stays fully
-    * distributed: genotype lookup is a map access per sample inside one
-    * projection, and the global sort matches the reference's POS-sorted
-    * output (lib/sonartoVCF_v2.py:338).
+    * distributed AND cohort-scale; two shapes were measured and rejected at
+    * a 10⁴-sample cohort (SonarVcfVolumeSpec pins this size):
+    *  - one Column per sample (3·10⁴ expression nodes) OOMs codegen;
+    *  - a constant-size transform over a sample-array literal survives, but
+    *    each `element_at(map)` is a LINEAR scan of the site's genotype map
+    *    — O(sites × samples × carriers) ≈ 6·10⁹ comparisons here.
+    * So the matrix row is scattered imperatively per partition (the one
+    * place mapPartitions beats expressions: dense O(samples + carriers)
+    * fill against a broadcast sample→column index). The global sort matches
+    * the reference's POS-sorted output (lib/sonartoVCF_v2.py:338).
     */
   def vcfLines(sites: DataFrame, sampleIds: Seq[String]): DataFrame = {
-    val gtCols: Seq[Column] = sampleIds.map(s =>
-      coalesce(col("genotypes").getItem(s), lit(".")))
+    val spark = sites.sparkSession
+    import spark.implicits._
+    val bcIdx = spark.sparkContext.broadcast(sampleIds.zipWithIndex.toMap)
     sites
       .orderBy(col("pos"))
-      .select(concat_ws("\t",
-        Seq(col("chrom"), col("pos"), col("id"), col("ref"), col("alt"),
-          col("qual"), col("filter"), col("info"), col("format")) ++ gtCols: _*)
-        .as("line"))
+      .select(col("chrom"), col("pos").cast("long"), col("id"), col("ref"),
+        col("alt"), col("qual"), col("filter"), col("info"), col("format"),
+        col("genotypes"))
+      .as[(String, Long, String, String, String, String, String, String, String,
+        Map[String, String])]
+      .mapPartitions { it =>
+        val idx = bcIdx.value
+        it.map { case (chrom, pos, id, ref, alt, qual, filt, info, format, gts) =>
+          val cells = Array.fill(idx.size)(".")
+          gts.foreach { case (acc, gt) => idx.get(acc).foreach(i => cells(i) = gt) }
+          (Iterator(chrom, pos.toString, id, ref, alt, qual, filt, info, format) ++
+            cells.iterator).mkString("\t")
+        }
+      }.toDF("line")
   }
 
   /** Full export: header + body written as one text dataset (the Spark analog
