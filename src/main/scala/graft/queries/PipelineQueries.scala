@@ -3493,6 +3493,211 @@ object PipelineQueries {
       |  CASE WHEN pr <= 0.01 THEN 'low' ELSE 'high' END AS side
       |FROM r WHERE pr <= 0.01 OR pr >= 0.99 ORDER BY event_id""".stripMargin
 
+  // ------------------------ X20: model-based quality filtering (classifier)
+
+  /** Hash-bucket count of the x20 classifier's feature space. */
+  private[graft] val X20Buckets = 64
+
+  /** The "trained" linear-classifier artifact: one weight per feature
+    * bucket, in ppm of the keep-probability scale [0, 1e6]. Derived
+    * deterministically from md5 so BOTH engines can embed the identical
+    * literals — the stand-in for a fastText/DCLM-style quality model's
+    * exported weight vector, which a production run would load from a file
+    * and broadcast exactly the same way (an artifact, not data — the same
+    * contract as x14's vocabulary map and x19b's pinned merges).
+    */
+  private[graft] val X20Weights: IndexedSeq[Long] =
+    (0 until X20Buckets).map { b =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"w$b".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 15), 16) % 1000001L
+    }
+
+  /** Model-based quality filtering — the fastText-shape linear classifier
+    * pass every modern pretraining pipeline runs (CCNet's LM filter,
+    * DCLM-Baseline's fastText classifier, FineWeb-Edu's quality scorer):
+    * hash each token into [[X20Buckets]] feature buckets via the shared
+    * 60-bit md5 prefix, score the document as the integer-ppm MEAN of the
+    * bucket weights over its TOKEN STREAM (not distinct tokens — term
+    * frequency is the feature), and keep documents scoring at or above the
+    * 500000-ppm midpoint. All weights are non-negative so every division is
+    * on non-negative operands — truncating `div` and DuckDB `//` cannot
+    * diverge.
+    *
+    * Scale shape: the model rides the plan as an array literal (64 longs),
+    * so inference is ONE narrow codegen'd pass — zero joins, zero shuffles
+    * before the output sort; a 100 TB corpus streams through map tasks at
+    * scan speed, exactly like x14's broadcast-map tokenizer. The hash
+    * bucketing, per-token lookup, and mean all run inside higher-order
+    * array expressions on the already-split token array.
+    */
+  def x20QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val wt = array(X20Weights.map(lit(_)): _*)
+    def bucket(tk: Column): Column =
+      (conv(substring(md5(tk), 1, 15), 16, 10).cast("long") % X20Buckets).cast("int")
+    t(s, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 1)
+      .withColumn("sum_w",
+        aggregate(transform(col("w"), tk => element_at(wt, bucket(tk) + 1)),
+          lit(0L), (acc, x) => acc + x))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        expr("sum_w div n_tokens").as("score_ppm"),
+        when(expr("sum_w div n_tokens") >= 500000L, 1).otherwise(0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val x20Sql: String = {
+    val wlist = X20Weights.mkString("[", ", ", "]")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sc AS (SELECT doc_id, len(w)::BIGINT AS n_tokens,
+       |         CAST(list_sum(list_transform(w,
+       |           tk -> ($wlist)[((${md5HexSql("tk", 15)}) % $X20Buckets) + 1])) AS BIGINT) AS sum_w
+       |       FROM w WHERE len(w) >= 1)
+       |SELECT doc_id, n_tokens, sum_w // n_tokens AS score_ppm,
+       |  CASE WHEN sum_w // n_tokens >= 500000 THEN 1 ELSE 0 END AS keep
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------- X21: importance-weighted resampling (DSIR-shape)
+
+  /** Hash-bucket count of the x21 importance model (hashed unigram space). */
+  private[graft] val X21Buckets = 256
+
+  /** Importance-weight resampling, the DSIR shape (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling", NeurIPS'23):
+    * estimate a TARGET unigram distribution (here the `lang='en'` slice —
+    * the stand-in for a high-quality target like Wikipedia) and the RAW
+    * corpus distribution over [[X21Buckets]] hashed-unigram buckets, then
+    * weight every document by its mean per-token target/raw likelihood
+    * ratio. Documents whose token mix looks like the target upweight;
+    * boilerplate the target lacks downweights. This integer-ppm variant
+    * uses the arithmetic mean of add-one-smoothed ratios rather than DSIR's
+    * log-sum (same ordering signal, exact cross-engine arithmetic; ct ≤ cr
+    * always, so the per-bucket ratio term is bounded by 1e6 and the scale
+    * term by 1e6·N_raw/N_target — overflow-safe unless the target slice is
+    * below 1e-7 of the corpus, which a 100 TB run guards at model-build
+    * time).
+    *
+    * Scale shape: the importance model is BUCKET-count rows (two partial-
+    * aggregable counts per bucket — map-side combine reduces the exchange
+    * to tasks × 256 rows), checkpointed once, and broadcast; corpus rows
+    * then shuffle ONCE on (doc_id, bucket) — partial-aggregable again, so
+    * the exchange carries at most docs × 256 rows, not tokens — and once
+    * more on doc_id for the final mean. The corpus is never joined against
+    * anything non-broadcast.
+    */
+  def x21ImportanceWeights(s: SparkSession, dir: String): DataFrame = {
+    val occ = t(s, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 1)
+      .select(col("doc_id"), col("lang"),
+        explode(expr(
+          s"transform(w, tk -> cast(conv(substring(md5(tk),1,15),16,10) as bigint) % $X21Buckets)"))
+          .as("b"))
+    // two counts per bucket in one pass; 256 rows, read once per side below
+    val model = occ.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+    val tot = model.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+    val ratio = model.crossJoin(broadcast(tot))
+      .select(col("b"), expr(
+        s"((((ct + 1L) * 1000000L) div (cr + 1L)) * " +
+          s"(((nr + ${X21Buckets}L) * 1000000L) div (nt + ${X21Buckets}L))) div 1000000L")
+        .as("ratio_ppm"))
+      .localCheckpoint()
+    occ.groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(ratio), "b")
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_tokens"), sum(expr("cnt * ratio_ppm")).as("wsum"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("wsum div n_tokens").as("weight_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val x21Sql: String =
+    s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+       |o AS (SELECT doc_id, lang, (${md5HexSql("tk", 15)}) % $X21Buckets AS b
+       |      FROM (SELECT doc_id, lang, unnest(w) AS tk FROM w WHERE len(w) >= 1)),
+       |m AS (SELECT b, COUNT(*) AS cr,
+       |        SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+       |      FROM o GROUP BY b),
+       |tt AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM m),
+       |r AS (SELECT b, ((((ct + 1) * 1000000) // (cr + 1)) *
+       |        (((nr + $X21Buckets) * 1000000) // (nt + $X21Buckets))) // 1000000 AS ratio_ppm
+       |      FROM m CROSS JOIN tt),
+       |pd AS (SELECT doc_id, b, COUNT(*) AS cnt FROM o GROUP BY doc_id, b)
+       |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       |  CAST(CAST(SUM(cnt * ratio_ppm) AS BIGINT) // CAST(SUM(cnt) AS BIGINT) AS BIGINT) AS weight_ppm
+       |FROM pd JOIN r USING (b) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ----------------------------- G2: triangle counting (degree-ordered)
+
+  /** Exact per-node triangle counting over the co-purchase graph (parts
+    * connected when they share an order) — the classic graph statistic for
+    * clustering-coefficient / community analysis, in the degree-ordered
+    * formulation every distributed implementation uses (Suri &
+    * Vassilvitskii, WWW'11): orient each undirected edge from its lower
+    * (degree, id) endpoint to the higher, enumerate wedges by joining the
+    * oriented edge list with itself on the middle vertex, and close each
+    * wedge against the oriented edges. The orientation (a) counts every
+    * triangle EXACTLY once — inside a triangle the (degree, id) total order
+    * induces a unique a→b, b→c, a→c labeling — and (b) bounds every
+    * out-neighborhood by O(√m), so the wedge join is Σ outdeg² ≈ m^1.5
+    * worst-case instead of Σ deg² blowing up on hub vertices. That bound is
+    * the whole scale story: hubs are the reason naive triangle counting
+    * dies at web scale, and the orientation removes them from the wedge
+    * side entirely.
+    *
+    * Shuffle shape: pair generation is one self-join co-partitioned on
+    * l_orderkey; the degree table is node-count rows (broadcast here;
+    * dimension-sized vs the edge list at any scale); wedges shuffle on the
+    * middle vertex and close on the (x, z) pair — three bounded exchanges,
+    * no iteration (g1/d6 carry the iterative cases).
+    */
+  def g2Triangles(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val e = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val lower = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = e
+      .join(broadcast(deg.select(col("n").as("u"), col("d").as("du"))), "u")
+      .join(broadcast(deg.select(col("n").as("v"), col("d").as("dv"))), "v")
+      .select(when(lower, col("u")).otherwise(col("v")).as("src"),
+        when(lower, col("v")).otherwise(col("u")).as("dst"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"), col("e2.dst").as("z"))
+    val tri = wedges.join(
+      oriented.select(col("src").as("x"), col("dst").as("z")), Seq("x", "z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      .orderBy("node")
+  }
+
+  val g2Sql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+      |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |deg AS (SELECT n, COUNT(*) AS d
+      |        FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+      |de AS (SELECT e.u, e.v, du.d AS du, dv.d AS dv
+      |       FROM e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n),
+      |dir AS (SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS src,
+      |               CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS dst
+      |        FROM de),
+      |tri AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+      |        FROM dir e1 JOIN dir e2 ON e1.dst = e2.src
+      |        JOIN dir e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+      |SELECT node, COUNT(*)::BIGINT AS n_tri
+      |FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+      |GROUP BY node ORDER BY node""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3535,6 +3740,9 @@ object PipelineQueries {
     "x18_bpe_merges" -> (x18BpeMerges _),
     "x19_bpe_encode" -> (x19BpeEncode _),
     "x19b_encode_only" -> (x19bEncodeOnly _),
+    "x20_quality_classifier" -> (x20QualityClassifier _),
+    "x21_importance_weights" -> (x21ImportanceWeights _),
+    "g2_triangles" -> (g2Triangles _),
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_frame_sample" -> (m2FrameSample _),
     "m3_feature_ann" -> (m3FeatureAnn _),
@@ -3588,6 +3796,9 @@ object PipelineQueries {
     "x18_bpe_merges" -> x18Sql,
     "x19_bpe_encode" -> x19Sql,
     "x19b_encode_only" -> x19bSql,
+    "x20_quality_classifier" -> x20Sql,
+    "x21_importance_weights" -> x21Sql,
+    "g2_triangles" -> g2Sql,
     "m1_binary_meta" -> m1Sql,
     "m2_frame_sample" -> m2Sql,
     "m3_feature_ann" -> m3Sql,

@@ -999,4 +999,90 @@ class PipelineQueriesSpec extends SparkSpec {
       assert(r.getAs[Long]("canonical_id") <= r.getAs[Long]("doc_id"))
     }
   }
+
+  /** First 15 md5 hex chars of `t` as a 60-bit long — the shared cross-engine
+    * digest (x12/x17/x20/x21's bucket key).
+    */
+  private def md5Prefix60(t: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  test("x20 classifier scores match a driver-side brute force and discriminate") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.flatMap { case (id, t) =>
+      val w = t.split(" ", -1)
+      if (w.isEmpty) None else {
+        val sum = w.map(tk =>
+          PipelineQueries.X20Weights((md5Prefix60(tk) % PipelineQueries.X20Buckets).toInt)).sum
+        val score = sum / w.length
+        Some((id, w.length.toLong, score, if (score >= 500000L) 1 else 0))
+      }
+    }.sortBy(_._1).toSeq
+    val got = PipelineQueries.x20QualityClassifier(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(got == expected)
+    // the statistic discriminates: scores vary across documents
+    assert(expected.map(_._3).distinct.size > 1)
+  }
+
+  test("x21 importance weights match a driver-side brute force; corpus mean sits near parity") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val D = PipelineQueries.X21Buckets
+    def bucket(tk: String): Int = (md5Prefix60(tk) % D).toInt
+    val all = docs.flatMap { case (_, lang, t) =>
+      t.split(" ", -1).map(tk => (bucket(tk), lang == "en"))
+    }
+    val cr = all.groupBy(_._1).map { case (b, v) => (b, v.length.toLong) }
+    val ct = all.filter(_._2).groupBy(_._1).map { case (b, v) => (b, v.length.toLong) }
+    val nr = all.length.toLong
+    val nt = all.count(_._2).toLong
+    def ratio(b: Int): Long = {
+      val r1 = ((ct.getOrElse(b, 0L) + 1L) * 1000000L) / (cr.getOrElse(b, 0L) + 1L)
+      val scale = ((nr + D) * 1000000L) / (nt + D)
+      (r1 * scale) / 1000000L
+    }
+    val expected = docs.flatMap { case (id, _, t) =>
+      val w = t.split(" ", -1)
+      if (w.isEmpty) None else {
+        val wsum = w.map(tk => ratio(bucket(tk))).sum
+        Some((id, w.length.toLong, wsum / w.length))
+      }
+    }.sortBy(_._1).toSeq
+    val got = PipelineQueries.x21ImportanceWeights(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // add-one smoothing and integer truncation pull the token-weighted mean
+    // ratio below exact parity (1e6 ppm) but it must stay the same order —
+    // the importance weights are a reweighting, not a rescaling
+    val mean = expected.map(_._3).sum / expected.length
+    assert(mean > 200000L && mean < 2000000L, s"corpus mean weight $mean implausible")
+  }
+
+  test("g2 triangle counts match a driver-side brute force; total is divisible by 3") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val edges = li.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (n, v) => (n, v.map(_._2).toSet) }
+    val perNode = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((u, v) <- edges; w <- adj(u) & adj(v) if u < v && v < w) {
+      perNode(u) += 1; perNode(v) += 1; perNode(w) += 1
+    }
+    val expected = perNode.toSeq.sortBy(_._1)
+    val got = PipelineQueries.g2Triangles(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+    val total = got.map(_._2).sum
+    assert(total > 0 && total % 3 == 0, s"summed per-node counts $total not 3×triangles")
+  }
 }

@@ -427,4 +427,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(stringKeyed.isEmpty,
       "an exchange still hashes the raw bigram string:\n" + stringKeyed.mkString("\n"))
   }
+
+  test("x20 classifier inference is a zero-join narrow pass; the model rides as literals") {
+    // the 64-weight artifact is an array literal in the plan, so inference
+    // must stream: the only exchange is the output sort's range partitioning
+    val p = plan(PipelineQueries.x20QualityClassifier(spark, sf))
+    val exchanges = p.linesIterator.filter(_.trim.startsWith("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      "classifier pass shuffles before the output sort:\n" + exchanges.mkString("\n"))
+    assert(!p.contains("Join"), "classifier inference should not join at all")
+  }
+
+  test("x21 importance model broadcasts back to the corpus; no shuffled join anywhere") {
+    // the bucket-count model (256 rows) and its 1-row totals must come back
+    // via broadcast — the corpus side shuffles only for its own partial-
+    // aggregable groupBys, never to meet the model
+    val p = plan(PipelineQueries.x21ImportanceWeights(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "importance-ratio table is not broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "corpus shuffled to meet the 256-row model:\n" + p.take(1500))
+  }
+
+  test("g2 triangles: degree table broadcasts; wedge and closure joins stay keyed") {
+    val p = plan(PipelineQueries.g2Triangles(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "degree annotation should broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "a triangle join degenerated to a product")
+  }
 }
