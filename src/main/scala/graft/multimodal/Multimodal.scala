@@ -223,7 +223,7 @@ object Multimodal {
       */
     private val MaxTotalFrameBytes = 256L * 1024 * 1024
 
-    /** REAL container demux for the two formats a pure JVM carries:
+    /** REAL container demux for the three formats a pure JVM carries:
       *
       *  - animated GIF: ImageIO's GIF reader exposes every stored frame
       *    (`getNumImages(true)` / `read(i)`); each frame raster is
@@ -234,23 +234,32 @@ object Multimodal {
       *  - AVI / motion-JPEG: a RIFF chunk walk (the container is just
       *    nested fourcc-tagged chunks) collects the `##dc`/`##db` video
       *    chunks; for MJPEG each chunk IS a complete JPEG, emitted as-is.
+      *  - MP4 / motion-JPEG: an ISO-BMFF box walk reads the sample tables
+      *    (`stsd` codec check, `stsz` sizes, `stsc` sample→chunk runs,
+      *    `stco`/`co64` chunk offsets) and slices each JPEG sample out of
+      *    the blob verbatim — MJPEG-in-MP4 needs only the demuxer, never a
+      *    codec. H.264/H.265 tracks (and any other compressed-codec
+      *    `stsd` entry) still throw: decoding them is native-codec work.
       *
-      * Anything else (MP4/H.264 and friends need a native codec) throws —
-      * route mixed corpora through [[SniffCodec]], which degrades to the
-      * stub. Both paths are bounded: at most [[MaxFrames]] frames per blob,
-      * GIF frames pass the same per-image pixel budget as decode AND a
-      * cumulative [[MaxTotalFrameBytes]] output budget (the per-frame caps
-      * alone admit their product); AVI chunks are disjoint blob ranges, so
-      * their total is bounded by the blob itself.
+      * Anything else throws — route mixed corpora through [[SniffCodec]],
+      * which degrades to the stub. All paths are bounded: at most
+      * [[MaxFrames]] frames per blob; GIF frames pass the same per-image
+      * pixel budget as decode AND a cumulative [[MaxTotalFrameBytes]]
+      * output budget (the per-frame caps alone admit their product); AVI
+      * chunks are disjoint blob ranges, so their total is bounded by the
+      * blob itself; MP4 sample ranges come from an INDEX (a hostile file
+      * can alias overlapping ranges), so the walk enforces the same
+      * cumulative output budget as GIF.
       * `frameBytes` is the stub codec's chunk width and is ignored here —
       * real containers carry their own frame boundaries.
       */
     def frames(blob: Array[Byte], frameBytes: Int): Iterator[Array[Byte]] =
       if (SniffCodec.isGif(blob)) gifFrames(blob)
       else if (SniffCodec.isAvi(blob)) aviFrames(blob)
+      else if (SniffCodec.isMp4(blob)) mp4Frames(blob)
       else throw new IllegalArgumentException(
         s"no pure-JVM demuxer for blob (${blob.length} bytes); " +
-          "supported containers: GIF, AVI/MJPEG")
+          "supported containers: GIF, AVI/MJPEG, MP4/MJPEG")
 
     private def gifFrames(blob: Array[Byte]): Iterator[Array[Byte]] = {
       if (System.getProperty("java.awt.headless") == null)
@@ -328,6 +337,146 @@ object Multimodal {
       walk(12, blob.length) // skip RIFF header: 'RIFF' + size + 'AVI '
       out.iterator
     }
+
+    /** `stsd` sample-entry formats whose samples are complete JPEGs —
+      * the codec-free MJPEG-in-MP4 family (QuickTime `jpeg`, Motion-JPEG
+      * A/B). Anything else in the stsd needs a real codec and is rejected.
+      */
+    private val Mp4JpegFormats = Set("jpeg", "mjpa", "mjpb")
+
+    /** ISO-BMFF (MP4/QuickTime) demux for MJPEG tracks. The container is
+      * big-endian length-prefixed boxes; the sample tables under
+      * `moov/trak/mdia/minf/stbl` index the media bytes:
+      *
+      *  - `stsd` names the codec (first sample entry's fourcc — must be a
+      *    JPEG family, see [[Mp4JpegFormats]]);
+      *  - `stsz` gives per-sample byte sizes (or one fixed size);
+      *  - `stsc` maps samples onto chunks as (first_chunk,
+      *    samples_per_chunk) runs;
+      *  - `stco`/`co64` give ABSOLUTE file offsets of each chunk, and
+      *    samples within a chunk are contiguous.
+      *
+      * The walk re-plays that index and copies each sample range out of the
+      * blob verbatim — each is a complete JPEG. Defenses: box sizes are
+      * validated against the enclosing range (truncated/hostile sizes stop
+      * the walk rather than read out of bounds); sample ranges must lie
+      * inside the blob; and because offsets are an index rather than a
+      * linear scan, overlapping/aliased ranges are possible in a hostile
+      * file, so the cumulative [[MaxTotalFrameBytes]] budget and
+      * [[MaxFrames]] cap both apply. Fragmented MP4 (`moof`) and non-JPEG
+      * codecs throw — [[SniffCodec]] degrades those to the stub.
+      */
+    private def mp4Frames(blob: Array[Byte]): Iterator[Array[Byte]] = {
+      def u32(off: Int): Long =
+        (blob(off) & 0xffL) << 24 | (blob(off + 1) & 0xffL) << 16 |
+          (blob(off + 2) & 0xffL) << 8 | (blob(off + 3) & 0xffL)
+      def u64(off: Int): Long = u32(off) << 32 | u32(off + 4)
+      def fourcc(off: Int): String = new String(blob, off, 4, "ISO-8859-1")
+
+      /** Top-down scan of the box sequence in [start, end): yields
+        * (type, bodyStart, bodyEnd). Stops at the first malformed size.
+        */
+      def boxes(start: Int, end: Int): Iterator[(String, Int, Int)] =
+        new Iterator[(String, Int, Int)] {
+          private var p = start
+          def hasNext: Boolean = p + 8 <= end && {
+            val size = u32(p)
+            size == 0 || size == 1 || (size >= 8 && size <= end - p)
+          }
+          def next(): (String, Int, Int) = {
+            val size0 = u32(p)
+            val tpe = fourcc(p + 4)
+            val (body, boxEnd) =
+              if (size0 == 1 && p + 16 <= end) {
+                val s = u64(p + 8)
+                if (s < 16 || s > end - p) (p + 16, end) else (p + 16, p + s.toInt)
+              } else if (size0 == 0) (p + 8, end) // box extends to enclosing end
+              else (p + 8, p + size0.toInt)
+            p = boxEnd
+            (tpe, body, boxEnd)
+          }
+        }
+      def find(start: Int, end: Int, tpe: String): Option[(Int, Int)] =
+        boxes(start, end).collectFirst { case (`tpe`, b, e) => (b, e) }
+
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var total = 0L
+      val moov = find(0, blob.length, "moov").getOrElse(
+        throw new IllegalArgumentException("MP4 blob has no moov box"))
+      for ((tpe, tb, te) <- boxes(moov._1, moov._2) if tpe == "trak") {
+        val stbl = for {
+          (mb, me) <- find(tb, te, "mdia")
+          (nb, ne) <- find(mb, me, "minf")
+          st <- find(nb, ne, "stbl")
+        } yield st
+        stbl.foreach { case (sb, se) =>
+          // stsd body: version/flags(4) entry_count(4), then sample entries
+          // (each itself a box whose type is the codec fourcc)
+          val jpegTrack = find(sb, se, "stsd").exists { case (db, de) =>
+            db + 16 <= de && Mp4JpegFormats(fourcc(db + 12).toLowerCase)
+          }
+          if (jpegTrack) {
+            val sizes: IndexedSeq[Long] = find(sb, se, "stsz").map { case (zb, ze) =>
+              if (ze - zb < 12) IndexedSeq.empty[Long]
+              else {
+                val fixed = u32(zb + 4); val n = u32(zb + 8).toInt
+                if (n < 0 || n > MaxFrames * 4) IndexedSeq.empty[Long]
+                else if (fixed != 0) IndexedSeq.fill(n)(fixed)
+                else if (zb + 12 + 4L * n <= ze)
+                  (0 until n).map(i => u32(zb + 12 + 4 * i))
+                else IndexedSeq.empty[Long]
+              }
+            }.getOrElse(IndexedSeq.empty)
+            val chunkOffsets: IndexedSeq[Long] =
+              find(sb, se, "stco").map { case (cb, ce) =>
+                val n = if (ce - cb < 8) -1 else u32(cb + 4).toInt
+                if (n < 0 || cb + 8 + 4L * n > ce) IndexedSeq.empty[Long]
+                else (0 until n).map(i => u32(cb + 8 + 4 * i))
+              }.orElse(find(sb, se, "co64").map { case (cb, ce) =>
+                val n = if (ce - cb < 8) -1 else u32(cb + 4).toInt
+                if (n < 0 || cb + 8 + 8L * n > ce) IndexedSeq.empty[Long]
+                else (0 until n).map(i => u64(cb + 8 + 8 * i))
+              }).getOrElse(IndexedSeq.empty)
+            val stscRuns: IndexedSeq[(Long, Long)] = // (first_chunk, samples_per_chunk)
+              find(sb, se, "stsc").map { case (cb, ce) =>
+                val n = if (ce - cb < 8) -1 else u32(cb + 4).toInt
+                if (n < 0 || cb + 8 + 12L * n > ce) IndexedSeq.empty[(Long, Long)]
+                else (0 until n).map(i => (u32(cb + 8 + 12 * i), u32(cb + 12 + 12 * i)))
+              }.getOrElse(IndexedSeq.empty)
+            var sample = 0
+            var chunk = 0
+            var bail = false // truncated/hostile index: stop, keep what's sound
+            while (!bail && sample < sizes.length && chunk < chunkOffsets.length &&
+                   out.length < MaxFrames) {
+              // samples_per_chunk of the last run whose first_chunk ≤ this one
+              val spc = stscRuns.takeWhile(_._1 <= chunk + 1).lastOption.map(_._2).getOrElse(0L)
+              var off = chunkOffsets(chunk)
+              var k = 0L
+              while (!bail && k < spc && sample < sizes.length && out.length < MaxFrames) {
+                val sz = sizes(sample)
+                if (sz <= 0 || off < 0 || off + sz > blob.length) bail = true
+                else {
+                  total += sz
+                  if (total > MaxTotalFrameBytes)
+                    throw new IllegalArgumentException(
+                      s"MP4 demux emitted $total bytes over ${out.length + 1} samples, " +
+                        s"past the $MaxTotalFrameBytes-byte per-blob budget")
+                  out += java.util.Arrays.copyOfRange(blob, off.toInt, (off + sz).toInt)
+                  off += sz
+                  sample += 1
+                  k += 1
+                }
+              }
+              chunk += 1
+            }
+          }
+        }
+      }
+      if (out.isEmpty)
+        throw new IllegalArgumentException(
+          "MP4 blob has no demuxable MJPEG track (compressed codecs need a native decoder)")
+      out.iterator
+    }
   }
 
   /** Magic-number router: real media decodes for real (ImageIO), anything
@@ -341,6 +490,9 @@ object Multimodal {
     private[multimodal] def isAvi(b: Array[Byte]): Boolean =
       b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+
+    private[multimodal] def isMp4(b: Array[Byte]): Boolean =
+      b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
 
     private def isImage(b: Array[Byte]): Boolean =
       (b.length >= 3 &&
@@ -358,13 +510,14 @@ object Multimodal {
         catch { case scala.util.control.NonFatal(_) => FakeCodec.decodeImage(docId, blob) }
       } else FakeCodec.decodeImage(docId, blob)
 
-    /** Real demux for real containers (GIF animation, AVI/MJPEG), stub
-      * chunking for everything else — same degrade-don't-die contract as
-      * image decode: a corrupt body behind a valid container magic falls
-      * back to the stub instead of fail-looping the task.
+    /** Real demux for real containers (GIF animation, AVI/MJPEG,
+      * MP4/MJPEG), stub chunking for everything else — same
+      * degrade-don't-die contract as image decode: a corrupt body behind a
+      * valid container magic (or an MP4 whose track needs a native codec)
+      * falls back to the stub instead of fail-looping the task.
       */
     def frames(blob: Array[Byte], frameBytes: Int): Iterator[Array[Byte]] =
-      if (isGif(blob) || isAvi(blob)) {
+      if (isGif(blob) || isAvi(blob) || isMp4(blob)) {
         // a container that throws OR yields zero recoverable frames (e.g.
         // truncated before its first video chunk) counts as junk; the
         // materialization is bounded by MaxFrames either way

@@ -337,6 +337,79 @@ class MultimodalSpec extends SparkSpec {
     assert(dims == Seq((10, 8), (11, 9), (12, 10)))
   }
 
+  /** Hand-assemble a minimal ISO-BMFF MP4 carrying an MJPEG track:
+    * ftyp + mdat (sample bytes back-to-back) + moov/trak/mdia/minf/stbl
+    * with the four sample tables. The chunk layout splits three samples
+    * 2+1 across two chunks to exercise the stsc run-length mapping, and
+    * offsets are ABSOLUTE file offsets as the spec demands. `codec` is
+    * the stsd sample-entry fourcc ('jpeg' for MJPEG; 'avc1' models an
+    * H.264 track the demuxer must refuse).
+    */
+  private def mjpegMp4(jpegs: Seq[Array[Byte]], codec: String = "jpeg"): Array[Byte] = {
+    require(jpegs.length == 3, "builder assumes the 2+1 chunk split")
+    def be32(v: Int) = Array[Byte](((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(tpe: String, body: Array[Byte]): Array[Byte] =
+      be32(8 + body.length) ++ tpe.getBytes("US-ASCII") ++ body
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0) ++ "isom".getBytes("US-ASCII"))
+    val mdat = box("mdat", jpegs.flatten.toArray)
+    val off1 = ftyp.length + 8 // chunk 1: samples 0,1 contiguous
+    val off2 = off1 + jpegs(0).length + jpegs(1).length // chunk 2: sample 2
+    // VisualSampleEntry is 78 body bytes of fields the demuxer never reads
+    val stsd = box("stsd", be32(0) ++ be32(1) ++ box(codec, new Array[Byte](78)))
+    val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(3) ++
+      jpegs.flatMap(j => be32(j.length)))
+    val stsc = box("stsc", be32(0) ++ be32(2) ++
+      (be32(1) ++ be32(2) ++ be32(1)) ++ (be32(2) ++ be32(1) ++ be32(1)))
+    val stco = box("stco", be32(0) ++ be32(2) ++ be32(off1) ++ be32(off2))
+    val moov = box("moov", box("trak", box("mdia", box("minf",
+      box("stbl", stsd ++ stsz ++ stsc ++ stco)))))
+    ftyp ++ mdat ++ moov
+  }
+
+  test("MP4/MJPEG demuxes samples verbatim across stsc chunk runs") {
+    val jpegs = Seq(encoded(10, 8, "jpg"), encoded(11, 9, "jpg"), encoded(12, 10, "jpg"))
+    val mp4 = mjpegMp4(jpegs)
+    val frames = Multimodal.ImageIoCodec.frames(mp4, frameBytes = 64).toSeq
+    assert(frames.length == 3)
+    frames.zip(jpegs).foreach { case (got, want) =>
+      assert(got.sameElements(want), "MP4 sample not emitted verbatim")
+    }
+    val dims = frames.map(f => Multimodal.ImageIoCodec.decodeImage(0L, f))
+      .map(im => (im.width, im.height))
+    assert(dims == Seq((10, 8), (11, 9), (12, 10)))
+  }
+
+  test("MP4 with a compressed-codec track (avc1) throws; SniffCodec degrades to the stub") {
+    val mp4 = mjpegMp4(Seq(encoded(6, 6, "jpg"), encoded(6, 6, "jpg"),
+      encoded(6, 6, "jpg")), codec = "avc1")
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.ImageIoCodec.frames(mp4, 64).toSeq
+    }
+    assert(e.getMessage.contains("native"), e.getMessage)
+    assert(Multimodal.SniffCodec.frames(mp4, 64).nonEmpty, "SniffCodec must stub, not die")
+  }
+
+  test("hostile MP4: out-of-range stco offsets stop cleanly; SniffCodec degrades") {
+    val jpegs = Seq(encoded(6, 6, "jpg"), encoded(7, 7, "jpg"), encoded(8, 8, "jpg"))
+    val mp4 = mjpegMp4(jpegs)
+    // patch the first chunk offset in the stco table to point past the blob:
+    // the walk must bail without an OOB read, keeping zero frames from the
+    // poisoned chunk run (sample sizes no longer line up afterwards either)
+    val needle = Array[Byte]('s', 't', 'c', 'o')
+    val at = mp4.indices.find(i => i + 4 <= mp4.length &&
+      mp4.slice(i, i + 4).sameElements(needle)).get
+    val bad = mp4.clone()
+    val off1Pos = at + 4 + 4 + 4 // after fourcc: version/flags, entry_count
+    val big = mp4.length + 1000
+    bad(off1Pos) = ((big >> 24) & 0xff).toByte; bad(off1Pos + 1) = ((big >> 16) & 0xff).toByte
+    bad(off1Pos + 2) = ((big >> 8) & 0xff).toByte; bad(off1Pos + 3) = (big & 0xff).toByte
+    val got = try Multimodal.ImageIoCodec.frames(bad, 64).toSeq
+      catch { case _: IllegalArgumentException => Seq.empty }
+    assert(got.isEmpty, "poisoned index must not yield frames")
+    assert(Multimodal.SniffCodec.frames(bad, 64).nonEmpty, "SniffCodec must stub, not die")
+  }
+
   test("sampleFrames with SniffCodec: real containers demux, junk chunks via the stub") {
     import spark.implicits._
     val gif = animatedGif((0 until 6).map(i => solidFrame(5, 5, i * 40)))
