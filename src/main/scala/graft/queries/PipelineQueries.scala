@@ -3531,22 +3531,31 @@ object PipelineQueries {
     * bucketing, per-token lookup, and mean all run inside higher-order
     * array expressions on the already-split token array.
     */
-  def x20QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+  /** Classifier core over any frame with a `text` column — shared by the
+    * batch query and the streaming ingest twin
+    * ([[graft.streaming.StreamingOps.classifyStream]]): adds
+    * n_tokens/score_ppm/keep and drops the text. A stateless narrow
+    * projection, so it applies to bounded and unbounded sources alike.
+    */
+  private[graft] def classifyQuality(docs: DataFrame): DataFrame = {
     val wt = array(X20Weights.map(lit(_)): _*)
     def bucket(tk: Column): Column =
       (conv(substring(md5(tk), 1, 15), 16, 10).cast("long") % X20Buckets).cast("int")
-    t(s, dir, "documents")
+    docs
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 1)
       .withColumn("sum_w",
         aggregate(transform(col("w"), tk => element_at(wt, bucket(tk) + 1)),
           lit(0L), (acc, x) => acc + x))
-      .select(col("doc_id"),
-        size(col("w")).cast("long").as("n_tokens"),
-        expr("sum_w div n_tokens").as("score_ppm"),
-        when(expr("sum_w div n_tokens") >= 500000L, 1).otherwise(0).as("keep"))
-      .orderBy("doc_id")
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .withColumn("score_ppm", expr("sum_w div n_tokens"))
+      .withColumn("keep", when(col("score_ppm") >= 500000L, 1).otherwise(0))
+      .drop("w", "sum_w", "text")
   }
+
+  def x20QualityClassifier(s: SparkSession, dir: String): DataFrame =
+    classifyQuality(t(s, dir, "documents").select("doc_id", "text"))
+      .orderBy("doc_id")
 
   val x20Sql: String = {
     val wlist = X20Weights.mkString("[", ", ", "]")

@@ -180,6 +180,19 @@ object StreamingOps {
     graft.queries.PipelineQueries.encodeWithMerges(docs, merges)
       .select("doc_id", "ts", "n_tokens")
 
+  /** Streaming model-based quality filter — the ingest-time twin of the
+    * batch `x20_quality_classifier`: every arriving document scores through
+    * the same 64-weight hashed linear model
+    * ([[graft.queries.PipelineQueries.X20Weights]]), which rides the plan
+    * as literals. Stateless by construction — no watermark, no state
+    * store, one narrow whole-stage-codegen projection per micro-batch, so
+    * ingest-time filtering runs at scan speed and replayed batches score
+    * identically (the model is pinned, not drifting). Same row contract as
+    * the batch operator: a document with no tokens emits no row.
+    */
+  def classifyStream(docs: DataFrame): DataFrame =
+    graft.queries.PipelineQueries.classifyQuality(docs)
+
   /** Stream–stream interval join — the ingest twin of the batch
     * `j10_range_join`: every (purchase, error) pair of the same user within
     * ±1 hour, matched across two live streams. The time-range predicate

@@ -461,4 +461,32 @@ class StreamingOpsSpec extends SparkSpec {
       assert(got == corpus.map { case (id, _) => id -> batch(id) }.toMap)
     } finally q.stop()
   }
+
+  test("streaming quality classifier equals the batch x20 scorer on every document") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).take(8)
+    val in = MemoryStream[StreamDoc]
+    val q = StreamingOps.classifyStream(in.toDF())
+      .writeStream.format("memory").queryName("qclass")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(corpus.take(4).map { case (id, t) => StreamDoc(id, ts(0), t) }.toSeq)
+      q.processAllAvailable()
+      in.addData(corpus.drop(4).map { case (id, t) => StreamDoc(id, ts(1), t) }.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("qclass").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("score_ppm"), r.getAs[Int]("keep")))).toMap
+      val batch = graft.queries.PipelineQueries.x20QualityClassifier(spark, sf)
+        .collect().map(r => (r.getLong(0), (r.getLong(2), r.getInt(3)))).toMap
+      assert(got == corpus.map { case (id, _) => id -> batch(id) }.toMap)
+      // the streamed plan is stateless: no state store operators anywhere
+      val plan = q.lastProgress
+      assert(plan == null || plan.stateOperators.isEmpty,
+        "classifier twin must not carry streaming state")
+    } finally q.stop()
+  }
 }
