@@ -449,10 +449,14 @@ class PlanQualitySpec extends SparkSpec {
       "corpus shuffled to meet the 256-row model:\n" + p.take(1500))
   }
 
-  test("g2 triangles: degree table broadcasts; wedge and closure joins stay keyed") {
+  test("g2 triangles: adjacency broadcasts and intersects row-locally — no wedge join") {
     val p = plan(PipelineQueries.g2Triangles(spark, sf))
-    assert(p.contains("BroadcastHashJoin"), "degree annotation should broadcast")
+    assert(p.contains("BroadcastHashJoin"), "adjacency/degree tables should broadcast")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "a triangle join degenerated to a product")
+    // the closure must be the row-local array intersection, not a shuffled
+    // self-join materializing the Σ outdeg² wedge set (measured 8× slower)
+    assert(p.contains("array_intersect"), "adjacency-intersection closure missing")
+    assert(!p.contains("SortMergeJoin"), "wedge/closure join reappeared as a shuffle join")
   }
 }
