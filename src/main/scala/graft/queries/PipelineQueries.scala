@@ -3589,35 +3589,40 @@ object PipelineQueries {
     * below 1e-7 of the corpus, which a 100 TB run guards at model-build
     * time).
     *
-    * Scale shape: the importance model is BUCKET-count rows (two partial-
-    * aggregable counts per bucket — map-side combine reduces the exchange
-    * to tasks × 256 rows), checkpointed once, and broadcast; corpus rows
-    * then shuffle ONCE on (doc_id, bucket) — partial-aggregable again, so
-    * the exchange carries at most docs × 256 rows, not tokens — and once
-    * more on doc_id for the final mean. The corpus is never joined against
-    * anything non-broadcast.
+    * Scale shape: the corpus is tokenized, hashed, and exploded exactly
+    * ONCE, into the per-(doc, bucket) count table — partial-aggregable, so
+    * the exchange carries at most docs × 256 rows, not tokens — which is
+    * checkpointed and read twice: the bucket-count model (256 rows, a
+    * second partial-aggregable pass over already-reduced rows) derives
+    * from it and broadcasts back onto it; the final mean is one more
+    * doc_id exchange. The corpus is never joined against anything
+    * non-broadcast.
     */
   def x21ImportanceWeights(s: SparkSession, dir: String): DataFrame = {
-    val occ = t(s, dir, "documents")
+    // ONE tokenize+hash pass: per-(doc, bucket) counts carry lang along
+    // (functionally dependent on doc_id), checkpointed because both the
+    // model build and the final scoring read them — without it the corpus
+    // would be exploded and md5'd twice
+    val perDoc = t(s, dir, "documents")
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 1)
       .select(col("doc_id"), col("lang"),
         explode(expr(
           s"transform(w, tk -> cast(conv(substring(md5(tk),1,15),16,10) as bigint) % $X21Buckets)"))
           .as("b"))
-    // two counts per bucket in one pass; 256 rows, read once per side below
-    val model = occ.groupBy("b").agg(
-      count(lit(1)).as("cr"),
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    // bucket-count rows, partial-aggregable on top of the per-doc table
+    val model = perDoc.groupBy("b").agg(
+      sum("cnt").as("cr"),
+      sum(when(col("lang") === "en", col("cnt")).otherwise(0L)).as("ct"))
     val tot = model.agg(sum("cr").as("nr"), sum("ct").as("nt"))
     val ratio = model.crossJoin(broadcast(tot))
       .select(col("b"), expr(
         s"((((ct + 1L) * 1000000L) div (cr + 1L)) * " +
           s"(((nr + ${X21Buckets}L) * 1000000L) div (nt + ${X21Buckets}L))) div 1000000L")
         .as("ratio_ppm"))
-      .localCheckpoint()
-    occ.groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
-      .join(broadcast(ratio), "b")
+    perDoc.join(broadcast(ratio), "b")
       .groupBy("doc_id")
       .agg(sum("cnt").as("n_tokens"), sum(expr("cnt * ratio_ppm")).as("wsum"))
       .select(col("doc_id"), col("n_tokens"),
@@ -3640,6 +3645,65 @@ object PipelineQueries {
        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
        |  CAST(CAST(SUM(cnt * ratio_ppm) AS BIGINT) // CAST(SUM(cnt) AS BIGINT) AS BIGINT) AS weight_ppm
        |FROM pd JOIN r USING (b) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------- X22: per-source quota cap (anti-domination rule)
+
+  /** Per-source document quota — the RefinedWeb/C4-style anti-domination
+    * rule: no source (domain) may contribute more than `cap` documents.
+    * Within each source, documents rank by content-hash order (md5(text),
+    * doc_id) — deterministic, uniform, reshuffle-proof, the same property
+    * x6/x8 build on — and ranks past the cap drop. Over-represented
+    * sources truncate to exactly `cap`; small sources pass untouched.
+    * Unlike x8 (proportional per-stratum sampling) the quota is ABSOLUTE,
+    * which is what stops a single crawled mega-domain from dominating the
+    * training mix. Output carries the rank and the source's total, so the
+    * truncation ratio is auditable per source.
+    *
+    * Scale shape — the hot-domain defense is structural, not a comment:
+    * ranking runs in TWO phases. Phase 1 ranks within (source,
+    * input-partition) and pre-cuts to `cap` rows — the global per-source
+    * top-cap is a subset of the union of per-partition top-caps for ANY
+    * partition assignment, so the pre-cut is result-invariant (the sim5
+    * pre-cut discipline); the (source, pid) exchange splits a mega-domain
+    * across the cluster exactly like d2's band salting. Phase 2's exact
+    * per-source window then sees at most cap × partitions rows per source
+    * — bounded regardless of how hot the domain is — never the raw corpus.
+    * Source totals come from a partial-aggregable count (source-count
+    * rows) broadcast back. The oracle is the naive single-window
+    * formulation, proving the two-phase plan equals it.
+    */
+  def x22SourceCap(s: SparkSession, dir: String): DataFrame =
+    x22SourceCap(s, dir, cap = 20)
+
+  /** `cap` is the quota dial; kept sets NEST as it rises (rank order is a
+    * fixed total order per source), spec-pinned.
+    */
+  def x22SourceCap(s: SparkSession, dir: String, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be positive, got $cap")
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val tot = base.groupBy("source").agg(count(lit(1)).as("n_source"))
+    val pre = base.withColumn("pid", spark_partition_id())
+      .withColumn("prk", row_number().over(
+        Window.partitionBy("source", "pid").orderBy(col("h"), col("doc_id"))))
+      .filter(col("prk") <= cap)
+    pre
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("h"), col("doc_id"))))
+      .filter(col("rk") <= cap)
+      .join(broadcast(tot), "source")
+      .select(col("doc_id"), col("source"), col("rk").cast("long").as("rk"),
+        col("n_source"))
+      .orderBy("doc_id")
+  }
+
+  val x22Sql: String =
+    """WITH b AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+      |r AS (SELECT doc_id, source,
+      |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk,
+      |        COUNT(*) OVER (PARTITION BY source) AS n_source
+      |      FROM b)
+      |SELECT doc_id, source, rk, n_source FROM r WHERE rk <= 20 ORDER BY doc_id""".stripMargin
 
   // ----------------------------- G2: triangle counting (degree-ordered)
 
@@ -3763,6 +3827,7 @@ object PipelineQueries {
     "x19b_encode_only" -> (x19bEncodeOnly _),
     "x20_quality_classifier" -> (x20QualityClassifier _),
     "x21_importance_weights" -> (x21ImportanceWeights _),
+    "x22_source_cap" -> ((s: SparkSession, dir: String) => x22SourceCap(s, dir)),
     "g2_triangles" -> (g2Triangles _),
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_frame_sample" -> (m2FrameSample _),
@@ -3819,6 +3884,7 @@ object PipelineQueries {
     "x19b_encode_only" -> x19bSql,
     "x20_quality_classifier" -> x20Sql,
     "x21_importance_weights" -> x21Sql,
+    "x22_source_cap" -> x22Sql,
     "g2_triangles" -> g2Sql,
     "m1_binary_meta" -> m1Sql,
     "m2_frame_sample" -> m2Sql,
