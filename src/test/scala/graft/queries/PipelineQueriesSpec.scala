@@ -1064,6 +1064,33 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(mean > 200000L && mean < 2000000L, s"corpus mean weight $mean implausible")
   }
 
+  test("x22 source cap matches a driver-side brute force; kept sets nest as the cap rises") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def md5hex(t: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def brute(cap: Int): Seq[(Long, String, Long, Long)] =
+      docs.groupBy(_._2).toSeq.flatMap { case (src, grp) =>
+        val ranked = grp.sortBy(d => (md5hex(d._3), d._1)).zipWithIndex
+        ranked.filter(_._2 < cap).map { case ((id, s0, _), i) =>
+          (id, s0, i + 1L, grp.length.toLong)
+        }
+      }.sortBy(_._1)
+    def run(cap: Int): Seq[(Long, String, Long, Long)] =
+      PipelineQueries.x22SourceCap(spark, sf, cap).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    // the dial must BIND at this sf (sources hold ~5 docs at sf0.001)
+    val c2 = run(2)
+    assert(c2 == brute(2))
+    assert(c2.size < docs.length, "cap=2 did not truncate any source — vacuous")
+    // kept sets nest: every cap=2 survivor survives cap=4, with the same rank
+    val c4 = run(4)
+    assert(c2.map(r => (r._1, r._3)).toSet.subsetOf(c4.map(r => (r._1, r._3)).toSet))
+    // a cap beyond every source size keeps the whole corpus
+    assert(run(1000).size == docs.length)
+  }
+
   test("g2 triangle counts match a driver-side brute force; total is divisible by 3") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_partkey").collect()

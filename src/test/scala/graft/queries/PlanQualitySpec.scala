@@ -449,6 +449,24 @@ class PlanQualitySpec extends SparkSpec {
       "corpus shuffled to meet the 256-row model:\n" + p.take(1500))
   }
 
+  test("x22 source cap ranks in two phases; the exact window never sees the raw corpus") {
+    val p = plan(PipelineQueries.x22SourceCap(spark, sf))
+    // phase 1's pre-cut window partitions on (source, pid) — the salt that
+    // splits a mega-domain — and phase 2's exact window on source alone;
+    // both must survive optimization as separate Window operators
+    assert("""Window \(\d+\)""".r.findAllIn(p).length >= 2,
+      "two-phase ranking collapsed — the hot-domain pre-cut is gone:\n" + p.take(1500))
+    // Spark's rank-limit pushdown must engage for both phases: the partial
+    // WindowGroupLimit cuts to `cap` rows BEFORE each exchange, so not even
+    // phase 1 shuffles the raw corpus
+    assert("""WindowGroupLimit \(\d+\)""".r.findAllIn(p).length >= 4,
+      "rank-limit pushdown (partial+final per phase) missing:\n" + p.take(1500))
+    assert(p.contains("pid"), "partition-id salt column missing from the pre-cut")
+    // source totals come back via broadcast, never a shuffled join
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      "per-source totals did not broadcast")
+  }
+
   test("g2 triangles: adjacency broadcasts and intersects row-locally — no wedge join") {
     val p = plan(PipelineQueries.g2Triangles(spark, sf))
     assert(p.contains("BroadcastHashJoin"), "adjacency/degree tables should broadcast")
