@@ -3741,6 +3741,7 @@ object PipelineQueries {
     val e = li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+      .localCheckpoint() // degrees AND orientation read it: one pair join, not two
     val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     val lower = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
