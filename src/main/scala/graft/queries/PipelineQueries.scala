@@ -3646,6 +3646,50 @@ object PipelineQueries {
        |  CAST(CAST(SUM(cnt * ratio_ppm) AS BIGINT) // CAST(SUM(cnt) AS BIGINT) AS BIGINT) AS weight_ppm
        |FROM pd JOIN r USING (b) GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------- X23: blocked inverted-index construction (postings)
+
+  /** Documents per posting block — the row-width bound: a posting-list row
+    * never spans more than this many candidate documents.
+    */
+  private[graft] val X23Block = 256L
+
+  /** Blocked inverted-index construction — the retrieval-corpus build step
+    * (BM25 serving, RETRO-style retrieval pretraining, dedup-by-lookup all
+    * start here): term → posting list of (doc, tf), materialized in
+    * DOC-RANGE BLOCKS of [[X23Block]] documents, the Lucene-segment shape.
+    * Posting entries store block-relative doc ids (doc_id mod block — one
+    * byte of entropy per entry at block=256, the delta-compression story)
+    * with their term frequency, concatenated in doc order.
+    *
+    * The block is the scale guarantee: a stopword's posting list at
+    * 10⁹ docs is one UNBOUNDED row in the naive term-keyed layout — the
+    * classic inverted-index OOM — but here every (term, block) row holds at
+    * most [[X23Block]] entries BY CONSTRUCTION, no matter how hot the term;
+    * hot terms widen into more rows, not wider rows. Shuffle shape: one
+    * partial-aggregable (term, doc) tf count, then the (term, block)
+    * assembly whose collect_list state is bounded by the block span. Output
+    * rows ≈ vocabulary × occupied blocks.
+    */
+  def x23InvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val tf = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("term"), expr(s"doc_id div $X23Block").as("block"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr(s"array_join(transform(array_sort(collect_list(struct(doc_id, tf))), " +
+          s"e -> concat(e.doc_id % $X23Block, ':', e.tf)), ',')").as("postings"))
+      .orderBy("term", "block")
+  }
+
+  val x23Sql: String =
+    s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tk WHERE term != ''
+       |       GROUP BY term, doc_id)
+       |SELECT term, doc_id // $X23Block AS block, COUNT(*)::BIGINT AS n_docs,
+       |  string_agg((doc_id % $X23Block) || ':' || tf, ',' ORDER BY doc_id) AS postings
+       |FROM tf GROUP BY term, block ORDER BY term, block""".stripMargin
+
   // --------------------- X22: per-source quota cap (anti-domination rule)
 
   /** Per-source document quota — the RefinedWeb/C4-style anti-domination
@@ -3829,6 +3873,7 @@ object PipelineQueries {
     "x20_quality_classifier" -> (x20QualityClassifier _),
     "x21_importance_weights" -> (x21ImportanceWeights _),
     "x22_source_cap" -> ((s: SparkSession, dir: String) => x22SourceCap(s, dir)),
+    "x23_inverted_index" -> (x23InvertedIndex _),
     "g2_triangles" -> (g2Triangles _),
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_frame_sample" -> (m2FrameSample _),
@@ -3886,6 +3931,7 @@ object PipelineQueries {
     "x20_quality_classifier" -> x20Sql,
     "x21_importance_weights" -> x21Sql,
     "x22_source_cap" -> x22Sql,
+    "x23_inverted_index" -> x23Sql,
     "g2_triangles" -> g2Sql,
     "m1_binary_meta" -> m1Sql,
     "m2_frame_sample" -> m2Sql,

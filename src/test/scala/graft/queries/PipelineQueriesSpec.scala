@@ -1091,6 +1091,31 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(run(1000).size == docs.length)
   }
 
+  test("x23 inverted index matches a driver-side brute force; rows are block-bounded") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val B = PipelineQueries.X23Block
+    val expected = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).filter(_.nonEmpty).groupBy(identity).map {
+        case (term, occ) => (term, id, occ.length.toLong)
+      }
+    }.groupBy { case (term, id, _) => (term, id / B) }.toSeq.map {
+      case ((term, block), grp) =>
+        val sorted = grp.sortBy(_._2)
+        (term, block, sorted.length.toLong,
+          sorted.map { case (_, id, tf) => s"${id % B}:$tf" }.mkString(","))
+    }.sortBy(r => (r._1, r._2))
+    val got = PipelineQueries.x23InvertedIndex(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == expected)
+    // the structural row-width bound: no posting row spans more than a block
+    assert(got.forall(_._3 <= B), "a posting row exceeded the block span")
+    // hot terms split across blocks rather than widening one row
+    assert(got.groupBy(_._1).exists(_._2.size > 1) || docs.length <= B,
+      "no term occupies multiple blocks — block split unexercised")
+  }
+
   test("g2 triangle counts match a driver-side brute force; total is divisible by 3") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_partkey").collect()
