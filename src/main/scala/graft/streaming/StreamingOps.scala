@@ -12,6 +12,17 @@ final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
 /** A document arriving on an ingest stream. */
 final case class StreamDoc(doc_id: Long, ts: Timestamp, text: String)
 
+/** A document arriving with its source/domain attribution (the x22 quota
+  * twin's input shape).
+  */
+final case class SourcedDoc(doc_id: Long, ts: Timestamp, source: String)
+
+/** An admission issued by the streaming per-source quota: rank is the
+  * document's 1-based position among its source's admitted documents.
+  */
+final case class Admission(doc_id: Long, source: String, ts: Timestamp,
+    admitted_rank: Long)
+
 /** A closed user session emitted by the stateful sessionizer. */
 final case class Session(user_id: Long, session_start_us: Long,
     session_end_us: Long, n_events: Long, total_value: Double)
@@ -192,6 +203,41 @@ object StreamingOps {
     */
   def classifyStream(docs: DataFrame): DataFrame =
     graft.queries.PipelineQueries.classifyQuality(docs)
+
+  /** Streaming per-source quota — the ingest-time twin of the batch
+    * `x22_source_cap` anti-domination rule: admit at most `cap` documents
+    * per source, rejecting the rest at the door. State is ONE admitted-count
+    * per source — bounded by the SOURCE dimension, not the document stream,
+    * the same dimension-bounded-state contract as the trending window's
+    * count map — and it never grows once a source hits its cap.
+    *
+    * Semantics differ from batch x22 deliberately, because they must: the
+    * batch rule ranks by content hash over the WHOLE corpus, which a stream
+    * cannot do without buffering everything it might later prefer. The
+    * ingest rule is first-cap-by-arrival (within a micro-batch, (event
+    * time, doc_id) order makes replays deterministic); the batch operator
+    * is the periodic reconciliation pass that re-ranks the admitted set by
+    * hash when the corpus is compacted. Admission decisions are a pure
+    * function of (state, batch), so a replayed micro-batch admits the same
+    * documents.
+    */
+  def sourceQuotaStream(docs: Dataset[SourcedDoc], cap: Int): Dataset[Admission] = {
+    require(cap >= 1, s"cap must be positive, got $cap")
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (src: String, it: Iterator[SourcedDoc], state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val admitted = it.toSeq
+            .sortBy(d => (eventUs(d.ts), d.doc_id))
+            .flatMap { d =>
+              if (n < cap) { n += 1; Some(Admission(d.doc_id, src, d.ts, n)) }
+              else None
+            }
+          state.update(n)
+          admitted.iterator
+      }
+  }
 
   /** Stream–stream interval join — the ingest twin of the batch
     * `j10_range_join`: every (purchase, error) pair of the same user within

@@ -462,6 +462,41 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming source quota admits first-cap-by-arrival; state is one counter per source") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val cap = 3
+    // two sources; srcA overflows across the batch boundary, srcB never fills
+    val b1 = Seq(SourcedDoc(1L, ts(0), "srcA"), SourcedDoc(2L, ts(1), "srcA"),
+      SourcedDoc(3L, ts(2), "srcB"))
+    val b2 = Seq(SourcedDoc(4L, ts(3), "srcA"), SourcedDoc(5L, ts(4), "srcA"),
+      SourcedDoc(6L, ts(5), "srcB"))
+    val in = MemoryStream[SourcedDoc]
+    val q = StreamingOps.sourceQuotaStream(in.toDS(), cap)
+      .writeStream.format("memory").queryName("quota")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      val got = spark.table("quota").as[Admission].collect()
+        .map(a => (a.doc_id, a.source, a.admitted_rank)).sortBy(_._1).toSeq
+      // srcA: docs 1,2 admitted in batch 1; doc 4 takes the last slot in
+      // batch 2 (arrival order), doc 5 rejected; srcB never reaches the cap
+      assert(got == Seq((1L, "srcA", 1L), (2L, "srcA", 2L), (3L, "srcB", 1L),
+        (4L, "srcA", 3L), (6L, "srcB", 2L)))
+      // per-source admissions never exceed the cap, ranks are 1..n
+      got.groupBy(_._2).foreach { case (_, as) =>
+        assert(as.size <= cap)
+        assert(as.map(_._3).sorted == (1 to as.size).map(_.toLong))
+      }
+      // state is the per-source counter: exactly one state row per source
+      val prog = q.lastProgress
+      assert(prog.stateOperators.nonEmpty &&
+        prog.stateOperators.head.numRowsTotal == 2,
+        s"expected 2 state rows (one per source), got ${prog.stateOperators.head.numRowsTotal}")
+    } finally q.stop()
+  }
+
   test("streaming quality classifier equals the batch x20 scorer on every document") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
