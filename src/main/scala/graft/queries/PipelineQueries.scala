@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.t
@@ -1417,6 +1417,114 @@ object PipelineQueries {
        |r AS (SELECT query_id, neighbor_id, cos,
        |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM p)
        |SELECT query_id, neighbor_id, rnk, cos FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+
+  // ------------------- SIM7: incremental ANN index maintenance (vector d10)
+
+  /** The index side of incremental ANN, built ONCE and reused across
+    * queries or micro-batches — the vector-space analog of d10's
+    * [[CorpusIndex]]: the coarse codebook (an artifact: 8 rows collected)
+    * and the cell-assigned corpus table, checkpointed here, persisted
+    * BUCKETED BY CELL in production so nightly vector ingest never
+    * re-reads, let alone re-assigns, the corpus.
+    */
+  final case class VectorIndex(cents: Array[(Long, Array[Double], Double)],
+      assigned: DataFrame)
+
+  def prepareVectorIndex(corpus: Dataset[(Long, Array[Double], Double)],
+      nCells: Int): VectorIndex = {
+    val cents = corpus.orderBy("vec_id").limit(nCells).collect().sortBy(_._1)
+    val bc = corpus.sparkSession.sparkContext.broadcast(cents)
+    import corpus.sparkSession.implicits._
+    val assigned = corpus.mapPartitions(_.map { case (id, v, nrm) =>
+      val best = bc.value.map { case (cid, cv, cn) =>
+        var d = 0.0; var k = 0
+        while (k < v.length) { d += v(k) * cv(k); k += 1 }
+        (round6(d / (nrm * cn)), cid)
+      }.minBy { case (c, cid) => (-c, cid) }
+      (id, v, nrm, best._2)
+    }).toDF("vec_id", "v", "nrm", "cell").localCheckpoint()
+    VectorIndex(cents, assigned)
+  }
+
+  /** Incremental ANN index maintenance — the vector-side twin of d10's
+    * nightly-ingest contract: the corpus's IVF index (coarse codebook +
+    * cell-assigned vectors) is PRECOMPUTED, and only the increment (here
+    * `vec_id % 4 == 0`, production: the day's new embeddings) computes
+    * anything — each new vector gets its home cell (the row you APPEND to
+    * the bucketed index) and its top-3 nearest index neighbors from its 2
+    * closest cells (dedup-before-append / link-to-existing, the reason
+    * ingest probes at all). The index side never re-assigns, never
+    * re-shuffles: the only join is the cell equi-join, pruned to the
+    * increment's probed cells — at 10⁹ indexed vectors a nightly batch
+    * touches ~nProbe/nCells of the index and nothing else.
+    */
+  def sim7IncrementalAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vecs = embVec(s, dir).filter(col("nrm") > 0)
+      .select(col("vec_id"), col("v"), col("nrm")).as[(Long, Array[Double], Double)]
+    val isNew = col("vec_id") % 4 === 0
+    sim7Probe(vecs.filter(isNew), prepareVectorIndex(vecs.filter(!isNew), 8), 2)
+  }
+
+  /** Library form over a prebuilt [[VectorIndex]] — the shape a streaming
+    * ingest calls per micro-batch (d10's `incrementalDedup` discipline).
+    */
+  def sim7Probe(increment: Dataset[(Long, Array[Double], Double)],
+      index: VectorIndex, nProbe: Int): DataFrame = {
+    val s = increment.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(index.cents)
+    val probed = increment.mapPartitions(_.map { case (id, v, nrm) =>
+      val scored = bc.value.map { case (cid, cv, cn) =>
+        var d = 0.0; var k = 0
+        while (k < v.length) { d += v(k) * cv(k); k += 1 }
+        (round6(d / (nrm * cn)), cid)
+      }.sortBy { case (c, cid) => (-c, cid) }
+      (id, v, nrm, scored(0)._2, scored.take(nProbe).map(_._2).toSeq)
+    }).toDF("query_id", "qv", "qn", "home_cell", "probes")
+    val top = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    probed.select(col("query_id"), col("qv"), col("qn"), col("home_cell"),
+        explode(col("probes")).as("cell"))
+      .join(index.assigned.select(col("vec_id").as("neighbor_id"),
+        col("v").as("cv"), col("nrm").as("cn"), col("cell")), Seq("cell"))
+      .withColumn("cos", round(dotCol("qv", "cv") / (col("qn") * col("cn")), 6))
+      .withColumn("rnk", row_number().over(top))
+      .filter(col("rnk") <= 3)
+      .select("query_id", "home_cell", "rnk", "neighbor_id", "cos")
+      .orderBy("query_id", "rnk")
+  }
+
+  val sim7Sql: String =
+    s"""WITH $embSqlCte,
+       |nn AS (SELECT vec_id, v, nrm FROM n WHERE nrm > 0),
+       |idx AS (SELECT * FROM nn WHERE vec_id % 4 != 0),
+       |inc AS (SELECT * FROM nn WHERE vec_id % 4 = 0),
+       |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM idx ORDER BY vec_id LIMIT 8),
+       |iaff AS (SELECT idx.vec_id, cent_id,
+       |          round(${dotSql("v", "cv")} / (nrm * cn), 6) AS ccos
+       |        FROM idx CROSS JOIN cent),
+       |irk AS (SELECT vec_id, cent_id,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+       |       FROM iaff),
+       |corp AS (SELECT idx.vec_id AS neighbor_id, v AS cv, nrm AS cn, cent_id AS cell
+       |         FROM idx JOIN irk ON idx.vec_id = irk.vec_id AND crk = 1),
+       |qaff AS (SELECT inc.vec_id, cent_id,
+       |          round(${dotSql("v", "cv")} / (nrm * cn), 6) AS ccos
+       |        FROM inc CROSS JOIN cent),
+       |qrk AS (SELECT vec_id, cent_id,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+       |       FROM qaff),
+       |home AS (SELECT vec_id, cent_id AS home_cell FROM qrk WHERE crk = 1),
+       |q AS (SELECT qrk.vec_id AS query_id, cent_id AS cell, v AS qv, nrm AS qn
+       |      FROM qrk JOIN inc ON inc.vec_id = qrk.vec_id WHERE crk <= 2),
+       |p AS (SELECT query_id, neighbor_id,
+       |        round(${dotSql("qv", "cv")} / (qn * cn), 6) AS cos
+       |      FROM q JOIN corp USING (cell)),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM p)
+       |SELECT query_id, home_cell, rnk, neighbor_id, cos
+       |FROM r JOIN home ON home.vec_id = r.query_id
+       |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
 
   // ------------------------------- SIM4: k-means codebook training (Lloyd's)
 
@@ -3850,6 +3958,7 @@ object PipelineQueries {
     "sim4_kmeans_codebook" -> (sim4KmeansCodebook _),
     "sim5_pq_ann" -> (sim5PqAnn _),
     "sim6_ivfpq" -> (sim6IvfPq _),
+    "sim7_incremental_ann" -> (sim7IncrementalAnn _),
     "x1_langid" -> (x1Langid _),
     "x2_quality" -> (x2Quality _),
     "x3_token_stats" -> (x3TokenStats _),
@@ -3908,6 +4017,7 @@ object PipelineQueries {
     "sim4_kmeans_codebook" -> sim4Sql,
     "sim5_pq_ann" -> sim5Sql,
     "sim6_ivfpq" -> sim6Sql,
+    "sim7_incremental_ann" -> sim7Sql,
     "x1_langid" -> x1Sql,
     "x2_quality" -> x2Sql,
     "x3_token_stats" -> x3Sql,

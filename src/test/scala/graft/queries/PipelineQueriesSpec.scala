@@ -1091,6 +1091,42 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(run(1000).size == docs.length)
   }
 
+  test("sim7 incremental ANN: recall monotone in nProbe; probing every cell is exact") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
+      .selectExpr("vec_id", "v", "sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x)) as nrm")
+      .filter("nrm > 0")
+      .as[(Long, Array[Double], Double)]
+    val inc = vecs.filter(col("vec_id") % 4 === 0)
+    val idxVecs = vecs.filter(col("vec_id") % 4 =!= 0)
+    val index = PipelineQueries.prepareVectorIndex(idxVecs, 8)
+    def pairs(np: Int) = PipelineQueries.sim7Probe(inc, index, np).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // exact ground truth: full scan of the index side per increment vector
+    def cos(a: (Long, Array[Double], Double), b: (Long, Array[Double], Double)): Double = {
+      var d = 0.0; var k = 0
+      while (k < a._2.length) { d += a._2(k) * b._2(k); k += 1 }
+      math.rint(d / (a._3 * b._3) * 1e6) / 1e6
+    }
+    val incL = inc.collect(); val idxL = idxVecs.collect()
+    val exact = incL.flatMap { q =>
+      idxL.map(c => (q._1, c._1, cos(q, c))).sortBy { case (_, n, c) => (-c, n) }
+        .take(3).map { case (qid, n, _) => (qid, n) }
+    }.toSet
+    // probe lists are nested prefixes of the same sorted cell ranking, so
+    // candidate sets nest and recall can only rise with nProbe; at
+    // nProbe = nCells every cell is probed and the nightly probe degenerates
+    // to the exact scan — the structural guarantee that makes the dial safe
+    val recalls = Seq(1, 2, 8).map(np => (exact & pairs(np)).size.toDouble / exact.size)
+    assert(recalls == recalls.sorted, s"recall not monotone in nProbe: $recalls")
+    assert(recalls.last == 1.0 && pairs(8) == exact,
+      "nProbe = nCells must recover the exact top-3")
+    // and the registered split binds the same contract
+    assert(PipelineQueries.sim7IncrementalAnn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet == pairs(2))
+  }
+
   test("x23 inverted index matches a driver-side brute force; rows are block-bounded") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()

@@ -44,12 +44,13 @@ class PlanQualitySpec extends SparkSpec {
         p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
   }
 
-  test("bucketed ANN paths (sim2/sim3) join on their bucket key, never a product") {
+  test("bucketed ANN paths (sim2/sim3/sim7) join on their bucket key, never a product") {
     // The whole point of the LSH/IVF scale paths is that candidate
     // generation is an equi-join on a compact key; a cartesian fallback
     // would silently reintroduce the O(n²) scan they exist to avoid.
     Seq("sim2" -> PipelineQueries.sim2LshAnn(spark, sf),
-        "sim3" -> PipelineQueries.sim3IvfAnn(spark, sf)).foreach { case (name, df) =>
+        "sim3" -> PipelineQueries.sim3IvfAnn(spark, sf),
+        "sim7" -> PipelineQueries.sim7IncrementalAnn(spark, sf)).foreach { case (name, df) =>
       val p = plan(df)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$name candidate join degenerated to a product")
