@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 
@@ -1037,6 +1038,59 @@ object RelationalQueries {
       |FROM ac FULL OUTER JOIN tc ON ac.status = tc.status
       |ORDER BY status""".stripMargin
 
+  // -------------------------------------- K11: compaction planner (OPTIMIZE)
+
+  /** Target merge-group size (bytes of document text per rewritten file). */
+  private val K11Target = 4096L
+
+  /** Compaction planner — the OPTIMIZE/bin-pack step every long-lived lake
+    * table needs once small files accumulate (`sources.CorpusSink` prevents
+    * the problem at write time; this is the retrofit for inherited
+    * layouts). The file INVENTORY here is simulated as one "file" per
+    * (lang, source) — metadata-sized, the planner's real input shape — and
+    * within each table partition (lang) files pack into merge groups by
+    * size-descending next-fit: cumulative bytes bucketed at [[K11Target]],
+    * all in integer arithmetic (`(cum + target - 1) div target`), so both
+    * engines assign identical groups. Output maps every file to its merge
+    * group with the group's total — the rewrite worklist.
+    *
+    * Scale shape: the planner never touches data, only the inventory
+    * (files-count rows; at 100 TB maybe 10⁷ rows); one window per table
+    * partition orders it, a second sums per group — two metadata-sized
+    * exchanges driving a rewrite that moves the actual bytes. Planner
+    * output is deterministic, so a re-run after a partial rewrite produces
+    * the same remaining groups (idempotent remediation).
+    */
+  def k11CompactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val files = t(s, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(sum("n_chars").as("bytes"), count(lit(1)).as("n_docs"))
+    val order = Window.partitionBy("lang")
+      .orderBy(col("bytes").desc, col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val planned = files
+      .withColumn("cum", sum("bytes").over(order))
+      .withColumn("merge_group", expr(s"(cum + ${K11Target - 1}L) div ${K11Target}L"))
+    planned
+      .withColumn("group_bytes",
+        sum("bytes").over(Window.partitionBy("lang", "merge_group")))
+      .select(col("lang"), col("source"), col("n_docs"), col("bytes"),
+        col("merge_group"), col("group_bytes"))
+      .orderBy(col("lang"), col("merge_group"), col("bytes").desc, col("source"))
+  }
+
+  val k11Sql: String =
+    s"""WITH f AS (SELECT lang, source, SUM(n_chars)::BIGINT AS bytes,
+       |         COUNT(*)::BIGINT AS n_docs
+       |       FROM documents GROUP BY lang, source),
+       |c AS (SELECT lang, source, n_docs, bytes,
+       |        CAST((SUM(bytes) OVER (PARTITION BY lang ORDER BY bytes DESC, source
+       |           ROWS UNBOUNDED PRECEDING) + ${K11Target - 1}) // $K11Target AS BIGINT) AS merge_group
+       |      FROM f)
+       |SELECT lang, source, n_docs, bytes, merge_group,
+       |  SUM(bytes) OVER (PARTITION BY lang, merge_group)::BIGINT AS group_bytes
+       |FROM c ORDER BY lang, merge_group, bytes DESC, source""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1082,6 +1136,7 @@ object RelationalQueries {
     "k8_snapshot_diff" -> (k8SnapshotDiff _),
     "k9_scd2" -> (k9Scd2 _),
     "k10_changelog_apply" -> (k10ChangelogApply _),
+    "k11_compaction_plan" -> (k11CompactionPlan _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1127,5 +1182,6 @@ object RelationalQueries {
     "k8_snapshot_diff" -> k8Sql,
     "k9_scd2" -> k9Sql,
     "k10_changelog_apply" -> k10Sql,
+    "k11_compaction_plan" -> k11Sql,
   )
 }

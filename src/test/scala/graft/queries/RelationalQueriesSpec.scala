@@ -284,4 +284,31 @@ class RelationalQueriesSpec extends SparkSpec {
     val o = graft.SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle-only keys: ${o.diff(q)}")
   }
+
+  test("k11 compaction plan matches a driver-side brute force; the packing is sound") {
+    val target = 4096L
+    val files = spark.read.parquet(s"$sf/documents.parquet")
+      .select("lang", "source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(d => (d._1, d._2)).map { case ((lang, src), grp) =>
+        (lang, src, grp.map(_._3).sum, grp.length.toLong)
+      }.toSeq
+    val expected = files.groupBy(_._1).toSeq.flatMap { case (lang, fs) =>
+      val ordered = fs.sortBy(f => (-f._3, f._2))
+      val cums = ordered.scanLeft(0L)(_ + _._3).tail
+      val groups = cums.map(c => (c + target - 1) / target)
+      val gBytes = ordered.map(_._3).zip(groups).groupBy(_._2)
+        .map { case (g, v) => (g, v.map(_._1).sum) }
+      ordered.zip(groups).map { case ((l, s0, b, n), g) => (l, s0, n, b, g, gBytes(g)) }
+    }.sortBy(r => (r._1, r._5, -r._4, r._2))
+    val got = RelationalQueries.k11CompactionPlan(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    // every inventory file appears exactly once — the plan is a partition
+    assert(got.map(r => (r._1, r._2)).distinct.size == files.size)
+    // the packing actually merges: strictly fewer groups than files somewhere
+    val merged = got.groupBy(r => (r._1, r._5)).exists(_._2.size > 1)
+    assert(merged, "no merge group holds more than one file — planner vacuous")
+  }
 }
