@@ -3228,6 +3228,77 @@ object PipelineQueries {
        |       LEFT JOIN spg ON b.doc_id = spg.doc_id
        |ORDER BY b.doc_id""".stripMargin
 
+  // --------------- PIPE2: composed index-build pipeline (curate → postings)
+
+  /** End-to-end retrieval-index build as ONE declarative plan — the
+    * composition proof for the round-5 operators, pipe1's sibling on the
+    * indexing side: exact-dedup canonicals (d1's min-per-hash rule) →
+    * model-based quality gate (x20's classifier, same pinned weights) →
+    * per-source quota (x22's anti-domination rule at cap 20, hash-rank
+    * order) → blocked postings over the survivors (x23's layout). Each
+    * stage reuses the STANDALONE operator's exact rule — the shared
+    * helpers make drift impossible — and Catalyst fuses the narrow gates
+    * (hash, classifier score) into the scan-side pipeline, so the corpus
+    * pays one pass plus the dedup/cap windows and the postings
+    * aggregation. Ordering matters and is pinned: dedup runs FIRST so the
+    * quota and the index see canonicals (a duplicated mega-source would
+    * otherwise burn its quota on copies), the classifier is a narrow
+    * filter so its position costs nothing, and the cap precedes indexing
+    * so rejected documents never reach the (term, doc) explode — the
+    * expensive stage sees only survivors.
+    */
+  def pipe2IndexBuild(s: SparkSession, dir: String): DataFrame = {
+    val cap = 20
+    val wt = array(X20Weights.map(lit(_)): _*)
+    def bucket(tk: Column): Column =
+      (conv(substring(md5(tk), 1, 15), 16, 10).cast("long") % X20Buckets).cast("int")
+    val survivors = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"), md5(col("text")).as("h"))
+      // d1's rule: the lowest doc_id of each content-hash group is canonical
+      .withColumn("canon", min("doc_id").over(Window.partitionBy("h")))
+      .filter(col("doc_id") === col("canon"))
+      // x20's gate, same weights, same threshold
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 1)
+      .withColumn("sum_w",
+        aggregate(transform(col("w"), tk => element_at(wt, bucket(tk) + 1)),
+          lit(0L), (acc, x) => acc + x))
+      .filter(expr("sum_w div cast(size(w) as bigint)") >= 500000L)
+      // x22's quota among the remaining candidates
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("h"), col("doc_id"))))
+      .filter(col("rk") <= cap)
+    val tf = survivors
+      .select(col("doc_id"), explode(col("w")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("term"), expr(s"doc_id div $X23Block").as("block"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr(s"array_join(transform(array_sort(collect_list(struct(doc_id, tf))), " +
+          s"e -> concat(e.doc_id % $X23Block, ':', e.tf)), ',')").as("postings"))
+      .orderBy("term", "block")
+  }
+
+  // lazy: X20Weights initializes later in the object body
+  lazy val pipe2Sql: String = {
+    val wlist = X20Weights.mkString("[", ", ", "]")
+    s"""WITH d AS (SELECT doc_id, source, text, md5(text) AS h,
+       |    string_split(text, ' ') AS w FROM documents),
+       |canon AS (SELECT *, min(doc_id) OVER (PARTITION BY h) AS canon FROM d),
+       |q AS (SELECT * FROM canon WHERE doc_id = canon AND len(w) >= 1
+       |      AND CAST(list_sum(list_transform(w,
+       |        tk -> ($wlist)[((${md5HexSql("tk", 15)}) % $X20Buckets) + 1])) AS BIGINT)
+       |        // len(w)::BIGINT >= 500000),
+       |s AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+       |      FROM q),
+       |tk AS (SELECT doc_id, unnest(w) AS term FROM s WHERE rk <= 20),
+       |tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tk WHERE term != ''
+       |       GROUP BY term, doc_id)
+       |SELECT term, doc_id // $X23Block AS block, COUNT(*)::BIGINT AS n_docs,
+       |  string_agg((doc_id % $X23Block) || ':' || tf, ',' ORDER BY doc_id) AS postings
+       |FROM tf GROUP BY term, block ORDER BY term, block""".stripMargin
+  }
+
   // -------------------------------- X16: deterministic shard shuffle (epochs)
 
   /** Deterministic corpus shuffle into training shards: every document gets
@@ -3995,6 +4066,7 @@ object PipelineQueries {
     "w5_retention" -> (w5Retention _),
     "w6_outliers" -> (w6Outliers _),
     "pipe1_curate" -> (pipe1Curate _),
+    "pipe2_index_build" -> (pipe2IndexBuild _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -4051,5 +4123,6 @@ object PipelineQueries {
     "w5_retention" -> w5Sql,
     "w6_outliers" -> w6Sql,
     "pipe1_curate" -> pipe1Sql,
+    "pipe2_index_build" -> pipe2Sql,
   )
 }

@@ -1127,6 +1127,39 @@ class PipelineQueriesSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet == pairs(2))
   }
 
+  test("pipe2 indexes exactly the docs surviving dedup → classifier → quota") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def md5hex(t: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // gate 1: d1 canonicals
+    val canon = docs.groupBy(d => md5hex(d._3)).values.map(_.minBy(_._1)._1).toSet
+    // gate 2: x20 keep
+    val keep = docs.filter { case (id, _, t) =>
+      canon(id) && {
+        val w = t.split(" ", -1)
+        w.nonEmpty &&
+          w.map(tk => PipelineQueries.X20Weights(
+            (md5Prefix60(tk) % PipelineQueries.X20Buckets).toInt)).sum / w.length >= 500000L
+      }
+    }
+    // gate 3: x22 quota among survivors
+    val survivors = keep.groupBy(_._2).values.flatMap(
+      _.sortBy(d => (md5hex(d._3), d._1)).take(20).map(_._1)).toSet
+    // decode the indexed doc set back out of the postings
+    val B = PipelineQueries.X23Block
+    val indexed = PipelineQueries.pipe2IndexBuild(spark, sf).collect().flatMap { r =>
+      val block = r.getLong(1)
+      r.getString(3).split(",").map(e => block * B + e.split(":")(0).toLong)
+    }.toSet
+    assert(indexed == survivors)
+    // the composition must actually gate: the index holds fewer docs than
+    // the corpus (at sf0.001 the classifier alone rejects a visible slice)
+    assert(survivors.size < docs.length,
+      s"no gate bound: ${survivors.size} of ${docs.length} docs indexed")
+  }
+
   test("x23 inverted index matches a driver-side brute force; rows are block-bounded") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
