@@ -17,6 +17,11 @@ final case class StreamDoc(doc_id: Long, ts: Timestamp, text: String)
   */
 final case class SourcedDoc(doc_id: Long, ts: Timestamp, source: String)
 
+/** An embedding arriving on a vector-ingest stream (the sim7 twin's input
+  * shape; nrm precomputed at embed time, as a feature store would).
+  */
+final case class StreamVec(vec_id: Long, v: Array[Double], nrm: Double)
+
 /** An admission issued by the streaming per-source quota: rank is the
   * document's 1-based position among its source's admitted documents.
   */
@@ -171,6 +176,28 @@ object StreamingOps {
         onBatch(graft.queries.PipelineQueries.incrementalDedup(b, index), batchId)
       }
   }
+
+  /** Streaming ANN ingest — the ingest-time twin of the batch
+    * `sim7_incremental_ann`, and the vector-side sibling of
+    * [[dedupAgainstIndex]]: each micro-batch of new embeddings probes ONE
+    * prebuilt [[graft.queries.PipelineQueries.VectorIndex]] (coarse
+    * codebook + cell-assigned corpus, built once at query start; in
+    * production the bucketed index tables) for its home cell and nearest
+    * index neighbors. Stream-vs-index work runs as batch jobs inside
+    * foreachBatch — the index is never re-assigned, and results are a pure
+    * function of (batch, index), so replayed micro-batches emit identical
+    * assignments; no streaming state exists beyond the source checkpoint.
+    */
+  def annAgainstIndex(vecs: DataFrame,
+      index: graft.queries.PipelineQueries.VectorIndex, nProbe: Int)(
+      onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import batch.sparkSession.implicits._
+        val b = batch.select("vec_id", "v", "nrm")
+          .as[(Long, Array[Double], Double)].localCheckpoint()
+        onBatch(graft.queries.PipelineQueries.sim7Probe(b, index, nProbe), batchId)
+      }
 
   /** Streaming tokenization — the ingest-time twin of the batch
     * `x19_bpe_encode`: documents stream through the nested-replace chain

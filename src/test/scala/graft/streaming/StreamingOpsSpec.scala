@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 /** Streaming operators driven through MemoryStream micro-batches. */
@@ -494,6 +495,38 @@ class StreamingOpsSpec extends SparkSpec {
       assert(prog.stateOperators.nonEmpty &&
         prog.stateOperators.head.numRowsTotal == 2,
         s"expected 2 state rows (one per source), got ${prog.stateOperators.head.numRowsTotal}")
+    } finally q.stop()
+  }
+
+  test("streaming ANN ingest equals the batch sim7 probe on every micro-batched vector") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
+      .selectExpr("vec_id", "v", "sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x)) as nrm")
+      .filter("nrm > 0")
+      .as[(Long, Array[Double], Double)]
+    val index = graft.queries.PipelineQueries.prepareVectorIndex(
+      vecs.filter(col("vec_id") % 4 =!= 0), 8)
+    val inc = vecs.filter(col("vec_id") % 4 === 0).collect()
+    assert(inc.length >= 4, "need enough increment vectors to split into batches")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Long)]
+    val in = MemoryStream[StreamVec]
+    val q = StreamingOps.annAgainstIndex(in.toDF(), index, nProbe = 2) { (res, _) =>
+      got ++= res.collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("home_cell"), r.getAs[Int]("rnk"), r.getAs[Long]("neighbor_id")))
+    }.start()
+    try {
+      val (b1, b2) = inc.splitAt(inc.length / 2)
+      in.addData(b1.map { case (id, v, n) => StreamVec(id, v, n) }.toSeq)
+      q.processAllAvailable()
+      in.addData(b2.map { case (id, v, n) => StreamVec(id, v, n) }.toSeq)
+      q.processAllAvailable()
+      val batch = graft.queries.PipelineQueries.sim7IncrementalAnn(spark, sf).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("home_cell"),
+          r.getAs[Int]("rnk"), r.getAs[Long]("neighbor_id"))).toSet
+      assert(got.toSet == batch)
+      assert(batch.nonEmpty)
     } finally q.stop()
   }
 
