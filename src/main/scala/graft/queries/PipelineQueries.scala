@@ -3901,10 +3901,16 @@ object PipelineQueries {
   /** `cap` is the quota dial; kept sets NEST as it rises (rank order is a
     * fixed total order per source), spec-pinned.
     */
-  def x22SourceCap(s: SparkSession, dir: String, cap: Int): DataFrame = {
+  def x22SourceCap(s: SparkSession, dir: String, cap: Int): DataFrame =
+    sourceCapOf(t(s, dir, "documents").select("doc_id", "source", "text"), cap)
+
+  /** Library form over any (doc_id, source, text) frame — property specs
+    * drive this with a forced mega-source to prove the two-phase pre-cut
+    * equals the naive single window under skew.
+    */
+  def sourceCapOf(docs: DataFrame, cap: Int): DataFrame = {
     require(cap >= 1, s"cap must be positive, got $cap")
-    val base = t(s, dir, "documents")
-      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val base = docs.select(col("doc_id"), col("source"), md5(col("text")).as("h"))
     val tot = base.groupBy("source").agg(count(lit(1)).as("n_source"))
     val pre = base.withColumn("pid", spark_partition_id())
       .withColumn("prk", row_number().over(
@@ -3958,9 +3964,16 @@ object PipelineQueries {
     * over-broadcast adjacency table degrades to two keyed joins against
     * the same plan — the intersection stays row-local either way.
     */
-  def g2Triangles(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+  def g2Triangles(s: SparkSession, dir: String): DataFrame =
+    trianglesOfMemberships(t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+
+  /** Library form over any (ok, pk) membership table: nodes are `pk`s,
+    * edges connect nodes sharing an `ok` group. Property specs drive this
+    * with synthetic graphs of known closed-form counts (cliques).
+    */
+  def trianglesOfMemberships(memberships: DataFrame): DataFrame = {
+    val li = memberships.select("ok", "pk").distinct()
     val e = li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()

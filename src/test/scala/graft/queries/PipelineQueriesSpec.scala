@@ -1185,6 +1185,43 @@ class PipelineQueriesSpec extends SparkSpec {
       "no term occupies multiple blocks — block split unexercised")
   }
 
+  test("g2 closed forms: a clique counts C(n-1,2) per node; a star has no triangles") {
+    import spark.implicits._
+    // one shared group of 10 nodes → K10: every node sits in C(9,2) = 36
+    // triangles — exercises the (degree, id) orientation on all-equal
+    // degrees, where only the id tiebreak orders the edges
+    val clique = (1L to 10L).map(p => (1L, p)).toDF("ok", "pk")
+    val k10 = PipelineQueries.trianglesOfMemberships(clique).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(k10.toSeq.sorted == (1L to 10L).map(p => (p, 36L)))
+    // a star (hub in every 2-node group, leaves pairwise disjoint) is
+    // triangle-free: the wedge set is huge, the closure empty
+    val star = (1L to 20L).flatMap(l => Seq((l, 0L), (l, l + 100L))).toDF("ok", "pk")
+    assert(PipelineQueries.trianglesOfMemberships(star).count() == 0L)
+  }
+
+  test("x22 two-phase pre-cut equals the naive window under a forced mega-source") {
+    import spark.implicits._
+    // one hot source with 2000 docs over 8 input partitions + two small
+    // ones: the per-(source, pid) pre-cut must keep the global top-cap
+    val docs = ((1L to 2000L).map(i => (i, "hot", s"doc $i body")) ++
+      (3000L to 3004L).map(i => (i, "cold_a", s"text $i")) ++
+      (4000L to 4002L).map(i => (i, "cold_b", s"blob $i")))
+      .toDF("doc_id", "source", "text").repartition(8)
+    def md5hex(t: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val cap = 7
+    val expected = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .groupBy(_._2).toSeq.flatMap { case (src, grp) =>
+        grp.sortBy(d => (md5hex(d._3), d._1)).take(cap).zipWithIndex
+          .map { case ((id, s0, _), i) => (id, s0, i + 1L, grp.length.toLong) }
+      }.sortBy(_._1)
+    val got = PipelineQueries.sourceCapOf(docs, cap).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(got.count(_._2 == "hot") == cap, "mega-source not truncated to the cap")
+  }
+
   test("g2 triangle counts match a driver-side brute force; total is divisible by 3") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_partkey").collect()
