@@ -3849,15 +3849,24 @@ object PipelineQueries {
     * assembly whose collect_list state is bounded by the block span. Output
     * rows ≈ vocabulary × occupied blocks.
     */
-  def x23InvertedIndex(s: SparkSession, dir: String): DataFrame = {
+  def x23InvertedIndex(s: SparkSession, dir: String): DataFrame =
+    x23InvertedIndex(s, dir, X23Block)
+
+  /** `block` is the row-width dial: any value yields the same decoded
+    * (term, doc, tf) multiset (spec-pinned block-invariance), and every
+    * row's entry count is ≤ block by construction — production picks the
+    * block from the serving page size, not from correctness concerns.
+    */
+  def x23InvertedIndex(s: SparkSession, dir: String, block: Long): DataFrame = {
+    require(block >= 1, s"block must be positive, got $block")
     val tf = t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-    tf.groupBy(col("term"), expr(s"doc_id div $X23Block").as("block"))
+    tf.groupBy(col("term"), expr(s"doc_id div ${block}L").as("block"))
       .agg(count(lit(1)).as("n_docs"),
         expr(s"array_join(transform(array_sort(collect_list(struct(doc_id, tf))), " +
-          s"e -> concat(e.doc_id % $X23Block, ':', e.tf)), ',')").as("postings"))
+          s"e -> concat(e.doc_id % ${block}L, ':', e.tf)), ',')").as("postings"))
       .orderBy("term", "block")
   }
 

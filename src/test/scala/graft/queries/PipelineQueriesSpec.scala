@@ -1183,6 +1183,18 @@ class PipelineQueriesSpec extends SparkSpec {
     // hot terms split across blocks rather than widening one row
     assert(got.groupBy(_._1).exists(_._2.size > 1) || docs.length <= B,
       "no term occupies multiple blocks — block split unexercised")
+    // block dial invariance: any block size decodes to the identical
+    // (term, doc, tf) multiset — the dial picks row width, never content
+    def decode(rows: Seq[(String, Long, Long, String)], b: Long) =
+      rows.flatMap { case (term, blk, _, ps) =>
+        ps.split(",").map { e =>
+          val Array(rel, tf) = e.split(":"); (term, blk * b + rel.toLong, tf.toLong)
+        }
+      }.toSet
+    val tiny = PipelineQueries.x23InvertedIndex(spark, sf, 16L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(tiny.forall(_._3 <= 16L))
+    assert(decode(tiny, 16L) == decode(got, B), "block dial changed the decoded postings")
   }
 
   test("g2 closed forms: a clique counts C(n-1,2) per node; a star has no triangles") {

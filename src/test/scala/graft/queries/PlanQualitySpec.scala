@@ -468,6 +468,30 @@ class PlanQualitySpec extends SparkSpec {
       "per-source totals did not broadcast")
   }
 
+  test("pipe2 index build: gates fuse ahead of the explode; no join, rank-limit engages") {
+    val p = plan(PipelineQueries.pipe2IndexBuild(spark, sf))
+    // the composed pipeline is windows + aggregations over one corpus scan:
+    // nothing in it may join, and nothing may degenerate to a product
+    assert(!p.contains("Join"), "pipe2 should not join at all:\n" + p.take(1200))
+    // the quota's rank filter must engage Spark's rank-limit pushdown so
+    // over-cap rows die at the window, before the (term, doc) explode
+    assert(p.contains("WindowGroupLimit"), "quota rank-limit pushdown missing")
+    // one scan of documents feeds the whole composition
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1,
+      "pipe2 should read the corpus exactly once")
+  }
+
+  test("k11 compaction planner aggregates the inventory before any window") {
+    val p = plan(RelationalQueries.k11CompactionPlan(spark, sf))
+    assert(!p.contains("Join"), "the planner should not join")
+    // the files-inventory aggregation reduces data BEFORE the windows: a
+    // partial HashAggregate must sit under the first exchange, so the
+    // planner's windows only ever see inventory-sized rows
+    assert(p.contains("HashAggregate"), "inventory aggregation missing")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).length == 1,
+      "planner should read the table exactly once (metadata-sized pass)")
+  }
+
   test("g2 triangles: adjacency broadcasts and intersects row-locally — no wedge join") {
     val p = plan(PipelineQueries.g2Triangles(spark, sf))
     assert(p.contains("BroadcastHashJoin"), "adjacency/degree tables should broadcast")
