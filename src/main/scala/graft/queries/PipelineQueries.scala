@@ -3765,8 +3765,8 @@ object PipelineQueries {
     * log-sum (same ordering signal, exact cross-engine arithmetic; ct ≤ cr
     * always, so the per-bucket ratio term is bounded by 1e6 and the scale
     * term by 1e6·N_raw/N_target — overflow-safe unless the target slice is
-    * below 1e-7 of the corpus, which a 100 TB run guards at model-build
-    * time).
+    * below ~1e-7 of the corpus, ENFORCED by a require when the one-row
+    * totals collect at model build).
     *
     * Scale shape: the corpus is tokenized, hashed, and exploded exactly
     * ONCE, into the per-(doc, bucket) count table — partial-aggregable, so
@@ -3795,11 +3795,21 @@ object PipelineQueries {
     val model = perDoc.groupBy("b").agg(
       sum("cnt").as("cr"),
       sum(when(col("lang") === "en", col("cnt")).otherwise(0L)).as("ct"))
-    val tot = model.agg(sum("cr").as("nr"), sum("ct").as("nt"))
-    val ratio = model.crossJoin(broadcast(tot))
+    // the totals are ONE row — collected like j8's bloom/a10s's CMS (a
+    // constant-size summary shipped back as literals), which is also where
+    // the documented overflow guard becomes enforceable instead of a
+    // comment: per-bucket ratio ≤ 1e6 (ct ≤ cr), so the product overflows
+    // only when scale exceeds Long.Max/1e6 ≈ 9.2e12, i.e. the target slice
+    // is below ~1e-7 of the corpus
+    val Array(nr, nt) = model.agg(sum("cr"), sum("ct")).first() match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val scale = ((nr + X21Buckets) * 1000000L) / (nt + X21Buckets)
+    require(scale <= Long.MaxValue / 1000000L,
+      s"target slice too small for integer ratios: raw/target token ratio ${nr / math.max(nt, 1L)}")
+    val ratio = model
       .select(col("b"), expr(
-        s"((((ct + 1L) * 1000000L) div (cr + 1L)) * " +
-          s"(((nr + ${X21Buckets}L) * 1000000L) div (nt + ${X21Buckets}L))) div 1000000L")
+        s"((((ct + 1L) * 1000000L) div (cr + 1L)) * ${scale}L) div 1000000L")
         .as("ratio_ppm"))
     perDoc.join(broadcast(ratio), "b")
       .groupBy("doc_id")
