@@ -3835,6 +3835,68 @@ object PipelineQueries {
        |  CAST(CAST(SUM(cnt * ratio_ppm) AS BIGINT) // CAST(SUM(cnt) AS BIGINT) AS BIGINT) AS weight_ppm
        |FROM pd JOIN r USING (b) GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ----------------------- X24: distribution drift report (corpus monitor)
+
+  /** Bucket count of the x24 drift monitor's hashed-unigram space. */
+  private[graft] val X24Buckets = 128
+
+  /** Distribution-drift report — the corpus-version monitoring pass every
+    * recurring ingest runs before promoting a new crawl (x15 profiles ONE
+    * corpus; this compares TWO): token distributions of a reference slice
+    * and a candidate slice (here `lang='en'` vs the rest — a real shift;
+    * production: yesterday's corpus vs today's) over [[X24Buckets]] hashed
+    * unigram buckets, reported as each bucket's per-mille-style
+    * contribution to total-variation distance. All arithmetic is
+    * per-distribution ppm FIRST (bounded by 1e6, so no cross-total product
+    * can overflow regardless of corpus size), then an absolute difference
+    * — integer-exact on both engines. The TV total is half the sum of the
+    * contributions; emitting per-bucket rows keeps the report actionable
+    * (WHICH token mass moved), not just a scalar alarm.
+    *
+    * Scale shape: two partial-aggregable counts per bucket in one pass
+    * over the exploded token stream (map-side combine bounds the exchange
+    * at tasks × buckets), the two totals collect as one row of literals
+    * (the x21/j8 constant-size-summary discipline), and the report is
+    * bucket-count rows. Nothing corpus-sized survives the first
+    * aggregation.
+    */
+  def x24DriftReport(s: SparkSession, dir: String): DataFrame = {
+    val occ = t(s, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 1)
+      .select(col("lang"), explode(expr(
+        s"transform(w, tk -> cast(conv(substring(md5(tk),1,15),16,10) as bigint) % $X24Buckets)"))
+        .as("b"))
+    val counts = occ.groupBy("b").agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ca"),
+      sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("cb"))
+    val Array(na, nb) = counts.agg(sum("ca"), sum("cb")).first() match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    require(na > 0 && nb > 0, s"a drift slice is empty: reference=$na candidate=$nb tokens")
+    counts
+      .select(col("b"), col("ca"), col("cb"),
+        expr(s"(ca * 1000000L) div ${na}L").as("pa_ppm"),
+        expr(s"(cb * 1000000L) div ${nb}L").as("pb_ppm"))
+      .withColumn("tv_contrib_ppm", abs(col("pa_ppm") - col("pb_ppm")))
+      .orderBy("b")
+  }
+
+  val x24Sql: String =
+    s"""WITH w AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+       |o AS (SELECT lang, (${md5HexSql("tk", 15)}) % $X24Buckets AS b
+       |      FROM (SELECT lang, unnest(w) AS tk FROM w WHERE len(w) >= 1)),
+       |c AS (SELECT b,
+       |        SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ca,
+       |        SUM(CASE WHEN lang != 'en' THEN 1 ELSE 0 END)::BIGINT AS cb
+       |      FROM o GROUP BY b),
+       |tt AS (SELECT SUM(ca)::BIGINT AS na, SUM(cb)::BIGINT AS nb FROM c)
+       |SELECT b, ca, cb,
+       |  CAST((ca * 1000000) // na AS BIGINT) AS pa_ppm,
+       |  CAST((cb * 1000000) // nb AS BIGINT) AS pb_ppm,
+       |  CAST(abs((ca * 1000000) // na - (cb * 1000000) // nb) AS BIGINT) AS tv_contrib_ppm
+       |FROM c CROSS JOIN tt ORDER BY b""".stripMargin
+
   // ------------------- X23: blocked inverted-index construction (postings)
 
   /** Documents per posting block — the row-width bound: a posting-list row
@@ -4085,7 +4147,8 @@ object PipelineQueries {
     "x20_quality_classifier" -> (x20QualityClassifier _),
     "x21_importance_weights" -> (x21ImportanceWeights _),
     "x22_source_cap" -> ((s: SparkSession, dir: String) => x22SourceCap(s, dir)),
-    "x23_inverted_index" -> (x23InvertedIndex _),
+    "x23_inverted_index" -> ((s: SparkSession, dir: String) => x23InvertedIndex(s, dir)),
+    "x24_drift_report" -> (x24DriftReport _),
     "g2_triangles" -> (g2Triangles _),
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_frame_sample" -> (m2FrameSample _),
@@ -4146,6 +4209,7 @@ object PipelineQueries {
     "x21_importance_weights" -> x21Sql,
     "x22_source_cap" -> x22Sql,
     "x23_inverted_index" -> x23Sql,
+    "x24_drift_report" -> x24Sql,
     "g2_triangles" -> g2Sql,
     "m1_binary_meta" -> m1Sql,
     "m2_frame_sample" -> m2Sql,

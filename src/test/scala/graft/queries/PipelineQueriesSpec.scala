@@ -1197,6 +1197,32 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(decode(tiny, 16L) == decode(got, B), "block dial changed the decoded postings")
   }
 
+  test("x24 drift report matches a driver-side brute force and detects the en shift") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val D = PipelineQueries.X24Buckets
+    val toks = docs.flatMap { case (lang, t) =>
+      t.split(" ", -1).map(tk => ((md5Prefix60(tk) % D).toInt, lang == "en"))
+    }
+    val ca = toks.filter(_._2).groupBy(_._1).map { case (b, v) => (b, v.length.toLong) }
+    val cb = toks.filter(!_._2).groupBy(_._1).map { case (b, v) => (b, v.length.toLong) }
+    val (na, nb) = (toks.count(_._2).toLong, toks.count(!_._2).toLong)
+    val expected = (ca.keySet ++ cb.keySet).toSeq.sorted.map { b =>
+      val (a0, b0) = (ca.getOrElse(b, 0L), cb.getOrElse(b, 0L))
+      val (pa, pb) = (a0 * 1000000L / na, b0 * 1000000L / nb)
+      (b.toLong, a0, b0, pa, pb, math.abs(pa - pb))
+    }
+    val got = PipelineQueries.x24DriftReport(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    // TV = half the contribution sum, a true distance in [0, 1e6] ppm; the
+    // en-vs-rest token mixes genuinely differ, so drift must register
+    val tv = got.map(_._6).sum / 2
+    assert(tv > 0 && tv <= 1000000L, s"TV distance $tv ppm out of range")
+  }
+
   test("g2 closed forms: a clique counts C(n-1,2) per node; a star has no triangles") {
     import spark.implicits._
     // one shared group of 10 nodes → K10: every node sits in C(9,2) = 36
