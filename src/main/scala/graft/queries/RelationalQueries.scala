@@ -1091,6 +1091,59 @@ object RelationalQueries {
        |  SUM(bytes) OVER (PARTITION BY lang, merge_group)::BIGINT AS group_bytes
        |FROM c ORDER BY lang, merge_group, bytes DESC, source""".stripMargin
 
+  // ------------------------------- K12: z-order clustering key (layout opt)
+
+  /** Bits per dimension of the k12 z-value (16 ⇒ a 32-bit interleaved key). */
+  private val K12Bits = 16
+
+  /** Z-order (Morton) clustering key — the layout optimization behind
+    * Delta/Iceberg `ZORDER BY`: interleaving the bits of two join/filter
+    * dimensions gives a SINGLE sort key under which ranges of EITHER
+    * dimension map to a bounded number of key ranges, so one clustered
+    * layout serves point/range predicates on both columns (sorting by
+    * (a, b) lexicographically serves only `a`). Computed as a pure integer
+    * fold — `Σ ((a>>i)&1)<<2i | ((b>>i)&1)<<(2i+1)` — identical on both
+    * engines, no UDF; the file assignment buckets the z-value so each
+    * output file covers one z-range. k11 plans WHICH files to rewrite;
+    * k12 is the key the rewrite clusters by.
+    *
+    * Scale shape: the z-value is a narrow codegen'd projection (the
+    * interleave unrolls to 32 shift-mask terms inside whole-stage
+    * codegen); the layout write is `repartitionByRange(zbucket)` +
+    * `sortWithinPartitions(zval)` — one range exchange, the same discipline
+    * `CorpusSink` applies, with row-group min/max stats then pruning both
+    * dimensions. The query here emits the per-bucket extent proof: each
+    * z-bucket's min/max of BOTH dimensions, showing the bounded-extent
+    * property range pruning relies on.
+    */
+  def k12ZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val inter = (0 until K12Bits).map { i =>
+      s"(((l_partkey >> $i) & 1L) << ${2 * i}) + (((l_suppkey >> $i) & 1L) << ${2 * i + 1})"
+    }.mkString(" + ")
+    t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+      .withColumn("zval", expr(inter))
+      .withColumn("zbucket", expr("zval div 262144L")) // 2^18 z-span: each bucket is a 512x512 aligned tile
+      .groupBy("zbucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_partkey").as("part_min"), max("l_partkey").as("part_max"),
+        min("l_suppkey").as("supp_min"), max("l_suppkey").as("supp_max"),
+        min("zval").as("z_min"), max("zval").as("z_max"))
+      .orderBy("zbucket")
+  }
+
+  val k12Sql: String = {
+    val inter = (0 until K12Bits).map { i =>
+      s"(((l_partkey >> $i) & 1) << ${2 * i}) + (((l_suppkey >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+    s"""WITH z AS (SELECT l_partkey, l_suppkey, ($inter)::BIGINT AS zval FROM lineitem)
+       |SELECT zval // 262144 AS zbucket, COUNT(*)::BIGINT AS n_rows,
+       |  MIN(l_partkey) AS part_min, MAX(l_partkey) AS part_max,
+       |  MIN(l_suppkey) AS supp_min, MAX(l_suppkey) AS supp_max,
+       |  MIN(zval) AS z_min, MAX(zval) AS z_max
+       |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin
+  }
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1137,6 +1190,7 @@ object RelationalQueries {
     "k9_scd2" -> (k9Scd2 _),
     "k10_changelog_apply" -> (k10ChangelogApply _),
     "k11_compaction_plan" -> (k11CompactionPlan _),
+    "k12_zorder_layout" -> (k12ZorderLayout _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1183,5 +1237,6 @@ object RelationalQueries {
     "k9_scd2" -> k9Sql,
     "k10_changelog_apply" -> k10Sql,
     "k11_compaction_plan" -> k11Sql,
+    "k12_zorder_layout" -> k12Sql,
   )
 }

@@ -285,6 +285,35 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(o.subsetOf(q), s"oracle-only keys: ${o.diff(q)}")
   }
 
+  test("k12 z-order buckets match brute force and bound BOTH dimensions' extents") {
+    // sf0.01: key ranges span several 512x512 tiles, so the bucket split
+    // and the extent bound are both exercised (sf0.001 fits one tile)
+    val dir001 = "/root/testdata/sf0.01"
+    val rows = spark.read.parquet(s"$dir001/lineitem.parquet")
+      .select("l_partkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def z(a: Long, b: Long): Long =
+      (0 until 16).map(i => (((a >> i) & 1L) << (2 * i)) + (((b >> i) & 1L) << (2 * i + 1))).sum
+    val expected = rows.map { case (p, sKey) => (z(p, sKey) / 262144L, p, sKey, z(p, sKey)) }
+      .groupBy(_._1).toSeq.map { case (bk, grp) =>
+        (bk, grp.length.toLong, grp.map(_._2).min, grp.map(_._2).max,
+          grp.map(_._3).min, grp.map(_._3).max, grp.map(_._4).min, grp.map(_._4).max)
+      }.sortBy(_._1)
+    val got = RelationalQueries.k12ZorderLayout(spark, dir001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == expected)
+    // an aligned 2^18 z-range is a 512 x 512 tile: BOTH dimensions'
+    // extents are bounded inside every bucket — the property min/max
+    // zone maps prune on, and the reason z-order beats a lexicographic
+    // (a, b) sort (which bounds only `a`)
+    assert(got.size > 1, s"only ${got.size} z-buckets — tile split unexercised")
+    got.foreach { case (bk, _, pMin, pMax, sMin, sMax, _, _) =>
+      assert(pMax - pMin < 512, s"bucket $bk part extent ${pMax - pMin} breaks the tile bound")
+      assert(sMax - sMin < 512, s"bucket $bk supp extent ${sMax - sMin} breaks the tile bound")
+    }
+  }
+
   test("k11 compaction plan matches a driver-side brute force; the packing is sound") {
     val target = 4096L
     val files = spark.read.parquet(s"$sf/documents.parquet")
