@@ -22,6 +22,12 @@ final case class SourcedDoc(doc_id: Long, ts: Timestamp, source: String)
   */
 final case class StreamVec(vec_id: Long, v: Array[Double], nrm: Double)
 
+/** One bucket of a CLOSED hour window's drift report (the x24 twin). */
+final case class DriftRow(window_start_us: Long, b: Int, cnt: Long,
+    cand_ppm: Long, ref_ppm: Long, tv_contrib_ppm: Long)
+
+private final case class DriftState(counts: Map[Int, Long])
+
 /** An admission issued by the streaming per-source quota: rank is the
   * document's 1-based position among its source's admitted documents.
   */
@@ -414,6 +420,66 @@ object StreamingOps {
             // window's ranking is final
             state.setTimeoutTimestamp(
               math.max((bucket + 1L) * HourUs / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Streaming drift monitor — the ingest-time twin of the batch
+    * `x24_drift_report`: each event-time hour window accumulates ONE
+    * bounded bucket histogram (≤ [[graft.queries.PipelineQueries.X24Buckets]]
+    * entries, the trendingTopK state discipline) of the arriving documents'
+    * hashed unigrams, and when the watermark closes the window it emits the
+    * per-bucket total-variation contributions against a PINNED reference
+    * distribution (`refPpm`, trained offline by the batch operator and
+    * shipped as an artifact — comparing against a drifting reference would
+    * make replayed windows alarm differently). Per-window arithmetic is the
+    * batch operator's exactly: candidate ppm first, then the absolute
+    * difference. State is windows-in-flight × buckets; each window's state
+    * frees on emission.
+    */
+  def driftStream(docs: Dataset[StreamDoc], refPpm: Map[Int, Long]): Dataset[DriftRow] = {
+    import docs.sparkSession.implicits._
+    val HourUs = 3600L * 1000000L
+    val D = graft.queries.PipelineQueries.X24Buckets
+    docs
+      .flatMap { d =>
+        val hour = eventUs(d.ts) / HourUs
+        val w = d.text.split(" ", -1)
+        if (w.isEmpty) Iterator.empty
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          w.iterator.map { tk =>
+            val hex = md.digest(tk.getBytes("UTF-8")).map("%02x".format(_)).mkString
+            md.reset()
+            (d.ts, hour, (java.lang.Long.parseLong(hex.substring(0, 15), 16) % D).toInt)
+          }
+        }
+      }.toDF("ts", "hour", "b")
+      .withWatermark("ts", "2 hours") // after the typed flatMap: metadata survives
+      .as[(Timestamp, Long, Int)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[DriftState, DriftRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (hour: Long, it: Iterator[(Timestamp, Long, Int)], state: GroupState[DriftState]) =>
+          if (state.hasTimedOut) {
+            val counts = state.getOption.map(_.counts).getOrElse(Map.empty[Int, Long])
+            state.remove()
+            val total = counts.values.sum
+            counts.toSeq.sortBy(_._1).iterator.map { case (b, cnt) =>
+              val cand = if (total == 0) 0L else cnt * 1000000L / total
+              val ref = refPpm.getOrElse(b, 0L)
+              DriftRow(hour * HourUs, b, cnt, cand, ref, math.abs(cand - ref))
+            }
+          } else {
+            var counts = state.getOption.map(_.counts).getOrElse(Map.empty[Int, Long])
+            it.foreach { case (_, _, b) =>
+              counts = counts.updated(b, counts.getOrElse(b, 0L) + 1L)
+            }
+            state.update(DriftState(counts))
+            state.setTimeoutTimestamp(
+              math.max((hour + 1L) * HourUs / 1000L,
                 state.getCurrentWatermarkMs() + 1L))
             Iterator.empty
           }

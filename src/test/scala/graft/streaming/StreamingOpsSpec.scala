@@ -498,6 +498,55 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drift monitor: closed windows report batch-exact TV contributions") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val D = graft.queries.PipelineQueries.X24Buckets
+    def md5b(tk: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tk.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 15), 16) % D).toInt
+    }
+    // pinned reference distribution (the artifact a batch x24 run exports)
+    val refTokens = Seq("spark", "join", "scan", "table", "row", "fast")
+    val refPpm = refTokens.map(md5b).groupBy(identity)
+      .map { case (b, v) => (b, v.length * 1000000L / refTokens.length) }
+    // window 0: drifted mix; window 1: on-distribution mix
+    val w0 = Seq(StreamDoc(1L, ts(10), "slow slow merge"), StreamDoc(2L, ts(20), "merge batch"))
+    val w1 = Seq(StreamDoc(3L, ts(70), "spark join"), StreamDoc(4L, ts(80), "scan table row fast"))
+    val in = MemoryStream[StreamDoc]
+    val q = StreamingOps.driftStream(in.toDS(), refPpm)
+      .writeStream.format("memory").queryName("drift")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(w0); q.processAllAvailable()
+      in.addData(w1); q.processAllAvailable()
+      // advance the watermark far past both windows, then tick the timeouts
+      in.addData(StreamDoc(-1L, ts(10 * 60), "tick")); q.processAllAvailable()
+      in.addData(StreamDoc(-2L, ts(11 * 60), "tick")); q.processAllAvailable()
+      val got = spark.table("drift").as[DriftRow].collect()
+        .filter(r => r.window_start_us < ts(10 * 60).getTime * 1000L)
+        .map(r => (r.window_start_us, r.b, r.cnt, r.cand_ppm, r.ref_ppm, r.tv_contrib_ppm))
+      // replicate per closed window with the batch operator's arithmetic
+      val expected = (w0 ++ w1).flatMap(d =>
+        d.text.split(" ", -1).map(tk => (d.ts.getTime / 3600000L * 3600000000L, md5b(tk))))
+        .groupBy(_._1).toSeq.flatMap { case (wus, toks) =>
+          val counts = toks.groupBy(_._2).map { case (b, v) => (b, v.length.toLong) }
+          val total = counts.values.sum
+          counts.toSeq.sortBy(_._1).map { case (b, cnt) =>
+            val cand = cnt * 1000000L / total
+            val ref = refPpm.getOrElse(b, 0L)
+            (wus, b, cnt, cand, ref, math.abs(cand - ref))
+          }
+        }
+      assert(got.toSeq.sorted == expected.sorted)
+      // the drifted window alarms louder than the on-distribution one
+      val tvByWindow = got.groupBy(_._1).view.mapValues(_.map(_._6).sum / 2).toMap
+      val Seq(tv0, tv1) = tvByWindow.toSeq.sortBy(_._1).map(_._2)
+      assert(tv0 > tv1, s"drifted window TV $tv0 not above on-distribution $tv1")
+    } finally q.stop()
+  }
+
   test("streaming ANN ingest equals the batch sim7 probe on every micro-batched vector") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
