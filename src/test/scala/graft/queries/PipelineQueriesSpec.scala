@@ -1160,6 +1160,34 @@ class PipelineQueriesSpec extends SparkSpec {
       s"no gate bound: ${survivors.size} of ${docs.length} docs indexed")
   }
 
+  test("sim7's nCells dial: more cells shrink the max cell; exactness holds at any shape") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) as v")
+      .selectExpr("vec_id", "v", "sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x)) as nrm")
+      .filter("nrm > 0")
+      .as[(Long, Array[Double], Double)]
+    val idxVecs = vecs.filter(col("vec_id") % 4 =!= 0)
+    val inc = vecs.filter(col("vec_id") % 4 === 0)
+    def maxCell(nCells: Int): Long =
+      PipelineQueries.prepareVectorIndex(idxVecs, nCells).assigned
+        .groupBy("cell").count().agg(org.apache.spark.sql.functions.max("count"))
+        .first().getLong(0)
+    // the 100 TB cure for cell growth: nCells ∝ √n — more cells must
+    // actually shrink the biggest cell on this corpus, or the dial is fake
+    assert(maxCell(16) < maxCell(4),
+      s"16 cells (max ${maxCell(16)}) did not shrink the 4-cell max ${maxCell(4)}")
+    // and the nProbe = nCells degeneration to the exact scan holds at a
+    // NON-default shape too — the dial is safe to turn, not just to own
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = pairs(PipelineQueries.sim7Probe(inc,
+      PipelineQueries.prepareVectorIndex(idxVecs, 8), nProbe = 8))
+    val at16 = pairs(PipelineQueries.sim7Probe(inc,
+      PipelineQueries.prepareVectorIndex(idxVecs, 16), nProbe = 16))
+    assert(at16 == exact, "full probe at 16 cells diverged from full probe at 8")
+  }
+
   test("x23 inverted index matches a driver-side brute force; rows are block-bounded") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
