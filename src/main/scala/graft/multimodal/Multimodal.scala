@@ -381,13 +381,16 @@ object Multimodal {
           private var p = start
           def hasNext: Boolean = p + 8 <= end && {
             val size = u32(p)
-            size == 0 || size == 1 || (size >= 8 && size <= end - p)
+            // a 64-bit-size header (size==1) truncated before its largesize
+            // field is malformed — stop, don't fall through to size.toInt
+            size == 0 || (size == 1 && p + 16 <= end) ||
+              (size >= 8 && size <= end - p)
           }
           def next(): (String, Int, Int) = {
             val size0 = u32(p)
             val tpe = fourcc(p + 4)
             val (body, boxEnd) =
-              if (size0 == 1 && p + 16 <= end) {
+              if (size0 == 1) { // hasNext guarantees p + 16 <= end here
                 val s = u64(p + 8)
                 if (s < 16 || s > end - p) (p + 16, end) else (p + 16, p + s.toInt)
               } else if (size0 == 0) (p + 8, end) // box extends to enclosing end

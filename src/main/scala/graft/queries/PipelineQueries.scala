@@ -2472,6 +2472,11 @@ object PipelineQueries {
     */
   def x12LmScore(s: SparkSession, dir: String, hotK: Int): DataFrame = {
     require(hotK >= 0, s"hotK must be non-negative, got $hotK")
+    // the corpus-wide tokenize + per-bigram digest pass is read THREE times
+    // (model build, hot probe, cold probe) — materialize it once so the
+    // explode+md5 runs once, not per consumer; the checkpoint rows are
+    // (doc_id, 8-byte digest), i.e. no wider than what the model groupBy's
+    // exchange would write anyway
     val occ = t(s, dir, "documents")
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 2)
@@ -2479,8 +2484,9 @@ object PipelineQueries {
         "transform(sequence(0, size(w)-2), i -> " +
           "cast(conv(substring(md5(concat_ws(' ', w[i], w[i+1])),1,15),16,10) as bigint))"))
         .as("hk"))
+      .localCheckpoint()
     // the model is vocabulary-sized and read three times (hot pick, anti
-    // set, cold join) — materialize once instead of re-counting the corpus
+    // set, cold join) — materialize it too instead of re-aggregating
     val model = occ.groupBy("hk").agg(count(lit(1)).as("c")).localCheckpoint()
     val scored =
       if (hotK == 0) occ.join(model, "hk")
@@ -3249,20 +3255,14 @@ object PipelineQueries {
     */
   def pipe2IndexBuild(s: SparkSession, dir: String): DataFrame = {
     val cap = 20
-    val wt = array(X20Weights.map(lit(_)): _*)
-    def bucket(tk: Column): Column =
-      (conv(substring(md5(tk), 1, 15), 16, 10).cast("long") % X20Buckets).cast("int")
-    val survivors = t(s, dir, "documents")
+    val deduped = t(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"), md5(col("text")).as("h"))
       // d1's rule: the lowest doc_id of each content-hash group is canonical
       .withColumn("canon", min("doc_id").over(Window.partitionBy("h")))
       .filter(col("doc_id") === col("canon"))
-      // x20's gate, same weights, same threshold
-      .withColumn("w", split(col("text"), " "))
-      .filter(size(col("w")) >= 1)
-      .withColumn("sum_w",
-        aggregate(transform(col("w"), tk => element_at(wt, bucket(tk) + 1)),
-          lit(0L), (acc, x) => acc + x))
+    // x20's gate — the SHARED scoring core, so weights/bucketing/threshold
+    // cannot drift between the standalone classifier and this composition
+    val survivors = scoreQuality(deduped)
       .filter(expr("sum_w div cast(size(w) as bigint)") >= 500000L)
       // x22's quota among the remaining candidates
       .withColumn("rk", row_number().over(
@@ -3716,7 +3716,21 @@ object PipelineQueries {
     * n_tokens/score_ppm/keep and drops the text. A stateless narrow
     * projection, so it applies to bounded and unbounded sources alike.
     */
-  private[graft] def classifyQuality(docs: DataFrame): DataFrame = {
+  private[graft] def classifyQuality(docs: DataFrame): DataFrame =
+    scoreQuality(docs)
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .withColumn("score_ppm", expr("sum_w div n_tokens"))
+      .withColumn("keep", when(col("score_ppm") >= 500000L, 1).otherwise(0))
+      .drop("w", "sum_w", "text")
+
+  /** THE single definition of the x20 scoring rule — adds the token array
+    * `w` and weight-sum `sum_w` to any frame with a `text` column and drops
+    * empty-token rows, keeping everything else. [[classifyQuality]] (batch
+    * query + streaming twin) and [[pipe2IndexBuild]]'s inline gate both
+    * build on it, so a weights/bucketing/threshold change propagates to
+    * every consumer by construction.
+    */
+  private[graft] def scoreQuality(docs: DataFrame): DataFrame = {
     val wt = array(X20Weights.map(lit(_)): _*)
     def bucket(tk: Column): Column =
       (conv(substring(md5(tk), 1, 15), 16, 10).cast("long") % X20Buckets).cast("int")
@@ -3726,10 +3740,6 @@ object PipelineQueries {
       .withColumn("sum_w",
         aggregate(transform(col("w"), tk => element_at(wt, bucket(tk) + 1)),
           lit(0L), (acc, x) => acc + x))
-      .withColumn("n_tokens", size(col("w")).cast("long"))
-      .withColumn("score_ppm", expr("sum_w div n_tokens"))
-      .withColumn("keep", when(col("score_ppm") >= 500000L, 1).otherwise(0))
-      .drop("w", "sum_w", "text")
   }
 
   def x20QualityClassifier(s: SparkSession, dir: String): DataFrame =
@@ -3804,6 +3814,11 @@ object PipelineQueries {
     val Array(nr, nt) = model.agg(sum("cr"), sum("ct")).first() match {
       case r => Array(r.getLong(0), r.getLong(1))
     }
+    // the guard must fire BEFORE the multiply: past ~9.2e12 raw tokens the
+    // product itself wraps and a post-hoc check would inspect garbage
+    require(nr <= Long.MaxValue / 1000000L - X21Buckets,
+      s"raw token count $nr exceeds the integer-scale bound " +
+        s"${Long.MaxValue / 1000000L - X21Buckets}; shard the corpus or widen to DECIMAL")
     val scale = ((nr + X21Buckets) * 1000000L) / (nt + X21Buckets)
     require(scale <= Long.MaxValue / 1000000L,
       s"target slice too small for integer ratios: raw/target token ratio ${nr / math.max(nt, 1L)}")

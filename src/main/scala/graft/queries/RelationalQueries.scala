@@ -1093,8 +1093,14 @@ object RelationalQueries {
 
   // ------------------------------- K12: z-order clustering key (layout opt)
 
-  /** Bits per dimension of the k12 z-value (16 ⇒ a 32-bit interleaved key). */
-  private val K12Bits = 16
+  /** Bits per dimension of the k12 z-value (31 ⇒ a 62-bit interleaved key,
+    * the widest two-dimension interleave a signed long holds). Every bit of
+    * a positive 32-bit key participates, which is what makes the per-bucket
+    * extent bound hold at ANY scale factor: truncating to fewer bits would
+    * alias keys ≥ 2^bits into the same z-value (sf1 part keys reach 200k >
+    * 2^16) and silently break the tile property the layout exists for.
+    */
+  private val K12Bits = 31
 
   /** Z-order (Morton) clustering key — the layout optimization behind
     * Delta/Iceberg `ZORDER BY`: interleaving the bits of two join/filter
@@ -1108,7 +1114,7 @@ object RelationalQueries {
     * k12 is the key the rewrite clusters by.
     *
     * Scale shape: the z-value is a narrow codegen'd projection (the
-    * interleave unrolls to 32 shift-mask terms inside whole-stage
+    * interleave unrolls to 62 shift-mask terms inside whole-stage
     * codegen); the layout write is `repartitionByRange(zbucket)` +
     * `sortWithinPartitions(zval)` — one range exchange, the same discipline
     * `CorpusSink` applies, with row-group min/max stats then pruning both

@@ -467,11 +467,22 @@ object StreamingOps {
             val counts = state.getOption.map(_.counts).getOrElse(Map.empty[Int, Long])
             state.remove()
             val total = counts.values.sum
-            counts.toSeq.sortBy(_._1).iterator.map { case (b, cnt) =>
+            // union of observed and reference buckets: a token class that
+            // VANISHED from the window (ref > 0, count 0) is the loudest
+            // drift and must contribute its full ref ppm, exactly as the
+            // batch operator reports candidate-zero buckets
+            (counts.keySet ++ refPpm.keySet).toSeq.sorted.iterator.map { b =>
+              val cnt = counts.getOrElse(b, 0L)
               val cand = if (total == 0) 0L else cnt * 1000000L / total
               val ref = refPpm.getOrElse(b, 0L)
               DriftRow(hour * HourUs, b, cnt, cand, ref, math.abs(cand - ref))
             }
+          } else if (!state.exists &&
+              (hour + 1L) * HourUs <= state.getCurrentWatermarkMs() * 1000L) {
+            // straggler past the lateness horizon for an already-reported
+            // window: recreating state here would emit a second, partial
+            // report for the same window_start_us on the next timeout
+            Iterator.empty
           } else {
             var counts = state.getOption.map(_.counts).getOrElse(Map.empty[Int, Long])
             it.foreach { case (_, _, b) =>

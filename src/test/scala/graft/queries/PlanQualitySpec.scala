@@ -413,10 +413,14 @@ class PlanQualitySpec extends SparkSpec {
 
   test("x12 LM score shuffles 8-byte digest keys; hot bigrams ride a broadcast path") {
     val p = plan(PipelineQueries.x12LmScore(spark, sf))
-    // every content exchange hashes the bigint md5-prefix digest — a raw
-    // bigram string key would surface as a string-typed partition expression
-    assert(p.contains("conv(substring(md5"),
-      "md5-digest bigram key missing from the plan:\n" + p.take(1200))
+    // the corpus-wide tokenize+digest pass materializes ONCE (localCheckpoint,
+    // the d8/x21 discipline): model build, hot probe, and cold probe all scan
+    // the checkpoint, so the md5 lambda must NOT reappear downstream — its
+    // re-evaluation per consumer is exactly the 3× explode the checkpoint kills
+    assert(!p.contains("conv(substring(md5"),
+      "digest lambda recomputed downstream of the occ checkpoint:\n" + p.take(1200))
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
+      "checkpointed occurrence table missing from the plan:\n" + p.take(1200))
     // the Zipf head joins map-side: top-hotK model rows broadcast, and the
     // cold residual is carved out by an anti-join against the same set, so
     // no shuffled join ever sees a heavy-hitter key

@@ -293,7 +293,7 @@ class RelationalQueriesSpec extends SparkSpec {
       .select("l_partkey", "l_suppkey").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     def z(a: Long, b: Long): Long =
-      (0 until 16).map(i => (((a >> i) & 1L) << (2 * i)) + (((b >> i) & 1L) << (2 * i + 1))).sum
+      (0 until 31).map(i => (((a >> i) & 1L) << (2 * i)) + (((b >> i) & 1L) << (2 * i + 1))).sum
     val expected = rows.map { case (p, sKey) => (z(p, sKey) / 262144L, p, sKey, z(p, sKey)) }
       .groupBy(_._1).toSeq.map { case (bk, grp) =>
         (bk, grp.length.toLong, grp.map(_._2).min, grp.map(_._2).max,

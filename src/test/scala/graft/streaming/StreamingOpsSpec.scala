@@ -533,13 +533,20 @@ class StreamingOpsSpec extends SparkSpec {
         .groupBy(_._1).toSeq.flatMap { case (wus, toks) =>
           val counts = toks.groupBy(_._2).map { case (b, v) => (b, v.length.toLong) }
           val total = counts.values.sum
-          counts.toSeq.sortBy(_._1).map { case (b, cnt) =>
-            val cand = cnt * 1000000L / total
+          // union with the reference buckets: a token class that VANISHED
+          // from the window must still contribute its full ref ppm
+          (counts.keySet ++ refPpm.keySet).toSeq.sorted.map { b =>
+            val cnt = counts.getOrElse(b, 0L)
+            val cand = if (total == 0) 0L else cnt * 1000000L / total
             val ref = refPpm.getOrElse(b, 0L)
             (wus, b, cnt, cand, ref, math.abs(cand - ref))
           }
         }
       assert(got.toSeq.sorted == expected.sorted)
+      // the vanished-class path is actually exercised: the drifted window
+      // reports at least one reference-only bucket (cnt 0, full ref ppm)
+      assert(got.exists(r => r._3 == 0L && r._5 > 0L && r._6 == r._5),
+        "no reference-only bucket reported — the loudest drift signal is missing")
       // the drifted window alarms louder than the on-distribution one
       val tvByWindow = got.groupBy(_._1).view.mapValues(_.map(_._6).sum / 2).toMap
       val Seq(tv0, tv1) = tvByWindow.toSeq.sortBy(_._1).map(_._2)
