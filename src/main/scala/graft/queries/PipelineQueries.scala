@@ -2572,6 +2572,70 @@ object PipelineQueries {
       |SELECT doc_id, n_spans, n_shared, 1000000 * n_shared // n_spans AS shared_ppm
       |FROM g ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------- D11: duplicated-span REMOVAL
+
+  /** Tokens per d11 removal block — the non-overlapping dedup unit. */
+  private[graft] val D11Block = 8
+
+  /** Duplicated-span removal — the TRANSFORM counterpart to d8's detection
+    * (Lee et al. 2022 remove "all but one" occurrence of each duplicated
+    * substring; C4 drops repeated three-sentence spans corpus-wide): the
+    * token stream splits into non-overlapping [[D11Block]]-token blocks (a
+    * fixed grid makes reassembly unambiguous, where overlapping-span
+    * removal is not well defined), each block survives iff it is the
+    * corpus-wide FIRST occurrence of its content — (doc_id, idx) minimal,
+    * packed into one integer so a single MIN decides it — and each
+    * document reassembles from its surviving blocks in order. Every
+    * repeated block keeps exactly one copy somewhere, so no content is
+    * lost, and re-running on the output is a fixed point (spec-pinned).
+    *
+    * Scale shape: blocks group on a 16-hex md5 digest (d8's shuffle-key
+    * discipline — constant width regardless of block text), the
+    * first-occurrence window is ONE hash exchange on that digest, and the
+    * reassembly is a second exchange on doc_id carrying only surviving
+    * blocks. No COUNT(DISTINCT), no self-join; at 100 TB both exchanges
+    * are the corpus's block count, the same budget d8 already pays.
+    */
+  def d11SpanRemoval(s: SparkSession, dir: String): DataFrame = {
+    val b = D11Block
+    val blocks = t(s, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 1)
+      .select(col("doc_id"), expr(
+        s"inline(transform(sequence(0, cast((size(w)-1) div $b as int)), " +
+          s"i -> struct(cast(i as bigint) as idx, concat_ws(' ', slice(w, i*$b+1, $b)) as blk)))"))
+      .withColumn("hk", substring(md5(col("blk")), 1, 16))
+      // pack (doc_id, idx) into one integer so a single MIN picks the
+      // first occurrence; idx < 1e6 ⇒ injective (a 1e6-block document is
+      // 8e6 tokens — reject loudly rather than mis-pack)
+      .withColumn("pk", expr("doc_id * 1000000L + idx"))
+      .withColumn("first_pk", min("pk").over(Window.partitionBy("hk")))
+      .withColumn("keep", col("pk") === col("first_pk"))
+    blocks
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept_blocks"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "CASE WHEN keep THEN struct(idx, blk) END)), e -> e.blk), ' ')")
+          .as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  val d11Sql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |b AS (SELECT doc_id, i AS idx,
+       |        array_to_string(list_slice(w, i*$D11Block+1, i*$D11Block+$D11Block), ' ') AS blk
+       |      FROM (SELECT doc_id, w, unnest(range((len(w)-1)//$D11Block + 1)) AS i
+       |            FROM w WHERE len(w) >= 1)),
+       |h AS (SELECT doc_id, idx, blk, doc_id * 1000000 + idx AS pk,
+       |        substr(md5(blk), 1, 16) AS hk FROM b),
+       |f AS (SELECT *, MIN(pk) OVER (PARTITION BY hk) AS first_pk FROM h)
+       |SELECT doc_id, COUNT(*)::BIGINT AS n_blocks,
+       |  CAST(SUM(CASE WHEN pk = first_pk THEN 1 ELSE 0 END) AS BIGINT) AS kept_blocks,
+       |  COALESCE(string_agg(CASE WHEN pk = first_pk THEN blk END, ' ' ORDER BY idx), '')
+       |    AS clean_text
+       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------- W4: ordered-funnel analysis
 
   /** Strict-order funnel (view → click → purchase): per user, the furthest
@@ -3912,6 +3976,68 @@ object PipelineQueries {
        |  CAST(abs((ca * 1000000) // na - (cb * 1000000) // nb) AS BIGINT) AS tv_contrib_ppm
        |FROM c CROSS JOIN tt ORDER BY b""".stripMargin
 
+  // ------------------- X25: overlapping-window chunking (context windows)
+
+  /** x25 chunk width (tokens per emitted context window). */
+  private[graft] val X25Chunk = 32
+  /** x25 stride (tokens between consecutive chunk starts; overlap =
+    * [[X25Chunk]] − stride).
+    */
+  private[graft] val X25Stride = 24
+
+  /** Overlapping-window chunking — the long-document splitting step that
+    * runs BEFORE sequence packing (x11 packs already-bounded pieces; this
+    * produces them): every document becomes ⌈max(0, n−C)/S⌉+1 chunks of up
+    * to C=[[X25Chunk]] tokens starting every S=[[X25Stride]] tokens, so
+    * consecutive chunks share C−S tokens of context — the RETRO/RAG
+    * chunking shape, and the reason no token's context is ever split cold
+    * at a chunk boundary. Emits (chunk_id, start_tok, n_tokens, chunk) per
+    * document; `start_tok` keeps the chunk addressable back into the
+    * source for span-level provenance. Reassembly is exact: chunk 0 plus
+    * each later chunk minus its first C−S tokens reconstructs the document
+    * (spec-pinned), so chunking loses nothing and duplicates only the
+    * declared overlap.
+    *
+    * Scale shape: a pure narrow pass — split, one `inline(transform(...))`
+    * generate, no exchange before the output sort. A 100 TB corpus chunks
+    * at scan speed with output ≈ C/S × input; the (C, S) dial trades that
+    * duplication factor against context continuity.
+    */
+  def x25ChunkOverlap(s: SparkSession, dir: String): DataFrame =
+    x25ChunkOverlap(s, dir, X25Chunk, X25Stride)
+
+  /** (chunk, stride) are real dials: any 0 < stride ≤ chunk is valid —
+    * stride == chunk degenerates to disjoint blocks (d11's grid).
+    */
+  def x25ChunkOverlap(s: SparkSession, dir: String, chunk: Int, stride: Int): DataFrame = {
+    require(stride > 0 && stride <= chunk,
+      s"need 0 < stride <= chunk, got chunk=$chunk stride=$stride")
+    t(s, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 1)
+      .select(col("doc_id"), expr(
+        s"inline(transform(sequence(0, cast((greatest(size(w) - $chunk, 0) + $stride - 1) div $stride as int)), " +
+          s"i -> struct(cast(i as bigint) as chunk_id, cast(i * $stride as bigint) as start_tok, " +
+          s"slice(w, i * $stride + 1, $chunk) as toks)))"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("toks")).as("chunk"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val x25Sql: String = {
+    val (c, st) = (X25Chunk, X25Stride)
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |c AS (SELECT doc_id, i AS chunk_id, i * $st AS start_tok,
+       |        list_slice(w, i * $st + 1, i * $st + $c) AS toks
+       |      FROM (SELECT doc_id, w,
+       |              unnest(range((greatest(len(w) - $c, 0) + $st - 1) // $st + 1)) AS i
+       |            FROM w WHERE len(w) >= 1))
+       |SELECT doc_id, chunk_id, start_tok, len(toks)::BIGINT AS n_tokens,
+       |  array_to_string(toks, ' ') AS chunk
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
   // ------------------- X23: blocked inverted-index construction (postings)
 
   /** Documents per posting block — the row-width bound: a posting-list row
@@ -4129,6 +4255,8 @@ object PipelineQueries {
     "g1_pagerank" -> (g1Pagerank _),
     "d7_contamination" -> (d7Contamination _),
     "d8_span_dedup" -> (d8SpanDedup _),
+    "d11_span_removal" -> (d11SpanRemoval _),
+    "x25_chunk_overlap" -> ((s: SparkSession, dir: String) => x25ChunkOverlap(s, dir)),
     "d9_sem_dedup" -> (d9SemDedup _),
     "d10_incremental_dedup" -> (d10IncrementalDedup _),
     "sim1_cosine_topk" -> (sim1CosineTopk _),
@@ -4190,6 +4318,8 @@ object PipelineQueries {
     "g1_pagerank" -> g1Sql,
     "d7_contamination" -> d7Sql,
     "d8_span_dedup" -> d8Sql,
+    "d11_span_removal" -> d11Sql,
+    "x25_chunk_overlap" -> x25Sql,
     "d9_sem_dedup" -> d9Sql,
     "d10_incremental_dedup" -> d10Sql,
     "sim1_cosine_topk" -> sim1Sql,

@@ -1150,6 +1150,81 @@ object RelationalQueries {
        |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin
   }
 
+  // -------------------------- K13: snapshot-retention vacuum planner (GC)
+
+  /** Snapshots kept for time travel past the current version. */
+  private val K13Retain = 3L
+
+  /** Vacuum planner — the retention GC step that completes the lakehouse
+    * lifecycle (CorpusSink writes → k11 compacts → k12 clusters → k8/k10
+    * diff and merge → k13 reclaims): given each file's add-version and
+    * (for rewritten/deleted files) remove-version — the two facts a Delta/
+    * Iceberg log compaction hands the planner — classify every file as
+    * `live` (still referenced by the current snapshot), `retained` (dead,
+    * but a snapshot within the [[K13Retain]]-version time-travel horizon
+    * still references it), or `deletable` (no retained snapshot can reach
+    * it). The transaction log here is simulated deterministically from the
+    * k11 file inventory (md5-derived add version, modulo-rule lifetime) so
+    * both engines classify identical files; a production run reads the real
+    * log. Emits the per-file worklist — `deletable` rows ARE the vacuum's
+    * delete list — with bytes for the reclaim report.
+    *
+    * Scale shape: the planner never touches data, only the inventory
+    * (k11's discipline): one metadata-sized aggregation builds the file
+    * table, the current-version watermark collects as ONE literal row (the
+    * x21/j8 constant-summary pattern), and classification is a narrow
+    * projection. Determinism makes re-runs idempotent — a crashed vacuum
+    * resumes by re-planning and deleting whatever of the same list remains.
+    */
+  def k13VacuumPlan(s: SparkSession, dir: String): DataFrame =
+    k13VacuumPlan(s, dir, K13Retain)
+
+  /** `retain` is the time-travel dial: more retained versions ⇒ the
+    * deletable set can only SHRINK (the cutoff moves back), spec-pinned —
+    * the monotonicity that makes raising retention always safe.
+    */
+  def k13VacuumPlan(s: SparkSession, dir: String, retain: Long): DataFrame = {
+    require(retain >= 0, s"retain must be non-negative, got $retain")
+    val files = t(s, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(sum("n_chars").as("bytes"), count(lit(1)).as("n_docs"))
+      .withColumn("add_v",
+        expr("cast(conv(substring(md5(source),1,15),16,10) as bigint) % 8"))
+      .withColumn("remove_v",
+        expr("CASE WHEN n_docs % 3 != 0 THEN add_v + 1L + bytes % 4 END"))
+    val vmax = files
+      .agg(max(coalesce(col("remove_v"), col("add_v")))).first().getLong(0)
+    files
+      .withColumn("status", expr(
+        "CASE WHEN remove_v IS NULL THEN 'live' " +
+          s"WHEN remove_v > ${vmax - retain}L THEN 'retained' " +
+          "ELSE 'deletable' END"))
+      .select(col("lang"), col("source"), col("bytes"), col("add_v"),
+        col("remove_v"), col("status"))
+      .orderBy("status", "lang", "source")
+  }
+
+  val k13Sql: String = {
+    val md5num = (1 to 15).map { k =>
+      val mult = 1L << (4 * (15 - k))
+      s"(strpos('0123456789abcdef', substr(md5(source),$k,1))-1) * $mult"
+    }.mkString(" + ")
+    s"""WITH f AS (SELECT lang, source, SUM(n_chars)::BIGINT AS bytes,
+       |         COUNT(*)::BIGINT AS n_docs
+       |       FROM documents GROUP BY lang, source),
+       |v AS (SELECT lang, source, bytes, n_docs, ($md5num) % 8 AS add_v
+       |      FROM f),
+       |l AS (SELECT lang, source, bytes, add_v,
+       |        CASE WHEN n_docs % 3 != 0 THEN add_v + 1 + bytes % 4 END AS remove_v
+       |      FROM v),
+       |m AS (SELECT MAX(COALESCE(remove_v, add_v)) AS vmax FROM l)
+       |SELECT lang, source, bytes, add_v, remove_v,
+       |  CASE WHEN remove_v IS NULL THEN 'live'
+       |       WHEN remove_v > vmax - $K13Retain THEN 'retained'
+       |       ELSE 'deletable' END AS status
+       |FROM l CROSS JOIN m ORDER BY status, lang, source""".stripMargin
+  }
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1197,6 +1272,7 @@ object RelationalQueries {
     "k10_changelog_apply" -> (k10ChangelogApply _),
     "k11_compaction_plan" -> (k11CompactionPlan _),
     "k12_zorder_layout" -> (k12ZorderLayout _),
+    "k13_vacuum_plan" -> (k13VacuumPlan _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1244,5 +1320,6 @@ object RelationalQueries {
     "k10_changelog_apply" -> k10Sql,
     "k11_compaction_plan" -> k11Sql,
     "k12_zorder_layout" -> k12Sql,
+    "k13_vacuum_plan" -> k13Sql,
   )
 }

@@ -1309,4 +1309,69 @@ class PipelineQueriesSpec extends SparkSpec {
     val total = got.map(_._2).sum
     assert(total > 0 && total % 3 == 0, s"summed per-node counts $total not 3×triangles")
   }
+
+  test("d11 span removal matches brute force, keeps one copy of everything, and is a fixed point") {
+    val b = 8
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    def blocks(t: String): Seq[String] =
+      t.split(" ", -1).grouped(b).map(_.mkString(" ")).toSeq
+    // brute force: first (doc, idx) occurrence of each block content wins
+    val first = scala.collection.mutable.Map.empty[String, (Long, Int)]
+    for ((id, t) <- docs; (blk, i) <- blocks(t).zipWithIndex)
+      if (!first.contains(blk)) first(blk) = (id, i)
+    val expected = docs.map { case (id, t) =>
+      val bs = blocks(t)
+      val kept = bs.zipWithIndex.filter { case (blk, i) => first(blk) == (id, i) }
+      (id, bs.size.toLong, kept.size.toLong, kept.map(_._1).mkString(" "))
+    }.toSeq
+    val got = PipelineQueries.d11SpanRemoval(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == expected)
+    // removal actually fired, and no content vanished: every distinct block
+    // of the input survives exactly once in the cleaned corpus
+    assert(got.exists(r => r._3 < r._2), "no duplicated block removed — fixture degenerate")
+    val cleanedBlocks = got.flatMap(r => if (r._4.isEmpty) Nil else blocks(r._4))
+    assert(cleanedBlocks.size == cleanedBlocks.distinct.size,
+      "cleaned corpus still contains a duplicated block")
+    // fixed point + losslessness in one check: the cleaned corpus holds
+    // exactly the input's distinct block contents, once each — so a second
+    // removal pass can never find another cross-document duplicate
+    assert(cleanedBlocks.toSet == docs.flatMap(d => blocks(d._2)).toSet,
+      "block content lost or invented by removal")
+  }
+
+  test("x25 chunking matches brute force and reconstructs every document exactly") {
+    val (c, st) = (PipelineQueries.X25Chunk, PipelineQueries.X25Stride)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    def chunksOf(t: String, ch: Int, s0: Int): Seq[(Long, Long, Seq[String])] = {
+      val w = t.split(" ", -1).toSeq
+      val n = ((math.max(w.length - ch, 0) + s0 - 1) / s0) + 1
+      (0 until n).map(i => (i.toLong, (i * s0).toLong, w.slice(i * s0, i * s0 + ch)))
+    }
+    val expected = docs.flatMap { case (id, t) =>
+      chunksOf(t, c, st).map { case (i, s0, toks) =>
+        (id, i, s0, toks.length.toLong, toks.mkString(" "))
+      }
+    }.toSeq
+    val got = PipelineQueries.x25ChunkOverlap(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSeq
+    assert(got == expected)
+    // the overlap is real (some doc yields >1 chunk) and reconstruction is
+    // exact: chunk 0 ++ drop(c - st) of each later chunk == the document
+    assert(got.groupBy(_._1).values.exists(_.size > 1), "no document chunked — fixture degenerate")
+    for ((id, t) <- docs) {
+      val w = t.split(" ", -1).toSeq
+      val ch = got.filter(_._1 == id).sortBy(_._2).map(_._5.split(" ", -1).toSeq)
+      val rebuilt = ch.head ++ ch.tail.flatMap(_.drop(c - st))
+      assert(rebuilt == w, s"doc $id reconstruction differs")
+    }
+    // dial nesting: stride == chunk degenerates to d11's disjoint grid
+    val disjoint = PipelineQueries.x25ChunkOverlap(spark, sf, c, c).collect()
+    val nBlocks = docs.map(d => (d._2.split(" ", -1).length - 1) / c + 1).sum
+    assert(disjoint.length == nBlocks, "stride==chunk is not the disjoint block grid")
+  }
 }

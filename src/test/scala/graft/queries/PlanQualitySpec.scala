@@ -496,6 +496,29 @@ class PlanQualitySpec extends SparkSpec {
       "planner should read the table exactly once (metadata-sized pass)")
   }
 
+  test("x25 chunking is a pure narrow pass: no exchange before the output sort, no join") {
+    val p = plan(PipelineQueries.x25ChunkOverlap(spark, sf))
+    val exchanges = p.linesIterator.filter(_.trim.startsWith("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      "chunking shuffles before the output sort:\n" + exchanges.mkString("\n"))
+    assert(!p.contains("Join"), "chunking should not join at all")
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!readSchemas.contains("lang") && !readSchemas.contains("source"),
+      "chunk scan reads unneeded columns:\n" + readSchemas)
+  }
+
+  test("d11 span removal exchanges digest and doc_id keys only — never block text") {
+    val p = plan(PipelineQueries.d11SpanRemoval(spark, sf))
+    // two content exchanges: the first-occurrence window on the 16-hex md5
+    // digest, and the per-document reassembly on doc_id; a raw block-text
+    // partition key would make the shuffle width content-dependent
+    val keyed = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(keyed.nonEmpty && keyed.forall(l => l.contains("hk") || l.contains("doc_id")),
+      "an exchange hashes something other than the digest/doc key:\n" + keyed.mkString("\n"))
+    assert(keyed.exists(_.contains("blk")) == false,
+      "an exchange partitions on raw block text:\n" + keyed.mkString("\n"))
+  }
+
   test("g2 triangles: adjacency broadcasts and intersects row-locally — no wedge join") {
     val p = plan(PipelineQueries.g2Triangles(spark, sf))
     assert(p.contains("BroadcastHashJoin"), "adjacency/degree tables should broadcast")

@@ -314,6 +314,52 @@ class RelationalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("k13 vacuum plan matches brute force; deletable set shrinks as retention rises") {
+    val inv = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("lang", "source")
+      .agg(org.apache.spark.sql.functions.sum("n_chars").as("bytes"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_docs"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    def md5v(s0: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 8
+    }
+    val log = inv.map { case (lang, src, bytes, nDocs) =>
+      val addV = md5v(src)
+      val remV = if (nDocs % 3 != 0) Some(addV + 1 + bytes % 4) else None
+      (lang, src, bytes, addV, remV)
+    }
+    val vmax = log.map { case (_, _, _, a, r) => r.getOrElse(a) }.max
+    def classify(retain: Long) = log.map { case (lang, src, bytes, a, r) =>
+      val st = r match {
+        case None                            => "live"
+        case Some(v) if v > vmax - retain    => "retained"
+        case _                               => "deletable"
+      }
+      (lang, src, bytes, a, r, st)
+    }.sortBy(t => (t._6, t._1, t._2)).toSeq
+    val got = RelationalQueries.k13VacuumPlan(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getString(5))).toSeq
+    assert(got == classify(3L))
+    // all three verdicts occur — live files, a time-travel window, and a
+    // non-empty delete list — or the fixture proves nothing
+    assert(got.map(_._6).distinct.toSet == Set("live", "retained", "deletable"))
+    // retention monotonicity: raising retain can only shrink the delete list
+    val dels = Seq(0L, 2L, 5L, 100L).map { rt =>
+      RelationalQueries.k13VacuumPlan(spark, sf, rt).collect()
+        .filter(_.getString(5) == "deletable").map(r => r.getString(1)).toSet
+    }
+    dels.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(hi.subsetOf(lo), "deletable set grew as retention rose")
+    }
+    assert(dels.head.nonEmpty && dels.last.isEmpty,
+      "retain=0 should delete every dead file; retain≥all versions, none")
+  }
+
   test("k11 compaction plan matches a driver-side brute force; the packing is sound") {
     val target = 4096L
     val files = spark.read.parquet(s"$sf/documents.parquet")
