@@ -4009,20 +4009,31 @@ object PipelineQueries {
   /** (chunk, stride) are real dials: any 0 < stride ≤ chunk is valid —
     * stride == chunk degenerates to disjoint blocks (d11's grid).
     */
-  def x25ChunkOverlap(s: SparkSession, dir: String, chunk: Int, stride: Int): DataFrame = {
+  def x25ChunkOverlap(s: SparkSession, dir: String, chunk: Int, stride: Int): DataFrame =
+    chunkDocs(t(s, dir, "documents").select("doc_id", "text"), chunk, stride)
+      .select("doc_id", "chunk_id", "start_tok", "n_tokens", "chunk")
+      .orderBy("doc_id", "chunk_id")
+
+  /** THE single definition of the chunking rule — explodes any frame with a
+    * `text` column into (chunk_id, start_tok, n_tokens, chunk) rows,
+    * keeping every other column. The batch query and the streaming ingest
+    * twin ([[graft.streaming.StreamingOps.chunkStream]]) both call it, so
+    * the window geometry cannot drift between them. A stateless narrow
+    * generate, so it applies to bounded and unbounded sources alike.
+    */
+  private[graft] def chunkDocs(docs: DataFrame, chunk: Int, stride: Int): DataFrame = {
     require(stride > 0 && stride <= chunk,
       s"need 0 < stride <= chunk, got chunk=$chunk stride=$stride")
-    t(s, dir, "documents")
+    docs
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 1)
-      .select(col("doc_id"), expr(
+      .select(col("*"), expr(
         s"inline(transform(sequence(0, cast((greatest(size(w) - $chunk, 0) + $stride - 1) div $stride as int)), " +
           s"i -> struct(cast(i as bigint) as chunk_id, cast(i * $stride as bigint) as start_tok, " +
           s"slice(w, i * $stride + 1, $chunk) as toks)))"))
-      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        concat_ws(" ", col("toks")).as("chunk"))
-      .orderBy("doc_id", "chunk_id")
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("chunk", concat_ws(" ", col("toks")))
+      .drop("w", "toks", "text")
   }
 
   val x25Sql: String = {

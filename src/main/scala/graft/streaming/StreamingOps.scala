@@ -237,6 +237,22 @@ object StreamingOps {
   def classifyStream(docs: DataFrame): DataFrame =
     graft.queries.PipelineQueries.classifyQuality(docs)
 
+  /** Streaming chunking — the ingest-time twin of the batch
+    * `x25_chunk_overlap`: every arriving document explodes into the same
+    * stride-spaced overlapping context windows, through the SAME shared
+    * core ([[graft.queries.PipelineQueries.chunkDocs]]) with the pinned
+    * default geometry, so a replayed batch chunks identically and the
+    * ingest path can never disagree with the batch layout. Stateless by
+    * construction — no watermark, no state store, one narrow generate per
+    * micro-batch, so chunking runs at scan speed. Output fans out ≈
+    * chunk/stride rows per input row; `start_tok` keeps each chunk
+    * addressable back into its source document.
+    */
+  def chunkStream(docs: DataFrame): DataFrame =
+    graft.queries.PipelineQueries.chunkDocs(docs,
+      graft.queries.PipelineQueries.X25Chunk,
+      graft.queries.PipelineQueries.X25Stride)
+
   /** Streaming per-source quota — the ingest-time twin of the batch
     * `x22_source_cap` anti-domination rule: admit at most `cap` documents
     * per source, rejecting the rest at the door. State is ONE admitted-count

@@ -613,4 +613,36 @@ class StreamingOpsSpec extends SparkSpec {
         "classifier twin must not carry streaming state")
     } finally q.stop()
   }
+
+  test("streaming chunker equals the batch x25 geometry on every document") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).take(8)
+    val in = MemoryStream[StreamDoc]
+    val q = StreamingOps.chunkStream(in.toDF())
+      .writeStream.format("memory").queryName("chunks")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(corpus.take(4).map { case (id, t) => StreamDoc(id, ts(0), t) }.toSeq)
+      q.processAllAvailable()
+      in.addData(corpus.drop(4).map { case (id, t) => StreamDoc(id, ts(1), t) }.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("chunks").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+          r.getAs[Long]("start_tok"), r.getAs[Long]("n_tokens"),
+          r.getAs[String]("chunk"))).toSet
+      val ids = corpus.map(_._1).toSet
+      val batch = graft.queries.PipelineQueries.x25ChunkOverlap(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .filter(r => ids(r._1)).toSet
+      assert(got == batch, "streamed chunks differ from the batch layout")
+      assert(got.exists(_._2 > 0), "no document produced a second chunk — overlap untested")
+      // the streamed plan is stateless: no state store operators anywhere
+      val plan = q.lastProgress
+      assert(plan == null || plan.stateOperators.isEmpty,
+        "chunking twin must not carry streaming state")
+    } finally q.stop()
+  }
 }
