@@ -2589,26 +2589,33 @@ object PipelineQueries {
     * repeated block keeps exactly one copy somewhere, so no content is
     * lost, and re-running on the output is a fixed point (spec-pinned).
     *
-    * Scale shape: blocks group on a 16-hex md5 digest (d8's shuffle-key
-    * discipline — constant width regardless of block text), the
-    * first-occurrence window is ONE hash exchange on that digest, and the
-    * reassembly is a second exchange on doc_id carrying only surviving
-    * blocks. No COUNT(DISTINCT), no self-join; at 100 TB both exchanges
-    * are the corpus's block count, the same budget d8 already pays.
+    * Scale shape: the block grid is [[chunkDocs]] at stride == chunk (ONE
+    * definition of the grid arithmetic, shared with x25 — the spec-pinned
+    * degeneration), blocks group on the FULL 32-hex md5 (constant width
+    * regardless of block text; a truncated prefix would silently DELETE
+    * one side of a digest collision, which a destructive transform cannot
+    * tolerate — d8 only miscounts a ppm on collision, d11 would lose the
+    * only copy of real content), the first-occurrence window is ONE hash
+    * exchange on that digest, and the reassembly is a second exchange on
+    * doc_id carrying only surviving blocks. No COUNT(DISTINCT), no
+    * self-join; both exchanges move the corpus's block count of rows —
+    * note the rows carry the block TEXT (reassembly needs it), so unlike
+    * d8's digest-only shuffle the volume is text-sized, not key-sized.
     */
   def d11SpanRemoval(s: SparkSession, dir: String): DataFrame = {
     val b = D11Block
-    val blocks = t(s, dir, "documents")
-      .withColumn("w", split(col("text"), " "))
-      .filter(size(col("w")) >= 1)
-      .select(col("doc_id"), expr(
-        s"inline(transform(sequence(0, cast((size(w)-1) div $b as int)), " +
-          s"i -> struct(cast(i as bigint) as idx, concat_ws(' ', slice(w, i*$b+1, $b)) as blk)))"))
-      .withColumn("hk", substring(md5(col("blk")), 1, 16))
+    val blocks =
+      chunkDocs(t(s, dir, "documents").select("doc_id", "text"), b, b)
+        .select(col("doc_id"), col("chunk_id").as("idx"), col("chunk").as("blk"))
+      .withColumn("hk", md5(col("blk")))
       // pack (doc_id, idx) into one integer so a single MIN picks the
-      // first occurrence; idx < 1e6 ⇒ injective (a 1e6-block document is
-      // 8e6 tokens — reject loudly rather than mis-pack)
-      .withColumn("pk", expr("doc_id * 1000000L + idx"))
+      // first occurrence; injective only while idx < 1e6 and doc_id fits
+      // the remaining headroom, so mis-packing REJECTS loudly instead of
+      // silently keeping a duplicate (the oracle carries the same guard)
+      .withColumn("pk", expr(
+        "CASE WHEN idx >= 1000000L OR doc_id < 0L OR doc_id > 9223372036853L " +
+          "THEN raise_error('d11: (doc_id, idx) outside the packed-key range; widen the packing') " +
+          "ELSE doc_id * 1000000L + idx END"))
       .withColumn("first_pk", min("pk").over(Window.partitionBy("hk")))
       .withColumn("keep", col("pk") === col("first_pk"))
     blocks
@@ -2627,8 +2634,11 @@ object PipelineQueries {
        |        array_to_string(list_slice(w, i*$D11Block+1, i*$D11Block+$D11Block), ' ') AS blk
        |      FROM (SELECT doc_id, w, unnest(range((len(w)-1)//$D11Block + 1)) AS i
        |            FROM w WHERE len(w) >= 1)),
-       |h AS (SELECT doc_id, idx, blk, doc_id * 1000000 + idx AS pk,
-       |        substr(md5(blk), 1, 16) AS hk FROM b),
+       |h AS (SELECT doc_id, idx, blk,
+       |        CASE WHEN idx >= 1000000 OR doc_id < 0 OR doc_id > 9223372036853
+       |             THEN error('d11: packed-key range')
+       |             ELSE doc_id * 1000000 + idx END AS pk,
+       |        md5(blk) AS hk FROM b),
        |f AS (SELECT *, MIN(pk) OVER (PARTITION BY hk) AS first_pk FROM h)
        |SELECT doc_id, COUNT(*)::BIGINT AS n_blocks,
        |  CAST(SUM(CASE WHEN pk = first_pk THEN 1 ELSE 0 END) AS BIGINT) AS kept_blocks,
@@ -4024,6 +4034,12 @@ object PipelineQueries {
   private[graft] def chunkDocs(docs: DataFrame, chunk: Int, stride: Int): DataFrame = {
     require(stride > 0 && stride <= chunk,
       s"need 0 < stride <= chunk, got chunk=$chunk stride=$stride")
+    // "keeping every other column" must not mean silently clobbering one:
+    // these are the names the explode introduces or consumes
+    val reserved = Set("w", "toks", "chunk_id", "start_tok", "n_tokens", "chunk")
+    val clash = docs.columns.filter(reserved)
+    require(clash.isEmpty,
+      s"chunkDocs input carries reserved column(s) ${clash.mkString(", ")} — rename before chunking")
     docs
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 1)

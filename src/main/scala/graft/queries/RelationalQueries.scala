@@ -1185,6 +1185,9 @@ object RelationalQueries {
     */
   def k13VacuumPlan(s: SparkSession, dir: String, retain: Long): DataFrame = {
     require(retain >= 0, s"retain must be non-negative, got $retain")
+    // the inventory is read twice (watermark action + returned plan) —
+    // materialize it once so "the planner never touches data" stays true:
+    // the table scans exactly once, everything after is metadata-sized
     val files = t(s, dir, "documents")
       .groupBy(col("lang"), col("source"))
       .agg(sum("n_chars").as("bytes"), count(lit(1)).as("n_docs"))
@@ -1192,8 +1195,12 @@ object RelationalQueries {
         expr("cast(conv(substring(md5(source),1,15),16,10) as bigint) % 8"))
       .withColumn("remove_v",
         expr("CASE WHEN n_docs % 3 != 0 THEN add_v + 1L + bytes % 4 END"))
-    val vmax = files
-      .agg(max(coalesce(col("remove_v"), col("add_v")))).first().getLong(0)
+      .localCheckpoint()
+    val vmaxRow = files
+      .agg(max(coalesce(col("remove_v"), col("add_v")))).first()
+    require(!vmaxRow.isNullAt(0),
+      "vacuum planner needs a non-empty file inventory (documents table is empty)")
+    val vmax = vmaxRow.getLong(0)
     files
       .withColumn("status", expr(
         "CASE WHEN remove_v IS NULL THEN 'live' " +

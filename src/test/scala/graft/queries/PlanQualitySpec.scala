@@ -519,6 +519,17 @@ class PlanQualitySpec extends SparkSpec {
       "an exchange partitions on raw block text:\n" + keyed.mkString("\n"))
   }
 
+  test("k13 vacuum plan reads the table once; the returned plan is metadata-only") {
+    val p = plan(RelationalQueries.k13VacuumPlan(spark, sf))
+    // the inventory localCheckpoints after ONE aggregation scan (consumed by
+    // the watermark action); the returned classification plan must scan the
+    // checkpoint, never the parquet table again
+    assert(!p.contains("Scan parquet"),
+      "vacuum classification re-scans the data:\n" + p.take(1200))
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
+      "checkpointed inventory missing from the plan:\n" + p.take(1200))
+  }
+
   test("g2 triangles: adjacency broadcasts and intersects row-locally — no wedge join") {
     val p = plan(PipelineQueries.g2Triangles(spark, sf))
     assert(p.contains("BroadcastHashJoin"), "adjacency/degree tables should broadcast")
