@@ -9,7 +9,7 @@ Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
 matching SQL from oracle_sql.json in DuckDB against <sfDir>/*.parquet, sorts
 columns by name, canonicalizes values, and reports match/mismatch per query.
 """
-import json, sys, glob, math
+import json, os, sys, glob, math
 import duckdb
 import numpy as np
 import pandas as pd
@@ -52,7 +52,10 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         name = p.split("/")[-1].replace(".parquet", "")
-        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+        # driver testdata is one file per table; Spark-synthesized dirs
+        # (graft.ScaleUp's sf1) are part-file directories — glob those
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
