@@ -4065,6 +4065,71 @@ object PipelineQueries {
        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
   }
 
+  // ------------------- X26: text normalization (canonicalize before hashing)
+
+  /** THE canonicalization rule — lowercase, non-[a-z0-9 ] to space, collapse
+    * whitespace runs, trim. Idempotent (spec-pinned), and exactly
+    * expressible on both engines (Spark regexp_replace is replace-all by
+    * default; the oracle passes the `'g'` flag). Every hash-keyed operator
+    * (d1/d8/d11 dedup, d7 contamination, x12/x17 digests) composes with it:
+    * run normalization FIRST and case/punctuation/spacing variants of the
+    * same content stop hiding from the digest.
+    */
+  private[graft] def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Normalization demo + report — the C4/CCNet canonicalization step that
+    * runs before any content hashing. The corpus carries no natural
+    * case/spacing variants, so the query derives one deterministic dirty
+    * variant per document (upper+punct / doubled spaces / pad+trailing dot,
+    * by doc_id — the k8 derived-versions convention) and reports, for every
+    * (doc, variant) row, its duplicate frequency under the RAW hash vs the
+    * NORMALIZED hash. `exposed = 1` — the normalized hash collides where the
+    * raw one does not — is precisely the dupe class normalization recovers;
+    * the spec pins that every variant pair is exposed and that the rule
+    * recovers the canonical text exactly.
+    *
+    * Scale shape: one narrow normalize pass plus two window counts keyed on
+    * constant-width md5 digests — the d1 budget twice. At 100 TB the two
+    * windows share the corpus scan; nothing text-keyed ever shuffles.
+    */
+  def x26Normalize(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .withColumn("variant", explode(array(lit(0), lit(1))))
+      .withColumn("v_text", expr(
+        "CASE WHEN variant = 0 THEN text " +
+          "WHEN doc_id % 3 = 0 THEN concat(upper(text), ' !!') " +
+          "WHEN doc_id % 3 = 1 THEN replace(text, ' ', '  ') " +
+          "ELSE concat(' ', text, '.') END"))
+      .withColumn("norm", normalizeText(col("v_text")))
+      .withColumn("changed", (col("v_text") =!= col("norm")).cast("int"))
+      .withColumn("raw_df", count(lit(1)).over(Window.partitionBy(md5(col("v_text")))))
+      .withColumn("norm_df", count(lit(1)).over(Window.partitionBy(md5(col("norm")))))
+      .withColumn("exposed", (col("norm_df") > col("raw_df")).cast("int"))
+      .select("doc_id", "variant", "changed", "raw_df", "norm_df", "exposed")
+      .orderBy("doc_id", "variant")
+  }
+
+  val x26Sql: String =
+    """WITH v AS (SELECT doc_id, unnest([0, 1]) AS variant, text FROM documents),
+      |d AS (SELECT doc_id, variant,
+      |        CASE WHEN variant = 0 THEN text
+      |             WHEN doc_id % 3 = 0 THEN upper(text) || ' !!'
+      |             WHEN doc_id % 3 = 1 THEN replace(text, ' ', '  ')
+      |             ELSE ' ' || text || '.' END AS v_text
+      |      FROM v),
+      |n AS (SELECT doc_id, variant, v_text,
+      |        trim(regexp_replace(regexp_replace(lower(v_text),
+      |          '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+      |      FROM d)
+      |SELECT doc_id, variant,
+      |  CASE WHEN v_text != norm THEN 1 ELSE 0 END AS changed,
+      |  COUNT(*) OVER (PARTITION BY md5(v_text))::BIGINT AS raw_df,
+      |  COUNT(*) OVER (PARTITION BY md5(norm))::BIGINT AS norm_df,
+      |  CASE WHEN COUNT(*) OVER (PARTITION BY md5(norm)) >
+      |            COUNT(*) OVER (PARTITION BY md5(v_text)) THEN 1 ELSE 0 END AS exposed
+      |FROM n ORDER BY doc_id, variant""".stripMargin
+
   // ------------------- X23: blocked inverted-index construction (postings)
 
   /** Documents per posting block — the row-width bound: a posting-list row
@@ -4284,6 +4349,7 @@ object PipelineQueries {
     "d8_span_dedup" -> (d8SpanDedup _),
     "d11_span_removal" -> (d11SpanRemoval _),
     "x25_chunk_overlap" -> ((s: SparkSession, dir: String) => x25ChunkOverlap(s, dir)),
+    "x26_normalize" -> (x26Normalize _),
     "d9_sem_dedup" -> (d9SemDedup _),
     "d10_incremental_dedup" -> (d10IncrementalDedup _),
     "sim1_cosine_topk" -> (sim1CosineTopk _),
@@ -4347,6 +4413,7 @@ object PipelineQueries {
     "d8_span_dedup" -> d8Sql,
     "d11_span_removal" -> d11Sql,
     "x25_chunk_overlap" -> x25Sql,
+    "x26_normalize" -> x26Sql,
     "d9_sem_dedup" -> d9Sql,
     "d10_incremental_dedup" -> d10Sql,
     "sim1_cosine_topk" -> sim1Sql,

@@ -1342,6 +1342,35 @@ class PipelineQueriesSpec extends SparkSpec {
       "block content lost or invented by removal")
   }
 
+  test("x26 normalization recovers canonical text, is idempotent, and exposes every variant pair") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def norm(t: String): String =
+      t.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+    def dirty(id: Long, t: String): String = (id % 3) match {
+      case 0 => t.toUpperCase + " !!"
+      case 1 => t.replace(" ", "  ")
+      case _ => " " + t + "."
+    }
+    // the rule recovers the canonical form from every dirt class, and a
+    // second application changes nothing (idempotence)
+    for ((id, t) <- docs) {
+      assert(norm(dirty(id, t)) == norm(t), s"doc $id: dirt class not recovered")
+      assert(norm(norm(dirty(id, t))) == norm(dirty(id, t)), s"doc $id: not idempotent")
+    }
+    val got = PipelineQueries.x26Normalize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getInt(5)))
+    assert(got.length == docs.length * 2)
+    // every variant row is a raw singleton whose normalized hash collides
+    // with its canonical sibling — the dupe class normalization exposes
+    got.foreach { case (id, variant, changed, rawDf, normDf, exposed) =>
+      assert(normDf >= 2, s"doc $id variant $variant: pair not normalized together")
+      assert(exposed == 1, s"doc $id variant $variant: collision not exposed")
+      if (variant == 1) assert(changed == 1, s"doc $id: dirty variant reported unchanged")
+    }
+  }
+
   test("x25 chunking matches brute force and reconstructs every document exactly") {
     val (c, st) = (PipelineQueries.X25Chunk, PipelineQueries.X25Stride)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
