@@ -519,6 +519,19 @@ class PlanQualitySpec extends SparkSpec {
       "an exchange partitions on raw block text:\n" + keyed.mkString("\n"))
   }
 
+  test("x26 normalization exchanges hash constant-width digests, never raw text") {
+    val p = plan(PipelineQueries.x26Normalize(spark, sf))
+    // the window key is projected to a _w alias whose definition is the md5
+    // digest; what must NEVER appear is a raw text column as a partition key
+    val keyed = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(keyed.nonEmpty && keyed.forall(l => l.contains("md5") || l.contains("_w")),
+      "a window exchange partitions on something other than the digest alias:\n" +
+        keyed.mkString("\n"))
+    assert(!keyed.exists(l => l.contains("v_text") || l.contains("norm#")),
+      "a window exchange partitions on raw text:\n" + keyed.mkString("\n"))
+    assert(p.contains("md5("), "digest projection missing from the plan")
+  }
+
   test("k13 vacuum plan reads the table once; the returned plan is metadata-only") {
     val p = plan(RelationalQueries.k13VacuumPlan(spark, sf))
     // the inventory localCheckpoints after ONE aggregation scan (consumed by
