@@ -253,6 +253,23 @@ object StreamingOps {
       graft.queries.PipelineQueries.X25Chunk,
       graft.queries.PipelineQueries.X25Stride)
 
+  /** Streaming normalization — the ingest-time twin of x26's rule, and the
+    * place canonicalization actually runs in production: every arriving
+    * document's text is rewritten through the SAME
+    * [[graft.queries.PipelineQueries.normalizeText]] expression before any
+    * downstream hashing (the dedup screen, the contamination screen, the
+    * drift monitor all key on digests — a case/spacing variant admitted
+    * un-normalized would dodge every one of them). Stateless narrow
+    * projection; `was_dirty` flags rows the rule changed so ingest
+    * observability can track dirt rates per source.
+    */
+  def normalizeStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("norm_text",
+        graft.queries.PipelineQueries.normalizeText(col("text")))
+      .withColumn("was_dirty", (col("text") =!= col("norm_text")).cast("int"))
+      .drop("text")
+
   /** Streaming per-source quota — the ingest-time twin of the batch
     * `x22_source_cap` anti-domination rule: admit at most `cap` documents
     * per source, rejecting the rest at the door. State is ONE admitted-count

@@ -614,6 +614,36 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming normalizer applies x26's exact rule statelessly per document") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[StreamDoc]
+    val q = StreamingOps.normalizeStream(in.toDF())
+      .writeStream.format("memory").queryName("normed")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        StreamDoc(1L, ts(0), "Hello,  WORLD!! spark"),
+        StreamDoc(2L, ts(1), "already clean text"),
+        StreamDoc(3L, ts(2), "  pad & trim.  "))
+      q.processAllAvailable()
+      val got = spark.table("normed").collect()
+        .map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[String]("norm_text"), r.getAs[Int]("was_dirty"))).toSet
+      // independent reference replay of the same rule
+      def norm(t: String): String =
+        t.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+      assert(got == Set(
+        (1L, norm("Hello,  WORLD!! spark"), 1),
+        (2L, "already clean text", 0),
+        (3L, norm("  pad & trim.  "), 1)))
+      assert(got.exists(_._2 == "hello world spark"))
+      val plan = q.lastProgress
+      assert(plan == null || plan.stateOperators.isEmpty,
+        "normalizer twin must not carry streaming state")
+    } finally q.stop()
+  }
+
   test("streaming chunker equals the batch x25 geometry on every document") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
