@@ -4096,10 +4096,14 @@ object PipelineQueries {
   def x26Normalize(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "documents").select(col("doc_id"), col("text"))
       .withColumn("variant", explode(array(lit(0), lit(1))))
+      // every dirt class must alter ANY text (class 1 appends punctuation on
+      // top of the doubled spaces — doubling alone is a no-op on spaceless
+      // or empty text, which would make the variant pair collide RAW and
+      // silently void the exposed contract on such corpora)
       .withColumn("v_text", expr(
         "CASE WHEN variant = 0 THEN text " +
           "WHEN doc_id % 3 = 0 THEN concat(upper(text), ' !!') " +
-          "WHEN doc_id % 3 = 1 THEN replace(text, ' ', '  ') " +
+          "WHEN doc_id % 3 = 1 THEN concat(replace(text, ' ', '  '), ' ?') " +
           "ELSE concat(' ', text, '.') END"))
       .withColumn("norm", normalizeText(col("v_text")))
       .withColumn("changed", (col("v_text") =!= col("norm")).cast("int"))
@@ -4115,7 +4119,7 @@ object PipelineQueries {
       |d AS (SELECT doc_id, variant,
       |        CASE WHEN variant = 0 THEN text
       |             WHEN doc_id % 3 = 0 THEN upper(text) || ' !!'
-      |             WHEN doc_id % 3 = 1 THEN replace(text, ' ', '  ')
+      |             WHEN doc_id % 3 = 1 THEN replace(text, ' ', '  ') || ' ?'
       |             ELSE ' ' || text || '.' END AS v_text
       |      FROM v),
       |n AS (SELECT doc_id, variant, v_text,

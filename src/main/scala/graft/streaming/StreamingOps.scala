@@ -259,9 +259,12 @@ object StreamingOps {
     * [[graft.queries.PipelineQueries.normalizeText]] expression before any
     * downstream hashing (the dedup screen, the contamination screen, the
     * drift monitor all key on digests — a case/spacing variant admitted
-    * un-normalized would dodge every one of them). Stateless narrow
-    * projection; `was_dirty` flags rows the rule changed so ingest
-    * observability can track dirt rates per source.
+    * un-normalized would dodge every one of them). The normalized value
+    * lands back in the `text` column so the downstream ops compose
+    * unchanged — `dedupAgainstIndex(normalizeStream(docs), …)` is the
+    * intended wiring. Stateless narrow projection; `was_dirty` flags rows
+    * the rule changed so ingest observability can track dirt rates per
+    * source.
     */
   def normalizeStream(docs: DataFrame): DataFrame =
     docs
@@ -269,6 +272,7 @@ object StreamingOps {
         graft.queries.PipelineQueries.normalizeText(col("text")))
       .withColumn("was_dirty", (col("text") =!= col("norm_text")).cast("int"))
       .drop("text")
+      .withColumnRenamed("norm_text", "text")
 
   /** Streaming per-source quota — the ingest-time twin of the batch
     * `x22_source_cap` anti-domination rule: admit at most `cap` documents

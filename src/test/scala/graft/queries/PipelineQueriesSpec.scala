@@ -1350,9 +1350,14 @@ class PipelineQueriesSpec extends SparkSpec {
       t.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
     def dirty(id: Long, t: String): String = (id % 3) match {
       case 0 => t.toUpperCase + " !!"
-      case 1 => t.replace(" ", "  ")
+      case 1 => t.replace(" ", "  ") + " ?"
       case _ => " " + t + "."
     }
+    // corpus-independence of the contract: every dirt class alters even the
+    // hostile shapes (empty / single-token text), so the variant pair can
+    // never collide raw
+    for (t <- Seq("", "a"); id <- 0L to 2L)
+      assert(dirty(id, t) != t, s"dirt class ${id % 3} is a no-op on ${t.length}-token text")
     // the rule recovers the canonical form from every dirt class, and a
     // second application changes nothing (idempotence)
     for ((id, t) <- docs) {

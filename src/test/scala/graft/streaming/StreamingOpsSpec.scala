@@ -629,7 +629,7 @@ class StreamingOpsSpec extends SparkSpec {
       q.processAllAvailable()
       val got = spark.table("normed").collect()
         .map(r => (r.getAs[Long]("doc_id"),
-          r.getAs[String]("norm_text"), r.getAs[Int]("was_dirty"))).toSet
+          r.getAs[String]("text"), r.getAs[Int]("was_dirty"))).toSet
       // independent reference replay of the same rule
       def norm(t: String): String =
         t.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
@@ -642,6 +642,18 @@ class StreamingOpsSpec extends SparkSpec {
       assert(plan == null || plan.stateOperators.isEmpty,
         "normalizer twin must not carry streaming state")
     } finally q.stop()
+    // the documented wiring composes: downstream text-keyed ops resolve the
+    // normalized column without rewiring (classifyStream reads `text`)
+    val in2 = MemoryStream[StreamDoc]
+    val q2 = StreamingOps.classifyStream(StreamingOps.normalizeStream(in2.toDF()))
+      .writeStream.format("memory").queryName("normclass")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in2.addData(StreamDoc(9L, ts(0), "Spark,  JOIN!"))
+      q2.processAllAvailable()
+      assert(spark.table("normclass").count() == 1,
+        "normalize -> classify composition produced no row")
+    } finally q2.stop()
   }
 
   test("streaming chunker equals the batch x25 geometry on every document") {
