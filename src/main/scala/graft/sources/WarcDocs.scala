@@ -1,0 +1,111 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC corpus source — the format web-crawl training data actually ships
+  * in (CommonCrawl's WARC/1.0, ISO 28500): concatenated records, each a
+  * header block (CRLF-terminated lines, blank-line terminated) followed by
+  * exactly `Content-Length` payload bytes. The length field — not any
+  * delimiter scan — bounds the payload, so a body that itself contains the
+  * bytes `WARC/1.0` (a crawled page quoting a WARC, a mirror of this very
+  * format's spec) can never split a record: the parser seeks past the
+  * declared length and re-synchronizes on the next version line.
+  *
+  * Scale shape: WARC is NOT line-splittable (records are variable-length
+  * and, in the wild, gzip-per-record), so the parallel unit is the FILE —
+  * exactly how CommonCrawl is processed in practice (~1 GB segment files,
+  * one task each; `binaryFiles` partitions by file). Parsing is a single
+  * forward pass per file with no buffering beyond one record, and the
+  * per-record caps below bound memory against truncated or hostile length
+  * fields (the Multimodal demux discipline). Records that are not
+  * `response`/`conversion` (warcinfo, request, metadata) are skipped —
+  * they are crawl bookkeeping, not documents; a malformed record stops the
+  * file's parse at the last good boundary rather than emitting garbage.
+  *
+  * Output lands on the `documents` contract (doc_id from the record's
+  * target URI + date digest — stable across re-reads and file order,
+  * unlike zipWithIndex), so every downstream operator runs unchanged.
+  */
+object WarcDocs {
+
+  /** Per-record payload cap — a declared Content-Length past this is
+    * treated as malformed (stops the file's parse) rather than buffered.
+    */
+  private[sources] val MaxPayload = 64 * 1024 * 1024
+
+  private val Ascii = "ISO-8859-1"
+
+  /** Parses one WARC file's bytes into (targetUri, warcDate, payload)
+    * triples for response/conversion records. Exposed for the spec.
+    */
+  private[sources] def parseWarc(bytes: Array[Byte]): Seq[(String, String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    var p = 0
+    val n = bytes.length
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i + 1 < n && !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
+      if (i + 1 < n) i else -1
+    }
+    while (p < n) {
+      // re-synchronize on the version line
+      val ve = lineEnd(p)
+      if (ve < 0) return out.toSeq
+      val version = new String(bytes, p, ve - p, Ascii)
+      if (!version.startsWith("WARC/")) return out.toSeq // malformed: stop at last good boundary
+      var q = ve + 2
+      var warcType, uri, date = ""
+      var len = -1L
+      var headerDone = false
+      while (!headerDone) {
+        val he = lineEnd(q)
+        if (he < 0) return out.toSeq
+        val line = new String(bytes, q, he - q, Ascii)
+        q = he + 2
+        if (line.isEmpty) headerDone = true
+        else {
+          val ci = line.indexOf(':')
+          if (ci > 0) {
+            val k = line.substring(0, ci).trim.toLowerCase
+            val v = line.substring(ci + 1).trim
+            k match {
+              case "warc-type"       => warcType = v
+              case "warc-target-uri" => uri = v
+              case "warc-date"       => date = v
+              case "content-length"  => len = try v.toLong catch { case _: NumberFormatException => -1L }
+              case _                 =>
+            }
+          }
+        }
+      }
+      if (len < 0 || len > MaxPayload || q + len > n) return out.toSeq // malformed/truncated/hostile
+      if (warcType == "response" || warcType == "conversion")
+        out += ((uri, date, new String(bytes, q, len.toInt, "UTF-8")))
+      p = (q + len).toInt
+      // skip the record-terminating CRLFCRLF (tolerate a truncated tail)
+      while (p + 1 < n && bytes(p) == '\r' && bytes(p + 1) == '\n') p += 2
+    }
+    out.toSeq
+  }
+
+  /** Reads a directory (or glob) of uncompressed WARC files onto the
+    * `documents` contract. One task per file — the CommonCrawl unit.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(path)
+      .flatMap { case (file, pds) =>
+        parseWarc(pds.toArray()).map { case (uri, date, text) => (uri, date, text, file) }
+      }
+      .toDF("uri", "warc_date", "text", "warc_file")
+      // stable id from record identity, not read order (x6/J4's surrogate
+      // discipline: re-reads and file reorderings must not renumber docs)
+      .select(
+        expr("cast(conv(substring(md5(concat(uri, '|', warc_date)),1,15),16,10) as bigint)").as("doc_id"),
+        col("text"),
+        lit("und").as("lang"),
+        col("uri").as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+  }
+}

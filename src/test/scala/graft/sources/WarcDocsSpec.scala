@@ -1,0 +1,79 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import graft.SparkSpec
+
+class WarcDocsSpec extends SparkSpec {
+
+  private def record(tpe: String, uri: String, date: String, body: Array[Byte]): Array[Byte] = {
+    val hdr = (s"WARC/1.0\r\n" +
+      s"WARC-Type: $tpe\r\n" +
+      (if (uri.nonEmpty) s"WARC-Target-URI: $uri\r\n" else "") +
+      s"WARC-Date: $date\r\n" +
+      s"Content-Length: ${body.length}\r\n" +
+      "\r\n").getBytes("ISO-8859-1")
+    hdr ++ body ++ "\r\n\r\n".getBytes("ISO-8859-1")
+  }
+
+  test("WARC parse: length-delimited records, embedded fake headers, UTF-8 byte lengths, skips bookkeeping") {
+    // body 2 QUOTES a WARC record — Content-Length discipline must carry the
+    // parser straight over it instead of re-synchronizing mid-payload
+    val quoting = "see the spec:\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\nnot a record"
+    // body 3 is multi-byte UTF-8: Content-Length counts BYTES, not chars
+    val utf8 = "café über tokens"
+    val bytes =
+      record("warcinfo", "", "2026-01-01T00:00:00Z", "software: test".getBytes("UTF-8")) ++
+        record("response", "http://a.example/1", "2026-01-01T00:00:01Z", quoting.getBytes("UTF-8")) ++
+        record("request", "http://a.example/1", "2026-01-01T00:00:01Z", "GET /1".getBytes("UTF-8")) ++
+        record("conversion", "http://a.example/2", "2026-01-01T00:00:02Z", utf8.getBytes("UTF-8"))
+    val got = WarcDocs.parseWarc(bytes)
+    assert(got == Seq(
+      ("http://a.example/1", "2026-01-01T00:00:01Z", quoting),
+      ("http://a.example/2", "2026-01-01T00:00:02Z", utf8)))
+  }
+
+  test("WARC parse: truncated and hostile lengths stop at the last good boundary") {
+    val good = record("response", "http://b.example/1", "2026-01-01T00:00:00Z", "ok body".getBytes("UTF-8"))
+    // declared length runs past EOF
+    val truncated = good ++ ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://b.example/2\r\nWARC-Date: 2026-01-01T00:00:01Z\r\n" +
+      "Content-Length: 999999\r\n\r\nshort").getBytes("ISO-8859-1")
+    assert(WarcDocs.parseWarc(truncated).map(_._1) == Seq("http://b.example/1"))
+    // declared length past the payload cap is hostile, not buffered
+    val hostile = good ++ ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://b.example/3\r\nWARC-Date: 2026-01-01T00:00:02Z\r\n" +
+      s"Content-Length: ${WarcDocs.MaxPayload + 1L}\r\n\r\n").getBytes("ISO-8859-1")
+    assert(WarcDocs.parseWarc(hostile).map(_._1) == Seq("http://b.example/1"))
+    // garbage instead of a version line: stop, keep prior records
+    val garbage = good ++ "not a warc header at all".getBytes("ISO-8859-1")
+    assert(WarcDocs.parseWarc(garbage).map(_._1) == Seq("http://b.example/1"))
+  }
+
+  test("WARC read lands on the documents contract with stable content-derived ids") {
+    val dir = Files.createTempDirectory("warc")
+    val f1 = record("response", "http://c.example/1", "2026-02-01T00:00:00Z",
+      "alpha beta gamma".getBytes("UTF-8")) ++
+      record("conversion", "http://c.example/2", "2026-02-01T00:00:01Z",
+        "delta epsilon".getBytes("UTF-8"))
+    val f2 = record("response", "http://c.example/3", "2026-02-01T00:00:02Z",
+      "zeta".getBytes("UTF-8"))
+    Files.write(Paths.get(dir.toString, "seg-00000.warc"), f1)
+    Files.write(Paths.get(dir.toString, "seg-00001.warc"), f2)
+    val df = WarcDocs.read(spark, dir.toString)
+    assert(df.columns.toSeq == Seq("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(3), r.getLong(4))).sortBy(_._3)
+    assert(rows.map(_._3).toSeq ==
+      Seq("http://c.example/1", "http://c.example/2", "http://c.example/3"))
+    assert(rows.forall { case (_, text, _, nChars) => nChars == text.length })
+    // ids derive from record identity: a second read (and a reordered
+    // directory listing) yields the identical id set
+    val again = WarcDocs.read(spark, dir.toString).collect().map(_.getLong(0)).toSet
+    assert(again == rows.map(_._1).toSet)
+    assert(rows.map(_._1).distinct.length == 3)
+    // the contract composes: a registered operator runs on it unchanged
+    val normed = graft.queries.PipelineQueries.chunkDocs(
+      df.select("doc_id", "text"), 4, 4).collect()
+    assert(normed.nonEmpty)
+  }
+}
