@@ -89,14 +89,44 @@ object WarcDocs {
     out.toSeq
   }
 
-  /** Reads a directory (or glob) of uncompressed WARC files onto the
-    * `documents` contract. One task per file — the CommonCrawl unit.
+  /** Total decompressed bytes allowed per .warc.gz file — the
+    * decompression-bomb bound (the Multimodal budget discipline): a small
+    * hostile file cannot expand past this inside one task.
+    */
+  private[sources] val MaxFileBytes = 4L * 1024 * 1024 * 1024
+
+  /** Inflates a (possibly multi-member) gzip stream — CommonCrawl gzips
+    * each record as its own member and concatenates; JDK GZIPInputStream
+    * reads concatenated members natively — under [[MaxFileBytes]].
+    */
+  private[sources] def gunzip(in: java.io.InputStream): Array[Byte] = {
+    val gz = new java.util.zip.GZIPInputStream(in, 1 << 16)
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](1 << 16)
+    var total = 0L
+    var r = gz.read(buf)
+    while (r >= 0) {
+      total += r
+      require(total <= MaxFileBytes,
+        s"gzip stream expands past $MaxFileBytes bytes — decompression bomb or mis-segmented file")
+      out.write(buf, 0, r)
+      r = gz.read(buf)
+    }
+    out.toByteArray
+  }
+
+  /** Reads a directory (or glob) of WARC files — plain `.warc` or
+    * CommonCrawl-style `.warc.gz` (per-record gzip members, handled as one
+    * concatenated stream) — onto the `documents` contract. One task per
+    * file — the CommonCrawl unit.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.sparkContext.binaryFiles(path)
       .flatMap { case (file, pds) =>
-        parseWarc(pds.toArray()).map { case (uri, date, text) => (uri, date, text, file) }
+        val bytes =
+          if (file.endsWith(".gz")) gunzip(pds.open()) else pds.toArray()
+        parseWarc(bytes).map { case (uri, date, text) => (uri, date, text, file) }
       }
       .toDF("uri", "warc_date", "text", "warc_file")
       // stable id from record identity, not read order (x6/J4's surrogate

@@ -76,4 +76,28 @@ class WarcDocsSpec extends SparkSpec {
       df.select("doc_id", "text"), 4, 4).collect()
     assert(normed.nonEmpty)
   }
+
+  test("WARC .gz read: per-record gzip members decompress as one stream, same contract") {
+    def gzMember(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(b); g.close()
+      bo.toByteArray
+    }
+    val dir = Files.createTempDirectory("warcgz")
+    // CommonCrawl shape: EACH record its own gzip member, concatenated
+    val gz =
+      gzMember(record("response", "http://d.example/1", "2026-03-01T00:00:00Z",
+        "one two three".getBytes("UTF-8"))) ++
+        gzMember(record("request", "http://d.example/1", "2026-03-01T00:00:00Z",
+          "GET /1".getBytes("UTF-8"))) ++
+        gzMember(record("conversion", "http://d.example/2", "2026-03-01T00:00:01Z",
+          "vier fünf".getBytes("UTF-8")))
+    Files.write(Paths.get(dir.toString, "seg-00000.warc.gz"), gz)
+    val rows = WarcDocs.read(spark, dir.toString).collect()
+      .map(r => (r.getString(3), r.getString(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      ("http://d.example/1", "one two three"),
+      ("http://d.example/2", "vier fünf")))
+  }
 }
