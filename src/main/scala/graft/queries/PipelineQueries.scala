@@ -4134,6 +4134,142 @@ object PipelineQueries {
       |            COUNT(*) OVER (PARTITION BY md5(v_text)) THEN 1 ELSE 0 END AS exposed
       |FROM n ORDER BY doc_id, variant""".stripMargin
 
+  // ------------- X27: in-engine classifier training (batch perceptron)
+
+  /** Training rounds of the default x27 contract. */
+  private[graft] val X27Rounds = 8
+
+  /** x27 feature dimension: [[X20Buckets]] hashed token-count features plus
+    * one bias coordinate (index [[X20Buckets]], constant 1 per document).
+    */
+  private[graft] val X27Dim = X20Buckets + 1
+
+  def x27TrainClassifier(s: SparkSession, dir: String): DataFrame =
+    x27TrainClassifier(s, dir, X27Rounds)
+
+  /** In-engine linear-classifier TRAINING — the production counterpart of
+    * x20, which only applies an already-trained weight vector. This is the
+    * step that produces such an artifact: fastText-style pipelines (CCNet,
+    * DCLM-Baseline, FineWeb-Edu) train a linear model over hashed bag-of-
+    * words features on a labeled slice, then run it corpus-wide; here the
+    * training itself is a Spark job over x20's EXACT feature space (the
+    * shared 60-bit-md5 → [[X20Buckets]] bucketing), labels y = ±1 from
+    * `lang = 'en'`, so the learned vector drops straight into
+    * [[scoreQuality]]'s literal-array slot.
+    *
+    * The trainer is the BATCH PERCEPTRON: full-batch gradient descent with
+    * unit step on the perceptron loss — per round, every document with
+    * y·(w·x) ≤ 0 contributes y·x to the weight update. All-integer
+    * arithmetic (counts, ±1 labels, integer weights) makes the whole
+    * trajectory bit-exact cross-engine, so the DuckDB oracle replays ALL
+    * rounds as unrolled CTEs and hash-checks every intermediate weight
+    * vector — the x18 trajectory-checking discipline applied to model
+    * training. (Sigmoid-based logistic descent would need transcendental
+    * floats; the perceptron is the integer-exact member of the same linear
+    * family.)
+    *
+    * Scale shape (x18's): the corpus is read ONCE — a zero-shuffle narrow
+    * pass builds each doc's dense 65-long count vector row-locally inside
+    * higher-order array expressions, localCheckpointed as the per-round
+    * training set (≈500 B/doc, orders of magnitude under the text it
+    * replaces). Each round is ONE pass over that table: a codegen'd
+    * `zip_with` dot against the weight LITERALS, the misclassified filter,
+    * and a posexplode → 66-key partial-aggregable sum whose exchange
+    * carries ≤ 66·partitions rows; a sentinel element rides the explode so
+    * the error count and the gradient come out of the same pass. The
+    * weight vector itself (65 longs) moves driver→plan as literals each
+    * round, never as a join side. Output: the full (round, bucket, weight,
+    * errors) trajectory — rounds × [[X27Dim]] rows by construction.
+    */
+  def x27TrainClassifier(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds must be in 1..64, got $rounds")
+    def bucket(tk: Column): Column =
+      (conv(substring(md5(tk), 1, 15), 16, 10).cast("long") % X20Buckets).cast("int")
+    val feat = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+      .withColumn("tks", split(col("text"), " "))
+      .filter(size(col("tks")) >= 1)
+      .withColumn("bks", transform(col("tks"), tk => bucket(tk)))
+      .withColumn("x", concat(
+        transform(sequence(lit(0), lit(X20Buckets - 1)),
+          b => size(filter(col("bks"), v => v === b)).cast("long")),
+        array(lit(1L))))
+      .withColumn("y", when(col("lang") === "en", 1L).otherwise(-1L))
+      .select(col("doc_id"), col("y"), col("x"))
+      .localCheckpoint()
+
+    // Overflow guard, x21 discipline (bound checked BEFORE any product can
+    // wrap): per round |w_b| grows by ≤ totalTokens, so after `rounds`
+    // rounds |dot| ≤ maxDocLen · rounds · totalTokens. If a corpus trips
+    // this, train on a labeled SHARD (the production shape — classifier
+    // training sets are samples, inference is corpus-wide) or clip counts.
+    val bounds = feat.agg(
+      sum(aggregate(col("x"), lit(0L), (a, b) => a + b)).as("tot"),
+      max(aggregate(col("x"), lit(0L), (a, b) => a + b)).as("mx")).head
+    val (tot, maxLen) = (bounds.getLong(0), bounds.getLong(1))
+    require(BigInt(maxLen) * rounds * tot <= BigInt(Long.MaxValue),
+      s"margin bound maxDocLen($maxLen) * rounds($rounds) * totalTokens($tot) " +
+        "exceeds Long range: train on a labeled shard or clip feature counts")
+
+    val w = Array.fill(X27Dim)(0L)
+    val traj = Seq.newBuilder[(Int, Int, Long, Long)]
+    for (r <- 1 to rounds) {
+      val wLit = array(w.toIndexedSeq.map(lit(_)): _*)
+      val upd = feat
+        .withColumn("dot", aggregate(zip_with(col("x"), wLit, (a, b) => a * b),
+          lit(0L), (acc, v) => acc + v))
+        .filter(col("y") * col("dot") <= 0L)
+        .select(col("y"), posexplode(concat(col("x"), array(lit(1L)))).as(Seq("b", "cnt")))
+        .groupBy("b").agg(sum(col("y") * col("cnt")).as("gy"), count(lit(1)).as("nd"))
+        .collect()
+      val nErr = upd.collectFirst {
+        case row if row.getInt(0) == X27Dim => row.getLong(2)
+      }.getOrElse(0L)
+      upd.foreach { row =>
+        if (row.getInt(0) < X27Dim) w(row.getInt(0)) += row.getLong(1)
+      }
+      for (b <- 0 until X27Dim) traj += ((r, b, w(b), nErr))
+    }
+    import s.implicits._
+    traj.result().toDF("round", "bucket", "weight", "errors")
+      .orderBy("round", "bucket")
+  }
+
+  /** x27 oracle: the perceptron recursion unrolled as materialized CTEs —
+    * w0 = 0; mᵣ = per-doc margins against wᵣ₋₁; gᵣ = Σ y·x over the
+    * misclassified; wᵣ = wᵣ₋₁ + gᵣ. The bias rides the feature CTE as a
+    * (doc, b=64, cnt=1) row, exactly the appended 1 in the Spark vector.
+    */
+  val x27Sql: String = {
+    val rounds = X27Rounds
+    val roundCtes = (1 to rounds).map { r =>
+      s"""m$r AS (SELECT f.doc_id, f.y, SUM(f.cnt * w.wt) AS dot
+         |  FROM fe f JOIN w${r - 1} w ON f.b = w.b GROUP BY 1, 2),
+         |e$r AS (SELECT COUNT(*)::BIGINT AS errors FROM m$r WHERE y * dot <= 0),
+         |g$r AS (SELECT f.b, SUM(f.y * f.cnt) AS g FROM fe f
+         |  JOIN m$r m ON f.doc_id = m.doc_id AND m.y * m.dot <= 0 GROUP BY 1),
+         |w$r AS MATERIALIZED (SELECT w.b, (w.wt + COALESCE(g.g, 0))::BIGINT AS wt
+         |  FROM w${r - 1} w LEFT JOIN g$r g ON w.b = g.b)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to rounds).map { r =>
+      s"SELECT $r AS round, w.b AS bucket, w.wt AS weight, " +
+        s"(SELECT errors FROM e$r) AS errors FROM w$r w"
+    }.mkString("\nUNION ALL ")
+    s"""WITH f0 AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+       |    string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 1),
+       |fe AS MATERIALIZED (
+       |  SELECT doc_id, y, b, COUNT(*)::BIGINT AS cnt FROM (
+       |    SELECT doc_id, y, (${md5HexSql("tk", 15)}) % $X20Buckets AS b
+       |    FROM (SELECT doc_id, y, unnest(w) AS tk FROM f0))
+       |  GROUP BY 1, 2, 3
+       |  UNION ALL SELECT doc_id, y, $X20Buckets AS b, 1::BIGINT FROM f0),
+       |w0 AS (SELECT b, 0::BIGINT AS wt FROM range($X27Dim) AS r(b)),
+       |$roundCtes
+       |SELECT round, bucket, weight, errors FROM ($union)
+       |ORDER BY round, bucket""".stripMargin
+  }
+
   // ------------------- X23: blocked inverted-index construction (postings)
 
   /** Documents per posting block — the row-width bound: a posting-list row
@@ -4354,6 +4490,7 @@ object PipelineQueries {
     "d11_span_removal" -> (d11SpanRemoval _),
     "x25_chunk_overlap" -> ((s: SparkSession, dir: String) => x25ChunkOverlap(s, dir)),
     "x26_normalize" -> (x26Normalize _),
+    "x27_train_classifier" -> ((s: SparkSession, dir: String) => x27TrainClassifier(s, dir)),
     "d9_sem_dedup" -> (d9SemDedup _),
     "d10_incremental_dedup" -> (d10IncrementalDedup _),
     "sim1_cosine_topk" -> (sim1CosineTopk _),
@@ -4418,6 +4555,7 @@ object PipelineQueries {
     "d11_span_removal" -> d11Sql,
     "x25_chunk_overlap" -> x25Sql,
     "x26_normalize" -> x26Sql,
+    "x27_train_classifier" -> x27Sql,
     "d9_sem_dedup" -> d9Sql,
     "d10_incremental_dedup" -> d10Sql,
     "sim1_cosine_topk" -> sim1Sql,

@@ -1408,4 +1408,52 @@ class PipelineQueriesSpec extends SparkSpec {
     val nBlocks = docs.map(d => (d._2.split(" ", -1).length - 1) / c + 1).sum
     assert(disjoint.length == nBlocks, "stride==chunk is not the disjoint block grid")
   }
+
+  test("x27 batch-perceptron trajectory matches an independent driver replay") {
+    // Independent reference: explicit loops over MessageDigest-hashed
+    // count vectors — no shared code with the engine's array-expression
+    // formulation beyond the md5 definition itself.
+    def bucket(tk: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tk.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(d.substring(0, 15), 16) % 64L).toInt
+    }
+    val feats: Seq[(Long, Array[Long])] =
+      spark.read.parquet(s"$sf/documents.parquet")
+        .select("text", "lang").collect().toSeq.map { r =>
+          val x = Array.fill(65)(0L)
+          r.getAs[String]("text").split(" ", -1).foreach(tk => x(bucket(tk)) += 1L)
+          x(64) = 1L
+          (if (r.getAs[String]("lang") == "en") 1L else -1L, x)
+        }
+    val w = Array.fill(65)(0L)
+    val exp = Seq.newBuilder[(Int, Int, Long, Long)]
+    for (r <- 1 to 8) {
+      val mis = feats.filter { case (y, x) =>
+        var d = 0L; var i = 0
+        while (i < 65) { d += x(i) * w(i); i += 1 }
+        y * d <= 0L
+      }
+      mis.foreach { case (y, x) =>
+        for (b <- 0 until 65) w(b) += y * x(b)
+      }
+      for (b <- 0 until 65) exp += ((r, b, w(b), mis.size.toLong))
+    }
+    val expected = exp.result()
+    val got = PipelineQueries.x27TrainClassifier(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // at w=0 every margin is 0, so round 1 misclassifies the whole corpus…
+    assert(expected.head._4 == feats.size.toLong)
+    // …and training must do better than that by the final round
+    assert(expected.last._4 < expected.head._4, "training learned nothing")
+  }
+
+  test("x27 rounds dial: a shorter run is a prefix of a longer one") {
+    val full = PipelineQueries.x27TrainClassifier(spark, sf, 8).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val short = PipelineQueries.x27TrainClassifier(spark, sf, 3).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(short == full.filter(_._1 <= 3))
+  }
 }
