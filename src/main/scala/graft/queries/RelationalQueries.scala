@@ -902,7 +902,7 @@ object RelationalQueries {
   /** The two deterministic table versions k8 diffs and k10 merges — one
     * derivation so the pair of operators can never disagree on the input.
     */
-  private def snapshotPair(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def snapshotPair(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val base = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
     val vOld = base.filter(col("o_orderkey") % 7 =!= 0)
       .select(col("o_orderkey").as("k_old"), col("o_orderstatus").as("old_status"))
@@ -985,7 +985,8 @@ object RelationalQueries {
     * k8 produces the I/U/D changelog between two snapshots; k10 applies that
     * changelog back onto the old snapshot and must land exactly on the new
     * one. The merge is upsert = anti-join the old snapshot against the
-    * changed keys (U ∪ D) then union the I ∪ U rows — in a real refresh the
+    * changelog keys then union the I ∪ U rows ([[applyChangelog]], shared
+    * with the streaming twin) — in a real refresh the
     * changelog is orders of magnitude smaller than the snapshot, so the
     * anti-join resolves as a broadcast of changelog keys and the snapshot
     * side never shuffles; with key-bucketed layouts even the diff side is
@@ -994,17 +995,33 @@ object RelationalQueries {
     * oracle compare itself certifies apply ≡ target cross-engine (the spec
     * additionally pins row-level equality).
     */
+  /** THE single definition of the MERGE rule — applies a changelog
+    * (k, op ∈ I/U/D, new_status) onto a (k, status) snapshot: drop every
+    * changed key, then add the I ∪ U rows. Anti-joining on ALL log keys
+    * (not just U ∪ D) is deliberate: for a well-formed log it is the same
+    * result (an I key is absent from the snapshot by definition), and it
+    * makes re-applying the same log a NO-OP — the idempotent MERGE a
+    * replayed streaming micro-batch needs
+    * ([[graft.streaming.StreamingOps.changelogApplyStream]] is the
+    * per-trigger consumer). The log side is the small side: both joins
+    * broadcast it and the snapshot never shuffles.
+    */
+  private[graft] def applyChangelog(snapshot: DataFrame, log: DataFrame): DataFrame = {
+    val changedKeys = log.select(col("k").as("ck"))
+    val upserts = log.filter(col("op").isin("I", "U"))
+      .select(col("k"), col("new_status").as("status"))
+    snapshot
+      .join(changedKeys, col("k") === col("ck"), "left_anti")
+      .select(col("k"), col("status"))
+      .unionByName(upserts)
+  }
+
   def k10ChangelogApply(s: SparkSession, dir: String): DataFrame = {
     val (vOld, vNew) = snapshotPair(s, dir)
     val log = k8SnapshotDiff(s, dir)
-    val changedKeys = log.filter(col("op").isin("U", "D"))
-      .select(col("o_orderkey").as("ck"))
-    val upserts = log.filter(col("op").isin("I", "U"))
-      .select(col("o_orderkey").as("k"), col("new_status").as("status"))
-    val applied = vOld
-      .join(changedKeys, col("k_old") === col("ck"), "left_anti")
-      .select(col("k_old").as("k"), col("old_status").as("status"))
-      .unionByName(upserts)
+      .select(col("o_orderkey").as("k"), col("op"), col("new_status"))
+    val applied = applyChangelog(
+      vOld.select(col("k_old").as("k"), col("old_status").as("status")), log)
     val appliedCounts = applied.groupBy("status").agg(count(lit(1)).as("n_applied"))
     val targetCounts = vNew.groupBy(col("new_status").as("status"))
       .agg(count(lit(1)).as("n_target"))
@@ -1028,7 +1045,7 @@ object RelationalQueries {
       |        FROM old FULL OUTER JOIN new ON k_old = k_new),
       |applied AS (
       |  SELECT k_old AS k, old_status AS status FROM old
-      |  WHERE k_old NOT IN (SELECT k FROM log WHERE op IN ('U','D'))
+      |  WHERE k_old NOT IN (SELECT k FROM log WHERE op IS NOT NULL)
       |  UNION ALL
       |  SELECT k, new_status AS status FROM log WHERE op IN ('I','U')),
       |ac AS (SELECT status, COUNT(*) AS n_applied FROM applied GROUP BY status),

@@ -22,6 +22,11 @@ final case class SourcedDoc(doc_id: Long, ts: Timestamp, source: String)
   */
 final case class StreamVec(vec_id: Long, v: Array[Double], nrm: Double)
 
+/** One I/U/D changelog row arriving on a CDC feed (the k10 twin's input
+  * shape; `new_status` is null for deletes, as a Debezium payload would be).
+  */
+final case class ChangeRow(k: Long, op: String, new_status: String)
+
 /** One bucket of a CLOSED hour window's drift report (the x24 twin). */
 final case class DriftRow(window_start_us: Long, b: Int, cnt: Long,
     cand_ppm: Long, ref_ppm: Long, tv_contrib_ppm: Long)
@@ -180,6 +185,36 @@ object StreamingOps {
         // job
         val b = batch.select("doc_id", "text").localCheckpoint()
         onBatch(graft.queries.PipelineQueries.incrementalDedup(b, index), batchId)
+      }
+  }
+
+  /** Streaming changelog apply — the ingest-time twin of the batch
+    * `k10_changelog_apply`, and the CDC member of the foreachBatch family:
+    * micro-batches of I/U/D changelog rows (`k`, `op`, `new_status`) — a
+    * Debezium/CDC feed's shape — MERGE onto an evolving snapshot via the
+    * batch operator's exact rule
+    * ([[graft.queries.RelationalQueries.applyChangelog]], ONE definition of
+    * the merge). In production the snapshot is a key-bucketed lakehouse
+    * table and foreachBatch runs MERGE INTO against it; here the applied
+    * snapshot is handed to `onBatch` with the batch id and threaded to the
+    * next trigger, localCheckpointed per batch so lineage stays bounded
+    * over an unbounded stream (the iterative-algorithm discipline). The
+    * merge rule anti-joins on ALL batch keys, so re-applying a replayed
+    * micro-batch is a NO-OP — the sink-side idempotency CDC replay needs.
+    * Per trigger the log side is the small side (broadcast); the snapshot
+    * never shuffles. No streaming state exists beyond the source
+    * checkpoint and the snapshot itself — exactly the state a MERGE INTO
+    * target holds.
+    */
+  def changelogApplyStream(log: DataFrame, initial: DataFrame)(
+      onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var snapshot = initial.select("k", "status").localCheckpoint()
+    log.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.select("k", "op", "new_status").localCheckpoint()
+        snapshot = graft.queries.RelationalQueries
+          .applyChangelog(snapshot, b).localCheckpoint()
+        onBatch(snapshot, batchId)
       }
   }
 

@@ -687,4 +687,40 @@ class StreamingOpsSpec extends SparkSpec {
         "chunking twin must not carry streaming state")
     } finally q.stop()
   }
+
+  test("streaming changelog apply lands on the target snapshot and replays are no-ops") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def rowSet(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val (vOld, vNew) = graft.queries.RelationalQueries.snapshotPair(spark, sf)
+    val log = graft.queries.RelationalQueries.k8SnapshotDiff(spark, sf).collect()
+      .map(r => ChangeRow(r.getLong(0), r.getString(1), r.getString(3)))
+    assert(log.map(_.op).toSet == Set("I", "U", "D"), "fixture lacks an op kind")
+    // the CDC feed arrives as 3 micro-batches (split by key — a k8 log has
+    // one op per key, so ANY split is a valid arrival order)
+    val batches = log.groupBy(_.k % 3).toSeq.sortBy(_._1).map(_._2.toSeq)
+    assert(batches.size == 3)
+    val in = MemoryStream[ChangeRow]
+    var snaps = Vector.empty[(Long, Set[(Long, String)])]
+    val q = StreamingOps.changelogApplyStream(in.toDF(),
+      vOld.select(col("k_old").as("k"), col("old_status").as("status"))) {
+      (snap, id) => snaps :+= ((id, rowSet(snap)))
+    }.start()
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      val target = rowSet(vNew)
+      assert(snaps.size == 3 && snaps.last._2 == target,
+        "streamed apply did not land on the target snapshot")
+      // intermediate snapshots are the partial applies, not the target
+      assert(snaps.head._2 != target)
+      // replayed micro-batch: the idempotent MERGE leaves the snapshot as-is
+      in.addData(batches.last: _*); q.processAllAvailable()
+      assert(snaps.last._2 == target, "replayed batch changed the snapshot")
+      // no streaming state beyond the source checkpoint
+      val prog = q.lastProgress
+      assert(prog == null || prog.stateOperators.isEmpty,
+        "changelog twin must not carry streaming state")
+    } finally q.stop()
+  }
 }
