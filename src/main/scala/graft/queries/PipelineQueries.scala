@@ -3080,6 +3080,99 @@ object PipelineQueries {
        |SELECT query_id, neighbor_id, cos FROM rk WHERE rn = 1 ORDER BY query_id""".stripMargin
   }
 
+  // ------------------------- M4: audio decode → framed feature extraction
+
+  /** m4 frame geometry: 64-sample frames, 32-sample hop (50% overlap — the
+    * standard STFT-style framing), x25's chunk arithmetic on samples.
+    */
+  private[graft] val M4Frame = 64
+  private[graft] val M4Hop = 32
+
+  /** Audio feature extraction — the audio leg of the multimodal family
+    * (m1/m2/m3 cover images and container video): per-document PCM audio
+    * decoded through a REAL WAV/RIFF codec
+    * ([[graft.multimodal.Audio.decodeWav]] — generic chunk walk, unknown
+    * chunks skipped, truncation-safe, sample-budget-bounded), then framed
+    * into overlapping [[M4Frame]]-sample windows at [[M4Hop]] hop and
+    * reduced to the classic integer frame features: energy (Σ s²),
+    * zero-crossing count (strict sign-change pairs), and peak (max |s|).
+    * The audio itself is synthesized in-engine from each document
+    * (md5-seeded linear-congruential 16-bit PCM, 200–400 samples) and
+    * round-trips through genuine WAV BYTES — synth → [[graft.multimodal
+    * .Audio.synthWav]] → decode — so the codec path is real even though
+    * the container ships no audio files; the DuckDB oracle replays the
+    * sample FORMULA directly, which makes the cross-engine hash match a
+    * proof that the byte roundtrip is lossless (m3's SqlCodec discipline
+    * applied to audio).
+    *
+    * Scale shape: one narrow mapPartitions pass — synth, decode, frame,
+    * and reduce are all row-local, zero exchanges before the output sort;
+    * a 100 TB audio corpus streams through map tasks at scan speed with
+    * output volume = rows × frames-per-row, the budgeted knob. All
+    * features are integer-exact (|s| ≤ 32768 ⇒ Σ s² over a frame
+    * < 2³⁷ — no overflow at any corpus size since the bound is per-frame).
+    */
+  def m4AudioFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select("doc_id", "text").as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val hex = md.digest(text.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          val s1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+          val n = 200 + (s1 % 201).toInt
+          val a = 3 + (s1 % 97)
+          val b = s1 % 65536L
+          val pcm = Array.tabulate(n)(i => (((a * i + b) % 65536L) - 32768L).toShort)
+          val dec = graft.multimodal.Audio.decodeWav(
+            graft.multimodal.Audio.synthWav(pcm))
+          val nf = ((math.max(dec.length - M4Frame, 0) + M4Hop - 1) / M4Hop) + 1
+          (0 until nf).iterator.map { f =>
+            val st = f * M4Hop
+            val en = math.min(st + M4Frame, dec.length)
+            var energy = 0L; var zc = 0L; var peak = 0L; var i = st
+            while (i < en) {
+              val v = dec(i).toLong
+              energy += v * v
+              if (math.abs(v) > peak) peak = math.abs(v)
+              if (i > st && dec(i - 1).toLong * v < 0L) zc += 1L
+              i += 1
+            }
+            (id, f, (en - st).toLong, energy, zc, peak)
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "n_samples", "energy", "zero_cross", "peak")
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** m4 oracle: the PCM formula replayed in SQL — lateral sample ranges
+    * per (doc, frame), the previous sample regenerated by formula (no
+    * window needed). The engine computes from DECODED WAV bytes, so
+    * equality certifies the codec roundtrip.
+    */
+  val m4Sql: String =
+    s"""WITH d AS (SELECT doc_id, (${md5HexSql("text", 15)}) AS s1 FROM documents),
+       |p AS (SELECT doc_id, 200 + (s1 % 201) AS n, 3 + (s1 % 97) AS a,
+       |        s1 % 65536 AS b FROM d),
+       |fr AS (SELECT doc_id, n, a, b,
+       |         unnest(range(((CASE WHEN n > $M4Frame THEN n - $M4Frame ELSE 0 END
+       |                        + ${M4Hop - 1}) // $M4Hop) + 1)) AS f FROM p),
+       |si AS (SELECT doc_id, n, a, b, f,
+       |         unnest(range(f * $M4Hop, least(f * $M4Hop + $M4Frame, n))) AS i
+       |       FROM fr),
+       |sm AS (SELECT doc_id, f, i,
+       |         ((a * i + b) % 65536) - 32768 AS s,
+       |         CASE WHEN i > f * $M4Hop
+       |              THEN ((a * (i - 1) + b) % 65536) - 32768 END AS sp
+       |       FROM si)
+       |SELECT doc_id, f AS frame_idx, COUNT(*)::BIGINT AS n_samples,
+       |  SUM(s * s)::BIGINT AS energy,
+       |  COALESCE(SUM(CASE WHEN sp * s < 0 THEN 1 ELSE 0 END), 0)::BIGINT AS zero_cross,
+       |  MAX(abs(s))::BIGINT AS peak
+       |FROM sm GROUP BY 1, 2 ORDER BY doc_id, frame_idx""".stripMargin
+
   // ---------------------------------------- A8s: sketch aggregates (HLL)
 
   /** Approximate distinct-user counts per event type via HyperLogLog++ —
@@ -4530,6 +4623,7 @@ object PipelineQueries {
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_frame_sample" -> (m2FrameSample _),
     "m3_feature_ann" -> (m3FeatureAnn _),
+    "m4_audio_features" -> (m4AudioFeatures _),
     "a8s_approx_distinct" -> (a8sApproxDistinct _),
     "a9s_approx_quantiles" -> (a9sApproxQuantiles _),
     "a10s_cms_freq" -> (a10sCmsFreq _),
@@ -4595,6 +4689,7 @@ object PipelineQueries {
     "m1_binary_meta" -> m1Sql,
     "m2_frame_sample" -> m2Sql,
     "m3_feature_ann" -> m3Sql,
+    "m4_audio_features" -> m4Sql,
     "w3_sessionize" -> w3Sql,
     "w4_funnel" -> w4Sql,
     "w5_retention" -> w5Sql,
