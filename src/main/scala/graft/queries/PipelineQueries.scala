@@ -3114,7 +3114,22 @@ object PipelineQueries {
     */
   def m4AudioFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "documents").select("doc_id", "text").as[(Long, String)]
+    audioFrameFeatures(t(s, dir, "documents")
+      .select("doc_id", "text").as[(Long, String)])
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** THE single definition of the m4 synth → WAV roundtrip → frame →
+    * feature pass — shared by the batch query and the streaming ingest
+    * twin ([[graft.streaming.StreamingOps.audioFeaturesStream]]). A
+    * stateless narrow mapPartitions, so it applies to bounded and
+    * unbounded sources alike; no sort here (streams can't), the batch
+    * query adds its presentation ORDER BY.
+    */
+  private[graft] def audioFrameFeatures(docs: Dataset[(Long, String)]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, text) =>
@@ -3144,7 +3159,6 @@ object PipelineQueries {
         }
       }
       .toDF("doc_id", "frame_idx", "n_samples", "energy", "zero_cross", "peak")
-      .orderBy("doc_id", "frame_idx")
   }
 
   /** m4 oracle: the PCM formula replayed in SQL — lateral sample ranges

@@ -188,6 +188,22 @@ object StreamingOps {
       }
   }
 
+  /** Streaming audio feature extraction — the ingest-time twin of the
+    * batch `m4_audio_features`, and the multimodal member of the stateless
+    * family (normalizer/chunker/classifier/tokenizer): arriving documents
+    * run the SAME synth → WAV-codec roundtrip → frame → integer-feature
+    * core ([[graft.queries.PipelineQueries.audioFrameFeatures]], one
+    * definition), a narrow mapPartitions per micro-batch — no watermark,
+    * no state store, so the plan carries zero state operators and replayed
+    * batches emit identical frames (a pure per-row function).
+    */
+  def audioFeaturesStream(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.queries.PipelineQueries.audioFrameFeatures(
+      docs.select(col("doc_id"), col("text")).as[(Long, String)])
+  }
+
   /** Streaming changelog apply — the ingest-time twin of the batch
     * `k10_changelog_apply`, and the CDC member of the foreachBatch family:
     * micro-batches of I/U/D changelog rows (`k`, `op`, `new_status`) — a

@@ -688,6 +688,29 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming audio features equal the batch core frame-for-frame, statelessly") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[StreamDoc]
+    val q = StreamingOps.audioFeaturesStream(in.toDF())
+      .writeStream.format("memory").queryName("audiof")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val docs = Seq((101L, "streamed audio one"), (102L, "and another payload"))
+      in.addData(docs.map { case (id, t0) => StreamDoc(id, ts(0), t0) }: _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val got = spark.table("audiof").collect().map(key).toSet
+      val batch = graft.queries.PipelineQueries
+        .audioFrameFeatures(docs.toDS()).collect().map(key).toSet
+      assert(got == batch && got.nonEmpty)
+      val prog = q.lastProgress
+      assert(prog == null || prog.stateOperators.isEmpty,
+        "audio twin must not carry streaming state")
+    } finally q.stop()
+  }
+
   test("streaming changelog apply lands on the target snapshot and replays are no-ops") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
