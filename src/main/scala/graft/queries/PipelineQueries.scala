@@ -4377,6 +4377,103 @@ object PipelineQueries {
        |ORDER BY round, bucket""".stripMargin
   }
 
+  // ------------- X28: tokenizer coverage / OOV audit per corpus slice
+
+  /** Tokenizer-coverage audit — the QA report run before committing a
+    * tokenizer to a corpus (and after every corpus refresh): per source
+    * slice, how many tokens the x9 vocabulary artifact covers, the OOV
+    * rate in integer ppm, how many DISTINCT unknown token types exist,
+    * and the most frequent unknown token (the actionable row — it names
+    * what to add to the vocab). Complements x14: x14 encodes documents
+    * with the artifact; x28 tells you where the artifact is weak, sliced
+    * the way corpus decisions are made (by source/domain).
+    *
+    * Scale shape: the vocabulary rides the plan as the SAME map literal
+    * x14 broadcasts (one artifact representation), so per-token
+    * membership is a narrow codegen'd lookup. Totals come from ROW-LOCAL
+    * per-doc counts inside higher-order exprs followed by one
+    * partial-aggregable groupBy(source) — corpus rows never shuffle for
+    * the counts. Only OOV tokens are exploded (the filter runs INSIDE the
+    * transform, before any exchange), and their (source, tok) counts are
+    * partial-aggregable; token strings as keys here follow x9's own
+    * vocabulary-construction precedent — the OOV set is vocabulary-tail
+    * sized, not corpus sized. The final source-level join is
+    * slice-count × slice-count.
+    */
+  def x28OovAudit(s: SparkSession, dir: String): DataFrame =
+    x28OovAudit(s, dir, 1000)
+
+  /** `vocabSize` is the coverage dial: the audited vocabulary is the
+    * frequency-ranked PREFIX of the x9 artifact, so a larger vocab covers
+    * a superset of tokens and every source's n_oov is monotone
+    * non-increasing in vocabSize (spec-pinned) — the curve a tokenizer
+    * sizing decision actually reads. The default audits the full x9
+    * artifact.
+    */
+  def x28OovAudit(s: SparkSession, dir: String, vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be positive, got $vocabSize")
+    val vocab = x9Vocab(s, dir).collect()
+      .map(r => (r.getAs[String]("tok"), r.getAs[Int]("vocab_id")))
+      .take(vocabSize)
+    val m = map(vocab.flatMap { case (t0, id) => Seq(lit(t0), lit(id)) }.toIndexedSeq: _*)
+    val docs = t(s, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("oovs", filter(col("w"), tk => element_at(m, tk).isNull))
+    val tot = docs
+      .select(col("source"), size(col("w")).cast("long").as("nt"),
+        size(col("oovs")).cast("long").as("no"))
+      .groupBy("source").agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"), sum(col("no")).as("n_oov"))
+    val ty = docs.select(col("source"), explode(col("oovs")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+    val top = Window.partitionBy("source")
+      .orderBy(col("n").desc, col("tok").asc)
+    val typeStats = ty
+      .withColumn("rn", row_number().over(top))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_oov_types"),
+        max(when(col("rn") === 1, col("tok"))).as("top_oov_tok"),
+        max(when(col("rn") === 1, col("n"))).as("top_oov_n"))
+    tot.join(typeStats, Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_oov"),
+        expr("n_oov * 1000000L div n_tokens").as("oov_ppm"),
+        coalesce(col("n_oov_types"), lit(0L)).as("n_oov_types"),
+        col("top_oov_tok"),
+        coalesce(col("top_oov_n"), lit(0L)).as("top_oov_n"))
+      .orderBy("source")
+  }
+
+  val x28Sql: String =
+    """WITH c AS (
+      |  SELECT tok, COUNT(*) AS n
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE tok != '' GROUP BY tok),
+      |v AS (SELECT tok FROM (SELECT tok, n FROM c ORDER BY n DESC, tok LIMIT 1000)),
+      |lab AS (SELECT wd.source, tk.tok,
+      |          CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+      |        FROM (SELECT source, string_split(text, ' ') AS w FROM documents) wd,
+      |          unnest(wd.w) AS tk(tok)
+      |        LEFT JOIN v ON tk.tok = v.tok),
+      |nd AS (SELECT source, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
+      |tot AS (SELECT source, COUNT(*)::BIGINT AS n_tokens,
+      |          SUM(oov)::BIGINT AS n_oov FROM lab GROUP BY 1),
+      |ty AS (SELECT source, tok, COUNT(*)::BIGINT AS n
+      |       FROM lab WHERE oov = 1 GROUP BY 1, 2),
+      |tp AS (SELECT source, tok AS top_oov_tok, n AS top_oov_n
+      |       FROM (SELECT source, tok, n,
+      |               ROW_NUMBER() OVER (PARTITION BY source
+      |                 ORDER BY n DESC, tok) AS rn FROM ty)
+      |       WHERE rn = 1),
+      |tys AS (SELECT source, COUNT(*)::BIGINT AS n_oov_types FROM ty GROUP BY 1)
+      |SELECT nd.source, nd.n_docs, tot.n_tokens, tot.n_oov,
+      |  tot.n_oov * 1000000 // tot.n_tokens AS oov_ppm,
+      |  COALESCE(tys.n_oov_types, 0) AS n_oov_types,
+      |  tp.top_oov_tok,
+      |  COALESCE(tp.top_oov_n, 0) AS top_oov_n
+      |FROM nd JOIN tot USING (source)
+      |LEFT JOIN tys USING (source) LEFT JOIN tp USING (source)
+      |ORDER BY source""".stripMargin
+
   // ------------------- X23: blocked inverted-index construction (postings)
 
   /** Documents per posting block — the row-width bound: a posting-list row
@@ -4598,6 +4695,7 @@ object PipelineQueries {
     "x25_chunk_overlap" -> ((s: SparkSession, dir: String) => x25ChunkOverlap(s, dir)),
     "x26_normalize" -> (x26Normalize _),
     "x27_train_classifier" -> ((s: SparkSession, dir: String) => x27TrainClassifier(s, dir)),
+    "x28_oov_audit" -> (x28OovAudit _),
     "d9_sem_dedup" -> (d9SemDedup _),
     "d10_incremental_dedup" -> (d10IncrementalDedup _),
     "sim1_cosine_topk" -> (sim1CosineTopk _),
@@ -4664,6 +4762,7 @@ object PipelineQueries {
     "x25_chunk_overlap" -> x25Sql,
     "x26_normalize" -> x26Sql,
     "x27_train_classifier" -> x27Sql,
+    "x28_oov_audit" -> x28Sql,
     "d9_sem_dedup" -> d9Sql,
     "d10_incremental_dedup" -> d10Sql,
     "sim1_cosine_topk" -> sim1Sql,

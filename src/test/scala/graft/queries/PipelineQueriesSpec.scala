@@ -1449,6 +1449,44 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(expected.last._4 < expected.head._4, "training learned nothing")
   }
 
+  test("x28 OOV audit matches a driver-side brute force; n_oov shrinks as vocab grows") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val freq = docs.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    def brute(vocabSize: Int): Seq[(String, Long, Long, Long, Long, Long, String, Long)] = {
+      val vocab = freq.sortBy { case (tok, n) => (-n, tok) }.take(vocabSize)
+        .map(_._1).toSet
+      docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, ds) =>
+        val toks = ds.flatMap(_._2.split(" ", -1))
+        val oov = toks.filterNot(vocab.contains)
+        val tyc = oov.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        val (topTok, topN) =
+          if (tyc.isEmpty) (null: String, 0L)
+          else tyc.minBy { case (tok, n) => (-n, tok) }
+        (src, ds.size.toLong, toks.size.toLong, oov.size.toLong,
+          if (toks.isEmpty) 0L else oov.size.toLong * 1000000L / toks.size,
+          tyc.size.toLong, topTok, topN)
+      }
+    }
+    def run(vocabSize: Int) =
+      PipelineQueries.x28OovAudit(spark, sf, vocabSize).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getString(6), r.getLong(7))).toSeq
+    // small vocab: OOV must be non-degenerate at this sf
+    val small = run(8)
+    assert(small == brute(8))
+    assert(small.exists(_._4 > 0), "no OOV at vocabSize=8 — audit untested")
+    // registered default: the full x9 artifact
+    assert(run(1000) == brute(1000))
+    // dial monotonicity: the prefix-nested vocab only ever covers MORE
+    val bySmall = small.map(r => r._1 -> r._4).toMap
+    run(20).foreach { r =>
+      assert(r._4 <= bySmall(r._1), s"n_oov grew with vocab size for ${r._1}")
+    }
+  }
+
   test("x27 rounds dial: a shorter run is a prefix of a longer one") {
     val full = PipelineQueries.x27TrainClassifier(spark, sf, 8).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
