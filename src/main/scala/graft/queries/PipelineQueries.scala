@@ -3480,6 +3480,81 @@ object PipelineQueries {
        |FROM tf GROUP BY term, block ORDER BY term, block""".stripMargin
   }
 
+  // ------------- PIPE3: tokenize → shard → pack (the training-data export)
+
+  /** Per-sequence token budget of the pipe3 export (x11's constant). */
+  private[graft] val Pipe3Budget = 2048L
+
+  /** End-to-end TRAINING-DATA EXPORT — the third composed pipeline, and
+    * the one whose output a trainer actually consumes: pipe1 curates,
+    * pipe2 indexes, pipe3 ships. Documents are (1) tokenized with the
+    * PINNED [[X19Merges]] artifact (x19b's exact rule — zero training
+    * jobs), (2) assigned their epoch-0 shard + within-shard order by x16's
+    * exact seeded-hash rule, and (3) packed into [[Pipe3Budget]]-token
+    * training sequences PER SHARD — x11's running prefix sum, but
+    * partitioned by shard, which is how packing survives 100 TB: no
+    * global prefix sum exists anywhere; each shard packs independently
+    * inside one window task bounded by the rows-per-shard knob. Output is
+    * the export MANIFEST a loader reads: per (shard, seq_id) the count of
+    * documents STARTING there, their token sum, and the pos span (a doc
+    * whose tail spills into the next sequence is accounted at its start —
+    * the standard document-start manifest; n_docs ≥ 1 by construction).
+    *
+    * Plan shape: tokenization and shard keying are one narrow codegen'd
+    * pass over the corpus (the artifact and the shard seed are literals);
+    * ONE hash exchange on `shard` feeds a single window sort that emits
+    * both pos and the running token prefix, and the manifest aggregation
+    * reuses that partitioning (shard ⊂ (shard, seq_id) clustering), so
+    * the whole export costs exactly one shuffle of (doc_id, n_tokens,
+    * key)-width rows. Each stage is the standalone operator's rule — a
+    * tokenizer/shard/packing change propagates here by construction.
+    */
+  def pipe3Export(s: SparkSession, dir: String): DataFrame = {
+    val enc = encodeWithMerges(t(s, dir, "documents"), X19Merges)
+      .select(col("doc_id"), col("n_tokens"))
+    // x16's corpus-derived shard count, over the rows actually exported
+    val nShards = math.max(1L, enc.count() / X16RowsPerShard)
+    val key = md5(concat(lit("epoch-0"), lit(":"), col("doc_id").cast("string")))
+    val byShard = Window.partitionBy("shard").orderBy("k")
+    enc
+      .withColumn("k", key)
+      .withColumn("shard",
+        expr(s"cast(conv(substring(k, 1, 8), 16, 10) as bigint) % $nShards"))
+      .withColumn("pos", row_number().over(byShard).cast("long") - 1L)
+      .withColumn("cb", coalesce(
+        sum(col("n_tokens")).over(byShard.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("seq_id", expr(s"cb div $Pipe3Budget"))
+      .groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("pos")).as("first_pos"), max(col("pos")).as("last_pos"))
+      .orderBy("shard", "seq_id")
+  }
+
+  lazy val pipe3Sql: String = {
+    var applied = "'(' || array_to_string(string_split(w, ''), ')(') || ')'"
+    for ((_, a, b, m, _) <- X19Merges)
+      applied = s"replace($applied, '($a)($b)', '($m)')"
+    s"""WITH enc AS (
+       |  SELECT doc_id,
+       |    SUM(len(string_split(trim($applied, '()'), ')(')))::BIGINT AS n_tokens
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY doc_id),
+       |n AS (SELECT greatest(1, count(*) // $X16RowsPerShard) AS nsh FROM enc),
+       |sh AS (SELECT doc_id, n_tokens, md5('epoch-0:' || doc_id::VARCHAR) AS k,
+       |         (${md5Hex8Sql("'epoch-0:' || doc_id::VARCHAR")}) % (SELECT nsh FROM n) AS shard
+       |       FROM enc),
+       |w AS (SELECT shard, n_tokens,
+       |        CAST(row_number() OVER (PARTITION BY shard ORDER BY k) AS BIGINT) - 1 AS pos,
+       |        CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY k
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+       |      FROM sh)
+       |SELECT shard, cb // $Pipe3Budget AS seq_id, COUNT(*)::BIGINT AS n_docs,
+       |  SUM(n_tokens)::BIGINT AS n_tokens,
+       |  MIN(pos) AS first_pos, MAX(pos) AS last_pos
+       |FROM w GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin
+  }
+
   // -------------------------------- X16: deterministic shard shuffle (epochs)
 
   /** Deterministic corpus shuffle into training shards: every document gets
@@ -4745,6 +4820,7 @@ object PipelineQueries {
     "w6_outliers" -> (w6Outliers _),
     "pipe1_curate" -> (pipe1Curate _),
     "pipe2_index_build" -> (pipe2IndexBuild _),
+    "pipe3_export" -> (pipe3Export _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -4809,5 +4885,6 @@ object PipelineQueries {
     "w6_outliers" -> w6Sql,
     "pipe1_curate" -> pipe1Sql,
     "pipe2_index_build" -> pipe2Sql,
+    "pipe3_export" -> pipe3Sql,
   )
 }

@@ -1409,6 +1409,47 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(disjoint.length == nBlocks, "stride==chunk is not the disjoint block grid")
   }
 
+  test("pipe3 export manifest equals the driver-replayed stage composition") {
+    // stage 1 replay: the registered tokenizer op itself
+    val enc = PipelineQueries.x19bEncodeOnly(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val nShards = math.max(1L, enc.size / 16L)
+    // stage 2 replay: x16's seeded-hash shard + order key, recomputed
+    // independently with MessageDigest
+    def md5hex(s0: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s0.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val keyed = enc.map { case (id, nt) =>
+      val k = md5hex(s"epoch-0:$id")
+      (java.lang.Long.parseLong(k.substring(0, 8), 16) % nShards, k, id, nt)
+    }
+    // stage 3 replay: per-shard pack in key order
+    val expected = keyed.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (shard, rows) =>
+        var cum = 0L
+        val packed = rows.sortBy(_._2).zipWithIndex.map { case ((_, _, _, nt), pos) =>
+          val seq = cum / 2048L; cum += nt; (seq, pos.toLong, nt)
+        }
+        packed.groupBy(_._1).toSeq.sortBy(_._1).map { case (seq, g) =>
+          (shard, seq, g.size.toLong, g.map(_._3).sum,
+            g.map(_._2).min, g.map(_._2).max)
+        }
+    }
+    val got = PipelineQueries.pipe3Export(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    // every doc is shorter than the budget here, so each shard's manifest
+    // must start at seq 0 and be gap-free; multiple shards and sequences
+    // prove the composition is non-degenerate
+    assert(enc.forall(_._2 < 2048L))
+    got.groupBy(_._1).foreach { case (sh, rows) =>
+      val seqs = rows.map(_._2).sorted
+      assert(seqs == (0L until seqs.size.toLong), s"shard $sh manifest has gaps")
+    }
+    assert(got.map(_._1).distinct.size > 1, "single shard — fixture degenerate")
+  }
+
   test("x27 batch-perceptron trajectory matches an independent driver replay") {
     // Independent reference: explicit loops over MessageDigest-hashed
     // count vectors — no shared code with the engine's array-expression

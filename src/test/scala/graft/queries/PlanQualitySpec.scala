@@ -543,6 +543,30 @@ class PlanQualitySpec extends SparkSpec {
       "checkpointed inventory missing from the plan:\n" + p.take(1200))
   }
 
+  test("m4: audio synth→decode→frame is one narrow stage; only the output sort exchanges") {
+    val p = plan(PipelineQueries.m4AudioFeatures(spark, sf))
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"expected exactly the orderBy rangepartitioning, found $exchanges exchanges:\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(p.contains("rangepartitioning"), "the single exchange is not the sort")
+  }
+
+  test("pipe3: the whole export rides ONE shard hash exchange (plus the output sort)") {
+    val p = plan(PipelineQueries.pipe3Export(spark, sf))
+    val hashEx = "hashpartitioning\\(shard".r.findAllIn(p).size
+    assert(hashEx >= 1, "shard window lost its hash partitioning:\n" + p.take(1200))
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 2,
+      s"expected shard hash + sort range only, found $exchanges exchanges:\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    // the manifest aggregation must reuse the shard partitioning: no
+    // exchange keyed on (shard, seq_id) anywhere
+    assert(!p.contains("hashpartitioning(shard#") ||
+      !"hashpartitioning\\(shard[^,]*, seq_id".r.findFirstIn(p).isDefined,
+      "manifest aggregation re-shuffled on (shard, seq_id)")
+  }
+
   test("g2 triangles: adjacency broadcasts and intersects row-locally — no wedge join") {
     val p = plan(PipelineQueries.g2Triangles(spark, sf))
     assert(p.contains("BroadcastHashJoin"), "adjacency/degree tables should broadcast")
