@@ -19,4 +19,20 @@ object Hashing {
 
   /** First 16 hex chars — the compact gram key d7/screenContamination join on. */
   def md5Hex16(s: String): String = md5Hex(s).substring(0, 16)
+
+  /** The 60-bit md5 prefix as a number — exactly
+    * `conv(substring(md5(s),1,15),16,10)` (the digest-key rule x12/x20/x27
+    * share) without the hex-string detour: hex chars 1..15 are bytes 0..6
+    * plus the high nibble of byte 7. Hot-path safe (no per-byte
+    * formatting).
+    */
+  def md5Lane60(s: String): Long = {
+    val d = digest.get()
+    d.reset()
+    val b = d.digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    (v << 4) | ((b(7) >> 4) & 0xfL)
+  }
 }

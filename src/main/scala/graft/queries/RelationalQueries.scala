@@ -1200,12 +1200,14 @@ object RelationalQueries {
     * deletable set can only SHRINK (the cutoff moves back), spec-pinned —
     * the monotonicity that makes raising retention always safe.
     */
-  def k13VacuumPlan(s: SparkSession, dir: String, retain: Long): DataFrame = {
-    require(retain >= 0, s"retain must be non-negative, got $retain")
-    // the inventory is read twice (watermark action + returned plan) —
-    // materialize it once so "the planner never touches data" stays true:
-    // the table scans exactly once, everything after is metadata-sized
-    val files = t(s, dir, "documents")
+  /** THE single derivation of the synthetic file inventory the lakehouse
+    * metadata family operates on — file ≈ (lang, source) with bytes and
+    * add/remove versions, what a Delta/Iceberg log compaction hands a
+    * planner. localCheckpointed: ONE data scan ever, everything downstream
+    * (k13's vacuum classification, k14's as-of read) is metadata-sized.
+    */
+  private[graft] def fileInventory(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
       .groupBy(col("lang"), col("source"))
       .agg(sum("n_chars").as("bytes"), count(lit(1)).as("n_docs"))
       .withColumn("add_v",
@@ -1213,6 +1215,13 @@ object RelationalQueries {
       .withColumn("remove_v",
         expr("CASE WHEN n_docs % 3 != 0 THEN add_v + 1L + bytes % 4 END"))
       .localCheckpoint()
+
+  def k13VacuumPlan(s: SparkSession, dir: String, retain: Long): DataFrame = {
+    require(retain >= 0, s"retain must be non-negative, got $retain")
+    // the inventory is read twice (watermark action + returned plan) —
+    // [[fileInventory]] materializes it once so "the planner never touches
+    // data" stays true
+    val files = fileInventory(s, dir)
     val vmaxRow = files
       .agg(max(coalesce(col("remove_v"), col("add_v")))).first()
     require(!vmaxRow.isNullAt(0),
@@ -1226,6 +1235,60 @@ object RelationalQueries {
       .select(col("lang"), col("source"), col("bytes"), col("add_v"),
         col("remove_v"), col("status"))
       .orderBy("status", "lang", "source")
+  }
+
+  /** K14: snapshot read AS OF a version — the query-side completion of the
+    * lakehouse lifecycle (k8/k10 move versions forward, k13 garbage-
+    * collects, k14 READS history): given the [[fileInventory]], the files
+    * a `VERSION AS OF v` scan would open are exactly those with
+    * `add_v ≤ v` and no remove at or before v — the Delta/Iceberg
+    * time-travel rule. Pure metadata: a narrow filter over the
+    * checkpointed inventory, data files never touched; at 100 TB this is
+    * a log read, not a table read. The registered entry reads at the
+    * mid-history version vmax/2 (derived from the inventory itself, one
+    * metadata-cheap action — the oracle replicates it as a scalar
+    * subquery); `v` is the time-travel dial, spec-pinned against a brute
+    * force at EVERY version and to degenerate to k13's live class at
+    * v = vmax.
+    */
+  def k14TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val inv = fileInventory(s, dir)
+    val vmaxRow = inv.agg(max(coalesce(col("remove_v"), col("add_v")))).first()
+    require(!vmaxRow.isNullAt(0),
+      "time travel needs a non-empty file inventory (documents table is empty)")
+    readAsOf(inv, vmaxRow.getLong(0) / 2)
+  }
+
+  def k14TimeTravel(s: SparkSession, dir: String, v: Long): DataFrame = {
+    require(v >= 0, s"version must be non-negative, got $v")
+    readAsOf(fileInventory(s, dir), v)
+  }
+
+  private def readAsOf(inv: DataFrame, v: Long): DataFrame =
+    inv.filter(col("add_v") <= v &&
+        (col("remove_v").isNull || col("remove_v") > v))
+      .select(col("lang"), col("source"), col("bytes"),
+        col("add_v"), col("remove_v"))
+      .orderBy("lang", "source")
+
+  val k14Sql: String = {
+    val md5num = (1 to 15).map { k =>
+      val mult = 1L << (4 * (15 - k))
+      s"(strpos('0123456789abcdef', substr(md5(source),$k,1))-1) * $mult"
+    }.mkString(" + ")
+    s"""WITH f AS (SELECT lang, source, SUM(n_chars)::BIGINT AS bytes,
+       |         COUNT(*)::BIGINT AS n_docs
+       |       FROM documents GROUP BY lang, source),
+       |v AS (SELECT lang, source, bytes, n_docs, ($md5num) % 8 AS add_v
+       |      FROM f),
+       |l AS (SELECT lang, source, bytes, add_v,
+       |        CASE WHEN n_docs % 3 != 0 THEN add_v + 1 + bytes % 4 END AS remove_v
+       |      FROM v),
+       |m AS (SELECT MAX(COALESCE(remove_v, add_v)) // 2 AS rv FROM l)
+       |SELECT lang, source, bytes, add_v, remove_v
+       |FROM l CROSS JOIN m
+       |WHERE add_v <= rv AND (remove_v IS NULL OR remove_v > rv)
+       |ORDER BY lang, source""".stripMargin
   }
 
   val k13Sql: String = {
@@ -1297,6 +1360,7 @@ object RelationalQueries {
     "k11_compaction_plan" -> (k11CompactionPlan _),
     "k12_zorder_layout" -> (k12ZorderLayout _),
     "k13_vacuum_plan" -> (k13VacuumPlan _),
+    "k14_time_travel" -> ((ss: SparkSession, d: String) => k14TimeTravel(ss, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1345,5 +1409,6 @@ object RelationalQueries {
     "k11_compaction_plan" -> k11Sql,
     "k12_zorder_layout" -> k12Sql,
     "k13_vacuum_plan" -> k13Sql,
+    "k14_time_travel" -> k14Sql,
   )
 }

@@ -1450,6 +1450,36 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(got.map(_._1).distinct.size > 1, "single shard — fixture degenerate")
   }
 
+  test("x29 gram spectrum matches a driver brute force; buckets nest under the cap dial") {
+    def md5lane(s0: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 15), 16)
+    val counts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0)).toSeq
+      .flatMap { t0 =>
+        val w = t0.split(" ", -1)
+        if (w.length < 2) Seq.empty
+        else (0 until w.length - 1).map(i => md5lane(w(i) + " " + w(i + 1)))
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong).values.toSeq
+    def bruteSpec(cap: Int) = counts.groupBy(c => math.min(c, cap + 1L)).toSeq
+      .sortBy(_._1).map { case (cb, cs) => (cb, cs.size.toLong, cs.sum) }
+    def run(cap: Int) = PipelineQueries.x29GramSpectrum(spark, sf, cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = run(16)
+    assert(got == bruteSpec(16))
+    // spectrum identity: occurrences across buckets total the corpus grams
+    assert(got.map(_._3).sum == counts.sum)
+    // singletons exist (Good-Turing's N1 is the interesting row)
+    assert(got.exists(r => r._1 == 1L && r._2 > 0), "no singleton bucket")
+    // cap nesting: a smaller cap only folds the tail
+    val small = run(3)
+    assert(small.filter(_._1 <= 3L) == got.filter(_._1 <= 3L))
+    assert(small.filter(_._1 == 4L).map(_._3).sum ==
+      got.filter(_._1 >= 4L).map(_._3).sum)
+  }
+
   test("x27 batch-perceptron trajectory matches an independent driver replay") {
     // Independent reference: explicit loops over MessageDigest-hashed
     // count vectors — no shared code with the engine's array-expression

@@ -314,6 +314,48 @@ class RelationalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("k14 as-of read matches brute force at every version; vmax equals k13's live set") {
+    val inv = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("lang", "source")
+      .agg(org.apache.spark.sql.functions.sum("n_chars").as("bytes"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_docs"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    def md5v(s0: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 8
+    }
+    val log = inv.map { case (lang, src, bytes, nDocs) =>
+      val addV = md5v(src)
+      val remV = if (nDocs % 3 != 0) Some(addV + 1 + bytes % 4) else None
+      (lang, src, bytes, addV, remV)
+    }
+    val vmax = log.map { case (_, _, _, a, r) => r.getOrElse(a) }.max
+    def bruteAt(v: Long) = log
+      .filter { case (_, _, _, a, r) => a <= v && r.forall(_ > v) }
+      .sortBy(t => (t._1, t._2)).toSeq
+    def runAt(v: Long) = RelationalQueries.k14TimeTravel(spark, sf, v).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    (0L to vmax).foreach { v =>
+      assert(runAt(v) == bruteAt(v), s"as-of read diverged at version $v")
+    }
+    // history is non-trivial: the snapshot actually changes across versions
+    assert((0L to vmax).map(bruteAt(_).map(_._2).toSet).distinct.size > 1)
+    // the registered entry is the mid-history read
+    val reg = RelationalQueries.k14TimeTravel(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    assert(reg == bruteAt(vmax / 2))
+    // at vmax the as-of read is exactly k13's 'live' class
+    val live = RelationalQueries.k13VacuumPlan(spark, sf).collect()
+      .filter(_.getString(5) == "live")
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(runAt(vmax).map(t => (t._1, t._2)).toSet == live)
+  }
+
   test("k13 vacuum plan matches brute force; deletable set shrinks as retention rises") {
     val inv = spark.read.parquet(s"$sf/documents.parquet")
       .groupBy("lang", "source")
