@@ -1196,6 +1196,56 @@ object PipelineQueries {
        |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM p)
        |SELECT query_id, neighbor_id, rnk, cos FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
 
+  // ------------------------------------- SIM8: cosine RANGE search (≥ τ)
+
+  /** Default sim8 threshold: cos ≥ 0.3 (300000 ppm). */
+  private[graft] val Sim8TauPpm = 300000L
+
+  def sim8RangeSearch(s: SparkSession, dir: String): DataFrame =
+    sim8RangeSearch(s, dir, Sim8TauPpm)
+
+  /** Cosine RANGE search — sim1's sibling with the OTHER retrieval
+    * contract: not "the k nearest" but "every neighbor at least τ similar",
+    * which is what threshold-driven consumers actually ask for (d9's
+    * SemDeDup pairing, near-dup graph construction for d6, RAG retrieval
+    * floors). Result size is data-dependent by design; the threshold, not
+    * k, bounds it.
+    *
+    * Scale shape: identical to sim1's exact baseline — the 10-row query
+    * side broadcasts, the corpus streams through the narrow dot + filter
+    * and NEVER shuffles for the join; the range filter runs before the
+    * output sort, so the only exchange carries result rows (output-sized,
+    * threshold-bounded). The thresholded-candidate scale path at 100 TB is
+    * the same cell/band pruning sim3/sim2 demonstrate, composed with this
+    * exact residual predicate — exactly how d9 bounds its pair join.
+    * `tauPpm` is the recall dial: results NEST as τ rises (spec-pinned
+    * subset monotonicity). Comparison happens on the 6-decimal-rounded
+    * cos, the repo-wide float-compare rule, so the oracle is exact.
+    */
+  def sim8RangeSearch(s: SparkSession, dir: String, tauPpm: Long): DataFrame = {
+    require(tauPpm >= -1000000L && tauPpm <= 1000000L,
+      s"tauPpm must be a cosine in ppm (-1e6..1e6), got $tauPpm")
+    val all = embVec(s, dir)
+    val q = broadcast(all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")))
+    q.crossJoin(all.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("nrm").as("cn")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(dotCol("qv", "cv") / (col("qn") * col("cn")), 6))
+      .filter(col("cos") >= lit(tauPpm.toDouble / 1e6))
+      .select("query_id", "neighbor_id", "cos")
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  val sim8Sql: String =
+    s"""WITH $embSqlCte,
+       |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |        round(${dotSql("q.v", "c.v")} / (q.nrm * c.nrm), 6) AS cos
+       |      FROM n q JOIN n c ON q.vec_id != c.vec_id WHERE q.vec_id < 10)
+       |SELECT query_id, neighbor_id, cos FROM p
+       |WHERE cos >= ${Sim8TauPpm.toDouble / 1e6}
+       |ORDER BY query_id, neighbor_id""".stripMargin
+
   // --------------------------------------------- SIM2: LSH-bucketed ANN
 
   /** Fixed random hyperplanes, shared between the Spark plan and the oracle
@@ -4842,6 +4892,7 @@ object PipelineQueries {
     "sim5_pq_ann" -> (sim5PqAnn _),
     "sim6_ivfpq" -> (sim6IvfPq _),
     "sim7_incremental_ann" -> (sim7IncrementalAnn _),
+    "sim8_range_search" -> ((s: SparkSession, dir: String) => sim8RangeSearch(s, dir)),
     "x1_langid" -> (x1Langid _),
     "x2_quality" -> (x2Quality _),
     "x3_token_stats" -> (x3TokenStats _),
@@ -4911,6 +4962,7 @@ object PipelineQueries {
     "sim5_pq_ann" -> sim5Sql,
     "sim6_ivfpq" -> sim6Sql,
     "sim7_incremental_ann" -> sim7Sql,
+    "sim8_range_search" -> sim8Sql,
     "x1_langid" -> x1Sql,
     "x2_quality" -> x2Sql,
     "x3_token_stats" -> x3Sql,

@@ -1450,6 +1450,31 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(got.map(_._1).distinct.size > 1, "single shard — fixture degenerate")
   }
 
+  test("sim8 range search matches brute force; results nest as tau rises") {
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val norms = embs.map { case (id, v) => id -> math.sqrt(v.map(x => x * x).sum) }.toMap
+    def brutePairs(tau: Double) = (for {
+      (qi, qv) <- embs if qi < 10
+      (ci, cv) <- embs if ci != qi
+      cos = BigDecimal(qv.indices.map(i => qv(i) * cv(i)).sum / (norms(qi) * norms(ci)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if cos >= tau
+    } yield (qi, ci)).toSet
+    def run(tauPpm: Long) = PipelineQueries.sim8RangeSearch(spark, sf, tauPpm)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val at300 = run(300000L)
+    assert(at300 == brutePairs(0.3))
+    assert(at300.nonEmpty, "no pairs at the default tau — fixture degenerate")
+    // threshold nesting: raising tau only removes pairs
+    val at200 = run(200000L)
+    assert(at300.subsetOf(at200) && at200 != at300)
+    assert(run(350000L).subsetOf(at300))
+    // tau = -1 degenerates to every (query, neighbor) pair
+    assert(run(-1000000L).size == 10 * (embs.length - 1))
+  }
+
   test("x29 gram spectrum matches a driver brute force; buckets nest under the cap dial") {
     def md5lane(s0: String): Long = java.lang.Long.parseLong(
       java.security.MessageDigest.getInstance("MD5")
