@@ -3560,8 +3560,13 @@ object PipelineQueries {
     * tokenizer/shard/packing change propagates here by construction.
     */
   def pipe3Export(s: SparkSession, dir: String): DataFrame = {
+    // the tokenized table is consumed twice (the shard-count action and
+    // the export plan) — materialize the one narrow encode pass instead of
+    // running the replace chain twice; rows are (doc_id, n_tokens), no
+    // wider than what the shard exchange ships anyway
     val enc = encodeWithMerges(t(s, dir, "documents"), X19Merges)
       .select(col("doc_id"), col("n_tokens"))
+      .localCheckpoint()
     // x16's corpus-derived shard count, over the rows actually exported
     val nShards = math.max(1L, enc.count() / X16RowsPerShard)
     val key = md5(concat(lit("epoch-0"), lit(":"), col("doc_id").cast("string")))

@@ -27,6 +27,13 @@ final case class StreamVec(vec_id: Long, v: Array[Double], nrm: Double)
   */
 final case class ChangeRow(k: Long, op: String, new_status: String)
 
+/** A document arriving with text AND source attribution — the composed
+  * curation ingest's input shape (normalize/quality need the text, quota
+  * needs the source).
+  */
+final case class IngestDoc(doc_id: Long, ts: Timestamp, text: String,
+    source: String)
+
 /** One bucket of a CLOSED hour window's drift report (the x24 twin). */
 final case class DriftRow(window_start_us: Long, b: Int, cnt: Long,
     cand_ppm: Long, ref_ppm: Long, tv_contrib_ppm: Long)
@@ -137,23 +144,27 @@ object StreamingOps {
     * stream length costs nothing. When the eval set outgrows a broadcast
     * set, swap in a bloom filter the same way d7's scale note describes.
     */
+  /** THE single per-document contamination rule — distinct 4-gram overlap
+    * with the hashed eval set — shared by [[screenContamination]] and the
+    * composed [[curateIngest]] so the two screens cannot drift.
+    */
+  private[graft] def sharedGramCount(text: String, evalSet: Set[String]): Long = {
+    val w = text.split(" ", -1)
+    if (w.length < 4) 0L
+    else (0 to w.length - 4).iterator
+      .map(i => w.slice(i, i + 4).mkString(" "))
+      .toSet[String]
+      .count(g => evalSet.contains(graft.functions.Hashing.md5Hex16(g)))
+      .toLong
+  }
+
   def screenContamination(docs: Dataset[StreamDoc], evalGrams: DataFrame): Dataset[(Long, Timestamp, String, Long)] = {
     import docs.sparkSession.implicits._
     val bc = docs.sparkSession.sparkContext.broadcast(
       evalGrams.select("gh").collect().map(_.getString(0)).toSet)
     docs.mapPartitions { it =>
       val set = bc.value
-      it.map { d =>
-        val w = d.text.split(" ", -1)
-        val shared =
-          if (w.length < 4) 0L
-          else (0 to w.length - 4).iterator
-            .map(i => w.slice(i, i + 4).mkString(" "))
-            .toSet[String]
-            .count(g => set.contains(graft.functions.Hashing.md5Hex16(g)))
-            .toLong
-        (d.doc_id, d.ts, d.text, shared)
-      }
+      it.map(d => (d.doc_id, d.ts, d.text, sharedGramCount(d.text, set)))
     }.toDF("doc_id", "ts", "text", "n_shared").as[(Long, Timestamp, String, Long)]
   }
 
@@ -324,6 +335,41 @@ object StreamingOps {
       .withColumn("was_dirty", (col("text") =!= col("norm_text")).cast("int"))
       .drop("text")
       .withColumnRenamed("norm_text", "text")
+
+  /** Composed streaming CURATION — pipe1's ingest twin, and the
+    * composition the individual twins exist for: ONE streaming query
+    * wiring normalize (x26's rule — canonicalize before anything hashes)
+    * → x20 quality gate (the shared [[graft.queries.PipelineQueries
+    * .scoreQuality]] core with pipe2's exact inline threshold) → d7
+    * decontamination screen (broadcast eval-gram membership via the shared
+    * [[sharedGramCount]] rule) → x22 per-source quota admission. No
+    * foreachBatch: the first three gates are stateless narrow transforms,
+    * so the whole pipeline is a single streaming plan whose ONLY state is
+    * the quota's one counter per source — bounded by the source dimension
+    * no matter how long the stream runs. Gate order mirrors pipe1's
+    * precedence, and matters for the stateful tail: a document must clear
+    * quality and contamination BEFORE it can consume quota, so rejected
+    * garbage never starves a source's budget. Every gate is a pure
+    * function of (row, static artifacts) and admission is a pure function
+    * of (state, batch) — replayed micro-batches admit identically.
+    */
+  def curateIngest(docs: DataFrame, evalGrams: DataFrame, cap: Int): Dataset[Admission] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(
+      evalGrams.select("gh").collect().map(_.getString(0)).toSet)
+    val kept = graft.queries.PipelineQueries.scoreQuality(normalizeStream(docs))
+      .filter(expr("sum_w div cast(size(w) as bigint)") >= 500000L)
+      .select(col("doc_id"), col("ts"), col("text"), col("source"))
+      .as[(Long, Timestamp, String, String)]
+    val clean = kept.mapPartitions { it =>
+      val set = bc.value
+      it.collect { case (id, ts0, text, src) if sharedGramCount(text, set) == 0L =>
+        SourcedDoc(id, ts0, src)
+      }
+    }
+    sourceQuotaStream(clean, cap)
+  }
 
   /** Streaming per-source quota — the ingest-time twin of the batch
     * `x22_source_cap` anti-domination rule: admit at most `cap` documents

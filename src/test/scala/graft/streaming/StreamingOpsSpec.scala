@@ -688,6 +688,53 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("composed curation ingest: every gate fires and only the quota holds state") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.Hashing
+    def weight(tok: String): Long = graft.queries.PipelineQueries
+      .X20Weights((Hashing.md5Lane60(tok) % 64).toInt)
+    val toks = (0 until 200).map(i => s"tok$i")
+    val hi = toks.filter(t => weight(t) >= 500000L)
+    val lo = toks.filter(t => weight(t) < 500000L)
+    assert(hi.size >= 6 && lo.nonEmpty, "token pool cannot exercise the gate")
+    // passes the gate only AFTER lowercasing — admitting it proves the
+    // normalizer runs before the scorer
+    val caseTok = toks.find(t =>
+      weight(t) >= 500000L && weight(t.toUpperCase) < 500000L).get
+    val gram = s"${hi(2)} ${hi(3)} ${hi(4)} ${hi(5)}"
+    val evalGrams = Seq(Hashing.md5Hex16(gram)).toDF("gh")
+    val in = MemoryStream[IngestDoc]
+    val q = StreamingOps.curateIngest(in.toDF(), evalGrams, cap = 2)
+      .writeStream.format("memory").queryName("curated")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        IngestDoc(1, ts(0), s"${hi(0)} ${hi(0)} ${hi(0)} ${hi(0)}", "s1"),
+        IngestDoc(2, ts(1), s"  ${caseTok.toUpperCase}  ${caseTok.toUpperCase} !!", "s1"),
+        IngestDoc(3, ts(2), s"${lo.head} ${lo.head} ${lo.head} ${lo.head}", "s1"),
+        IngestDoc(4, ts(3), gram, "s1"),
+        IngestDoc(5, ts(4), s"${hi(1)} ${hi(1)} ${hi(1)} ${hi(1)}", "s1"))
+      q.processAllAvailable()
+      def rows = spark.table("curated").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+          r.getAs[Long]("admitted_rank"))).toSet
+      // 1 admitted; 2 admitted ONLY because normalization ran first;
+      // 3 quality-rejected; 4 contamination-rejected; 5 quota-rejected
+      assert(rows == Set((1L, "s1", 1L), (2L, "s1", 2L)), s"got $rows")
+      // a second batch: another source has its own budget, s1 stays capped
+      in.addData(
+        IngestDoc(6, ts(5), s"${hi(0)} ${hi(0)} ${hi(0)} ${hi(0)}", "s2"),
+        IngestDoc(7, ts(6), s"${hi(1)} ${hi(1)} ${hi(1)} ${hi(1)}", "s1"))
+      q.processAllAvailable()
+      assert(rows == Set((1L, "s1", 1L), (2L, "s1", 2L), (6L, "s2", 1L)), s"got $rows")
+      // the composed plan's only state is the quota stage
+      val prog = q.lastProgress
+      assert(prog != null && prog.stateOperators.length == 1,
+        "expected exactly the quota's state operator")
+    } finally q.stop()
+  }
+
   test("streaming audio features equal the batch core frame-for-frame, statelessly") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
