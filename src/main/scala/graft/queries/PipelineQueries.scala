@@ -4664,6 +4664,93 @@ object PipelineQueries {
        |  SUM(c)::BIGINT AS n_occ
        |FROM m GROUP BY 1 ORDER BY cb""".stripMargin
 
+  // ------------- X31: seeded span corruption (denoising-objective prep)
+
+  /** x31 defaults: 4-token mask units, 150000 ppm target mask rate. */
+  private[graft] val X31Block = 4
+  private[graft] val X31RatePpm = 150000L
+
+  def x31SpanCorrupt(s: SparkSession, dir: String): DataFrame =
+    x31SpanCorrupt(s, dir, X31Block, X31RatePpm)
+
+  /** Seeded SPAN CORRUPTION — the denoising-objective preparation step
+    * (T5's span corruption, UL2's denoisers, BERT's masking all consume
+    * this shape): each document's tokens are partitioned into
+    * [[X31Block]]-token units (x25's disjoint grid arithmetic), each unit
+    * is masked iff its seeded 60-bit md5 lane falls under the rate
+    * threshold — deterministic, so the SAME corpus always yields the SAME
+    * (inputs, labels) pair and an epoch is reproducible by construction —
+    * and the output is the standard sentinel pair: `corrupted` with each
+    * masked span replaced by `<extra_id_k>`, `targets` holding the spans
+    * behind their sentinels. The pair is LOSSLESS: splicing targets back
+    * into corrupted reproduces the document exactly (spec-pinned), which
+    * is what makes it a training objective rather than a redaction.
+    *
+    * Scale shape: ONE row-local pass — the mask draw, sentinel numbering,
+    * and both strings build inside a single `aggregate` over the block
+    * sequence, zero joins, zero exchanges before the output sort; a 100 TB
+    * corpus streams through map tasks at scan speed (x19b's discipline).
+    * `ratePpm` is a spec-pinned NESTING dial — the mask set is monotone in
+    * the rate because every unit compares the SAME lane draw to the
+    * threshold (CCS-style coupled sampling); `block` trades span length
+    * against span count at fixed rate (a redraw, so no nesting is claimed).
+    */
+  def x31SpanCorrupt(s: SparkSession, dir: String, block: Int, ratePpm: Long): DataFrame = {
+    require(block >= 1, s"block must be positive, got $block")
+    require(ratePpm >= 0 && ratePpm <= 1000000L,
+      s"ratePpm must be in 0..1e6, got $ratePpm")
+    val lane = "cast(conv(substring(md5(concat(cast(doc_id as string), ':', " +
+      "cast(b as string))), 1, 15), 16, 10) as bigint)"
+    t(s, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("acc", expr(
+        s"""aggregate(
+           |  sequence(0, cast((size(w) - 1) div $block as int)),
+           |  struct(cast(array() as array<string>) AS cp,
+           |         cast(array() as array<string>) AS tg, 0 AS k, 0L AS nm),
+           |  (a, b) -> CASE
+           |    WHEN $lane % 1000000L < ${ratePpm}L THEN struct(
+           |      array_append(a.cp,
+           |        concat('<extra_id_', cast(a.k as string), '>')) AS cp,
+           |      array_append(a.tg, concat('<extra_id_', cast(a.k as string), '> ',
+           |        array_join(slice(w, b * $block + 1, $block), ' '))) AS tg,
+           |      a.k + 1 AS k,
+           |      a.nm + size(slice(w, b * $block + 1, $block)) AS nm)
+           |    ELSE struct(
+           |      array_append(a.cp, array_join(slice(w, b * $block + 1, $block), ' ')) AS cp,
+           |      a.tg AS tg, a.k AS k, a.nm AS nm) END)""".stripMargin))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        expr("acc.nm").as("n_masked"),
+        expr("array_join(acc.cp, ' ')").as("corrupted"),
+        expr("array_join(acc.tg, ' ')").as("targets"))
+      .orderBy("doc_id")
+  }
+
+  val x31Sql: String = {
+    val lane = md5HexSql("doc_id::VARCHAR || ':' || b::VARCHAR", 15)
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |bl AS (SELECT doc_id, w, unnest(range((len(w) - 1) // $X31Block + 1)) AS b
+       |       FROM w),
+       |m AS (SELECT doc_id, b,
+       |        array_to_string(w[b * $X31Block + 1 : b * $X31Block + $X31Block], ' ') AS bt,
+       |        len(w[b * $X31Block + 1 : b * $X31Block + $X31Block]) AS bn,
+       |        CASE WHEN ($lane) % 1000000 < $X31RatePpm THEN 1 ELSE 0 END AS msk
+       |      FROM bl),
+       |k AS (SELECT doc_id, b, bt, bn, msk,
+       |        CASE WHEN msk = 1 THEN ROW_NUMBER() OVER (
+       |          PARTITION BY doc_id, msk ORDER BY b) - 1 END AS sk
+       |      FROM m)
+       |SELECT doc_id,
+       |  SUM(bn)::BIGINT AS n_tokens,
+       |  COALESCE(SUM(CASE WHEN msk = 1 THEN bn END), 0)::BIGINT AS n_masked,
+       |  string_agg(CASE WHEN msk = 1 THEN '<extra_id_' || sk || '>' ELSE bt END,
+       |    ' ' ORDER BY b) AS corrupted,
+       |  COALESCE(string_agg(CASE WHEN msk = 1
+       |    THEN '<extra_id_' || sk || '> ' || bt END, ' ' ORDER BY b), '') AS targets
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------- X23: blocked inverted-index construction (postings)
 
   /** Documents per posting block — the row-width bound: a posting-list row
@@ -4887,6 +4974,7 @@ object PipelineQueries {
     "x27_train_classifier" -> ((s: SparkSession, dir: String) => x27TrainClassifier(s, dir)),
     "x28_oov_audit" -> (x28OovAudit _),
     "x29_gram_spectrum" -> ((s: SparkSession, dir: String) => x29GramSpectrum(s, dir)),
+    "x31_span_corrupt" -> ((s: SparkSession, dir: String) => x31SpanCorrupt(s, dir)),
     "d9_sem_dedup" -> (d9SemDedup _),
     "d10_incremental_dedup" -> (d10IncrementalDedup _),
     "sim1_cosine_topk" -> (sim1CosineTopk _),
@@ -4957,6 +5045,7 @@ object PipelineQueries {
     "x27_train_classifier" -> x27Sql,
     "x28_oov_audit" -> x28Sql,
     "x29_gram_spectrum" -> x29Sql,
+    "x31_span_corrupt" -> x31Sql,
     "d9_sem_dedup" -> d9Sql,
     "d10_incremental_dedup" -> d10Sql,
     "sim1_cosine_topk" -> sim1Sql,

@@ -1475,6 +1475,60 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(run(-1000000L).size == 10 * (embs.length - 1))
   }
 
+  test("x31 span corruption is lossless, matches brute force, and masks nest in the rate") {
+    import graft.functions.Hashing
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    def brute(block: Int, ratePpm: Long) = docs.map { case (id, text) =>
+      val w = text.split(" ", -1)
+      val nb = (w.length - 1) / block + 1
+      var k = 0; var nm = 0L
+      val cp = Seq.newBuilder[String]; val tg = Seq.newBuilder[String]
+      for (b <- 0 until nb) {
+        val bt = w.slice(b * block, (b + 1) * block)
+        if (Hashing.md5Lane60(s"$id:$b") % 1000000L < ratePpm) {
+          cp += s"<extra_id_$k>"; tg += s"<extra_id_$k> ${bt.mkString(" ")}"
+          k += 1; nm += bt.length
+        } else cp += bt.mkString(" ")
+      }
+      (id, w.length.toLong, nm, cp.result().mkString(" "), tg.result().mkString(" "))
+    }
+    def run(block: Int, ratePpm: Long) =
+      PipelineQueries.x31SpanCorrupt(spark, sf, block, ratePpm).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getString(4))).toSeq
+    val got = run(4, 150000L)
+    assert(got == brute(4, 150000L))
+    // the objective pair is LOSSLESS: splicing targets back reproduces the doc
+    val sentinel = "^<extra_id_\\d+>$".r
+    for (((id, text), (gid, _, _, corrupted, targets)) <- docs.zip(got)) {
+      assert(id == gid)
+      val spans = scala.collection.mutable.Map.empty[String, Vector[String]]
+      var cur: String = null
+      targets.split(" ", -1).foreach { tk =>
+        if (sentinel.findFirstIn(tk).isDefined) { cur = tk; spans(cur) = Vector() }
+        else if (cur != null) spans(cur) :+= tk
+      }
+      val rebuilt = corrupted.split(" ", -1).toIndexedSeq.flatMap { tk =>
+        if (sentinel.findFirstIn(tk).isDefined) spans(tk) else Vector(tk)
+      }
+      assert(rebuilt == text.split(" ", -1).toIndexedSeq, s"doc $id splice differs")
+    }
+    // the draw is real: some docs masked, some untouched, global rate sane
+    val masked = got.map(_._3).sum; val total = got.map(_._2).sum
+    assert(got.exists(_._3 > 0) && got.exists(_._3 == 0))
+    assert(masked * 1000000L / total > 50000L && masked * 1000000L / total < 400000L,
+      s"global mask rate ${masked * 1000000L / total} ppm implausible")
+    // coupled-sampling rate nesting: a lower rate masks a SUBSET of blocks
+    def maskedSet(rows: Seq[(Long, Long, Long, String, String)]) =
+      rows.flatMap(r => "<extra_id_\\d+>".r.findAllIn(r._4).map(s0 => (r._1, s0)).toSeq).toSet
+    val lo = run(4, 50000L); val hi = run(4, 400000L)
+    assert(lo.map(_._3).sum < got.map(_._3).sum && got.map(_._3).sum < hi.map(_._3).sum)
+    lo.zip(got).foreach { case (l, g) => assert(l._3 <= g._3) }
+    got.zip(hi).foreach { case (g, h) => assert(g._3 <= h._3) }
+  }
+
   test("x29 gram spectrum matches a driver brute force; buckets nest under the cap dial") {
     def md5lane(s0: String): Long = java.lang.Long.parseLong(
       java.security.MessageDigest.getInstance("MD5")
