@@ -4695,13 +4695,27 @@ object PipelineQueries {
     * threshold (CCS-style coupled sampling); `block` trades span length
     * against span count at fixed rate (a redraw, so no nesting is claimed).
     */
-  def x31SpanCorrupt(s: SparkSession, dir: String, block: Int, ratePpm: Long): DataFrame = {
+  def x31SpanCorrupt(s: SparkSession, dir: String, block: Int, ratePpm: Long): DataFrame =
+    corruptSpans(t(s, dir, "documents").select("doc_id", "text"), block, ratePpm)
+      .select("doc_id", "n_tokens", "n_masked", "corrupted", "targets")
+      .orderBy("doc_id")
+
+  /** THE single definition of the span-corruption pass — adds n_tokens /
+    * n_masked / corrupted / targets to any frame with (doc_id, text),
+    * preserving every other column, and drops the raw text. The seed is
+    * (doc_id, block ordinal), so batch and streaming corrupt a document
+    * identically — shared by [[x31SpanCorrupt]] and the streaming ingest
+    * twin ([[graft.streaming.StreamingOps.corruptStream]]). A stateless
+    * narrow projection, so it applies to bounded and unbounded sources
+    * alike.
+    */
+  private[graft] def corruptSpans(docs: DataFrame, block: Int, ratePpm: Long): DataFrame = {
     require(block >= 1, s"block must be positive, got $block")
     require(ratePpm >= 0 && ratePpm <= 1000000L,
       s"ratePpm must be in 0..1e6, got $ratePpm")
     val lane = "cast(conv(substring(md5(concat(cast(doc_id as string), ':', " +
       "cast(b as string))), 1, 15), 16, 10) as bigint)"
-    t(s, dir, "documents")
+    docs
       .withColumn("w", split(col("text"), " "))
       .withColumn("acc", expr(
         s"""aggregate(
@@ -4719,12 +4733,11 @@ object PipelineQueries {
            |    ELSE struct(
            |      array_append(a.cp, array_join(slice(w, b * $block + 1, $block), ' ')) AS cp,
            |      a.tg AS tg, a.k AS k, a.nm AS nm) END)""".stripMargin))
-      .select(col("doc_id"),
-        size(col("w")).cast("long").as("n_tokens"),
-        expr("acc.nm").as("n_masked"),
-        expr("array_join(acc.cp, ' ')").as("corrupted"),
-        expr("array_join(acc.tg, ' ')").as("targets"))
-      .orderBy("doc_id")
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .withColumn("n_masked", expr("acc.nm"))
+      .withColumn("corrupted", expr("array_join(acc.cp, ' ')"))
+      .withColumn("targets", expr("array_join(acc.tg, ' ')"))
+      .drop("w", "acc", "text")
   }
 
   val x31Sql: String = {

@@ -336,6 +336,19 @@ object StreamingOps {
       .drop("text")
       .withColumnRenamed("norm_text", "text")
 
+  /** Streaming span corruption — the ingest-time twin of the batch
+    * `x31_span_corrupt` denoising-objective prep: arriving documents run
+    * the SAME [[graft.queries.PipelineQueries.corruptSpans]] core (seeded
+    * by (doc_id, block ordinal), so a document corrupts identically in
+    * batch and on the stream — the reproducible-epoch property survives
+    * ingest). Stateless narrow projection per micro-batch: no watermark,
+    * no state store, replayed batches emit identical pairs.
+    */
+  def corruptStream(docs: DataFrame): DataFrame =
+    graft.queries.PipelineQueries.corruptSpans(docs,
+      graft.queries.PipelineQueries.X31Block,
+      graft.queries.PipelineQueries.X31RatePpm)
+
   /** Composed streaming CURATION — pipe1's ingest twin, and the
     * composition the individual twins exist for: ONE streaming query
     * wiring normalize (x26's rule — canonicalize before anything hashes)

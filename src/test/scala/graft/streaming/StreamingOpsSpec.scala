@@ -688,6 +688,32 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming span corruption equals the batch core doc-for-doc, statelessly") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[StreamDoc]
+    val q = StreamingOps.corruptStream(in.toDF())
+      .writeStream.format("memory").queryName("corrupted")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val docs = (1L to 40L).map(i => i -> s"w${i} a b c d e f g h i j k l m ${i}x")
+      in.addData(docs.map { case (id, t0) => StreamDoc(id, ts(0), t0) }: _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"), r.getAs[Long]("n_masked"),
+          r.getAs[String]("corrupted"), r.getAs[String]("targets"))
+      val got = spark.table("corrupted").collect().map(key).toSet
+      val batch = graft.queries.PipelineQueries.corruptSpans(
+        docs.toDF("doc_id", "text"), 4, 150000L).collect().map(key).toSet
+      assert(got == batch)
+      // the draw fires on this fixture and the twin carries no state
+      assert(got.exists(_._3 > 0))
+      val prog = q.lastProgress
+      assert(prog == null || prog.stateOperators.isEmpty,
+        "corruption twin must not carry streaming state")
+    } finally q.stop()
+  }
+
   test("composed curation ingest: every gate fires and only the quota holds state") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
