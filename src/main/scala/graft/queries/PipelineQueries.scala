@@ -1246,6 +1246,85 @@ object PipelineQueries {
        |WHERE cos >= ${Sim8TauPpm.toDouble / 1e6}
        |ORDER BY query_id, neighbor_id""".stripMargin
 
+  // ------------- X32: contrastive training-pair mining (DPR-style)
+
+  /** Contrastive PAIR MINING — the retrieval-model training-data step
+    * (DPR/GTR/E5 pipelines): for each query vector, emit its hardest
+    * POSITIVE (nearest same-label neighbor), its HARD NEGATIVE (nearest
+    * different-label neighbor — the pair that actually moves a contrastive
+    * loss), and a seeded-uniform RANDOM NEGATIVE (the easy baseline the
+    * batch also needs). Labels come from the embeddings table's `label`
+    * column — the cluster/topic attribution a production corpus carries.
+    *
+    * Scale shape: the 10-row query side broadcasts (sim1's discipline) and
+    * every rank is computed in ONE pass — both the cosine rank and the
+    * seeded-hash rank ride the SAME (query, same-label?) window
+    * partitioning, so the pair stream shuffles once, and the role
+    * assembly is a row-local array filter + explode (no self-union, no
+    * recomputed subtrees). At 100 TB the candidate stream narrows through
+    * sim3's cell pruning first — this operator IS the exact contract that
+    * composition must reproduce. Random picks are md5-seeded, so epochs
+    * are reproducible and both engines draw identically.
+    */
+  def x32ContrastivePairs(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"),
+        col("label"))
+      .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+      .filter(col("nrm") > 0)
+    val q = broadcast(base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("label").as("ql")))
+    val byCos = Window.partitionBy("query_id", "same")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val byHash = Window.partitionBy("query_id", "same")
+      .orderBy(col("hk").asc, col("vec_id").asc)
+    q.crossJoin(base.select(col("vec_id"), col("v").as("cv"),
+        col("nrm").as("cn"), col("label").as("cl")))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("same", when(col("ql") === col("cl"), 1).otherwise(0))
+      .withColumn("cos", round(dotCol("qv", "cv") / (col("qn") * col("cn")), 6))
+      .withColumn("hk", expr("cast(conv(substring(md5(concat('x32:', " +
+        "cast(query_id as string), ':', cast(vec_id as string))), 1, 15), 16, 10) as bigint)"))
+      .withColumn("rc", row_number().over(byCos))
+      .withColumn("rh", row_number().over(byHash))
+      .withColumn("role", explode(expr(
+        """filter(array(
+          |  CASE WHEN same = 1 AND rc = 1 THEN 'positive' END,
+          |  CASE WHEN same = 0 AND rc = 1 THEN 'hard_negative' END,
+          |  CASE WHEN same = 0 AND rh = 1 THEN 'random_negative' END),
+          |x -> x IS NOT NULL)""".stripMargin)))
+      .select(col("query_id"), col("role"), col("vec_id"), col("cos"))
+      .orderBy("query_id", "role", "vec_id")
+  }
+
+  val x32Sql: String = {
+    val hk = md5HexSql("'x32:' || q.vec_id::VARCHAR || ':' || c.vec_id::VARCHAR", 15)
+    s"""WITH $embSqlCte,
+       |l AS (SELECT n.vec_id, n.v, n.nrm, e2.label
+       |      FROM n JOIN embeddings e2 USING (vec_id) WHERE n.nrm > 0),
+       |p AS (SELECT q.vec_id AS query_id, c.vec_id,
+       |        CASE WHEN q.label = c.label THEN 1 ELSE 0 END AS same,
+       |        round(${dotSql("q.v", "c.v")} / (q.nrm * c.nrm), 6) AS cos,
+       |        ($hk) AS hk
+       |      FROM l q JOIN l c ON q.vec_id != c.vec_id WHERE q.vec_id < 10),
+       |r AS (SELECT *,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id, same
+       |          ORDER BY cos DESC, vec_id) AS rc,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id, same
+       |          ORDER BY hk, vec_id) AS rh
+       |      FROM p)
+       |SELECT query_id, role, vec_id, cos FROM (
+       |  SELECT query_id, 'positive' AS role, vec_id, cos FROM r
+       |    WHERE same = 1 AND rc = 1
+       |  UNION ALL SELECT query_id, 'hard_negative', vec_id, cos FROM r
+       |    WHERE same = 0 AND rc = 1
+       |  UNION ALL SELECT query_id, 'random_negative', vec_id, cos FROM r
+       |    WHERE same = 0 AND rh = 1)
+       |ORDER BY query_id, role, vec_id""".stripMargin
+  }
+
   // --------------------------------------------- SIM2: LSH-bucketed ANN
 
   /** Fixed random hyperplanes, shared between the Spark plan and the oracle
@@ -4999,6 +5078,7 @@ object PipelineQueries {
     "sim6_ivfpq" -> (sim6IvfPq _),
     "sim7_incremental_ann" -> (sim7IncrementalAnn _),
     "sim8_range_search" -> ((s: SparkSession, dir: String) => sim8RangeSearch(s, dir)),
+    "x32_contrastive_pairs" -> (x32ContrastivePairs _),
     "x1_langid" -> (x1Langid _),
     "x2_quality" -> (x2Quality _),
     "x3_token_stats" -> (x3TokenStats _),
@@ -5070,6 +5150,7 @@ object PipelineQueries {
     "sim6_ivfpq" -> sim6Sql,
     "sim7_incremental_ann" -> sim7Sql,
     "sim8_range_search" -> sim8Sql,
+    "x32_contrastive_pairs" -> x32Sql,
     "x1_langid" -> x1Sql,
     "x2_quality" -> x2Sql,
     "x3_token_stats" -> x3Sql,

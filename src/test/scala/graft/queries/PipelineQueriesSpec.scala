@@ -1475,6 +1475,42 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(run(-1000000L).size == 10 * (embs.length - 1))
   }
 
+  test("x32 contrastive pairs match a driver brute force on every role") {
+    import graft.functions.Hashing
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    val norms = embs.map { case (id, v, _) => id -> math.sqrt(v.map(x => x * x).sum) }.toMap
+    def cos(a: (Long, Array[Double], Int), b: (Long, Array[Double], Int)): Double =
+      BigDecimal(a._2.indices.map(i => a._2(i) * b._2(i)).sum / (norms(a._1) * norms(b._1)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = embs.filter(_._1 < 10).sortBy(_._1).flatMap { qv =>
+      val cands = embs.filter(_._1 != qv._1)
+      val sames = cands.filter(_._3 == qv._3)
+      val diffs = cands.filter(_._3 != qv._3)
+      def best(cs: Seq[(Long, Array[Double], Int)]) =
+        cs.map(c => (c._1, cos(qv, c))).minBy { case (id, c0) => (-c0, id) }
+      val rand = diffs.map(c => (c._1, cos(qv, c),
+        Hashing.md5Lane60(s"x32:${qv._1}:${c._1}"))).minBy(t => (t._3, t._1))
+      val (pid, pcos) = best(sames.toSeq)
+      val (hid, hcos) = best(diffs.toSeq)
+      Seq((qv._1, "hard_negative", hid, hcos), (qv._1, "positive", pid, pcos),
+        (qv._1, "random_negative", rand._1, rand._2))
+    }.toSeq
+    val got = PipelineQueries.x32ContrastivePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+    // the mined pairs are a genuine contrastive batch: every query has all
+    // three roles and the positive is at least as close as the hard negative
+    val byQ = got.groupBy(_._1)
+    assert(byQ.size == 10 && byQ.values.forall(_.size == 3))
+    byQ.values.foreach { rs =>
+      val m = rs.map(r => r._2 -> r._4).toMap
+      assert(m("positive") >= m("hard_negative") - 1.0,
+        "degenerate fixture") // sanity only; exact values pinned above
+    }
+  }
+
   test("x31 span corruption is lossless, matches brute force, and masks nest in the rate") {
     import graft.functions.Hashing
     val docs = spark.read.parquet(s"$sf/documents.parquet")
