@@ -43,7 +43,11 @@ object Audio {
     * the `data` chunk, little-endian throughout.
     */
   def synthWav(samples: Array[Short], sampleRate: Int = 8000): Array[Byte] = {
-    val info = "ISFTgraft   ".getBytes("US-ASCII") // LIST form 'INFO' payload
+    // LIST form 'INFO' with one conforming ISFT sub-chunk: id + le32 size
+    // + 8-byte payload (a parser that reads sub-chunk headers must see a
+    // real size field, not payload bytes)
+    val info = "ISFT".getBytes("US-ASCII") ++ le32(8) ++
+      "graft   ".getBytes("US-ASCII")
     val listBody = "INFO".getBytes("US-ASCII") ++ info
     val dataLen = samples.length * 2
     val riffLen = 4 + (8 + 16) + (8 + listBody.length) + (8 + dataLen)
@@ -98,6 +102,7 @@ object Audio {
           fmtOk = true
         case "data" =>
           if (!fmtOk) fail("data chunk before fmt")
+          if ((len & 1) != 0) fail(s"odd data length $len for 16-bit samples")
           val n = len / 2
           if (n > MaxSamples) fail(s"declares $n samples, over the $MaxSamples budget")
           val s = new Array[Short](n)

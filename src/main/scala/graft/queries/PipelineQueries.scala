@@ -1225,7 +1225,10 @@ object PipelineQueries {
   def sim8RangeSearch(s: SparkSession, dir: String, tauPpm: Long): DataFrame = {
     require(tauPpm >= -1000000L && tauPpm <= 1000000L,
       s"tauPpm must be a cosine in ppm (-1e6..1e6), got $tauPpm")
-    val all = embVec(s, dir)
+    // nrm > 0 guard (sim3/x32's discipline): a zero-norm vector's cosine is
+    // 0/0 — Spark NaN compares ABOVE any τ while the oracle's NULL drops,
+    // so unguarded zero vectors would emit garbage rows the oracle lacks
+    val all = embVec(s, dir).filter(col("nrm") > 0)
     val q = broadcast(all.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")))
     q.crossJoin(all.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
@@ -1241,7 +1244,8 @@ object PipelineQueries {
     s"""WITH $embSqlCte,
        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |        round(${dotSql("q.v", "c.v")} / (q.nrm * c.nrm), 6) AS cos
-       |      FROM n q JOIN n c ON q.vec_id != c.vec_id WHERE q.vec_id < 10)
+       |      FROM n q JOIN n c ON q.vec_id != c.vec_id
+       |      WHERE q.vec_id < 10 AND q.nrm > 0 AND c.nrm > 0)
        |SELECT query_id, neighbor_id, cos FROM p
        |WHERE cos >= ${Sim8TauPpm.toDouble / 1e6}
        |ORDER BY query_id, neighbor_id""".stripMargin
@@ -3260,11 +3264,10 @@ object PipelineQueries {
     import s.implicits._
     docs
       .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, text) =>
-          val hex = md.digest(text.getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString
-          val s1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+          // the shared 60-bit lane rule — one definition with the SQL
+          // oracle's conv(substring(md5,1,15),16,10), no hex detour
+          val s1 = graft.functions.Hashing.md5Lane60(text)
           val n = 200 + (s1 % 201).toInt
           val a = 3 + (s1 % 97)
           val b = s1 % 65536L

@@ -1216,17 +1216,25 @@ object RelationalQueries {
         expr("CASE WHEN n_docs % 3 != 0 THEN add_v + 1L + bytes % 4 END"))
       .localCheckpoint()
 
+  /** The inventory's current-version watermark — max version any file was
+    * touched at. ONE definition shared by k13 (retention cutoff) and k14
+    * (as-of default), so the two can never disagree on "now"; fails
+    * loudly on an empty inventory.
+    */
+  private def inventoryVmax(inv: DataFrame, who: String): Long = {
+    val row = inv.agg(max(coalesce(col("remove_v"), col("add_v")))).first()
+    require(!row.isNullAt(0),
+      s"$who needs a non-empty file inventory (documents table is empty)")
+    row.getLong(0)
+  }
+
   def k13VacuumPlan(s: SparkSession, dir: String, retain: Long): DataFrame = {
     require(retain >= 0, s"retain must be non-negative, got $retain")
     // the inventory is read twice (watermark action + returned plan) —
     // [[fileInventory]] materializes it once so "the planner never touches
     // data" stays true
     val files = fileInventory(s, dir)
-    val vmaxRow = files
-      .agg(max(coalesce(col("remove_v"), col("add_v")))).first()
-    require(!vmaxRow.isNullAt(0),
-      "vacuum planner needs a non-empty file inventory (documents table is empty)")
-    val vmax = vmaxRow.getLong(0)
+    val vmax = inventoryVmax(files, "vacuum planner")
     files
       .withColumn("status", expr(
         "CASE WHEN remove_v IS NULL THEN 'live' " +
@@ -1253,10 +1261,7 @@ object RelationalQueries {
     */
   def k14TimeTravel(s: SparkSession, dir: String): DataFrame = {
     val inv = fileInventory(s, dir)
-    val vmaxRow = inv.agg(max(coalesce(col("remove_v"), col("add_v")))).first()
-    require(!vmaxRow.isNullAt(0),
-      "time travel needs a non-empty file inventory (documents table is empty)")
-    readAsOf(inv, vmaxRow.getLong(0) / 2)
+    readAsOf(inv, inventoryVmax(inv, "time travel") / 2)
   }
 
   def k14TimeTravel(s: SparkSession, dir: String, v: Long): DataFrame = {

@@ -239,6 +239,18 @@ object StreamingOps {
     log.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.select("k", "op", "new_status").localCheckpoint()
+        // The merge rule is only defined for one NET op per key — a raw
+        // Debezium batch can hold I-then-D sequences for one key, and the
+        // row set alone carries no order to collapse them by, so applying
+        // it blind would resurrect deleted keys or duplicate inserted
+        // ones. Enforce the precondition loudly (one metadata-cheap job
+        // over the log-sized batch); the producer collapses to net ops by
+        // its sequence number (LSN) BEFORE the feed, which is also what
+        // makes the feed replayable at-least-once.
+        val multi = b.groupBy("k").count().filter(col("count") > 1).limit(1).count()
+        require(multi == 0L,
+          s"micro-batch $batchId carries multiple ops for one key: collapse " +
+            "the CDC feed to net per-key ops (by LSN) before applying")
         snapshot = graft.queries.RelationalQueries
           .applyChangelog(snapshot, b).localCheckpoint()
         onBatch(snapshot, batchId)

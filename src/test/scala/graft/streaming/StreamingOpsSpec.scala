@@ -818,5 +818,20 @@ class StreamingOpsSpec extends SparkSpec {
       assert(prog == null || prog.stateOperators.isEmpty,
         "changelog twin must not carry streaming state")
     } finally q.stop()
+    // a batch with TWO ops for one key is undefined for the merge rule
+    // (no order to collapse by) — it must fail loudly, not mis-merge
+    val in2 = MemoryStream[ChangeRow]
+    val q2 = StreamingOps.changelogApplyStream(in2.toDF(),
+      vOld.select(col("k_old").as("k"), col("old_status").as("status"))) {
+      (_, _) => ()
+    }.start()
+    try {
+      in2.addData(ChangeRow(999999L, "I", "A"), ChangeRow(999999L, "D", null))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("multiple ops") ||
+        Option(ex.getCause).exists(_.getMessage.contains("multiple ops")))
+    } finally q2.stop()
   }
 }
