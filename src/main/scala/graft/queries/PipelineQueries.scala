@@ -3641,12 +3641,19 @@ object PipelineQueries {
     * key)-width rows. Each stage is the standalone operator's rule — a
     * tokenizer/shard/packing change propagates here by construction.
     */
-  def pipe3Export(s: SparkSession, dir: String): DataFrame = {
+  def pipe3Export(s: SparkSession, dir: String): DataFrame =
+    exportManifest(t(s, dir, "documents"))
+
+  /** THE single definition of the tokenize → shard → pack manifest —
+    * shared by [[pipe3Export]] (whole corpus) and [[pipe4CurateExport]]
+    * (pipe1's survivors). Takes any (…, doc_id, text) frame.
+    */
+  private def exportManifest(docs: DataFrame): DataFrame = {
     // the tokenized table is consumed twice (the shard-count action and
     // the export plan) — materialize the one narrow encode pass instead of
     // running the replace chain twice; rows are (doc_id, n_tokens), no
     // wider than what the shard exchange ships anyway
-    val enc = encodeWithMerges(t(s, dir, "documents"), X19Merges)
+    val enc = encodeWithMerges(docs, X19Merges)
       .select(col("doc_id"), col("n_tokens"))
       .localCheckpoint()
     // x16's corpus-derived shard count, over the rows actually exported
@@ -3668,14 +3675,40 @@ object PipelineQueries {
       .orderBy("shard", "seq_id")
   }
 
-  lazy val pipe3Sql: String = {
+  lazy val pipe3Sql: String = exportManifestSql("documents")
+
+  /** pipe4: the full corpus LIFECYCLE in one declarative plan — pipe1's
+    * curation verdicts gate which documents pipe3's export ever tokenizes:
+    * raw corpus → six-rule verdict → keep set → tokenize → epoch shard →
+    * per-shard pack → manifest. Each stage is the standalone operator's
+    * exact rule ([[pipe1Curate]]'s verdict frame, [[exportManifest]]'s
+    * shared body), so a curation-rule or tokenizer change propagates here
+    * by construction. The keep join is doc_id-keyed; in production the
+    * verdict table lives in the SAME bucketed layout as the corpus
+    * (CorpusSink's discipline), so the gate join is exchange-free and the
+    * whole lifecycle still pays pipe3's single data shuffle.
+    */
+  def pipe4CurateExport(s: SparkSession, dir: String): DataFrame = {
+    val keep = pipe1Curate(s, dir)
+      .filter(col("verdict") === "keep").select("doc_id")
+    exportManifest(t(s, dir, "documents").join(keep, "doc_id"))
+  }
+
+  lazy val pipe4Sql: String = exportManifestSql(
+    s"(SELECT d.* FROM documents d JOIN (SELECT doc_id FROM ($pipe1Sql) p1 " +
+      "WHERE p1.verdict = 'keep') kp USING (doc_id))")
+
+  /** The pipe3 oracle parameterized by its document source — `documents`
+    * for pipe3, the pipe1-gated subquery for pipe4.
+    */
+  private def exportManifestSql(docsRel: String): String = {
     var applied = "'(' || array_to_string(string_split(w, ''), ')(') || ')'"
     for ((_, a, b, m, _) <- X19Merges)
       applied = s"replace($applied, '($a)($b)', '($m)')"
     s"""WITH enc AS (
        |  SELECT doc_id,
        |    SUM(len(string_split(trim($applied, '()'), ')(')))::BIGINT AS n_tokens
-       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM $docsRel)
        |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY doc_id),
        |n AS (SELECT greatest(1, count(*) // $X16RowsPerShard) AS nsh FROM enc),
        |sh AS (SELECT doc_id, n_tokens, md5('epoch-0:' || doc_id::VARCHAR) AS k,
@@ -5122,6 +5155,7 @@ object PipelineQueries {
     "pipe1_curate" -> (pipe1Curate _),
     "pipe2_index_build" -> (pipe2IndexBuild _),
     "pipe3_export" -> (pipe3Export _),
+    "pipe4_curate_export" -> (pipe4CurateExport _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -5191,5 +5225,6 @@ object PipelineQueries {
     "pipe1_curate" -> pipe1Sql,
     "pipe2_index_build" -> pipe2Sql,
     "pipe3_export" -> pipe3Sql,
+    "pipe4_curate_export" -> pipe4Sql,
   )
 }

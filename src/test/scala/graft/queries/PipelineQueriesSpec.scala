@@ -1595,6 +1595,24 @@ class PipelineQueriesSpec extends SparkSpec {
       got.filter(_._1 >= 4L).map(_._3).sum)
   }
 
+  test("pipe4 manifest accounts for exactly pipe1's keep set and nothing else") {
+    val keepIds = PipelineQueries.pipe1Curate(spark, sf).collect()
+      .filter(_.getString(1) == "keep").map(_.getLong(0)).toSet
+    val enc = PipelineQueries.x19bEncodeOnly(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = PipelineQueries.pipe4CurateExport(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.nonEmpty)
+    // the manifest's doc and token totals are exactly the keep set's
+    assert(got.map(_._3).sum == keepIds.count(enc.contains).toLong)
+    assert(got.map(_._4).sum == keepIds.toSeq.flatMap(enc.get).sum)
+    // the gate is real: curation rejected documents, so the lifecycle
+    // manifest is smaller than the whole-corpus export
+    val all = PipelineQueries.pipe3Export(spark, sf).collect()
+      .map(r => r.getLong(3)).sum
+    assert(got.map(_._4).sum < all, "pipe1 rejected nothing — gate untested")
+  }
+
   test("x27 batch-perceptron trajectory matches an independent driver replay") {
     // Independent reference: explicit loops over MessageDigest-hashed
     // count vectors — no shared code with the engine's array-expression
