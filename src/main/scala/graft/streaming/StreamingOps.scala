@@ -348,6 +348,41 @@ object StreamingOps {
       .drop("text")
       .withColumnRenamed("norm_text", "text")
 
+  /** Streaming OOV monitor — x28's ingest-observability twin: per
+    * event-time hour window and source, how well a PINNED vocabulary
+    * artifact covers the arriving tokens (x14/x28's exact artifact,
+    * shipped as a broadcast set — monitoring against a drifting vocab
+    * would make replayed windows disagree). Per-document counting is
+    * row-local against the broadcast set; the aggregation is Spark's
+    * BUILT-IN watermarked windowed groupBy — no custom state code at all:
+    * Append mode emits each (window, source) row exactly once when the
+    * watermark closes it, and state is windows-in-flight × sources. A
+    * rising oov_ppm on one source is the first signal a crawl's content
+    * shifted away from the tokenizer (x28 is the offline deep-dive; x24
+    * sees the same shift as distributional drift).
+    */
+  def oovMonitorStream(docs: DataFrame, vocab: Set[String],
+      delay: String = "2 hours"): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(vocab)
+    docs.select(col("ts"), col("source"), col("text"))
+      .as[(Timestamp, String, String)]
+      .mapPartitions { it =>
+        val v = bc.value
+        it.map { case (ts0, src, text) =>
+          val w = text.split(" ", -1)
+          (ts0, src, w.length.toLong, w.count(tk => !v.contains(tk)).toLong)
+        }
+      }.toDF("ts", "source", "nt", "no")
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour"), col("source"))
+      .agg(sum("nt").as("n_tokens"), sum("no").as("n_oov"))
+      .select(col("window.start").as("window_start"), col("source"),
+        col("n_tokens"), col("n_oov"),
+        expr("n_oov * 1000000L div n_tokens").as("oov_ppm"))
+  }
+
   /** Streaming span corruption — the ingest-time twin of the batch
     * `x31_span_corrupt` denoising-objective prep: arriving documents run
     * the SAME [[graft.queries.PipelineQueries.corruptSpans]] core (seeded

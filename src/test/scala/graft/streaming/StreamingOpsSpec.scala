@@ -688,6 +688,39 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming OOV monitor: per-window per-source rates, emitted once on close") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val vocab = Set("known", "words", "only")
+    val in = MemoryStream[IngestDoc]
+    val q = StreamingOps.oovMonitorStream(in.toDF(), vocab, delay = "30 minutes")
+      .writeStream.format("memory").queryName("oovmon")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        IngestDoc(1, ts(5), "known words mystery", "s1"),   // hour 0: 3 toks 1 oov
+        IngestDoc(2, ts(10), "known unknown alien", "s1"),  // hour 0: 3 toks 2 oov
+        IngestDoc(3, ts(15), "only known", "s2"))           // hour 0: 2 toks 0 oov
+      q.processAllAvailable()
+      // window 0 is still open — Append emits nothing yet
+      assert(spark.table("oovmon").isEmpty)
+      // advance the watermark past hour 0 + delay → hour-0 rows close
+      in.addData(IngestDoc(4, ts(120), "known novelty", "s1"))
+      q.processAllAvailable()
+      def rows = spark.table("oovmon").collect()
+        .map(r => ((r.getAs[java.sql.Timestamp]("window_start").getTime - Base) / 3600000L,
+          r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_oov"), r.getAs[Long]("oov_ppm"))).toSet
+      assert(rows == Set(
+        (0L, "s1", 6L, 3L, 500000L),
+        (0L, "s2", 2L, 0L, 0L)), s"got $rows")
+      // a straggler behind the watermark must not reopen the closed window
+      in.addData(IngestDoc(5, ts(20), "late alien", "s1"))
+      q.processAllAvailable()
+      assert(rows.count(_._1 == 0L) == 2, "closed window re-emitted")
+    } finally q.stop()
+  }
+
   test("streaming span corruption equals the batch core doc-for-doc, statelessly") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
