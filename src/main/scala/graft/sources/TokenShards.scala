@@ -100,10 +100,14 @@ object TokenShards {
       .flatMap { shard =>
         val bin = Files.readAllBytes(Paths.get(s"$dir/shard-$shard.bin"))
         val idx = Files.readAllBytes(Paths.get(s"$dir/shard-$shard.idx"))
+        require(idx.length % 20 == 0,
+          s"shard $shard idx is ${idx.length} bytes — not 20-byte records")
         val ib = java.nio.ByteBuffer.wrap(idx)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
         Iterator.continually(()).takeWhile(_ => ib.remaining() >= 20).map { _ =>
           val id = ib.getLong; val off = ib.getLong; val n = ib.getInt
+          require(n >= 0 && off >= 0 && (off + n) * 2 <= bin.length,
+            s"shard $shard doc $id slice [$off, $off+$n) exceeds the bin payload")
           val out = new Array[Int](n)
           var i = 0
           while (i < n) {
