@@ -1250,6 +1250,104 @@ object PipelineQueries {
        |WHERE cos >= ${Sim8TauPpm.toDouble / 1e6}
        |ORDER BY query_id, neighbor_id""".stripMargin
 
+  // --------------------- SIM9: index-quality (recall@k) evaluation harness
+
+  /** Exact cosine top-3 over the nrm-guarded corpus — the ground truth
+    * sim9 measures the IVF index against. Same universe as sim3 (zero-norm
+    * vectors dropped on BOTH sides), unlike sim1 which keeps every row by
+    * its oracle contract; recall must compare like with like.
+    */
+  private def sim9ExactTopk(s: SparkSession, dir: String): DataFrame = {
+    val all = embVec(s, dir).filter(col("nrm") > 0)
+    val q = broadcast(all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")))
+    val top = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    q.crossJoin(all.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("nrm").as("cn")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(dotCol("qv", "cv") / (col("qn") * col("cn")), 6))
+      .withColumn("rnk", row_number().over(top))
+      .filter(col("rnk") <= 3)
+      .select("query_id", "neighbor_id")
+  }
+
+  def sim9RecallEval(s: SparkSession, dir: String): DataFrame =
+    sim9RecallEval(s, dir, nCells = 8, nProbe = 2)
+
+  /** Index-quality EVALUATION harness — the recall@3 report every ANN
+    * rollout and nightly index monitor runs before trusting sim3's cells:
+    * per query, how many of the exact top-3 neighbors the nProbe-pruned
+    * IVF search actually returned (`n_hit`), as integer ppm. This is the
+    * measured artifact behind sim3's spec claims — the number an operator
+    * tunes `nProbe` against, and the regression alarm when a re-trained
+    * codebook or a drifted corpus silently degrades retrieval.
+    *
+    * Scale shape: the approx side IS the production plan (cell-pruned
+    * join, corpus never shuffles); the exact side is the ground-truth
+    * scan you only pay on a SAMPLED query panel — here the pinned 10-query
+    * panel, at 100 TB a per-mille sample — so eval cost is panel × corpus,
+    * not corpus². Both sides broadcast the panel; the hit join and the
+    * report move panel-sized rows only (≤ 3 per query). Ties at the k
+    * boundary are deterministic on both engines (cos desc, neighbor_id),
+    * so the hit count — not just the rate — is oracle-exact. `nProbe` is
+    * the dial: recall_ppm is monotone in it and hits 1e6 at
+    * nProbe = nCells (spec-pinned, the measured twin of sim3's
+    * structural pin).
+    */
+  def sim9RecallEval(s: SparkSession, dir: String, nCells: Int, nProbe: Int): DataFrame = {
+    val exact = sim9ExactTopk(s, dir)
+    val approx = sim3IvfAnn(s, dir, nCells, nProbe).select("query_id", "neighbor_id")
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    embVec(s, dir).filter(col("nrm") > 0).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        expr("coalesce(n_hit, 0L) * 1000000L div 3").as("recall_ppm"))
+      .orderBy("query_id")
+  }
+
+  val sim9Sql: String =
+    s"""WITH $embSqlCte,
+       |nn AS (SELECT vec_id, v, nrm FROM n WHERE nrm > 0),
+       |ex AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         round(${dotSql("q.v", "c.v")} / (q.nrm * c.nrm), 6) AS cos
+       |       FROM nn q JOIN nn c ON q.vec_id != c.vec_id WHERE q.vec_id < 10),
+       |exr AS (SELECT query_id, neighbor_id FROM (
+       |          SELECT query_id, neighbor_id,
+       |            ROW_NUMBER() OVER (PARTITION BY query_id
+       |              ORDER BY cos DESC, neighbor_id) AS rnk FROM ex) x
+       |        WHERE rnk <= 3),
+       |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM nn WHERE vec_id < 8),
+       |aff AS (SELECT vec_id, cent_id,
+       |          round(${dotSql("v", "cv")} / (nrm * cn), 6) AS ccos
+       |        FROM nn CROSS JOIN cent),
+       |rk AS (SELECT vec_id, cent_id,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+       |       FROM aff),
+       |corp AS (SELECT nn.vec_id AS neighbor_id, v AS cv, nrm AS cn, cent_id AS cell
+       |         FROM nn JOIN rk ON nn.vec_id = rk.vec_id AND crk = 1),
+       |qq AS (SELECT rk.vec_id AS query_id, cent_id AS cell, v AS qv, nrm AS qn
+       |       FROM rk JOIN nn ON nn.vec_id = rk.vec_id
+       |       WHERE rk.vec_id < 10 AND crk <= 2),
+       |p AS (SELECT query_id, neighbor_id,
+       |        round(${dotSql("qv", "cv")} / (qn * cn), 6) AS cos
+       |      FROM qq JOIN corp USING (cell) WHERE query_id != neighbor_id),
+       |apx AS (SELECT query_id, neighbor_id FROM (
+       |          SELECT query_id, neighbor_id,
+       |            ROW_NUMBER() OVER (PARTITION BY query_id
+       |              ORDER BY cos DESC, neighbor_id) AS rnk FROM p) y
+       |        WHERE rnk <= 3),
+       |hit AS (SELECT exr.query_id, COUNT(*) AS n_hit
+       |        FROM exr JOIN apx USING (query_id, neighbor_id)
+       |        GROUP BY exr.query_id)
+       |SELECT nn.vec_id AS query_id,
+       |  COALESCE(n_hit, 0)::BIGINT AS n_hit,
+       |  (COALESCE(n_hit, 0) * 1000000 // 3)::BIGINT AS recall_ppm
+       |FROM nn LEFT JOIN hit ON nn.vec_id = hit.query_id
+       |WHERE nn.vec_id < 10 ORDER BY query_id""".stripMargin
+
   // ------------- X32: contrastive training-pair mining (DPR-style)
 
   /** Contrastive PAIR MINING — the retrieval-model training-data step
@@ -5114,6 +5212,7 @@ object PipelineQueries {
     "sim6_ivfpq" -> (sim6IvfPq _),
     "sim7_incremental_ann" -> (sim7IncrementalAnn _),
     "sim8_range_search" -> ((s: SparkSession, dir: String) => sim8RangeSearch(s, dir)),
+    "sim9_recall_eval" -> ((s: SparkSession, dir: String) => sim9RecallEval(s, dir)),
     "x32_contrastive_pairs" -> (x32ContrastivePairs _),
     "x1_langid" -> (x1Langid _),
     "x2_quality" -> (x2Quality _),
@@ -5187,6 +5286,7 @@ object PipelineQueries {
     "sim6_ivfpq" -> sim6Sql,
     "sim7_incremental_ann" -> sim7Sql,
     "sim8_range_search" -> sim8Sql,
+    "sim9_recall_eval" -> sim9Sql,
     "x32_contrastive_pairs" -> x32Sql,
     "x1_langid" -> x1Sql,
     "x2_quality" -> x2Sql,

@@ -65,6 +65,33 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(full == ref, "probing every cell must equal the exact baseline row-for-row")
   }
 
+  test("sim9 reports the recall sim3 actually achieves, monotone in nProbe, 1e6 at full probe") {
+    // sim9 is the MEASURED artifact behind sim3's structural claims: its
+    // per-query ppm must equal an independent set-intersection replay, rise
+    // with nProbe, and read exactly 1e6 everywhere once every cell is probed.
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = pairs(PipelineQueries.sim3IvfAnn(spark, sf, 8, 8)) // full probe ≡ guarded exact
+    val ivf = pairs(PipelineQueries.sim3IvfAnn(spark, sf, 8, 2))
+    val reported = PipelineQueries.sim9RecallEval(spark, sf, 8, 2).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("n_hit")).toMap
+    assert(reported.nonEmpty)
+    for ((q, ex) <- exact) {
+      val replay = (ex & ivf.getOrElse(q, Set.empty)).size.toLong
+      assert(reported(q) == replay, s"query $q: reported ${reported(q)} hits, replay $replay")
+    }
+    val mean = Seq(1, 2, 4, 8).map { np =>
+      PipelineQueries.sim9RecallEval(spark, sf, 8, np).collect()
+        .map(_.getAs[Long]("recall_ppm")).sum
+    }
+    assert(mean.zip(mean.tail).forall { case (a, b) => a <= b },
+      s"summed recall_ppm not monotone in nProbe: $mean")
+    val full = PipelineQueries.sim9RecallEval(spark, sf, 8, 8).collect()
+    assert(full.forall(_.getAs[Long]("recall_ppm") == 1000000L),
+      "full probe must report recall 1e6 for every query")
+  }
+
   test("sim2's nPlanes dial: prefix-nested planes make recall monotone non-increasing") {
     // bucket n+1 refines bucket n (the extra plane splits, never re-mixes),
     // so candidate sets shrink as planes are added and recall@3 vs the

@@ -63,6 +63,16 @@ class PlanQualitySpec extends SparkSpec {
       "expected the 10-row query side broadcast against the streamed corpus")
   }
 
+  test("sim9 hit join is an equi-join; the IVF side never degenerates to a product") {
+    // The recall report must not cost more than the searches it measures:
+    // the exact side broadcasts the query panel (sim1's shape), the approx
+    // side keeps sim3's cell equi-join, and hits match on (query, neighbor)
+    // — panel-sized keys, never a cartesian.
+    val p = plan(PipelineQueries.sim9RecallEval(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      "a sim9 join degenerated to a cartesian product")
+  }
+
   test("d2 LSH band join is an equi-join on the band key") {
     val p = plan(PipelineQueries.d2MinhashLsh(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
