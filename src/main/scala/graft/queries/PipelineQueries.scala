@@ -5030,6 +5030,85 @@ object PipelineQueries {
        |  string_agg((doc_id % $X23Block) || ':' || tf, ',' ORDER BY doc_id) AS postings
        |FROM tf GROUP BY term, block ORDER BY term, block""".stripMargin
 
+  // ---------- X33: phrase search answered from the positional blocked index
+
+  /** Positional blocked postings — x23's layout with POSITIONS, the
+    * artifact phrase/proximity queries serve from (Lucene's .pos file, the
+    * RETRO retrieval store's exact-match leg). One row per (term, 256-doc
+    * block): entries array of (rel_doc, pos), doc-then-position ordered.
+    * Row width is bounded by the block's total occurrences of the term —
+    * the doc-block bound x23 argues, extended from one entry per doc to tf
+    * entries per doc (exactly Lucene's proportionality). Built with ONE
+    * partial-aggregable-free shuffle on (term, block); persisted
+    * bucketed/sorted BY TERM in production so a phrase query's term filter
+    * is a pushed predicate that skips every other row group.
+    */
+  def preparePhraseIndex(docs: DataFrame, block: Long): DataFrame =
+    docs.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      .groupBy(col("term"), expr(s"doc_id div ${block}L").as("block"))
+      .agg(expr(s"array_sort(collect_list(struct(doc_id % ${block}L as rel, pos)))")
+        .as("entries"))
+      .localCheckpoint()
+
+  def x33PhraseSearch(s: SparkSession, dir: String): DataFrame =
+    x33PhraseSearch(s, dir, X23Block)
+
+  /** Phrase search — the exact-match retrieval contract (quoted queries,
+    * dedup-by-lookup, memorization probes): find every document containing
+    * the corpus's hottest bigram as a CONSECUTIVE phrase, with its
+    * occurrence count, answered FROM THE POSITIONAL INDEX rather than by
+    * re-scanning text. The registered entry composes selection + build +
+    * answer to stay self-contained (x19's composition discipline); the
+    * production shape reads a persisted index and skips both scans.
+    *
+    * Scale shape: phrase selection is one partial-aggregable bigram count
+    * (x18's pair-count exchange) ending in a 1-row argmax to the driver
+    * (count desc, text asc — both engines break ties identically). The
+    * answer path touches ONLY the phrase terms' index rows — with the
+    * index bucketed by term, a pushed `term IN (w0, w1)` predicate reads
+    * two buckets out of 10⁹-doc postings — explodes their positions back
+    * to (doc, pos), and counts adjacency via an equi-join on
+    * (doc_id, pos+1): position keys are unique per document, so the join
+    * is skew-free no matter how hot the phrase. The corpus itself is never
+    * re-read for the answer. The spec pins index-answered counts to the
+    * naive row-local text scan — the proof the index is lossless.
+    */
+  def x33PhraseSearch(s: SparkSession, dir: String, block: Long): DataFrame = {
+    require(block >= 1, s"block must be positive, got $block")
+    val docs = t(s, dir, "documents")
+    val top = docs
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))")).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("bg")).limit(1)
+      .collect()(0).getAs[String]("bg")
+    val Array(w0, w1) = top.split(" ", 2)
+    val idx = preparePhraseIndex(docs, block)
+    def positionsOf(term: String) = idx
+      .filter(col("term") === term)
+      .select(col("block"), explode(col("entries")).as("e"))
+      .select(expr(s"block * ${block}L + e.rel").as("doc_id"), col("e.pos").as("pos"))
+    val t0 = positionsOf(w0).select(col("doc_id"), (col("pos") + 1).as("nxt"))
+    val t1 = positionsOf(w1).select(col("doc_id"), col("pos").as("nxt"))
+    t0.join(t1, Seq("doc_id", "nxt"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
+      .select(col("doc_id"), lit(top).as("phrase"), col("n_occ"))
+      .orderBy("doc_id")
+  }
+
+  val x33Sql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |bg AS (SELECT doc_id, unnest(list_transform(range(len(w)-1),
+       |        i -> w[i+1]||' '||w[i+2])) AS bg
+       |      FROM w WHERE len(w) >= 2),
+       |top AS (SELECT bg AS phrase FROM bg GROUP BY bg
+       |        ORDER BY COUNT(*) DESC, bg LIMIT 1)
+       |SELECT doc_id, phrase, COUNT(*)::BIGINT AS n_occ
+       |FROM bg JOIN top ON bg.bg = top.phrase
+       |GROUP BY doc_id, phrase ORDER BY doc_id""".stripMargin
+
   // --------------------- X22: per-source quota cap (anti-domination rule)
 
   /** Per-source document quota — the RefinedWeb/C4-style anti-domination
@@ -5238,6 +5317,7 @@ object PipelineQueries {
     "x21_importance_weights" -> (x21ImportanceWeights _),
     "x22_source_cap" -> ((s: SparkSession, dir: String) => x22SourceCap(s, dir)),
     "x23_inverted_index" -> ((s: SparkSession, dir: String) => x23InvertedIndex(s, dir)),
+    "x33_phrase_search" -> ((s: SparkSession, dir: String) => x33PhraseSearch(s, dir)),
     "x24_drift_report" -> (x24DriftReport _),
     "g2_triangles" -> (g2Triangles _),
     "m1_binary_meta" -> (m1BinaryMeta _),
@@ -5312,6 +5392,7 @@ object PipelineQueries {
     "x21_importance_weights" -> x21Sql,
     "x22_source_cap" -> x22Sql,
     "x23_inverted_index" -> x23Sql,
+    "x33_phrase_search" -> x33Sql,
     "x24_drift_report" -> x24Sql,
     "g2_triangles" -> g2Sql,
     "m1_binary_meta" -> m1Sql,

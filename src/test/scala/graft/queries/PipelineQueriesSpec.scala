@@ -92,6 +92,29 @@ class PipelineQueriesSpec extends SparkSpec {
       "full probe must report recall 1e6 for every query")
   }
 
+  test("x33 answers from the positional index exactly what a text scan answers, at any block") {
+    // The index is lossless: answering the phrase from (term, block,
+    // positions) rows must equal counting the bigram in the raw text,
+    // doc-for-doc — and the block dial is layout-only (x23's invariance).
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ").toSeq)
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    for ((_, w) <- docs; i <- 0 until w.length - 1)
+      counts(w(i) + " " + w(i + 1)) = counts.getOrElse(w(i) + " " + w(i + 1), 0L) + 1
+    val phrase = counts.toSeq.minBy { case (bg, c) => (-c, bg) }._1
+    val Seq(w0, w1) = phrase.split(" ", 2).toSeq
+    val expected = docs.flatMap { case (id, w) =>
+      val n = (0 until w.length - 1).count(i => w(i) == w0 && w(i + 1) == w1)
+      if (n > 0) Some((id, phrase, n.toLong)) else None
+    }.sortBy(_._1).toSeq
+    for (block <- Seq(1L, 7L, 256L, 1000000L)) {
+      val got = PipelineQueries.x33PhraseSearch(spark, sf, block).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(got == expected, s"block=$block: index answer diverged from the text scan")
+    }
+  }
+
   test("sim2's nPlanes dial: prefix-nested planes make recall monotone non-increasing") {
     // bucket n+1 refines bucket n (the extra plane splits, never re-mixes),
     // so candidate sets shrink as planes are added and recall@3 vs the

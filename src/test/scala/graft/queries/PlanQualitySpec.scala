@@ -73,6 +73,18 @@ class PlanQualitySpec extends SparkSpec {
       "a sim9 join degenerated to a cartesian product")
   }
 
+  test("x33 answers the phrase from the index: adjacency is an equi-join, corpus not re-read") {
+    // The answer path must join positions on (doc_id, pos+1) — unique keys,
+    // no product — and read the checkpointed index, not the parquet corpus:
+    // the only corpus scan in the final plan is the phrase-selection count,
+    // which the composed registration keeps; the index side contributes none.
+    val p = plan(PipelineQueries.x33PhraseSearch(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "phrase adjacency join degenerated to a product")
+    assert(!p.contains("documents.parquet"),
+      "the answer path re-read the corpus instead of the positional index")
+  }
+
   test("d2 LSH band join is an equi-join on the band key") {
     val p = plan(PipelineQueries.d2MinhashLsh(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
