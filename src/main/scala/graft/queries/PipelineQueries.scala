@@ -4877,6 +4877,93 @@ object PipelineQueries {
        |  SUM(c)::BIGINT AS n_occ
        |FROM m GROUP BY 1 ORDER BY cb""".stripMargin
 
+  // ----------- X30: Good-Turing smoothing table (the Katz backoff artifact)
+
+  /** x30 default: smooth count classes 0..10 (SRILM's gtmax shape). */
+  private[graft] val X30Cap = 10
+
+  def x30GoodTuring(s: SparkSession, dir: String): DataFrame =
+    x30GoodTuring(s, dir, X30Cap)
+
+  /** Good-Turing SMOOTHING TABLE — the artifact Katz-backoff LM estimation
+    * consumes (Good 1953; Katz 1987; SRILM's `gt` discounting): for each
+    * small count class c, the adjusted count c* = (c+1)·N₍c₊₁₎/N꜀ and the
+    * probability mass the class carries, raw and smoothed, in ppm. The
+    * c = 0 row is the headline: its smoothed mass N₁·10⁶/N is the unseen-
+    * bigram probability — what x12's raw-count LM assigns ZERO, the reason
+    * smoothing exists. Composes x12's exact 60-bit digest model with x29's
+    * spectrum, so the table describes precisely the model the engine
+    * already serves.
+    *
+    * Scale shape: the corpus collapses through two partial-aggregable
+    * passes (occurrences → per-digest counts → spectrum; first exchange
+    * 8-byte keys, second ≤ distinct-count keys) and N folds out of the
+    * vocabulary-sized model, never the corpus. Only the ≤ cap+2-row
+    * spectrum head ever reaches the driver, where the table arithmetic
+    * runs in BigInt — exact at ANY corpus size, immune to the
+    * (c+1)·N₍c₊₁₎·10⁶ int64 overflow a 100 TB corpus would hit in-plan
+    * (the oracle's HUGEINT path proves the same numbers). `cap` is the
+    * table-depth dial: rows 0..cap are IDENTICAL across caps (spec-pinned
+    * prefix nesting — Katz discounts below the cutoff, passes raw counts
+    * above it).
+    */
+  def x30GoodTuring(s: SparkSession, dir: String, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be positive, got $cap")
+    import s.implicits._
+    // x12's exact digest pass; the model is read twice (N, spectrum) so it
+    // materializes once, vocabulary-sized
+    val model = t(s, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w)-2), i -> " +
+          "cast(conv(substring(md5(concat_ws(' ', w[i], w[i+1])),1,15),16,10) as bigint))"))
+        .as("hk"))
+      .groupBy("hk").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val n = BigInt(model.agg(sum("c")).collect()(0).getLong(0))
+    require(n > 0, "Good-Turing needs a non-empty bigram model")
+    val spec = model.filter(col("c") <= cap + 1L)
+      .groupBy("c").agg(count(lit(1)).as("n_c")).collect()
+      .map(r => r.getLong(0) -> BigInt(r.getLong(1))).toMap
+    val ppm = BigInt(1000000)
+    val rows = (0 to cap).map { c =>
+      val nc = spec.getOrElse(c.toLong, BigInt(0))
+      val nc1 = spec.getOrElse(c + 1L, BigInt(0))
+      val cstar = if (c == 0 || nc == 0) BigInt(0) else (c + 1) * nc1 * ppm / nc
+      (c.toLong, nc.toLong,
+        cstar.toLong,
+        (c * nc * ppm / n).toLong,
+        ((c + 1) * nc1 * ppm / n).toLong)
+    }
+    rows.toDF("c", "n_c", "cstar_ppm", "raw_mass_ppm", "smooth_mass_ppm")
+      .orderBy("c")
+  }
+
+  val x30Sql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |bg AS (SELECT unnest(list_transform(range(len(w)-1),
+       |        i -> w[i+1]||' '||w[i+2])) AS bg
+       |      FROM w WHERE len(w) >= 2),
+       |o AS (SELECT ${md5HexSql("bg", 15)} AS hk FROM bg),
+       |m AS (SELECT hk, COUNT(*)::BIGINT AS c FROM o GROUP BY hk),
+       |sp AS (SELECT c, COUNT(*)::HUGEINT AS n_c FROM m GROUP BY c),
+       |tot AS (SELECT SUM(c)::HUGEINT AS n FROM m),
+       |cls AS (SELECT unnest(range(${X30Cap + 1})) AS c)
+       |SELECT cls.c::BIGINT AS c,
+       |  COALESCE(s1.n_c, 0)::BIGINT AS n_c,
+       |  (CASE WHEN cls.c = 0 OR COALESCE(s1.n_c, 0) = 0 THEN 0
+       |        ELSE (cls.c + 1)::HUGEINT * COALESCE(s2.n_c, 0) * 1000000 // s1.n_c
+       |   END)::BIGINT AS cstar_ppm,
+       |  (cls.c::HUGEINT * COALESCE(s1.n_c, 0) * 1000000 // tot.n)::BIGINT
+       |    AS raw_mass_ppm,
+       |  ((cls.c + 1)::HUGEINT * COALESCE(s2.n_c, 0) * 1000000 // tot.n)::BIGINT
+       |    AS smooth_mass_ppm
+       |FROM cls LEFT JOIN sp s1 ON s1.c = cls.c
+       |  LEFT JOIN sp s2 ON s2.c = cls.c + 1
+       |  CROSS JOIN tot
+       |ORDER BY c""".stripMargin
+
   // ------------- X31: seeded span corruption (denoising-objective prep)
 
   /** x31 defaults: 4-token mask units, 150000 ppm target mask rate. */
@@ -5279,6 +5366,7 @@ object PipelineQueries {
     "x27_train_classifier" -> ((s: SparkSession, dir: String) => x27TrainClassifier(s, dir)),
     "x28_oov_audit" -> (x28OovAudit _),
     "x29_gram_spectrum" -> ((s: SparkSession, dir: String) => x29GramSpectrum(s, dir)),
+    "x30_goodturing_lm" -> ((s: SparkSession, dir: String) => x30GoodTuring(s, dir)),
     "x31_span_corrupt" -> ((s: SparkSession, dir: String) => x31SpanCorrupt(s, dir)),
     "d9_sem_dedup" -> (d9SemDedup _),
     "d10_incremental_dedup" -> (d10IncrementalDedup _),
@@ -5354,6 +5442,7 @@ object PipelineQueries {
     "x27_train_classifier" -> x27Sql,
     "x28_oov_audit" -> x28Sql,
     "x29_gram_spectrum" -> x29Sql,
+    "x30_goodturing_lm" -> x30Sql,
     "x31_span_corrupt" -> x31Sql,
     "d9_sem_dedup" -> d9Sql,
     "d10_incremental_dedup" -> d10Sql,

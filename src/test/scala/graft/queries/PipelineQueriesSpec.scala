@@ -115,6 +115,35 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("x30 Good-Turing table matches a BigInt replay; rows prefix-nest in the cap") {
+    // The table must equal an independent driver replay of the definition
+    // (counts → spectrum → c*, masses), and Katz's cutoff semantics mean a
+    // deeper table only APPENDS classes — rows 0..cap identical across caps.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0).split(" ").toSeq)
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    for (w <- docs if w.length >= 2; i <- 0 until w.length - 1)
+      counts(w(i) + " " + w(i + 1)) = counts.getOrElse(w(i) + " " + w(i + 1), 0L) + 1
+    val nTotal = BigInt(counts.values.sum)
+    val spec = counts.values.groupBy(identity).view.mapValues(v => BigInt(v.size)).toMap
+    val ppm = BigInt(1000000)
+    val expected = (0 to 10).map { c =>
+      val nc = spec.getOrElse(c.toLong, BigInt(0))
+      val nc1 = spec.getOrElse(c + 1L, BigInt(0))
+      val cstar = if (c == 0 || nc == 0) BigInt(0) else (c + 1) * nc1 * ppm / nc
+      (c.toLong, nc.toLong, cstar.toLong,
+        (c * nc * ppm / nTotal).toLong, ((c + 1) * nc1 * ppm / nTotal).toLong)
+    }
+    val got = PipelineQueries.x30GoodTuring(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected, "x30 diverged from the BigInt replay of the definition")
+    // unseen mass: the c=0 smoothed row must carry exactly the hapax share
+    assert(got.head._5 == (spec.getOrElse(1L, BigInt(0)) * ppm / nTotal).toLong)
+    val deep = PipelineQueries.x30GoodTuring(spark, sf, 15).collect().map(_.toSeq).toSeq
+    assert(deep.take(11) == PipelineQueries.x30GoodTuring(spark, sf, 10)
+      .collect().map(_.toSeq).toSeq, "table rows must prefix-nest in the cap")
+  }
+
   test("sim2's nPlanes dial: prefix-nested planes make recall monotone non-increasing") {
     // bucket n+1 refines bucket n (the extra plane splits, never re-mixes),
     // so candidate sets shrink as planes are added and recall@3 vs the
