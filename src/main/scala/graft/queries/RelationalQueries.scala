@@ -1317,6 +1317,84 @@ object RelationalQueries {
        |FROM l CROSS JOIN m ORDER BY status, lang, source""".stripMargin
   }
 
+  // ------------------------- K15: zone-map data-skipping planner (stats prune)
+
+  /** Docs per synthetic ingest-batch file for k15 (a file ≈ one commit). */
+  private[graft] val K15Batch = 64L
+
+  def k15ZoneMapPlan(s: SparkSession, dir: String): DataFrame =
+    k15ZoneMapPlan(s, dir, K15Batch)
+
+  /** Zone-map DATA-SKIPPING planner — the min/max-stats pruning every
+    * lakehouse scan runs before touching data (Parquet footer stats,
+    * Delta/Iceberg file stats, the Small Materialized Aggregates of
+    * Moerkotte VLDB'98): files are ingest batches of [[K15Batch]] docs
+    * (doc_id is ingest-ordered, the realistic commit layout), each carries
+    * min/max of the predicate column `n_chars`, and the planner marks it
+    * `skip` iff its zone cannot intersect the middle-third band
+    * [lo, hi] derived from the global extent. The skip ratio this reports
+    * is the clustering-health metric k12's z-order layout exists to raise
+    * — on an UNCLUSTERED column it is honestly low, which is precisely
+    * what the report tells an operator.
+    *
+    * Scale shape: stats collection is ONE partial-aggregable pass
+    * (n_files rows out — metadata-sized, ~10⁶ rows at 100 TB); the global
+    * extent folds out of the same pass's output, not a second data scan
+    * (the planner reads STATS, never data); the decision is a narrow
+    * projection over stats rows. The lossless guarantee — scanning only
+    * `read` files returns exactly the full filter's rows — is the
+    * [[zoneMapPrunedScan]] library rule, spec-pinned and fuzzed under a
+    * clustered layout where pruning actually bites.
+    */
+  def k15ZoneMapPlan(s: SparkSession, dir: String, batch: Long): DataFrame = {
+    require(batch >= 1, s"batch must be positive, got $batch")
+    val stats = t(s, dir, "documents")
+      .groupBy(expr(s"doc_id div ${batch}L").as("file_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_nc"), max("n_chars").as("max_nc"))
+      .localCheckpoint() // stats read twice (extent + plan): ONE data scan ever
+    val ext = stats.agg(min("min_nc").as("lo"), max("max_nc").as("hi")).first()
+    require(!ext.isNullAt(0), "zone-map planner needs a non-empty table")
+    val (gmin, gmax) = (ext.getLong(0), ext.getLong(1))
+    val lo = gmin + (gmax - gmin) / 3
+    val hi = gmin + 2 * ((gmax - gmin) / 3)
+    stats
+      .withColumn("decision",
+        when(col("max_nc") < lo || col("min_nc") > hi, "skip").otherwise("read"))
+      .select(col("file_id"), col("n_docs"), col("min_nc"), col("max_nc"),
+        col("decision"))
+      .orderBy("file_id")
+  }
+
+  /** The pruned scan k15's plan implies: read only files whose zone
+    * intersects [lo, hi], then apply the exact predicate. Lossless by the
+    * zone-map contract (a skipped file cannot contain a matching row);
+    * the spec pins equality with the naive full filter and fuzzes it under
+    * a sorted layout where most files really are skipped.
+    */
+  def zoneMapPrunedScan(docs: DataFrame, lo: Long, hi: Long, batch: Long): DataFrame = {
+    require(batch >= 1, s"batch must be positive, got $batch")
+    val withFile = docs.withColumn("file_id", expr(s"doc_id div ${batch}L"))
+    val live = withFile.groupBy("file_id")
+      .agg(min("n_chars").as("min_nc"), max("n_chars").as("max_nc"))
+      .filter(col("max_nc") >= lo && col("min_nc") <= hi)
+      .select("file_id")
+    withFile.join(broadcast(live), "file_id")
+      .filter(col("n_chars") >= lo && col("n_chars") <= hi)
+      .drop("file_id")
+  }
+
+  val k15Sql: String =
+    s"""WITH st AS (SELECT doc_id // $K15Batch AS file_id, COUNT(*)::BIGINT AS n_docs,
+       |         MIN(n_chars)::BIGINT AS min_nc, MAX(n_chars)::BIGINT AS max_nc
+       |       FROM documents GROUP BY 1),
+       |ex AS (SELECT MIN(min_nc) AS gmin, MAX(max_nc) AS gmax FROM st),
+       |b AS (SELECT gmin + (gmax - gmin) // 3 AS lo,
+       |        gmin + 2 * ((gmax - gmin) // 3) AS hi FROM ex)
+       |SELECT file_id, n_docs, min_nc, max_nc,
+       |  CASE WHEN max_nc < lo OR min_nc > hi THEN 'skip' ELSE 'read' END AS decision
+       |FROM st CROSS JOIN b ORDER BY file_id""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1366,6 +1444,7 @@ object RelationalQueries {
     "k12_zorder_layout" -> (k12ZorderLayout _),
     "k13_vacuum_plan" -> (k13VacuumPlan _),
     "k14_time_travel" -> ((ss: SparkSession, d: String) => k14TimeTravel(ss, d)),
+    "k15_zonemap_plan" -> ((ss: SparkSession, d: String) => k15ZoneMapPlan(ss, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1415,5 +1494,6 @@ object RelationalQueries {
     "k12_zorder_layout" -> k12Sql,
     "k13_vacuum_plan" -> k13Sql,
     "k14_time_travel" -> k14Sql,
+    "k15_zonemap_plan" -> k15Sql,
   )
 }

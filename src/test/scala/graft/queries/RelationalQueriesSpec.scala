@@ -356,6 +356,39 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(runAt(vmax).map(t => (t._1, t._2)).toSet == live)
   }
 
+  test("k15 zone-map pruning is lossless on real data and under a clustered layout") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // Band = the planner's middle third, replayed independently.
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "n_chars")
+    val rows = docs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (gmin, gmax) = (rows.map(_._2).min, rows.map(_._2).max)
+    val lo = gmin + (gmax - gmin) / 3
+    val hi = gmin + 2 * ((gmax - gmin) / 3)
+    val naive = rows.filter { case (_, nc) => nc >= lo && nc <= hi }.map(_._1).sorted.toSeq
+    val pruned = RelationalQueries.zoneMapPrunedScan(docs, lo, hi, 64L)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(pruned == naive, "pruned scan diverged from the naive filter")
+    // Planner decisions replay: a 'skip' file must hold no in-band row.
+    val skips = RelationalQueries.k15ZoneMapPlan(spark, sf).collect()
+      .filter(_.getAs[String]("decision") == "skip").map(_.getAs[Long]("file_id")).toSet
+    val byFile = rows.groupBy(_._1 / 64)
+    assert(skips.forall(f => byFile(f).forall { case (_, nc) => nc < lo || nc > hi }),
+      "a skipped file contains an in-band row — pruning would lose data")
+    // Clustered layout (doc_id reassigned in n_chars order — the post-k12
+    // shape): pruning must actually bite AND stay lossless.
+    val clustered = docs.orderBy("n_chars", "doc_id")
+      .withColumn("doc_id", expr(
+        "row_number() over (order by n_chars, doc_id) - 1").cast("long"))
+    val cRows = clustered.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cNaive = cRows.filter { case (_, nc) => nc >= lo && nc <= hi }.map(_._1).sorted.toSeq
+    val cPruned = RelationalQueries.zoneMapPrunedScan(clustered, lo, hi, 64L)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(cPruned == cNaive)
+    val cSkipped = cRows.groupBy(_._1 / 64).count { case (_, fr) =>
+      fr.forall { case (_, nc) => nc < lo || nc > hi } }
+    assert(cSkipped > 0, "clustered layout should produce at least one skippable file")
+  }
+
   test("k13 vacuum plan matches brute force; deletable set shrinks as retention rises") {
     val inv = spark.read.parquet(s"$sf/documents.parquet")
       .groupBy("lang", "source")
