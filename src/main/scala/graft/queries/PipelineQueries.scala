@@ -3417,6 +3417,90 @@ object PipelineQueries {
        |  MAX(abs(s))::BIGINT AS peak
        |FROM sm GROUP BY 1, 2 ORDER BY doc_id, frame_idx""".stripMargin
 
+  // -------------- M5: autocorrelation pitch estimation (integer-exact audio)
+
+  /** m5 lag search window: 16..48 samples (500–167 Hz at 8 kHz). */
+  private[graft] val M5LagMin = 16
+  private[graft] val M5LagMax = 48
+
+  /** Integer-exact autocorrelation over one decoded signal: returns
+    * (r0, best_lag, r_best) where r0 = Σx²ᵢ and best_lag maximizes
+    * R(L) = Σ xᵢ·xᵢ₊L over [[M5LagMin]]..[[M5LagMax]] (ties → smallest
+    * lag). int16 samples make every term ≤ 2³⁰ and every sum ≤ n·2³⁰ —
+    * exact in int64 for any signal under ~2³³ samples, far past the WAV
+    * budget. By Cauchy–Schwarz R(L) ≤ R(0), the spec-pinned sanity bound.
+    */
+  private[graft] def pitchOf(x: Array[Short]): (Long, Long, Long) = {
+    var r0 = 0L
+    var i = 0
+    while (i < x.length) { r0 += x(i).toLong * x(i); i += 1 }
+    var bestLag = -1L
+    var bestR = Long.MinValue
+    var lag = M5LagMin
+    while (lag <= math.min(M5LagMax, x.length - 1)) {
+      var r = 0L
+      var j = 0
+      while (j < x.length - lag) { r += x(j).toLong * x(j + lag); j += 1 }
+      if (r > bestR) { bestR = r; bestLag = lag }
+      lag += 1
+    }
+    (r0, bestLag, bestR)
+  }
+
+  /** Autocorrelation PITCH estimation — the classic periodicity detector
+    * (YIN/RAPT's first stage, voice-activity cues, dataset-level audio QA):
+    * per document, the lag in [[M5LagMin]]..[[M5LagMax]] whose
+    * autocorrelation is highest, with the lag-0 energy for the voicing
+    * ratio. m4's discipline end-to-end: the PCM synthesizes from the doc's
+    * md5 seed, round-trips through GENUINE WAV bytes (writer + chunk-walk
+    * reader), and every feature is an int64-exact sum of int16 products —
+    * so the DuckDB oracle, which replays the FORMULA, certifies both the
+    * codec roundtrip and the O(n·lags) correlation loop.
+    *
+    * Scale shape: ONE stateless narrow mapPartitions — zero exchanges
+    * before the presentation sort, embarrassingly parallel over blobs,
+    * the same shape m2/m4 pin. At 100 TB of audio the cost is pure
+    * compute; nothing shuffles but the output rows (one per document).
+    */
+  def m5AudioPitch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select("doc_id", "text").as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val s1 = graft.functions.Hashing.md5Lane60(text)
+        val n = 200 + (s1 % 201).toInt
+        val a = 3 + (s1 % 97)
+        val b = s1 % 65536L
+        val pcm = Array.tabulate(n)(i => (((a * i + b) % 65536L) - 32768L).toShort)
+        val dec = graft.multimodal.Audio.decodeWav(
+          graft.multimodal.Audio.synthWav(pcm))
+        val (r0, lag, r) = pitchOf(dec)
+        (id, dec.length.toLong, r0, lag, r)
+      })
+      .toDF("doc_id", "n_samples", "r0", "best_lag", "r_best")
+      .orderBy("doc_id")
+  }
+
+  val m5Sql: String =
+    s"""WITH d AS (SELECT doc_id, (${md5HexSql("text", 15)}) AS s1 FROM documents),
+       |p AS (SELECT doc_id, 200 + (s1 % 201) AS n, 3 + (s1 % 97) AS a,
+       |        s1 % 65536 AS b FROM d),
+       |s AS (SELECT doc_id, n,
+       |        list_transform(range(n), i -> ((a * i + b) % 65536) - 32768) AS x
+       |      FROM p),
+       |e AS (SELECT doc_id, n, x,
+       |        list_sum(list_transform(x, v -> v * v)) AS r0 FROM s),
+       |lg AS (SELECT doc_id, n, x, r0, unnest(range($M5LagMin, ${M5LagMax + 1})) AS lag
+       |       FROM e),
+       |r AS (SELECT doc_id, n, r0, lag,
+       |        list_sum(list_transform(range(n - lag), i -> x[i+1] * x[i+lag+1])) AS rv
+       |      FROM lg),
+       |rk AS (SELECT doc_id, n, r0, lag, rv,
+       |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY rv DESC, lag) AS rnk
+       |       FROM r)
+       |SELECT doc_id, n::BIGINT AS n_samples, r0::BIGINT AS r0,
+       |  lag::BIGINT AS best_lag, rv::BIGINT AS r_best
+       |FROM rk WHERE rnk = 1 ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------- A8s: sketch aggregates (HLL)
 
   /** Approximate distinct-user counts per event type via HyperLogLog++ —
@@ -5367,6 +5451,7 @@ object PipelineQueries {
     "x28_oov_audit" -> (x28OovAudit _),
     "x29_gram_spectrum" -> ((s: SparkSession, dir: String) => x29GramSpectrum(s, dir)),
     "x30_goodturing_lm" -> ((s: SparkSession, dir: String) => x30GoodTuring(s, dir)),
+    "m5_audio_pitch" -> (m5AudioPitch _),
     "x31_span_corrupt" -> ((s: SparkSession, dir: String) => x31SpanCorrupt(s, dir)),
     "d9_sem_dedup" -> (d9SemDedup _),
     "d10_incremental_dedup" -> (d10IncrementalDedup _),
@@ -5443,6 +5528,7 @@ object PipelineQueries {
     "x28_oov_audit" -> x28Sql,
     "x29_gram_spectrum" -> x29Sql,
     "x30_goodturing_lm" -> x30Sql,
+    "m5_audio_pitch" -> m5Sql,
     "x31_span_corrupt" -> x31Sql,
     "d9_sem_dedup" -> d9Sql,
     "d10_incremental_dedup" -> d10Sql,

@@ -100,4 +100,22 @@ class AudioSpec extends SparkSpec {
     assert(expected.groupBy(_._1).values.forall(_.size > 1))
     assert(expected.exists(_._5 > 0))
   }
+
+  test("m5 pitch finds a planted period and respects Cauchy–Schwarz on real data") {
+    // A period-20 square wave autocorrelates maximally at lag 20 within the
+    // search window (the lag-40 echo loses terms to the shorter overlap).
+    val square = Array.tabulate(400)(i => if ((i / 10) % 2 == 0) 10000 else -10000)
+      .map(_.toShort)
+    val (r0, lag, r) = graft.queries.PipelineQueries.pitchOf(square)
+    assert(lag == 20L, s"expected the planted 20-sample period, got lag $lag")
+    assert(r <= r0, "Cauchy–Schwarz violated on the planted signal")
+    val rows = graft.queries.PipelineQueries.m5AudioPitch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { row =>
+      val (n, e0, bl, rb) = (row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+      assert(n >= 200 && n <= 400)
+      assert(bl >= 16 && bl <= 48, s"best_lag $bl outside the search window")
+      assert(rb <= e0, s"r_best $rb exceeds r0 $e0 — autocorrelation broken")
+    }
+  }
 }
