@@ -5280,6 +5280,70 @@ object PipelineQueries {
        |FROM bg JOIN top ON bg.bg = top.phrase
        |GROUP BY doc_id, phrase ORDER BY doc_id""".stripMargin
 
+  // ------------------- X34: TF-IDF keyword extraction (document tagging)
+
+  def x34Keywords(s: SparkSession, dir: String): DataFrame =
+    x34Keywords(s, dir, hotK = 64)
+
+  /** TF-IDF KEYWORD extraction — the document-tagging step (retrieval
+    * metadata, topic routing, dataset cards): per document, the top-3
+    * terms by tf·N/df rank, with LINEAR inverse document frequency
+    * (score_ppm = tf·10⁶ div df) instead of the log variant — the same
+    * ordering for fixed tf, integer-exact cross-engine, the x2/x7
+    * all-integer discipline. Ties break on term text, so the tag set is
+    * deterministic.
+    *
+    * Scale shape: tf and df are the two partial-aggregable passes x23
+    * already pays (tf rows are (term, doc)-distinct, so df needs no
+    * COUNT(DISTINCT)); both materialize once. The df join back onto tf
+    * rows is x12's skew problem in term space — "the" joins from every
+    * document — so it takes x12's cure verbatim: the `hotK` most frequent
+    * terms (the Zipf head, i.e. exactly the hot join keys) ride a
+    * broadcast, the cold tail shuffle-joins, and an anti-join keeps the
+    * two paths disjoint so any `hotK` yields identical results
+    * (spec-pinned 0/1/64 equal). The per-doc window partitions on doc_id
+    * with doc-length-bounded width — no skew possible by construction.
+    */
+  def x34Keywords(s: SparkSession, dir: String, hotK: Int): DataFrame = {
+    require(hotK >= 0, s"hotK must be non-negative, got $hotK")
+    val tf = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // read twice (df build + join): one corpus pass ever
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df")).localCheckpoint()
+    val scored =
+      if (hotK == 0) tf.join(df, "term")
+      else {
+        val hot = df.orderBy(col("df").desc, col("term")).limit(hotK)
+        tf.join(broadcast(hot), "term")
+          .unionByName(
+            tf.join(broadcast(hot.select("term")), Seq("term"), "left_anti")
+              .join(df, "term"))
+      }
+    scored
+      .withColumn("score_ppm", expr("tf * 1000000L div df"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score_ppm").desc, col("term"))))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("term"),
+        col("tf"), col("df"), col("score_ppm"))
+      .orderBy("doc_id", "rk")
+  }
+
+  val x34Sql: String =
+    s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT term, doc_id, COUNT(*)::BIGINT AS tf FROM tk WHERE term != ''
+       |       GROUP BY term, doc_id),
+       |df AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term),
+       |sc AS (SELECT doc_id, tf.term, tf, df, tf * 1000000 // df AS score_ppm
+       |       FROM tf JOIN df USING (term)),
+       |rk AS (SELECT doc_id, term, tf, df, score_ppm,
+       |         ROW_NUMBER() OVER (PARTITION BY doc_id
+       |           ORDER BY score_ppm DESC, term) AS rk FROM sc)
+       |SELECT doc_id, rk::BIGINT AS rk, term, tf, df, score_ppm::BIGINT AS score_ppm
+       |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
   // --------------------- X22: per-source quota cap (anti-domination rule)
 
   /** Per-source document quota — the RefinedWeb/C4-style anti-domination
@@ -5491,6 +5555,7 @@ object PipelineQueries {
     "x22_source_cap" -> ((s: SparkSession, dir: String) => x22SourceCap(s, dir)),
     "x23_inverted_index" -> ((s: SparkSession, dir: String) => x23InvertedIndex(s, dir)),
     "x33_phrase_search" -> ((s: SparkSession, dir: String) => x33PhraseSearch(s, dir)),
+    "x34_keywords" -> ((s: SparkSession, dir: String) => x34Keywords(s, dir)),
     "x24_drift_report" -> (x24DriftReport _),
     "g2_triangles" -> (g2Triangles _),
     "m1_binary_meta" -> (m1BinaryMeta _),
@@ -5568,6 +5633,7 @@ object PipelineQueries {
     "x22_source_cap" -> x22Sql,
     "x23_inverted_index" -> x23Sql,
     "x33_phrase_search" -> x33Sql,
+    "x34_keywords" -> x34Sql,
     "x24_drift_report" -> x24Sql,
     "g2_triangles" -> g2Sql,
     "m1_binary_meta" -> m1Sql,

@@ -144,6 +144,29 @@ class PipelineQueriesSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq, "table rows must prefix-nest in the cap")
   }
 
+  test("x34 keywords match a brute-force replay; hotK is result-invariant") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq)
+    val tf = docs.flatMap { case (id, ws) =>
+      ws.groupBy(identity).map { case (w, o) => (w, id, o.size.toLong) } }
+    val df = tf.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size.toLong).toMap
+    val expected = tf.groupBy(_._2).toSeq.flatMap { case (id, rows) =>
+      rows.map { case (w, _, c) => (w, c, df(w), c * 1000000L / df(w)) }
+        .sortBy { case (w, _, _, s) => (-s, w) }.take(3).zipWithIndex
+        .map { case ((w, c, d, s), i) => (id, i + 1L, w, c, d, s) }
+    }.sortBy(r => (r._1, r._2))
+    val got = PipelineQueries.x34Keywords(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected, "x34 diverged from the brute-force TF-IDF replay")
+    // the hot-head split is structural, never semantic (x12's pin)
+    for (k <- Seq(0, 1, 64))
+      assert(PipelineQueries.x34Keywords(spark, sf, k).collect()
+        .map(_.toSeq).toSeq == got.map(t => Seq(t._1, t._2, t._3, t._4, t._5, t._6)),
+        s"hotK=$k changed the result")
+  }
+
   test("sim2's nPlanes dial: prefix-nested planes make recall monotone non-increasing") {
     // bucket n+1 refines bucket n (the extra plane splits, never re-mixes),
     // so candidate sets shrink as planes are added and recall@3 vs the
