@@ -3907,6 +3907,102 @@ object PipelineQueries {
        |FROM w GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin
   }
 
+  // --------- PIPE5: RAG retrieval serving — chunk store + index + top-k answer
+
+  /** Chunks per document bound for pipe5's packed chunk key (doc_id·4096 +
+    * chunk_id): at the default 24-token stride this admits ~98k-token
+    * documents; past it the key would alias, so the plan fails loudly.
+    */
+  private[graft] val Pipe5MaxChunks = 4096L
+
+  def pipe5RetrieveChunks(s: SparkSession, dir: String): DataFrame =
+    pipe5RetrieveChunks(s, dir, X25Chunk, X25Stride, 10)
+
+  /** pipe5: the RAG SERVING pipeline — the chunk store, the positional
+    * index over it, and an exact-match query answered end-to-end: corpus →
+    * x25 overlapping chunks (context-window units with start_tok
+    * provenance) → x33's positional blocked index keyed by the packed
+    * chunk id → the corpus's hottest bigram answered FROM THE INDEX → the
+    * top-k chunks by occurrence count with full (doc, chunk, start_tok)
+    * provenance — what a retrieval layer hands the generator. Every stage
+    * is the standalone operator's exact rule ([[chunkDocs]],
+    * [[preparePhraseIndex]], [[hottestBigram]]), so geometry or index
+    * changes propagate by construction; the overlap is WHY a phrase
+    * straddling a stride boundary is still found (spec-pinned with a
+    * planted straddler).
+    *
+    * Scale shape: chunking is a narrow generate; the index build pays
+    * x33's one (term, block) shuffle over chunk tokens; the answer touches
+    * only the phrase terms' index rows and joins positions on unique
+    * (chunk, pos) keys; the top-k is a TakeOrdered (per-partition k then a
+    * k-row merge — no global sort, no single-partition window). The
+    * packed-key range is guarded in-plan: aliasing would silently merge
+    * two chunks' positions, so past-bound documents raise instead.
+    */
+  def pipe5RetrieveChunks(s: SparkSession, dir: String, chunk: Int, stride: Int,
+      k: Int): DataFrame =
+    pipe5Core(t(s, dir, "documents"), chunk, stride, k)
+
+  /** Library form over any (doc_id, text, …) frame — the spec drives it
+    * with a planted stride-straddling phrase to prove the overlap is what
+    * keeps boundary occurrences findable, and with an over-long document
+    * to prove the packed-key guard fires instead of aliasing.
+    */
+  private[graft] def pipe5Core(docs: DataFrame, chunk: Int, stride: Int,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val top = hottestBigram(docs)
+    val Array(w0, w1) = top.split(" ", 2)
+    val chunks = chunkDocs(docs.select("doc_id", "text"), chunk, stride)
+    val packed = chunks.select(expr(
+      s"CASE WHEN chunk_id >= $Pipe5MaxChunks OR doc_id > ${Long.MaxValue / 4096}L " +
+        s"THEN raise_error('pipe5: chunk key out of packing range') " +
+        s"ELSE doc_id * $Pipe5MaxChunks + chunk_id END").as("doc_id"),
+      col("chunk").as("text"))
+    val idx = preparePhraseIndex(packed, X23Block)
+    def positionsOf(term: String) = idx
+      .filter(col("term") === term)
+      .select(col("block"), explode(col("entries")).as("e"))
+      .select(expr(s"block * ${X23Block}L + e.rel").as("ckey"), col("e.pos").as("pos"))
+    val t0 = positionsOf(w0).select(col("ckey"), (col("pos") + 1).as("nxt"))
+    val t1 = positionsOf(w1).select(col("ckey"), col("pos").as("nxt"))
+    t0.join(t1, Seq("ckey", "nxt"))
+      .groupBy("ckey").agg(count(lit(1)).as("n_occ"))
+      .select(expr(s"ckey div $Pipe5MaxChunks").as("doc_id"),
+        expr(s"ckey % $Pipe5MaxChunks").as("chunk_id"),
+        expr(s"(ckey % $Pipe5MaxChunks) * ${stride}L").as("start_tok"),
+        lit(top).as("phrase"), col("n_occ"))
+      .orderBy(col("n_occ").desc, col("doc_id"), col("chunk_id"))
+      .limit(k)
+      .orderBy(col("n_occ").desc, col("doc_id"), col("chunk_id"))
+  }
+
+  // lazy: X25Chunk/X25Stride are declared later in this object — a strict
+  // val here would capture their pre-init 0 (the pipe4Sql trap)
+  lazy val pipe5Sql: String = {
+    val (c, st) = (X25Chunk, X25Stride)
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |bgall AS (SELECT unnest(list_transform(range(len(w)-1),
+       |        i -> w[i+1]||' '||w[i+2])) AS bg
+       |      FROM w WHERE len(w) >= 2),
+       |top AS (SELECT bg AS phrase FROM bgall GROUP BY bg
+       |        ORDER BY COUNT(*) DESC, bg LIMIT 1),
+       |c AS (SELECT doc_id, i AS chunk_id, i * $st AS start_tok,
+       |        list_slice(w, i * $st + 1, i * $st + $c) AS toks
+       |      FROM (SELECT doc_id, w,
+       |              unnest(range((greatest(len(w) - $c, 0) + $st - 1) // $st + 1)) AS i
+       |            FROM w WHERE len(w) >= 1)),
+       |cb AS (SELECT doc_id, chunk_id, start_tok,
+       |         unnest(list_transform(range(len(toks)-1),
+       |           i -> toks[i+1]||' '||toks[i+2])) AS bg
+       |       FROM c WHERE len(toks) >= 2)
+       |SELECT doc_id, chunk_id::BIGINT AS chunk_id, start_tok::BIGINT AS start_tok,
+       |  phrase, COUNT(*)::BIGINT AS n_occ
+       |FROM cb JOIN top ON cb.bg = top.phrase
+       |GROUP BY doc_id, chunk_id, start_tok, phrase
+       |ORDER BY n_occ DESC, doc_id, chunk_id LIMIT 10""".stripMargin
+  }
+
   // -------------------------------- X16: deterministic shard shuffle (epochs)
 
   /** Deterministic corpus shuffle into training shards: every document gets
@@ -5244,17 +5340,24 @@ object PipelineQueries {
     * re-read for the answer. The spec pins index-answered counts to the
     * naive row-local text scan — the proof the index is lossless.
     */
+  /** The corpus's hottest bigram (count desc, text asc — both engines
+    * break ties identically): one partial-aggregable pair count ending in
+    * a 1-row argmax to the driver (x18's discipline). Shared by x33 and
+    * pipe5 so "the phrase" has exactly one definition.
+    */
+  private def hottestBigram(docs: DataFrame): String = docs
+    .withColumn("w", split(col("text"), " "))
+    .filter(size(col("w")) >= 2)
+    .select(explode(expr(
+      "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))")).as("bg"))
+    .groupBy("bg").agg(count(lit(1)).as("c"))
+    .orderBy(col("c").desc, col("bg")).limit(1)
+    .collect()(0).getAs[String]("bg")
+
   def x33PhraseSearch(s: SparkSession, dir: String, block: Long): DataFrame = {
     require(block >= 1, s"block must be positive, got $block")
     val docs = t(s, dir, "documents")
-    val top = docs
-      .withColumn("w", split(col("text"), " "))
-      .filter(size(col("w")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))")).as("bg"))
-      .groupBy("bg").agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("bg")).limit(1)
-      .collect()(0).getAs[String]("bg")
+    val top = hottestBigram(docs)
     val Array(w0, w1) = top.split(" ", 2)
     val idx = preparePhraseIndex(docs, block)
     def positionsOf(term: String) = idx
@@ -5573,6 +5676,7 @@ object PipelineQueries {
     "pipe2_index_build" -> (pipe2IndexBuild _),
     "pipe3_export" -> (pipe3Export _),
     "pipe4_curate_export" -> (pipe4CurateExport _),
+    "pipe5_retrieve_chunks" -> ((s: SparkSession, dir: String) => pipe5RetrieveChunks(s, dir)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -5648,5 +5752,6 @@ object PipelineQueries {
     "pipe2_index_build" -> pipe2Sql,
     "pipe3_export" -> pipe3Sql,
     "pipe4_curate_export" -> pipe4Sql,
+    "pipe5_retrieve_chunks" -> pipe5Sql,
   )
 }

@@ -167,6 +167,33 @@ class PipelineQueriesSpec extends SparkSpec {
         s"hotK=$k changed the result")
   }
 
+  test("pipe5 finds a phrase straddling the stride boundary only because chunks overlap") {
+    import spark.implicits._
+    // "a b" is the hottest bigram; one occurrence sits at tokens (31, 32) —
+    // the disjoint-grid boundary for chunk=32. Disjoint chunking (stride =
+    // chunk) splits it; the x25 overlap (stride 24) keeps it findable.
+    val filler = (0 until 64).map(i => s"f$i").toArray
+    filler(31) = "a"; filler(32) = "b"
+    val docs = Seq(
+      (0L, filler.mkString(" ")),
+      (1L, "a b a b a b"),
+      (2L, "a b c d")).toDF("doc_id", "text")
+    def occOf(stride: Int, doc: Long): Long =
+      PipelineQueries.pipe5Core(docs, 32, stride, 10).collect()
+        .filter(_.getAs[Long]("doc_id") == doc)
+        .map(_.getAs[Long]("n_occ")).sum
+    assert(PipelineQueries.pipe5Core(docs, 32, 24, 10).collect()
+      .forall(_.getAs[String]("phrase") == "a b"))
+    assert(occOf(32, 0L) == 0L, "disjoint grid should split the boundary occurrence")
+    assert(occOf(24, 0L) == 1L, "the overlap must recover the straddling occurrence")
+    // the packed chunk key refuses to alias: > 4096 chunks raises in-plan
+    val long = Seq((0L, (0 to 4100).map(_ => "a b").mkString(" "))).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      PipelineQueries.pipe5Core(long, 4, 1, 5).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("packing range"))
+  }
+
   test("sim2's nPlanes dial: prefix-nested planes make recall monotone non-increasing") {
     // bucket n+1 refines bucket n (the extra plane splits, never re-mixes),
     // so candidate sets shrink as planes are added and recall@3 vs the
