@@ -3464,7 +3464,19 @@ object PipelineQueries {
     */
   def m5AudioPitch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "documents").select("doc_id", "text").as[(Long, String)]
+    audioPitch(t(s, dir, "documents").select("doc_id", "text").as[(Long, String)])
+      .orderBy("doc_id")
+  }
+
+  /** THE single definition of the m5 synth → WAV roundtrip → pitch pass —
+    * shared by the batch query and the streaming ingest twin
+    * ([[graft.streaming.StreamingOps.audioPitchStream]]). Stateless narrow
+    * mapPartitions; the batch query adds its presentation ORDER BY.
+    */
+  private[graft] def audioPitch(docs: Dataset[(Long, String)]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
       .mapPartitions(_.map { case (id, text) =>
         val s1 = graft.functions.Hashing.md5Lane60(text)
         val n = 200 + (s1 % 201).toInt
@@ -3477,7 +3489,6 @@ object PipelineQueries {
         (id, dec.length.toLong, r0, lag, r)
       })
       .toDF("doc_id", "n_samples", "r0", "best_lag", "r_best")
-      .orderBy("doc_id")
   }
 
   val m5Sql: String =

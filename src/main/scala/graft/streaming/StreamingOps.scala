@@ -215,6 +215,19 @@ object StreamingOps {
       docs.select(col("doc_id"), col("text")).as[(Long, String)])
   }
 
+  /** Streaming audio pitch — m5's ingest twin: the SAME
+    * [[graft.queries.PipelineQueries.audioPitch]] core (synth → WAV
+    * roundtrip → autocorrelation argmax), a stateless narrow mapPartitions
+    * per micro-batch with zero state operators, spec-pinned doc-for-doc to
+    * the batch operator.
+    */
+  def audioPitchStream(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.queries.PipelineQueries.audioPitch(
+      docs.select(col("doc_id"), col("text")).as[(Long, String)])
+  }
+
   /** Streaming changelog apply — the ingest-time twin of the batch
     * `k10_changelog_apply`, and the CDC member of the foreachBatch family:
     * micro-batches of I/U/D changelog rows (`k`, `op`, `new_status`) — a

@@ -817,6 +817,29 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming audio pitch equals the batch core doc-for-doc, statelessly") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[StreamDoc]
+    val q = StreamingOps.audioPitchStream(in.toDF())
+      .writeStream.format("memory").queryName("audiop")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val docs = Seq((201L, "streamed pitch probe"), (202L, "second audio doc"))
+      in.addData(docs.map { case (id, t0) => StreamDoc(id, ts(0), t0) }: _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val got = spark.table("audiop").collect().map(key).toSet
+      val batch = graft.queries.PipelineQueries
+        .audioPitch(docs.toDS()).collect().map(key).toSet
+      assert(got == batch && got.nonEmpty)
+      val prog = q.lastProgress
+      assert(prog == null || prog.stateOperators.isEmpty,
+        "pitch twin must not carry streaming state")
+    } finally q.stop()
+  }
+
   test("streaming changelog apply lands on the target snapshot and replays are no-ops") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
