@@ -93,6 +93,32 @@ object StreamingOps {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Sessionization via Spark's BUILT-IN `session_window` aggregation — the
+    * no-custom-state-code twin of [[sessionize]] (which demonstrates
+    * `flatMapGroupsWithState`): the engine itself merges overlapping
+    * [event, event+gap) ranges, Append emits each (user, session) row
+    * exactly once when the watermark passes the session end, and state per
+    * group is the engine's merged-window aggregate — no user code to leak
+    * it. Output schema matches [[Session]] so the two formulations are
+    * directly comparable — including the boundary: the engine merges a
+    * gap of EXACTLY the session gap (inclusive-end window overlap), which
+    * is precisely w3's `gap > 30 min` keep rule, so all three
+    * formulations (batch window, custom state, built-in) agree everywhere
+    * (the spec pins the exact-gap case).
+    */
+  def sessionWindowCounts(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("user_id"),
+        expr("unix_micros(sw.start)").as("session_start_us"),
+        expr(s"unix_micros(sw.end) - ${gapUs}L").as("session_end_us"),
+        col("n_events"), col("total_value"))
+  }
+
   /** Windowed approximate distinct users — the streaming twin of the batch
     * `a8s` HLL query. The HLL++ buffer is exactly what incremental
     * aggregation state wants to be: constant-size per (window, type) group

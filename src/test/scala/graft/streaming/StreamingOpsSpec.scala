@@ -183,6 +183,46 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("built-in session_window twin matches the stateful sessionizer; exact-gap splits") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = StreamingOps.sessionWindowCounts(in.toDF())
+      .writeStream.format("memory").queryName("swsessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def us(minutes: Long): Long = (Base + minutes * 60000L) * 1000L
+      // the stateful sessionizer's fixture: 10-min gap merges, 40-min splits
+      in.addData(
+        Event(1, ts(0), 1, "CLICK", 1.0),
+        Event(2, ts(10), 1, "CLICK", 2.0),
+        Event(3, ts(50), 1, "VIEW", 4.0))
+      // push the watermark past session end + gap, then one more batch so
+      // the state-store eviction actually emits
+      in.addData(Event(7, ts(300), 99, "W", 0.0))
+      q.processAllAvailable()
+      in.addData(Event(8, ts(301), 99, "W", 0.0))
+      q.processAllAvailable()
+      val u1 = spark.table("swsessions").as[Session].collect()
+        .filter(_.user_id == 1).toSet
+      assert(u1 == Set(Session(1, us(0), us(10), 2, 3.0),
+        Session(1, us(50), us(50), 1, 4.0)),
+        s"built-in windows diverged from the sessionizer's: $u1")
+      // the boundary: a gap of EXACTLY 30 min MERGES (inclusive-end window
+      // overlap) — the same verdict as w3's `gap > 30 min` keep rule, so
+      // the built-in and the custom formulations agree even here
+      in.addData(Event(9, ts(400), 5, "A", 1.0), Event(10, ts(430), 5, "B", 1.0))
+      in.addData(Event(11, ts(700), 99, "W", 0.0))
+      q.processAllAvailable()
+      in.addData(Event(12, ts(701), 99, "W", 0.0))
+      q.processAllAvailable()
+      val u5 = spark.table("swsessions").as[Session].collect()
+        .filter(_.user_id == 5).toSet
+      assert(u5 == Set(Session(5, us(400), us(430), 2, 2.0)),
+        s"exact-gap events must merge, matching w3's > rule: $u5")
+    } finally q.stop()
+  }
+
   test("stateful sessionizer closes sessions on the 30-minute gap") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
