@@ -2931,6 +2931,58 @@ object PipelineQueries {
       |       LEFT JOIN p USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  // ------------------- W8: conversion-latency quantiles (histogram method)
+
+  /** Conversion LATENCY report — the time-to-convert distribution every
+    * funnel dashboard shows next to w4's reach counts: over users who
+    * completed the strict view → click → purchase funnel, the exact
+    * discrete quantiles (q = 0/25/50/75/100, index ⌊(n−1)·q/100⌋ of the
+    * sorted multiset) of view→purchase latency at SECOND granularity.
+    *
+    * Scale shape — the histogram method, not a global sort: latencies
+    * bucket to integer seconds in one partial-aggregable groupBy (the
+    * exchange carries distinct-second rows, not users), the cumulative
+    * rank runs over the BUCKET table (domain-bounded — hours of latency ≈
+    * thousands of rows — so the unpartitioned window is metadata-sized by
+    * construction, never user-sized), and the 5-row quantile frame joins
+    * the cumulative histogram by rank interval. Exact for the stated
+    * second-granular metric at any user count; n rides as a collected
+    * 1-row literal (the codebook discipline). This is how exact
+    * percentiles survive 10⁹ conversions — a9s's sketch is the
+    * alternative when the metric itself must stay unbucketed.
+    */
+  def w8ConversionLatency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hist = w4Funnel(s, dir).filter(col("stage") === 3)
+      .select(expr("(purchase_us - view_us) div 1000000L").as("lat_s"))
+      .groupBy("lat_s").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // read twice (n + cum): the funnel runs once
+    val nRow = hist.agg(sum("cnt")).first()
+    require(!nRow.isNullAt(0), "w8 needs at least one converted user")
+    val n = nRow.getLong(0)
+    val cum = hist.withColumn("cum", sum("cnt").over(
+      Window.orderBy("lat_s").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    Seq(0L, 25L, 50L, 75L, 100L).toDF("q")
+      .join(cum, expr(s"(cum - cnt) <= ((${n}L - 1L) * q) div 100L AND " +
+        s"((${n}L - 1L) * q) div 100L < cum"))
+      .select(col("q"), lit(n).as("n_conv"), col("lat_s"))
+      .orderBy("q")
+  }
+
+  lazy val w8Sql: String =
+    s"""WITH fn AS (SELECT * FROM ($w4Sql) f WHERE stage = 3),
+       |l AS (SELECT (purchase_us - view_us) // 1000000 AS lat_s FROM fn),
+       |h AS (SELECT lat_s, COUNT(*)::BIGINT AS cnt FROM l GROUP BY 1),
+       |c AS (SELECT lat_s, cnt,
+       |        SUM(cnt) OVER (ORDER BY lat_s ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+       |      FROM h),
+       |n AS (SELECT SUM(cnt)::BIGINT AS n FROM h),
+       |q AS (SELECT unnest([0, 25, 50, 75, 100]) AS q)
+       |SELECT q::BIGINT AS q, n.n AS n_conv, c.lat_s
+       |FROM q CROSS JOIN n JOIN c ON (c.cum - c.cnt) <= ((n.n - 1) * q) // 100
+       |                          AND ((n.n - 1) * q) // 100 < c.cum
+       |ORDER BY q""".stripMargin
+
   // ----------------------------------------- X13: corpus mixing weights
 
   /** Domain-mixing weights (the DoReMi/Pile-style corpus recipe step): per
@@ -5681,6 +5733,7 @@ object PipelineQueries {
     "a10s_cms_freq" -> (a10sCmsFreq _),
     "w3_sessionize" -> (w3Sessionize _),
     "w4_funnel" -> (w4Funnel _),
+    "w8_conversion_latency" -> (w8ConversionLatency _),
     "w5_retention" -> (w5Retention _),
     "w6_outliers" -> (w6Outliers _),
     "pipe1_curate" -> (pipe1Curate _),
@@ -5757,6 +5810,7 @@ object PipelineQueries {
     "m4_audio_features" -> m4Sql,
     "w3_sessionize" -> w3Sql,
     "w4_funnel" -> w4Sql,
+    "w8_conversion_latency" -> w8Sql,
     "w5_retention" -> w5Sql,
     "w6_outliers" -> w6Sql,
     "pipe1_curate" -> pipe1Sql,

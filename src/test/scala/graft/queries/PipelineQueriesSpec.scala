@@ -194,6 +194,23 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(ex.getMessage != null && ex.getMessage.contains("packing range"))
   }
 
+  test("w8 latency quantiles match a sorted-multiset replay and rise with q") {
+    // The histogram method must equal element ⌊(n−1)q/100⌋ of the sorted
+    // second-granular latencies, replayed directly from the funnel output.
+    val lats = PipelineQueries.w4Funnel(spark, sf).collect()
+      .filter(_.getAs[Int]("stage") == 3)
+      .map(r => (r.getAs[Long]("purchase_us") - r.getAs[Long]("view_us")) / 1000000L)
+      .sorted
+    assert(lats.nonEmpty, "fixture has no converted users")
+    val got = PipelineQueries.w8ConversionLatency(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expected = Seq(0L, 25L, 50L, 75L, 100L).map { q =>
+      (q, lats.length.toLong, lats(((lats.length - 1) * q / 100).toInt))
+    }
+    assert(got == expected, s"histogram quantiles diverged from the sorted replay")
+    assert(got.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+  }
+
   test("sim2's nPlanes dial: prefix-nested planes make recall monotone non-increasing") {
     // bucket n+1 refines bucket n (the extra plane splits, never re-mixes),
     // so candidate sets shrink as planes are added and recall@3 vs the
