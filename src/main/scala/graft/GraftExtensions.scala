@@ -18,11 +18,16 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * draw from the same builder list, so the two surfaces cannot drift.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.VectorExpressions.builders.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         builder))
     }
+    // commutative-kernel canonicalization: makes semantically-equal
+    // graft_dot / graft_popcnt_and calls syntactically equal so CSE and
+    // exchange reuse see through argument order (bit-identical swap)
+    ext.injectOptimizerRule(_ => graft.plans.CanonicalizeCommutativeVectorOps)
+  }
 }

@@ -10,4 +10,9 @@ object GraftExtensionsTestAccess {
     ext.registerFunctions(reg)
     reg.listFunction().map(_.funcName)
   }
+
+  def injectedOptimizerRules(ext: SparkSessionExtensions, session: SparkSession)
+      : Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    ext.buildOptimizerRules(session)
 }
