@@ -364,6 +364,84 @@ object PipelineQueries {
        |FROM j WHERE inter * 2 >= uni ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ----------- D12: LSH dedup recall evaluation (the banding-quality report)
+
+  /** Default d12 panel: ground truth is computed for doc_id < 50. */
+  private[graft] val D12Panel = 50L
+
+  def d12LshRecallEval(s: SparkSession, dir: String): DataFrame =
+    d12LshRecallEval(s, dir, MinhashPerms, MinhashBands, D12Panel)
+
+  /** LSH dedup RECALL evaluation — sim9's discipline applied to the dedup
+    * family: d2's banded candidates are SOUND by construction (every pair
+    * is verified by exact Jaccard), so the one thing banding can cost is
+    * RECALL — true near-duplicate pairs whose signatures never share a
+    * band (the S-curve miss). This report measures it: per panel document,
+    * how many of its TRUE ≥ 0.5-Jaccard neighbors (exact set arithmetic
+    * over the SAME shingle rule d2 hashes) the banded pipeline actually
+    * paired, as integer ppm — the number an operator tunes (numPerms,
+    * bands) against before trusting a 100 TB dedup run, and the
+    * regression alarm when a shingle or band change silently drops
+    * recall. Panel docs with no true neighbor report NULL (vacuous).
+    *
+    * Scale shape: the candidate side IS the production d2 plan; the exact
+    * side is the ground-truth scan paid only on the SAMPLED panel
+    * (broadcast panel × corpus — at 100 TB a per-mille sample, exactly
+    * sim9's argument); the hit join and report move panel-sized rows.
+    * Deterministic shingle sets make the hit COUNT oracle-exact.
+    */
+  def d12LshRecallEval(s: SparkSession, dir: String, numPerms: Int, bands: Int,
+      panel: Long): DataFrame = {
+    require(panel >= 1, s"panel must be positive, got $panel")
+    val docsh = signaturesOf(t(s, dir, "documents"), numPerms, bands)
+    val pairs = d2MinhashLsh(s, dir, numPerms, bands)
+    val candNorm = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("o"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("o")))
+      .filter(col("doc_id") < panel)
+    val truePairs = broadcast(docsh.filter(col("doc_id") < panel)
+        .select(col("doc_id"), col("sh").as("sp")))
+      .crossJoin(docsh.select(col("doc_id").as("o"), col("sh").as("so")))
+      .filter(col("doc_id") =!= col("o"))
+      .withColumn("inter", size(array_intersect(col("sp"), col("so"))).cast("long"))
+      .withColumn("uni", size(array_union(col("sp"), col("so"))).cast("long"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .select("doc_id", "o")
+      .localCheckpoint() // read twice (true counts + hit join)
+    val nTrue = truePairs.groupBy("doc_id").agg(count(lit(1)).as("n_true"))
+    val hits = truePairs.join(candNorm, Seq("doc_id", "o"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    docsh.filter(col("doc_id") < panel).select("doc_id")
+      .join(nTrue, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        expr("CASE WHEN n_true IS NULL THEN CAST(NULL AS BIGINT) " +
+          "ELSE coalesce(n_hit, 0L) * 1000000L div n_true END").as("recall_ppm"))
+      .orderBy("doc_id")
+  }
+
+  lazy val d12Sql: String =
+    s"""WITH v AS (SELECT doc_a, doc_b FROM ($d2Sql) d2v),
+       |$shingleSqlCte,
+       |cn AS (SELECT doc_a AS doc_id, doc_b AS o FROM v
+       |       UNION ALL SELECT doc_b AS doc_id, doc_a AS o FROM v),
+       |tp AS (SELECT a.doc_id AS doc_id, b.doc_id AS o
+       |       FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+       |       WHERE a.doc_id < $D12Panel
+       |         AND 2 * len(list_intersect(a.s, b.s)) >= len(list_distinct(a.s || b.s))),
+       |nt AS (SELECT doc_id, COUNT(*)::BIGINT AS n_true FROM tp GROUP BY 1),
+       |ht AS (SELECT tp.doc_id, COUNT(*)::BIGINT AS n_hit
+       |       FROM tp JOIN (SELECT doc_id, o FROM cn WHERE doc_id < $D12Panel) c
+       |         USING (doc_id, o) GROUP BY 1),
+       |pn AS (SELECT doc_id FROM sh WHERE doc_id < $D12Panel)
+       |SELECT pn.doc_id, COALESCE(n_true, 0)::BIGINT AS n_true,
+       |  COALESCE(n_hit, 0)::BIGINT AS n_hit,
+       |  (CASE WHEN n_true IS NULL THEN NULL
+       |        ELSE COALESCE(n_hit, 0) * 1000000 // n_true END)::BIGINT AS recall_ppm
+       |FROM pn LEFT JOIN nt USING (doc_id) LEFT JOIN ht USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // ------------------------- D10: incremental dedup (increment vs corpus index)
 
   /** Dedup a new crawl increment against the EXISTING corpus without
@@ -5675,6 +5753,7 @@ object PipelineQueries {
     "d7_contamination" -> (d7Contamination _),
     "d8_span_dedup" -> (d8SpanDedup _),
     "d11_span_removal" -> (d11SpanRemoval _),
+    "d12_lsh_recall" -> ((s: SparkSession, dir: String) => d12LshRecallEval(s, dir)),
     "x25_chunk_overlap" -> ((s: SparkSession, dir: String) => x25ChunkOverlap(s, dir)),
     "x26_normalize" -> (x26Normalize _),
     "x27_train_classifier" -> ((s: SparkSession, dir: String) => x27TrainClassifier(s, dir)),
@@ -5755,6 +5834,7 @@ object PipelineQueries {
     "d7_contamination" -> d7Sql,
     "d8_span_dedup" -> d8Sql,
     "d11_span_removal" -> d11Sql,
+    "d12_lsh_recall" -> d12Sql,
     "x25_chunk_overlap" -> x25Sql,
     "x26_normalize" -> x26Sql,
     "x27_train_classifier" -> x27Sql,

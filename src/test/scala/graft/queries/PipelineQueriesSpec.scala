@@ -211,6 +211,43 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(got.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
   }
 
+  test("d12 reports the recall d2 actually achieves; hits rise as bands loosen") {
+    // Replay: true neighbors from exact set arithmetic over the spec's own
+    // shingling, hits by intersecting with d2's pair set.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+      .filter(_._2.length >= 3)
+      .map { case (id, w) =>
+        id -> (0 until w.length - 2).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet }
+      .toMap
+    val truePairs = for {
+      (p, sp) <- docs.toSeq if p < 50
+      (o, so) <- docs.toSeq if o != p
+      if 2 * (sp & so).size >= (sp | so).size
+    } yield (p, o)
+    val d2pairs = PipelineQueries.d2MinhashLsh(spark, sf).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0)))).toSet
+    val expected = docs.keys.filter(_ < 50).toSeq.sorted.map { p =>
+      val t = truePairs.filter(_._1 == p).map(_._2).toSet
+      val h = (t & d2pairs.filter(_._1 == p).map(_._2)).size.toLong
+      (p, t.size.toLong, h,
+        if (t.isEmpty) null else java.lang.Long.valueOf(h * 1000000L / t.size))
+    }
+    val got = PipelineQueries.d12LshRecallEval(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else java.lang.Long.valueOf(r.getLong(3)))).toSeq
+    assert(got == expected, "d12 diverged from the exact replay")
+    // banding theory: more, narrower bands can only ADD candidate pairs
+    // (a shared k-perm run implies shared sub-runs), so hits are monotone
+    val hitSums = Seq(1, 2, 4, 8).map { b =>
+      PipelineQueries.d12LshRecallEval(spark, sf, 8, b, 50L).collect()
+        .map(_.getAs[Long]("n_hit")).sum
+    }
+    assert(hitSums.zip(hitSums.tail).forall { case (a, b) => a <= b },
+      s"hits not monotone as bands loosen: $hitSums")
+  }
+
   test("sim2's nPlanes dial: prefix-nested planes make recall monotone non-increasing") {
     // bucket n+1 refines bucket n (the extra plane splits, never re-mixes),
     // so candidate sets shrink as planes are added and recall@3 vs the
