@@ -5524,6 +5524,75 @@ object PipelineQueries {
        |FROM bg JOIN top ON bg.bg = top.phrase
        |GROUP BY doc_id, phrase ORDER BY doc_id""".stripMargin
 
+  // ------------- X35: vocabulary growth curve (the Heaps'-law measurement)
+
+  /** x35 default: report at 10 corpus-prefix checkpoints. */
+  private[graft] val X35Checkpoints = 10
+
+  def x35VocabGrowth(s: SparkSession, dir: String): DataFrame =
+    x35VocabGrowth(s, dir, X35Checkpoints)
+
+  /** Vocabulary GROWTH curve — the Heaps'-law measurement behind tokenizer
+    * sizing and dedup forecasting: at each corpus-prefix checkpoint
+    * (doc_id order — ingest order, the realistic reading), the cumulative
+    * token count and the cumulative DISTINCT type count. Sub-linear type
+    * growth is what makes x9/x14's fixed vocabulary viable; a LINEAR tail
+    * means unbounded novelty (an x17 ingest-worthiness signal at corpus
+    * granularity); the types/tokens ratio per checkpoint is the
+    * new-vocabulary rate x28's OOV audit will see tomorrow.
+    *
+    * Scale shape: no per-checkpoint re-scan — each type collapses to its
+    * FIRST document (one partial-aggregable min per term, x23's tf
+    * exchange), each checkpoint then counts first-docs ≤ its threshold
+    * from type-count rows, and token counts fold from per-doc row-local
+    * lengths. Both folds are checkpoint×-rows joins against a broadcast
+    * 10-row threshold frame — corpus rows cross the network once, as
+    * (term) keys. Output is `checkpoints` rows at any corpus size;
+    * `checkpoints` is a refinement dial (thresholds at finer grids
+    * interleave, the curve only gains points).
+    */
+  def x35VocabGrowth(s: SparkSession, dir: String, checkpoints: Int): DataFrame = {
+    require(checkpoints >= 1, s"checkpoints must be positive, got $checkpoints")
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val maxId = docs.agg(max("doc_id")).first().getLong(0)
+    val cps = broadcast((1 to checkpoints)
+      .map(k => (k.toLong, maxId * k / checkpoints))
+      .toDF("checkpoint", "cutoff"))
+    val firstDoc = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(min("doc_id").as("first_doc"))
+    val types = cps.join(firstDoc, col("first_doc") <= col("cutoff"))
+      .groupBy("checkpoint", "cutoff").agg(count(lit(1)).as("n_types"))
+    val toks = docs
+      .select(col("doc_id"),
+        expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").as("n_toks"))
+      .join(cps, col("doc_id") <= col("cutoff"))
+      .groupBy("checkpoint").agg(sum("n_toks").as("n_tokens"))
+    types.join(toks, Seq("checkpoint"))
+      .select(col("checkpoint"), col("cutoff"), col("n_tokens"), col("n_types"))
+      .orderBy("checkpoint")
+  }
+
+  val x35Sql: String =
+    s"""WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+       |cp AS (SELECT k AS checkpoint, (m * k) // $X35Checkpoints AS cutoff
+       |       FROM (SELECT unnest(range(1, ${X35Checkpoints + 1})) AS k) ks
+       |       CROSS JOIN mx),
+       |tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |fd AS (SELECT term, MIN(doc_id) AS first_doc FROM tk WHERE term != ''
+       |       GROUP BY term),
+       |ty AS (SELECT checkpoint, cutoff, COUNT(*)::BIGINT AS n_types
+       |       FROM cp JOIN fd ON first_doc <= cutoff GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, len(list_filter(string_split(text, ' '),
+       |         x -> x != ''))::BIGINT AS n_toks FROM documents),
+       |tt AS (SELECT checkpoint, SUM(n_toks)::BIGINT AS n_tokens
+       |       FROM cp JOIN dl ON doc_id <= cutoff GROUP BY 1)
+       |SELECT checkpoint::BIGINT AS checkpoint, cutoff::BIGINT AS cutoff,
+       |  n_tokens, n_types
+       |FROM ty JOIN tt USING (checkpoint) ORDER BY checkpoint""".stripMargin
+
   // ------------------- X34: TF-IDF keyword extraction (document tagging)
 
   def x34Keywords(s: SparkSession, dir: String): DataFrame =
@@ -5801,6 +5870,7 @@ object PipelineQueries {
     "x23_inverted_index" -> ((s: SparkSession, dir: String) => x23InvertedIndex(s, dir)),
     "x33_phrase_search" -> ((s: SparkSession, dir: String) => x33PhraseSearch(s, dir)),
     "x34_keywords" -> ((s: SparkSession, dir: String) => x34Keywords(s, dir)),
+    "x35_vocab_growth" -> ((s: SparkSession, dir: String) => x35VocabGrowth(s, dir)),
     "x24_drift_report" -> (x24DriftReport _),
     "g2_triangles" -> (g2Triangles _),
     "m1_binary_meta" -> (m1BinaryMeta _),
@@ -5882,6 +5952,7 @@ object PipelineQueries {
     "x23_inverted_index" -> x23Sql,
     "x33_phrase_search" -> x33Sql,
     "x34_keywords" -> x34Sql,
+    "x35_vocab_growth" -> x35Sql,
     "x24_drift_report" -> x24Sql,
     "g2_triangles" -> g2Sql,
     "m1_binary_meta" -> m1Sql,

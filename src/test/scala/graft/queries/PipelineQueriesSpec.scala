@@ -248,6 +248,26 @@ class PipelineQueriesSpec extends SparkSpec {
       s"hits not monotone as bands loosen: $hitSums")
   }
 
+  test("x35 vocabulary growth matches a replay; the last checkpoint is the full corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq)
+    val maxId = docs.map(_._1).max
+    val expected = (1 to 10).map { k =>
+      val cutoff = maxId * k / 10
+      val in = docs.filter(_._1 <= cutoff)
+      (k.toLong, cutoff, in.map(_._2.size.toLong).sum,
+        in.flatMap(_._2).distinct.size.toLong)
+    }
+    val got = PipelineQueries.x35VocabGrowth(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected, "x35 diverged from the prefix replay")
+    assert(got.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+      "type counts must be monotone along the prefix")
+    assert(got.last._4 == docs.flatMap(_._2).distinct.size.toLong,
+      "final checkpoint must equal the full-corpus vocabulary")
+  }
+
   test("sim2's nPlanes dial: prefix-nested planes make recall monotone non-increasing") {
     // bucket n+1 refines bucket n (the extra plane splits, never re-mixes),
     // so candidate sets shrink as planes are added and recall@3 vs the
