@@ -85,6 +85,16 @@ class PlanQualitySpec extends SparkSpec {
       "the answer path re-read the corpus instead of the positional index")
   }
 
+  test("x34 hot terms ride a broadcast; the cold tail keeps an equi-join") {
+    // x12's skew cure transplanted to term space: the Zipf head must appear
+    // as BroadcastHashJoins (hot + anti), never shuffle the hot keys.
+    val p = plan(PipelineQueries.x34Keywords(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "hot-head df rows are not broadcast — the skew defense is gone")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "a keyword join degenerated to a product")
+  }
+
   test("d2 LSH band join is an equi-join on the band key") {
     val p = plan(PipelineQueries.d2MinhashLsh(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
