@@ -208,6 +208,8 @@ object VectorExpressions {
       org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(exprs(0), exprs(1))),
     "graft_cms_estimate" -> (exprs => CmsEstimate(exprs(0), exprs(1))),
+    "graft_bitmap_distinct" -> (exprs => BitmapDistinct(exprs(0))
+      .toAggregateExpression()),
   )
 
   def register(spark: SparkSession): Unit =

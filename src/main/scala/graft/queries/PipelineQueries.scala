@@ -3654,6 +3654,32 @@ object PipelineQueries {
     * different across engines), so the driver records the weaker rows-only
     * check by contract.
     */
+  /** EXACT one-pass distinct users per event type via the custom
+    * [[graft.functions.BitmapDistinct]] aggregate — the third point on the
+    * distinct-count spectrum this engine offers, and unlike a8s it is
+    * oracle-checkable: COUNT(DISTINCT) exact but two shuffles, HLL one
+    * pass but approximate, the bitmap ONE PASS and EXACT wherever ids are
+    * dense (dictionary-encoded keys, surrogate ids). State is one bitmap
+    * per group — maxId/8 bytes regardless of row count — updated map-side
+    * and merged by word-wise OR, so the exchange carries group-count
+    * buffers, never user ids. The exact count from the expensive built-in
+    * plan rides along; the oracle hash-match proves the custom aggregate's
+    * serialize/merge/eval path end to end.
+    */
+  def a14BitmapDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(expr("graft_bitmap_distinct(user_id)").as("bitmap_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  val a14Sql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS bitmap_users,
+      |  COUNT(DISTINCT user_id)::BIGINT AS exact_users,
+      |  COUNT(*)::BIGINT AS n_events
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   def a8sApproxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy("event_type")
@@ -5880,6 +5906,7 @@ object PipelineQueries {
     "a8s_approx_distinct" -> (a8sApproxDistinct _),
     "a9s_approx_quantiles" -> (a9sApproxQuantiles _),
     "a10s_cms_freq" -> (a10sCmsFreq _),
+    "a14_bitmap_distinct" -> (a14BitmapDistinct _),
     "w3_sessionize" -> (w3Sessionize _),
     "w4_funnel" -> (w4Funnel _),
     "w8_conversion_latency" -> (w8ConversionLatency _),
@@ -5893,6 +5920,7 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "a14_bitmap_distinct" -> a14Sql,
     "d1_exact_dedup" -> d1Sql,
     "d2_minhash_lsh" -> d2Sql,
     "d3_simhash" -> d3Sql,
