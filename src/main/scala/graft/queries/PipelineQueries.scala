@@ -3654,6 +3654,87 @@ object PipelineQueries {
     * different across engines), so the driver records the weaker rows-only
     * check by contract.
     */
+  // ----------- K16: per-file bloom skipping index (equality-predicate prune)
+
+  /** k16 layout/panel: 64-doc ingest-batch files, 20+20 probe digests. */
+  private[graft] val K16Batch = 64L
+  private[graft] val K16Panel = 20
+
+  /** Pair-level core: every (probe, file) with the bloom's verdict and the
+    * exact truth — the spec's no-false-negative pin reads this directly.
+    * The index BUILD is distributed (one partial-aggregable pass, sketch
+    * partials merged word-wise); the PROBING is deliberately driver-side —
+    * exactly where file skipping happens in a real planner, which reads
+    * the metadata-sized index table and prunes the file list before any
+    * task launches (`might_contain` itself only accepts a constant sketch
+    * for the same reason).
+    */
+  private[graft] def k16Pairs(s: SparkSession, dir: String, batch: Long,
+      panel: Int): DataFrame = {
+    require(batch >= 1 && panel >= 1,
+      s"batch and panel must be positive, got ($batch, $panel)")
+    import s.implicits._
+    val docs = t(s, dir, "documents").select(
+        expr(s"doc_id div ${batch}L").as("file_id"),
+        col("doc_id"),
+        expr("cast(conv(substring(md5(text),1,15),16,10) as bigint)").as("hk"))
+      .localCheckpoint() // read three times: blooms, probes, truth
+    val sketches = docs.groupBy("file_id")
+      .agg(call_function("graft_bloom_agg", col("hk"), lit(batch * 2)).as("bf"))
+      .collect()
+      .map(r => r.getLong(0) -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bf"))))
+      .sortBy(_._1)
+    val probeRows = docs.filter(col("doc_id") < panel)
+      .select(col("doc_id"), col("hk"),
+        expr("cast(conv(substring(md5(concat(cast(hk as string), ':absent')),1,15),16,10) as bigint)")
+          .as("ahk"))
+      .collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1), true),
+        (r.getLong(0) + 1000000L, r.getLong(2), false)))
+    val pairs = (for {
+      (pid, hk, present) <- probeRows
+      (fid, bf) <- sketches
+    } yield (pid, present, fid, hk, bf.mightContainLong(hk)))
+      .toSeq.toDF("probe_id", "present", "file_id", "hk", "maybe")
+    val membership = docs.select("file_id", "hk").distinct()
+      .withColumn("actual", lit(true))
+    pairs.join(membership, Seq("file_id", "hk"), "left")
+      .select(col("probe_id"), col("present"), col("file_id"), col("maybe"),
+        coalesce(col("actual"), lit(false)).as("actual"))
+  }
+
+  def k16BloomSkip(s: SparkSession, dir: String): DataFrame =
+    k16BloomSkip(s, dir, K16Batch, K16Panel)
+
+  /** Per-file BLOOM skipping index — k15's equality-predicate sibling (the
+    * Databricks bloom-filter-index / Parquet bloom shape): zone maps prune
+    * RANGE predicates but are useless for point lookups on high-entropy
+    * columns (a content digest is uniform across every file's min/max), so
+    * each 64-doc ingest file carries a bloom over its content digests and
+    * a point query reads only files whose bloom answers maybe. The probe
+    * panel is 20 known-present digests + 20 salted absent ones; the report
+    * is files-maybe vs files-true per probe — the false-positive rate an
+    * operator sizes the sketch against, and the audit that the index NEVER
+    * false-negatives (a skipped file provably lacks the digest — the
+    * lossless half, spec-pinned pairwise; dedup-by-lookup and
+    * targeted-deletion scans rely on exactly this).
+    *
+    * Scale shape: the bloom table is the persisted index — one
+    * partial-aggregable pass (BloomFilterAggregate partials merge
+    * sketch-wise), metadata-sized output, batch×2 capacity per file keeps
+    * fpp low at any corpus size. Probes broadcast and touch ONLY the index;
+    * the exact-truth side exists for the audit and is panel-bounded. Bloom
+    * bits are engine-specific, so this entry takes the sketch family's
+    * rows-only driver contract; its guarantees are spec-pinned instead.
+    */
+  def k16BloomSkip(s: SparkSession, dir: String, batch: Long, panel: Int): DataFrame =
+    k16Pairs(s, dir, batch, panel)
+      .groupBy("probe_id", "present")
+      .agg(sum(when(col("maybe"), 1L).otherwise(0L)).as("n_files_maybe"),
+        sum(when(col("actual"), 1L).otherwise(0L)).as("n_files_true"))
+      .orderBy("probe_id")
+
   /** EXACT one-pass distinct users per event type via the custom
     * [[graft.functions.BitmapDistinct]] aggregate — the third point on the
     * distinct-count spectrum this engine offers, and unlike a8s it is
@@ -5907,6 +5988,7 @@ object PipelineQueries {
     "a9s_approx_quantiles" -> (a9sApproxQuantiles _),
     "a10s_cms_freq" -> (a10sCmsFreq _),
     "a14_bitmap_distinct" -> (a14BitmapDistinct _),
+    "k16_bloom_skip" -> ((s: SparkSession, dir: String) => k16BloomSkip(s, dir)),
     "w3_sessionize" -> (w3Sessionize _),
     "w4_funnel" -> (w4Funnel _),
     "w8_conversion_latency" -> (w8ConversionLatency _),

@@ -16,7 +16,8 @@ class PipelineQueriesSpec extends SparkSpec {
     * dedicated spec below).
     */
   private val sketchOps =
-    Set("a8s_approx_distinct", "a9s_approx_quantiles", "a10s_cms_freq")
+    Set("a8s_approx_distinct", "a9s_approx_quantiles", "a10s_cms_freq",
+      "k16_bloom_skip")
 
   /** Ops whose compute is deterministic but not SQL-expressible (the stubbed
     * multimodal codec): rows-only by the declared driver contract, verified
@@ -266,6 +267,27 @@ class PipelineQueriesSpec extends SparkSpec {
       "type counts must be monotone along the prefix")
     assert(got.last._4 == docs.flatMap(_._2).distinct.size.toLong,
       "final checkpoint must equal the full-corpus vocabulary")
+  }
+
+  test("k16 bloom index never false-negatives; absent probes are truly absent") {
+    val pairs = PipelineQueries.k16Pairs(spark, sf, 64L, 20).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Boolean]("present"),
+        r.getAs[Boolean]("maybe"), r.getAs[Boolean]("actual")))
+    assert(pairs.nonEmpty)
+    // the lossless half of the contract: actual ⇒ maybe, pairwise
+    assert(pairs.forall { case (_, _, maybe, actual) => !actual || maybe },
+      "a bloom skipped a file that actually holds the digest")
+    // present probes hit at least their own file; salted probes hit none
+    val byProbe = pairs.groupBy(p => (p._1, p._2))
+    assert(byProbe.collect { case ((_, true), ps) => ps.count(_._4) }.forall(_ >= 1))
+    assert(byProbe.collect { case ((_, false), ps) => ps.count(_._4) }.forall(_ == 0))
+    // and the registered aggregate agrees with the pair-level counts
+    val aggRows = PipelineQueries.k16BloomSkip(spark, sf).collect()
+    aggRows.foreach { r =>
+      val ps = byProbe((r.getLong(0), r.getBoolean(1)))
+      assert(r.getAs[Long]("n_files_maybe") == ps.count(_._3).toLong)
+      assert(r.getAs[Long]("n_files_true") == ps.count(_._4).toLong)
+    }
   }
 
   test("sim2's nPlanes dial: prefix-nested planes make recall monotone non-increasing") {
