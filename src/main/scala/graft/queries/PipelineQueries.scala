@@ -5700,6 +5700,90 @@ object PipelineQueries {
        |  n_tokens, n_types
        |FROM ty JOIN tt USING (checkpoint) ORDER BY checkpoint""".stripMargin
 
+  // --------------- X36: greedy LM decoding (trajectory-checked generation)
+
+  /** x36 default: decode 8 steps past the seed. */
+  private[graft] val X36Steps = 8
+
+  def x36GreedyDecode(s: SparkSession, dir: String): DataFrame =
+    x36GreedyDecode(s, dir, X36Steps)
+
+  /** Greedy DECODING from the corpus bigram LM — the generation loop run
+    * as an engine query (x18's trajectory-checking discipline applied to
+    * inference): seed with the corpus's most frequent token, then K times
+    * emit the argmax continuation of the current token (count desc, token
+    * asc — both engines break ties identically), stopping early if the
+    * current token never opens a bigram. The DuckDB oracle replays the
+    * WHOLE trajectory as K unrolled CTE argmaxes, so a hash match proves
+    * every step of the decode, not just the final string. In a training
+    * pipeline this is the smoke test that a counted LM artifact actually
+    * drives inference (and the membership/memorization probe: the greedy
+    * path IS the corpus's dominant continuation chain).
+    *
+    * Scale shape: the model is built once — the x18 pair-count exchange —
+    * and checkpointed; each decode step is one filtered argmax over the
+    * vocabulary-sized model (TakeOrdered: per-partition top-1, a 1-row
+    * merge to the driver), so step cost is corpus-independent and the
+    * loop moves K rows total. `steps` is a spec-pinned prefix dial: a
+    * longer decode only APPENDS rows.
+    */
+  def x36GreedyDecode(s: SparkSession, dir: String, steps: Int): DataFrame = {
+    require(steps >= 1, s"steps must be positive, got $steps")
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val seedRow = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(1).collect()(0)
+    val model = docs.withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w)-2), i -> struct(w[i] as w1, w[i+1] as w2))"))
+        .as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // read once per step: the decode loop's only input
+    var cur = seedRow.getString(0)
+    val out = scala.collection.mutable.ArrayBuffer((0L, cur, seedRow.getLong(1)))
+    var step = 1
+    var done = false
+    while (step <= steps && !done) {
+      val nxt = model.filter(col("w1") === cur)
+        .orderBy(col("c").desc, col("w2")).limit(1).collect()
+      if (nxt.isEmpty) done = true
+      else {
+        cur = nxt(0).getString(1)
+        out += ((step.toLong, cur, nxt(0).getLong(2)))
+        step += 1
+      }
+    }
+    out.toSeq.toDF("step", "token", "c").orderBy("step")
+  }
+
+  val x36Sql: String = {
+    val stepCtes = (1 to X36Steps).map { k =>
+      s"""s$k AS (SELECT $k AS step, m.w2 AS token, m.c FROM m
+         |  JOIN s${k - 1} p ON m.w1 = p.token
+         |  ORDER BY m.c DESC, m.w2 LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 to X36Steps)
+      .map(k => s"SELECT step, token, c FROM s$k").mkString("\nUNION ALL ")
+    s"""WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+       |uni AS (SELECT tok, COUNT(*)::BIGINT AS c FROM
+       |          (SELECT unnest(w) AS tok FROM w) u
+       |        WHERE tok != '' GROUP BY tok),
+       |bg AS (SELECT unnest(list_transform(range(len(w)-1),
+       |         i -> w[i+1] || ' ' || w[i+2])) AS b
+       |       FROM w WHERE len(w) >= 2),
+       |m AS (SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+       |        COUNT(*)::BIGINT AS c FROM bg GROUP BY 1, 2),
+       |s0 AS (SELECT 0 AS step, tok AS token, c FROM uni
+       |       ORDER BY c DESC, tok LIMIT 1),
+       |$stepCtes
+       |SELECT step::BIGINT AS step, token, c FROM ($unions) traj
+       |ORDER BY step""".stripMargin
+  }
+
   // ------------------- X34: TF-IDF keyword extraction (document tagging)
 
   def x34Keywords(s: SparkSession, dir: String): DataFrame =
@@ -5978,6 +6062,7 @@ object PipelineQueries {
     "x33_phrase_search" -> ((s: SparkSession, dir: String) => x33PhraseSearch(s, dir)),
     "x34_keywords" -> ((s: SparkSession, dir: String) => x34Keywords(s, dir)),
     "x35_vocab_growth" -> ((s: SparkSession, dir: String) => x35VocabGrowth(s, dir)),
+    "x36_greedy_decode" -> ((s: SparkSession, dir: String) => x36GreedyDecode(s, dir)),
     "x24_drift_report" -> (x24DriftReport _),
     "g2_triangles" -> (g2Triangles _),
     "m1_binary_meta" -> (m1BinaryMeta _),
@@ -6063,6 +6148,7 @@ object PipelineQueries {
     "x33_phrase_search" -> x33Sql,
     "x34_keywords" -> x34Sql,
     "x35_vocab_growth" -> x35Sql,
+    "x36_greedy_decode" -> x36Sql,
     "x24_drift_report" -> x24Sql,
     "g2_triangles" -> g2Sql,
     "m1_binary_meta" -> m1Sql,

@@ -290,6 +290,34 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("x36 greedy decode matches a driver replay step-for-step and prefix-nests") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0).split(" ").toSeq)
+    val uni = docs.flatten.filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val model = docs.filter(_.size >= 2)
+      .flatMap(w => (0 until w.length - 1).map(i => (w(i), w(i + 1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val seed = uni.toSeq.minBy { case (w, c) => (-c, w) }._1
+    val expected = scala.collection.mutable.ArrayBuffer((0L, seed, uni(seed)))
+    var cur = seed
+    var broke = false
+    for (k <- 1 to 8 if !broke) {
+      val succ = model.collect { case ((a, b), c) if a == cur => (b, c) }
+      if (succ.isEmpty) broke = true
+      else {
+        val (b, c) = succ.toSeq.minBy { case (b, c) => (-c, b) }
+        expected += ((k.toLong, b, c)); cur = b
+      }
+    }
+    val got = PipelineQueries.x36GreedyDecode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected.toSeq, "decode trajectory diverged from the replay")
+    val short = PipelineQueries.x36GreedyDecode(spark, sf, 4).collect().map(_.toSeq).toSeq
+    assert(short == got.map(t => Seq(t._1, t._2, t._3)).take(short.length) &&
+      short.length <= 5, "a shorter decode must be a prefix of the longer one")
+  }
+
   test("sim2's nPlanes dial: prefix-nested planes make recall monotone non-increasing") {
     // bucket n+1 refines bucket n (the extra plane splits, never re-mixes),
     // so candidate sets shrink as planes are added and recall@3 vs the
