@@ -1328,6 +1328,47 @@ object PipelineQueries {
        |WHERE cos >= ${Sim8TauPpm.toDouble / 1e6}
        |ORDER BY query_id, neighbor_id""".stripMargin
 
+  // ------------- SIM10: maximum-inner-product search (the recommender leg)
+
+  /** Maximum-INNER-PRODUCT top-3 — the retrieval contract recommender and
+    * two-tower serving actually use (sim1 ranks by angle; MIPS rewards
+    * magnitude too, so a long popular-item vector legitimately outranks a
+    * nearer-in-angle niche one). Exact baseline shape = sim1's: broadcast
+    * the query panel, stream the corpus through the codegen'd dot, no
+    * corpus shuffle. The SCALE PATH is not cells over raw vectors — IVF
+    * partitions by angle and high-norm items straddle cells — but the
+    * Bachrach et al. (RecSys'14) norm-augmentation REDUCTION: append
+    * sqrt(M² − |x|²) to every corpus vector and 0 to queries, making every
+    * corpus norm M so cosine order ≡ inner-product order, after which
+    * sim2/sim3/sim6's entire ANN machinery applies unchanged. The spec
+    * PROVES the reduction on this corpus (augmented-cosine ranking ≡ MIPS
+    * ranking, query-for-query) rather than citing it.
+    */
+  def sim10MipsTopk(s: SparkSession, dir: String): DataFrame = {
+    val all = embVec(s, dir)
+    val q = broadcast(all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv")))
+    val top = Window.partitionBy("query_id").orderBy(col("ip").desc, col("neighbor_id"))
+    q.crossJoin(all.select(col("vec_id").as("neighbor_id"), col("v").as("cv")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("ip", round(dotCol("qv", "cv"), 6))
+      .withColumn("rnk", row_number().over(top))
+      .filter(col("rnk") <= 3)
+      .select("query_id", "neighbor_id", "rnk", "ip")
+      .orderBy("query_id", "rnk")
+  }
+
+  val sim10Sql: String =
+    s"""WITH $embSqlCte,
+       |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |        round(${dotSql("q.v", "c.v")}, 6) AS ip
+       |      FROM n q JOIN n c ON q.vec_id != c.vec_id WHERE q.vec_id < 10),
+       |r AS (SELECT query_id, neighbor_id, ip,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY ip DESC, neighbor_id) AS rnk FROM p)
+       |SELECT query_id, neighbor_id, rnk, ip FROM r WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
+
   // --------------------- SIM9: index-quality (recall@k) evaluation harness
 
   /** Exact cosine top-3 over the nrm-guarded corpus — the ground truth
@@ -6034,6 +6075,7 @@ object PipelineQueries {
     "sim7_incremental_ann" -> (sim7IncrementalAnn _),
     "sim8_range_search" -> ((s: SparkSession, dir: String) => sim8RangeSearch(s, dir)),
     "sim9_recall_eval" -> ((s: SparkSession, dir: String) => sim9RecallEval(s, dir)),
+    "sim10_mips_topk" -> (sim10MipsTopk _),
     "x32_contrastive_pairs" -> (x32ContrastivePairs _),
     "x1_langid" -> (x1Langid _),
     "x2_quality" -> (x2Quality _),
@@ -6120,6 +6162,7 @@ object PipelineQueries {
     "sim7_incremental_ann" -> sim7Sql,
     "sim8_range_search" -> sim8Sql,
     "sim9_recall_eval" -> sim9Sql,
+    "sim10_mips_topk" -> sim10Sql,
     "x32_contrastive_pairs" -> x32Sql,
     "x1_langid" -> x1Sql,
     "x2_quality" -> x2Sql,

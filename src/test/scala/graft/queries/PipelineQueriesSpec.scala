@@ -318,6 +318,32 @@ class PipelineQueriesSpec extends SparkSpec {
       short.length <= 5, "a shorter decode must be a prefix of the longer one")
   }
 
+  test("sim10 MIPS ranking is reproduced by the norm-augmentation cosine reduction") {
+    // Bachrach et al.: append sqrt(M²−|x|²) to corpus vectors and 0 to the
+    // query — all corpus norms become M, so cosine order ≡ inner-product
+    // order. Proving it here is what licenses reusing sim2/sim3/sim6 as
+    // MIPS scale paths.
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val m2 = vecs.map { case (_, v) => dot(v, v) }.max
+    val got = PipelineQueries.sim10MipsTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(got.nonEmpty)
+    for ((q, qv) <- vecs if q < 10) {
+      val aug = vecs.map { case (id, v) =>
+        // augmented cosine ∝ dot(q, x): |phi(x)| = M for every corpus row
+        (id, dot(qv, v) / math.sqrt(m2))
+      }.filter(_._1 != q)
+      val expect = aug.sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toSeq
+      assert(got(q) == expect, s"query $q: MIPS ${got(q)} != augmented-cos $expect")
+    }
+  }
+
   test("sim2's nPlanes dial: prefix-nested planes make recall monotone non-increasing") {
     // bucket n+1 refines bucket n (the extra plane splits, never re-mixes),
     // so candidate sets shrink as planes are added and recall@3 vs the
