@@ -3144,6 +3144,75 @@ object PipelineQueries {
       |  LEAST(4000000, 1000000 * total_tokens // (n_slices * n_tokens)) AS weight_ppm
       |FROM s CROSS JOIN t ORDER BY lang, source""".stripMargin
 
+  // ------------- X37: mixture application (seeded deterministic resampling)
+
+  /** The seeded per-doc copy count under a ppm weight: ⌊w/10⁶⌋ whole
+    * copies plus one more iff the doc's md5 lane falls under the
+    * fractional part — deterministic, so every epoch resamples
+    * identically (x31's coupled-sampling discipline applied to the
+    * mixture recipe).
+    */
+  private def x37Copies: Column =
+    expr("weight_ppm div 1000000L") +
+      when(expr("cast(conv(substring(md5(concat('mix:', cast(doc_id as string))),1,15),16,10) " +
+        "as bigint) % 1000000L") < expr("weight_ppm % 1000000L"), 1L).otherwise(0L)
+
+  /** The resampled corpus itself: each document replicated `n_copies`
+    * times with a copy ordinal — what pipe3's export would consume after
+    * a mixture decision. A narrow generate; output size is Σ n_copies,
+    * bounded by the 4× weight cap.
+    */
+  def applyMixture(docs: DataFrame, weights: DataFrame): DataFrame =
+    docs.join(broadcast(weights), Seq("lang", "source"))
+      .withColumn("n_copies", x37Copies)
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN n_copies >= 1 THEN sequence(1, cast(n_copies as int)) " +
+          "ELSE array() END")).as("copy_id"))
+
+  /** Mixture APPLICATION — the step between x13's recipe and the training
+    * export: every document draws its copy count from its slice's
+    * weight_ppm (whole copies + a seeded Bernoulli on the fraction), and
+    * the report audits, per slice, the realized resampling rate against
+    * the prescribed weight. Upsampled slices land within 1 doc-count of
+    * n_in·w/10⁶ by construction (the fractional draws are uniform in the
+    * md5 lane); downsampled ones drop deterministically — re-running the
+    * recipe reproduces the same corpus bit-for-bit, the property epoch
+    * reproducibility needs.
+    *
+    * Scale shape: weights are slice-count rows (broadcast); the copy draw
+    * is a narrow row-local expression; the audit is one partial-aggregable
+    * groupBy on (lang, source). The resampled corpus ([[applyMixture]]) is
+    * a narrow generate — nothing shuffles to apply a mixture.
+    */
+  def x37ApplyMixture(s: SparkSession, dir: String): DataFrame = {
+    val w = x13MixWeights(s, dir).select("lang", "source", "weight_ppm")
+    t(s, dir, "documents").select("doc_id", "lang", "source")
+      .join(broadcast(w), Seq("lang", "source"))
+      .withColumn("n_copies", x37Copies)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs_in"), sum("n_copies").as("n_docs_out"),
+        max("weight_ppm").as("weight_ppm"))
+      .withColumn("realized_ppm", expr("1000000L * n_docs_out div n_docs_in"))
+      .select("lang", "source", "n_docs_in", "n_docs_out", "weight_ppm",
+        "realized_ppm")
+      .orderBy("lang", "source")
+  }
+
+  lazy val x37Sql: String = {
+    val lane = md5HexSql("'mix:' || doc_id::VARCHAR", 15)
+    s"""WITH wt AS (SELECT lang, source, weight_ppm FROM ($x13Sql) x13),
+       |d AS (SELECT doc_id, d0.lang, d0.source, weight_ppm,
+       |        weight_ppm // 1000000
+       |          + (CASE WHEN ($lane) % 1000000 < weight_ppm % 1000000
+       |             THEN 1 ELSE 0 END) AS n_copies
+       |      FROM documents d0 JOIN wt USING (lang, source))
+       |SELECT lang, source, COUNT(*)::BIGINT AS n_docs_in,
+       |  SUM(n_copies)::BIGINT AS n_docs_out,
+       |  MAX(weight_ppm)::BIGINT AS weight_ppm,
+       |  (1000000 * SUM(n_copies) // COUNT(*))::BIGINT AS realized_ppm
+       |FROM d GROUP BY lang, source ORDER BY lang, source""".stripMargin
+  }
+
   // -------------------------------------------- X4: document fingerprint
 
   /** Bottom-k sketch fingerprint: the 4 smallest shingle-hash prefixes,
@@ -6105,6 +6174,7 @@ object PipelineQueries {
     "x34_keywords" -> ((s: SparkSession, dir: String) => x34Keywords(s, dir)),
     "x35_vocab_growth" -> ((s: SparkSession, dir: String) => x35VocabGrowth(s, dir)),
     "x36_greedy_decode" -> ((s: SparkSession, dir: String) => x36GreedyDecode(s, dir)),
+    "x37_apply_mixture" -> (x37ApplyMixture _),
     "x24_drift_report" -> (x24DriftReport _),
     "g2_triangles" -> (g2Triangles _),
     "m1_binary_meta" -> (m1BinaryMeta _),
@@ -6192,6 +6262,7 @@ object PipelineQueries {
     "x34_keywords" -> x34Sql,
     "x35_vocab_growth" -> x35Sql,
     "x36_greedy_decode" -> x36Sql,
+    "x37_apply_mixture" -> x37Sql,
     "x24_drift_report" -> x24Sql,
     "g2_triangles" -> g2Sql,
     "m1_binary_meta" -> m1Sql,

@@ -344,6 +344,40 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("x37 mixture application matches the per-doc replication law; corpus materializes it") {
+    def md5Lane(s0: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1000000L
+    }
+    val weights = PipelineQueries.x13MixWeights(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("weight_ppm")).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val copies = docs.map { case (id, l, src) =>
+      val w = weights((l, src))
+      (id, l, src, w / 1000000L + (if (md5Lane(s"mix:$id") < w % 1000000L) 1L else 0L))
+    }
+    val expected = copies.groupBy(c => (c._2, c._3)).toSeq.map { case ((l, src), cs) =>
+      (l, src, cs.length.toLong, cs.map(_._4).sum, weights((l, src)),
+        1000000L * cs.map(_._4).sum / cs.length)
+    }.sortBy(t => (t._1, t._2))
+    val got = PipelineQueries.x37ApplyMixture(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected, "x37 diverged from the replication-law replay")
+    // the resampled corpus materializes exactly those copy counts
+    val w = PipelineQueries.x13MixWeights(spark, sf)
+      .select("lang", "source", "weight_ppm")
+    val mat = PipelineQueries.applyMixture(
+        spark.read.parquet(s"$sf/documents.parquet"), w)
+      .collect().map(_.getLong(0)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    copies.foreach { case (id, _, _, n) =>
+      assert(mat.getOrElse(id, 0L) == n, s"doc $id materialized ${mat.getOrElse(id, 0L)} != $n")
+    }
+  }
+
   test("sim2's nPlanes dial: prefix-nested planes make recall monotone non-increasing") {
     // bucket n+1 refines bucket n (the extra plane splits, never re-mixes),
     // so candidate sets shrink as planes are added and recall@3 vs the
