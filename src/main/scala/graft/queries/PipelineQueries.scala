@@ -4238,6 +4238,47 @@ object PipelineQueries {
     s"(SELECT d.* FROM documents d JOIN (SELECT doc_id FROM ($pipe1Sql) p1 " +
       "WHERE p1.verdict = 'keep') kp USING (doc_id))")
 
+  /** pipe6: RECIPE → RESAMPLE → EXPORT — the mixture actually feeding the
+    * trainer: x13's DoReMi-style weights draw each document's seeded copy
+    * count (x37's exact rule), copies get collision-free packed ids
+    * (doc_id·8 + copy, guarded — the weight cap bounds copies at 5), and
+    * the resampled corpus flows through pipe3's exact export
+    * ([[exportManifest]]: tokenize → epoch shard → per-shard pack →
+    * manifest). Every stage is the standalone operator's rule, so a
+    * recipe change re-materializes the training set by construction and
+    * identically on every epoch (the seeded draw). Costs pipe3's single
+    * data shuffle: the weight join is broadcast, the copy explode is a
+    * narrow generate ≤ 5×.
+    */
+  def pipe6MixtureExport(s: SparkSession, dir: String): DataFrame = {
+    val w = x13MixWeights(s, dir).select("lang", "source", "weight_ppm")
+    val resampled = t(s, dir, "documents")
+      .join(broadcast(w), Seq("lang", "source"))
+      .withColumn("n_copies", x37Copies)
+      .select(expr(s"CASE WHEN doc_id > ${Long.MaxValue / 8}L OR doc_id < 0L " +
+        "THEN raise_error('pipe6: doc_id outside the copy-packing range') " +
+        "ELSE doc_id END").as("doc_id"),
+        col("text"), col("n_copies"))
+      .select(col("doc_id"), col("text"), explode(expr(
+        "CASE WHEN n_copies >= 1 THEN sequence(1, cast(n_copies as int)) " +
+          "ELSE array() END")).as("copy"))
+      .select(expr("doc_id * 8 + copy").as("doc_id"), col("text"))
+    exportManifest(resampled)
+  }
+
+  lazy val pipe6Sql: String = {
+    val lane = md5HexSql("'mix:' || d0.doc_id::VARCHAR", 15)
+    exportManifestSql(
+      s"""(SELECT dd.doc_id * 8 + cp AS doc_id, dd.text FROM (
+         |  SELECT d0.doc_id, d0.text,
+         |    unnest(range(1, (weight_ppm // 1000000
+         |      + (CASE WHEN ($lane) % 1000000 < weight_ppm % 1000000
+         |         THEN 1 ELSE 0 END)) + 1)) AS cp
+         |  FROM documents d0
+         |  JOIN (SELECT lang, source, weight_ppm FROM ($x13Sql) x13) wt
+         |    USING (lang, source)) dd)""".stripMargin)
+  }
+
   /** The pipe3 oracle parameterized by its document source — `documents`
     * for pipe3, the pipe1-gated subquery for pipe4.
     */
@@ -6196,6 +6237,7 @@ object PipelineQueries {
     "pipe3_export" -> (pipe3Export _),
     "pipe4_curate_export" -> (pipe4CurateExport _),
     "pipe5_retrieve_chunks" -> ((s: SparkSession, dir: String) => pipe5RetrieveChunks(s, dir)),
+    "pipe6_mixture_export" -> (pipe6MixtureExport _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -6279,5 +6321,6 @@ object PipelineQueries {
     "pipe3_export" -> pipe3Sql,
     "pipe4_curate_export" -> pipe4Sql,
     "pipe5_retrieve_chunks" -> pipe5Sql,
+    "pipe6_mixture_export" -> pipe6Sql,
   )
 }

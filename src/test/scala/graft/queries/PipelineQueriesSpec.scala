@@ -378,6 +378,34 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("pipe6 manifest totals equal copies × per-doc token counts") {
+    def md5Lane(s0: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1000000L
+    }
+    val weights = PipelineQueries.x13MixWeights(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("weight_ppm")).toMap
+    val toks = PipelineQueries.x19bEncodeOnly(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    var expTokens = 0L
+    var expDocs = 0L
+    docs.foreach { case (id, l, src) =>
+      val w = weights((l, src))
+      val n = w / 1000000L + (if (md5Lane(s"mix:$id") < w % 1000000L) 1L else 0L)
+      toks.get(id).foreach { t0 => expTokens += n * t0; expDocs += n }
+    }
+    val manifest = PipelineQueries.pipe6MixtureExport(spark, sf).collect()
+    assert(manifest.nonEmpty)
+    assert(manifest.map(_.getAs[Long]("n_tokens")).sum == expTokens,
+      "manifest token total diverged from copies × per-doc counts")
+    assert(manifest.map(_.getAs[Long]("n_docs")).sum == expDocs,
+      "manifest doc total diverged from the resampled corpus size")
+  }
+
   test("sim2's nPlanes dial: prefix-nested planes make recall monotone non-increasing") {
     // bucket n+1 refines bucket n (the extra plane splits, never re-mixes),
     // so candidate sets shrink as planes are added and recall@3 vs the
