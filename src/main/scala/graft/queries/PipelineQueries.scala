@@ -321,8 +321,14 @@ object PipelineQueries {
     * contract). Every shape is SOUND — candidates are verified by exact
     * Jaccard at the same threshold — so the dial only moves recall/cost.
     */
-  def d2MinhashLsh(s: SparkSession, dir: String, numPerms: Int, bands: Int): DataFrame = {
-    val docsh = signaturesOf(t(s, dir, "documents"), numPerms, bands)
+  def d2MinhashLsh(s: SparkSession, dir: String, numPerms: Int, bands: Int): DataFrame =
+    d2FromSignatures(signaturesOf(t(s, dir, "documents"), numPerms, bands))
+
+  /** d2's body over an already-built signature table — lets d12's eval
+    * reuse ONE shingle+signature pass for both its candidate and exact
+    * sides instead of re-hashing the corpus.
+    */
+  private def d2FromSignatures(docsh: DataFrame): DataFrame = {
     // light checkpoint of just (doc_id, band key): the histogram probe and
     // both sides of the candidate join scan this tiny projection instead of
     // re-deserializing the heavy shingle arrays from the docsh checkpoint
@@ -393,19 +399,31 @@ object PipelineQueries {
   def d12LshRecallEval(s: SparkSession, dir: String, numPerms: Int, bands: Int,
       panel: Long): DataFrame = {
     require(panel >= 1, s"panel must be positive, got $panel")
+    import s.implicits._
+    // ONE shingle+signature pass feeds both sides (the checkpoint in
+    // signaturesOf makes the reuse free)
     val docsh = signaturesOf(t(s, dir, "documents"), numPerms, bands)
-    val pairs = d2MinhashLsh(s, dir, numPerms, bands)
+    val pairs = d2FromSignatures(docsh)
     val candNorm = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("o"))
       .unionByName(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("o")))
       .filter(col("doc_id") < panel)
-    val truePairs = broadcast(docsh.filter(col("doc_id") < panel)
-        .select(col("doc_id"), col("sh").as("sp")))
-      .crossJoin(docsh.select(col("doc_id").as("o"), col("sh").as("so")))
-      .filter(col("doc_id") =!= col("o"))
-      .withColumn("inter", size(array_intersect(col("sp"), col("so"))).cast("long"))
-      .withColumn("uni", size(array_union(col("sp"), col("so"))).cast("long"))
-      .filter(col("inter") * 2 >= col("uni"))
-      .select("doc_id", "o")
+    // exact ground truth via d5's discipline: broadcast the panel's shingle
+    // SETS and stream the corpus through a typed JVM membership loop — the
+    // Catalyst array_intersect formulation allocates per pair and measured
+    // ~20× slower on this exact shape. inter·2 ≥ uni ⟺ 3·inter ≥ |A|+|B|.
+    val panelSets = docsh.filter(col("doc_id") < panel)
+      .select("doc_id", "sh").as[(Long, Seq[String])].collect().sortBy(_._1)
+      .map { case (id, sh) => (id, sh.toSet, sh.size) }
+    val bc = s.sparkContext.broadcast(panelSets)
+    val truePairs = docsh.select("doc_id", "sh").as[(Long, Seq[String])]
+      .flatMap { case (o, so) =>
+        bc.value.iterator.filter(_._1 != o).flatMap { case (p, sp, psz) =>
+          var inter = 0
+          so.foreach(x => if (sp(x)) inter += 1)
+          if (3 * inter >= psz + so.size) Some((p, o)) else None
+        }
+      }
+      .toDF("doc_id", "o")
       .localCheckpoint() // read twice (true counts + hit join)
     val nTrue = truePairs.groupBy("doc_id").agg(count(lit(1)).as("n_true"))
     val hits = truePairs.join(candNorm, Seq("doc_id", "o"))
