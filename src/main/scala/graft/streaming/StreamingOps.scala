@@ -225,6 +225,39 @@ object StreamingOps {
       }
   }
 
+  /** Streaming binidx EXPORT — pipe3's byte-level sink maintained
+    * incrementally, the last meter of the ingest→trainer path: each
+    * micro-batch tokenizes through the PINNED vocabulary artifact (the
+    * tokenization twin's zero-state encoding — the map rides the plan as
+    * literals), becomes ONE binidx shard named by its batch id, and
+    * publishes through [[graft.sources.TokenShards]]' atomic-rename write.
+    * A replayed micro-batch therefore overwrites ITS OWN shard with
+    * byte-identical content — the overwrite-by-batchId idempotency that
+    * makes restart-after-partial-write safe — and existing shards are
+    * never rewritten, which is how a nightly crawl extends a training
+    * corpus in place. Within-shard order is doc_id (a pure function of
+    * the rows, replay-stable). Zero streaming state beyond the source
+    * checkpoint; cross-batch duplicates are the upstream dedup twin's job,
+    * exactly as within-corpus dedup is d1/d2's in the batch pipeline.
+    */
+  def tokenShardExportStream(docs: DataFrame, vocab: Map[String, Int], dir: String)(
+      onBatch: (Long, Long) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val m = map(vocab.toSeq.sortBy(_._1)
+      .flatMap { case (t0, id) => Seq(lit(t0), lit(id)) }.toIndexedSeq: _*)
+    docs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val enc = batch.select(col("doc_id"), col("text"))
+          .withColumn("ids",
+            transform(split(col("text"), " "), tk => coalesce(element_at(m, tk), lit(0))))
+          .withColumn("shard", lit(batchId))
+          .withColumn("pos", col("doc_id"))
+          .select("doc_id", "shard", "pos", "ids")
+        graft.sources.TokenShards.write(enc, dir, nShards = 1)
+        onBatch(batchId, enc.count())
+      }
+  }
+
   /** Streaming audio feature extraction — the ingest-time twin of the
     * batch `m4_audio_features`, and the multimodal member of the stateless
     * family (normalizer/chunker/classifier/tokenizer): arriving documents
