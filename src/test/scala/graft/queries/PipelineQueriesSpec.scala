@@ -406,6 +406,38 @@ class PipelineQueriesSpec extends SparkSpec {
       "manifest doc total diverged from the resampled corpus size")
   }
 
+  test("w8 handles crafted latency sets: known quantiles, and n=1 degenerates flat") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def writeEvents(rows: Seq[(Long, Long, String, Long)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("w8events").toString
+      rows.map { case (eid, uid, et, sec) =>
+        (eid, new Timestamp(sec * 1000L), uid, et, 1.0)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    // three converts with view→purchase latencies 5 s, 100 s, 3600 s
+    var eid = 0L
+    def funnel(uid: Long, start: Long, lat: Long) = Seq(
+      { eid += 1; (eid, uid, "view", start) },
+      { eid += 1; (eid, uid, "click", start + 1) },
+      { eid += 1; (eid, uid, "purchase", start + lat) })
+    val dir3 = writeEvents(
+      funnel(1, 1000, 5) ++ funnel(2, 2000, 100) ++ funnel(3, 3000, 3600) ++
+        Seq({ eid += 1; (eid, 9L, "view", 50L) })) // non-convert: ignored
+    val got3 = PipelineQueries.w8ConversionLatency(spark, dir3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // sorted latencies [5, 100, 3600]; idx = (n-1)q/100 = [0,0,1,1,2]
+    assert(got3 == Seq((0L, 3L, 5L), (25L, 3L, 5L), (50L, 3L, 100L),
+      (75L, 3L, 100L), (100L, 3L, 3600L)), s"crafted quantiles wrong: $got3")
+    // a single convert: every quantile reads the one latency
+    val dir1 = writeEvents(funnel(7, 100, 42))
+    val got1 = PipelineQueries.w8ConversionLatency(spark, dir1).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got1 == Seq(0L, 25L, 50L, 75L, 100L).map((_, 42L)))
+  }
+
   test("sim2's nPlanes dial: prefix-nested planes make recall monotone non-increasing") {
     // bucket n+1 refines bucket n (the extra plane splits, never re-mixes),
     // so candidate sets shrink as planes are added and recall@3 vs the

@@ -95,6 +95,14 @@ class PlanQualitySpec extends SparkSpec {
       "a keyword join degenerated to a product")
   }
 
+  test("pipe6 pays pipe3's shape: broadcast weight join, no product anywhere") {
+    val p = plan(PipelineQueries.pipe6MixtureExport(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "a pipe6 join degenerated to a product")
+    assert(p.contains("BroadcastHashJoin"),
+      "the slice-count weight table should broadcast onto the corpus")
+  }
+
   test("d2 LSH band join is an equi-join on the band key") {
     val p = plan(PipelineQueries.d2MinhashLsh(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
