@@ -4268,9 +4268,18 @@ object PipelineQueries {
     * data shuffle: the weight join is broadcast, the copy explode is a
     * narrow generate ≤ 5×.
     */
-  def pipe6MixtureExport(s: SparkSession, dir: String): DataFrame = {
+  def pipe6MixtureExport(s: SparkSession, dir: String): DataFrame =
+    exportManifest(pipe6Resampled(s, dir))
+
+  /** pipe6's pre-export resample plan, exposed so PlanQualitySpec can pin
+    * the broadcast weight join: [[exportManifest]] eagerly
+    * `localCheckpoint()`s the encoded table, so the export's OWN plan
+    * starts at the checkpoint scan and the upstream join is structurally
+    * invisible there — the shape must be asserted on this subplan.
+    */
+  private[graft] def pipe6Resampled(s: SparkSession, dir: String): DataFrame = {
     val w = x13MixWeights(s, dir).select("lang", "source", "weight_ppm")
-    val resampled = t(s, dir, "documents")
+    t(s, dir, "documents")
       .join(broadcast(w), Seq("lang", "source"))
       .withColumn("n_copies", x37Copies)
       .select(expr(s"CASE WHEN doc_id > ${Long.MaxValue / 8}L OR doc_id < 0L " +
@@ -4281,7 +4290,6 @@ object PipelineQueries {
         "CASE WHEN n_copies >= 1 THEN sequence(1, cast(n_copies as int)) " +
           "ELSE array() END")).as("copy"))
       .select(expr("doc_id * 8 + copy").as("doc_id"), col("text"))
-    exportManifest(resampled)
   }
 
   lazy val pipe6Sql: String = {

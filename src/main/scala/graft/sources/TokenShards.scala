@@ -48,6 +48,7 @@ object TokenShards {
         var offset = 0L
         def close(): Unit = if (cur >= 0) {
           bin.close(); idx.close()
+          bin = null; idx = null
           // atomic publish: a replayed task overwrites with identical bytes
           Files.move(Paths.get(s"$dir/.shard-$cur.bin.tmp"),
             Paths.get(s"$dir/shard-$cur.bin"), StandardCopyOption.REPLACE_EXISTING,
@@ -56,29 +57,43 @@ object TokenShards {
             Paths.get(s"$dir/shard-$cur.idx"), StandardCopyOption.REPLACE_EXISTING,
             StandardCopyOption.ATOMIC_MOVE)
         }
-        it.foreach { r =>
-          val (id, shard, ids) =
-            (r.getLong(0), r.getLong(1), r.getSeq[Int](3))
-          if (shard != cur) {
-            close()
-            cur = shard
-            offset = 0L
-            bin = new DataOutputStream(new BufferedOutputStream(
-              new FileOutputStream(s"$dir/.shard-$cur.bin.tmp")))
-            idx = new DataOutputStream(new BufferedOutputStream(
-              new FileOutputStream(s"$dir/.shard-$cur.idx.tmp")))
+        // a row failure mid-shard (e.g. the uint16 require) must not leak
+        // open handles or stale dot-files: the retried task recreates the
+        // .tmp from scratch, and only close()'s atomic rename publishes
+        try {
+          it.foreach { r =>
+            val (id, shard, ids) =
+              (r.getLong(0), r.getLong(1), r.getSeq[Int](3))
+            if (shard != cur) {
+              close()
+              cur = shard
+              offset = 0L
+              bin = new DataOutputStream(new BufferedOutputStream(
+                new FileOutputStream(s"$dir/.shard-$cur.bin.tmp")))
+              idx = new DataOutputStream(new BufferedOutputStream(
+                new FileOutputStream(s"$dir/.shard-$cur.idx.tmp")))
+            }
+            idx.writeLong(java.lang.Long.reverseBytes(id))
+            idx.writeLong(java.lang.Long.reverseBytes(offset))
+            idx.writeInt(java.lang.Integer.reverseBytes(ids.length))
+            ids.foreach { tid =>
+              require(tid >= 0 && tid <= MaxTokenId,
+                s"token id $tid of doc $id exceeds uint16")
+              bin.write(tid & 0xff); bin.write((tid >> 8) & 0xff)
+            }
+            offset += ids.length
           }
-          idx.writeLong(java.lang.Long.reverseBytes(id))
-          idx.writeLong(java.lang.Long.reverseBytes(offset))
-          idx.writeInt(java.lang.Integer.reverseBytes(ids.length))
-          ids.foreach { tid =>
-            require(tid >= 0 && tid <= MaxTokenId,
-              s"token id $tid of doc $id exceeds uint16")
-            bin.write(tid & 0xff); bin.write((tid >> 8) & 0xff)
-          }
-          offset += ids.length
+          close()
+        } catch {
+          case e: Throwable =>
+            if (bin != null) try bin.close() catch { case _: Throwable => }
+            if (idx != null) try idx.close() catch { case _: Throwable => }
+            if (cur >= 0) {
+              Files.deleteIfExists(Paths.get(s"$dir/.shard-$cur.bin.tmp"))
+              Files.deleteIfExists(Paths.get(s"$dir/.shard-$cur.idx.tmp"))
+            }
+            throw e
         }
-        close()
       }
   }
 
@@ -89,13 +104,13 @@ object TokenShards {
     */
   def read(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val shards = Files.list(Paths.get(dir)).iterator()
     val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
-    shards.forEachRemaining { p =>
+    val listing = Files.list(Paths.get(dir))
+    try listing.iterator().forEachRemaining { p =>
       val n = p.getFileName.toString
       if (n.startsWith("shard-") && n.endsWith(".bin"))
         ids += n.stripPrefix("shard-").stripSuffix(".bin").toLong
-    }
+    } finally listing.close()
     spark.sparkContext.parallelize(ids.toSeq, math.max(1, ids.size))
       .flatMap { shard =>
         val bin = Files.readAllBytes(Paths.get(s"$dir/shard-$shard.bin"))

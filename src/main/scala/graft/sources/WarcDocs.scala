@@ -80,8 +80,25 @@ object WarcDocs {
         }
       }
       if (len < 0 || len > MaxPayload || q + len > n) return out.toSeq // malformed/truncated/hostile
-      if (warcType == "response" || warcType == "conversion")
-        out += ((uri, date, new String(bytes, q, len.toInt, "UTF-8")))
+      if (warcType == "response" || warcType == "conversion") {
+        // response payloads are full HTTP messages (status line + headers
+        // + body); only the body is document text. conversion/WET records
+        // are already plain text. Header block ends at the first CRLFCRLF;
+        // a header-less (non-HTTP) response payload passes through whole.
+        var bodyStart = q
+        if (warcType == "response") {
+          var i = q
+          val end = q + len - 3
+          var found = false
+          while (!found && i < end) {
+            if (bytes(i) == '\r' && bytes(i + 1) == '\n' &&
+              bytes(i + 2) == '\r' && bytes(i + 3) == '\n') { bodyStart = i + 4; found = true }
+            i += 1
+          }
+        }
+        out += ((uri, date,
+          new String(bytes, bodyStart, (q + len - bodyStart).toInt, "UTF-8")))
+      }
       p = (q + len).toInt
       // skip the record-terminating CRLFCRLF (tolerate a truncated tail)
       while (p + 1 < n && bytes(p) == '\r' && bytes(p + 1) == '\n') p += 2
@@ -91,9 +108,11 @@ object WarcDocs {
 
   /** Total decompressed bytes allowed per .warc.gz file — the
     * decompression-bomb bound (the Multimodal budget discipline): a small
-    * hostile file cannot expand past this inside one task.
+    * hostile file cannot expand past this inside one task. Must stay
+    * below the JVM's ~2 GiB array cap, or the ByteArrayOutputStream /
+    * Array[Byte] handed to parseWarc would OOM before this require fires.
     */
-  private[sources] val MaxFileBytes = 4L * 1024 * 1024 * 1024
+  private[sources] val MaxFileBytes = 1L * 1024 * 1024 * 1024
 
   /** Inflates a (possibly multi-member) gzip stream — CommonCrawl gzips
     * each record as its own member and concatenates; JDK GZIPInputStream

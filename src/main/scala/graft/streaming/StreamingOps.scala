@@ -254,7 +254,13 @@ object StreamingOps {
           .withColumn("pos", col("doc_id"))
           .select("doc_id", "shard", "pos", "ids")
         graft.sources.TokenShards.write(enc, dir, nShards = 1)
-        onBatch(batchId, enc.count())
+        // row count for the metric comes from the written idx artifact
+        // (one fixed 20-byte record per document), NOT from enc.count() —
+        // a second action would re-run the whole tokenize/encode plan
+        val idx = java.nio.file.Paths.get(s"$dir/shard-$batchId.idx")
+        val n = if (java.nio.file.Files.exists(idx))
+          java.nio.file.Files.size(idx) / 20 else 0L
+        onBatch(batchId, n)
       }
   }
 
@@ -304,6 +310,14 @@ object StreamingOps {
     * never shuffles. No streaming state exists beyond the source
     * checkpoint and the snapshot itself — exactly the state a MERGE INTO
     * target holds.
+    *
+    * Restart caveat: this demo form keeps the snapshot only in driver
+    * memory (the `snapshot` var). After a QUERY RESTART the var resets to
+    * `initial` while the source checkpoint does NOT replay committed
+    * batches, so previously applied changelogs are lost — the idempotency
+    * claim covers same-process replays only. The production form persists
+    * the snapshot to a sink path keyed by the last committed batchId (the
+    * MERGE INTO target IS that persistence) and reloads it on start.
     */
   def changelogApplyStream(log: DataFrame, initial: DataFrame)(
       onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {

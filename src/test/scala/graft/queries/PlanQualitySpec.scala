@@ -96,11 +96,20 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("pipe6 pays pipe3's shape: broadcast weight join, no product anywhere") {
+    // exportManifest localCheckpoints the encoded table, so the full
+    // export's plan starts at the checkpoint scan — the weight join shape
+    // must be pinned on the pre-checkpoint resample subplan.
+    val r = plan(PipelineQueries.pipe6Resampled(spark, sf))
+    assert(r.contains("BroadcastHashJoin"),
+      "the slice-count weight table should broadcast onto the corpus")
+    // x13's weight math inside this subplan crossJoins ONE totals row via
+    // broadcast (a deliberate BroadcastNestedLoopJoin) — only an unkeyed
+    // shuffle product would be a defect here.
+    assert(!r.contains("CartesianProduct"),
+      "a pipe6 resample join degenerated to a shuffled product")
     val p = plan(PipelineQueries.pipe6MixtureExport(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      "a pipe6 join degenerated to a product")
-    assert(p.contains("BroadcastHashJoin"),
-      "the slice-count weight table should broadcast onto the corpus")
+      "a pipe6 export join degenerated to a product")
   }
 
   test("d2 LSH band join is an equi-join on the band key") {

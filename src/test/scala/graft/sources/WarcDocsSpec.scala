@@ -27,9 +27,26 @@ class WarcDocsSpec extends SparkSpec {
         record("request", "http://a.example/1", "2026-01-01T00:00:01Z", "GET /1".getBytes("UTF-8")) ++
         record("conversion", "http://a.example/2", "2026-01-01T00:00:02Z", utf8.getBytes("UTF-8"))
     val got = WarcDocs.parseWarc(bytes)
+    // response payloads are HTTP messages: the block before the first
+    // CRLFCRLF is stripped as headers (here the "see the spec:..." prefix),
+    // while conversion/WET payloads pass through whole.
     assert(got == Seq(
-      ("http://a.example/1", "2026-01-01T00:00:01Z", quoting),
+      ("http://a.example/1", "2026-01-01T00:00:01Z", "not a record"),
       ("http://a.example/2", "2026-01-01T00:00:02Z", utf8)))
+  }
+
+  test("WARC parse: response HTTP header block is stripped; header-less payload passes whole") {
+    val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>real body</html>"
+    val bare = "no http framing here"
+    val bytes =
+      record("response", "http://h.example/1", "2026-01-01T00:00:00Z", http.getBytes("UTF-8")) ++
+        record("response", "http://h.example/2", "2026-01-01T00:00:01Z", bare.getBytes("UTF-8")) ++
+        record("conversion", "http://h.example/3", "2026-01-01T00:00:02Z",
+          "keep\r\n\r\nboth halves".getBytes("UTF-8"))
+    assert(WarcDocs.parseWarc(bytes) == Seq(
+      ("http://h.example/1", "2026-01-01T00:00:00Z", "<html>real body</html>"),
+      ("http://h.example/2", "2026-01-01T00:00:01Z", bare),
+      ("http://h.example/3", "2026-01-01T00:00:02Z", "keep\r\n\r\nboth halves")))
   }
 
   test("WARC parse: truncated and hostile lengths stop at the last good boundary") {
