@@ -49,7 +49,12 @@ object TokenShards {
         def close(): Unit = if (cur >= 0) {
           bin.close(); idx.close()
           bin = null; idx = null
-          // atomic publish: a replayed task overwrites with identical bytes
+          // atomic publish: a replayed task overwrites with identical
+          // bytes. Each rename is atomic but the PAIR is not — so the
+          // .bin publishes first and the .idx last, and read() discovers
+          // shards by .idx: the .idx is the pair's commit marker, and a
+          // crash between the two renames leaves only an invisible orphan
+          // .bin that the replay overwrites.
           Files.move(Paths.get(s"$dir/.shard-$cur.bin.tmp"),
             Paths.get(s"$dir/shard-$cur.bin"), StandardCopyOption.REPLACE_EXISTING,
             StandardCopyOption.ATOMIC_MOVE)
@@ -100,7 +105,11 @@ object TokenShards {
   /** Parse a binidx directory back to `(doc_id, shard, offset, ids)` rows —
     * the loader's slice rule, used by the roundtrip spec and by any
     * downstream audit that must certify the written bytes, not the plan
-    * that produced them. One task per shard file pair.
+    * that produced them. One task per shard file pair. Discovery is keyed
+    * on the `.idx` file — the LAST of the pair to publish — so a torn
+    * publish (crash between the two renames) is invisible: a `.idx`
+    * implies its `.bin` was already renamed, while an orphan `.bin` with
+    * no `.idx` is simply not listed.
     */
   def read(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -108,8 +117,8 @@ object TokenShards {
     val listing = Files.list(Paths.get(dir))
     try listing.iterator().forEachRemaining { p =>
       val n = p.getFileName.toString
-      if (n.startsWith("shard-") && n.endsWith(".bin"))
-        ids += n.stripPrefix("shard-").stripSuffix(".bin").toLong
+      if (n.startsWith("shard-") && n.endsWith(".idx"))
+        ids += n.stripPrefix("shard-").stripSuffix(".idx").toLong
     } finally listing.close()
     spark.sparkContext.parallelize(ids.toSeq, math.max(1, ids.size))
       .flatMap { shard =>

@@ -83,10 +83,16 @@ object WarcDocs {
       if (warcType == "response" || warcType == "conversion") {
         // response payloads are full HTTP messages (status line + headers
         // + body); only the body is document text. conversion/WET records
-        // are already plain text. Header block ends at the first CRLFCRLF;
-        // a header-less (non-HTTP) response payload passes through whole.
+        // are already plain text. The header block (up to the first
+        // CRLFCRLF) is stripped ONLY when the payload actually starts with
+        // an HTTP status line — a response record carrying a non-HTTP
+        // capture must pass through whole, even if its body contains a
+        // blank CRLF line (an interior CRLFCRLF is NOT header framing).
         var bodyStart = q
-        if (warcType == "response") {
+        val isHttp = warcType == "response" && len >= 5 &&
+          bytes(q) == 'H' && bytes(q + 1) == 'T' && bytes(q + 2) == 'T' &&
+          bytes(q + 3) == 'P' && bytes(q + 4) == '/'
+        if (isHttp) {
           var i = q
           val end = q + len - 3
           var found = false

@@ -253,11 +253,21 @@ object StreamingOps {
           .withColumn("shard", lit(batchId))
           .withColumn("pos", col("doc_id"))
           .select("doc_id", "shard", "pos", "ids")
+        // clear THIS batch's shard pair first (idx — the commit marker —
+        // before bin), so the post-write directory state is authoritative
+        // for the metric: an EMPTY micro-batch writes no file, and without
+        // this a leftover shard-$batchId from a prior run in the same dir
+        // would be counted as the current batch's rows. A replayed
+        // non-empty batch just re-deletes then republishes identical
+        // bytes; other batches' shards are never touched.
+        val idx = java.nio.file.Paths.get(s"$dir/shard-$batchId.idx")
+        java.nio.file.Files.deleteIfExists(idx)
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(s"$dir/shard-$batchId.bin"))
         graft.sources.TokenShards.write(enc, dir, nShards = 1)
         // row count for the metric comes from the written idx artifact
         // (one fixed 20-byte record per document), NOT from enc.count() —
         // a second action would re-run the whole tokenize/encode plan
-        val idx = java.nio.file.Paths.get(s"$dir/shard-$batchId.idx")
         val n = if (java.nio.file.Files.exists(idx))
           java.nio.file.Files.size(idx) / 20 else 0L
         onBatch(batchId, n)

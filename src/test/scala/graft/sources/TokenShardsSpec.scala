@@ -73,6 +73,39 @@ class TokenShardsSpec extends SparkSpec {
     }
   }
 
+  test("torn pair publish: orphan .bin is invisible to read(); replay heals byte-identically") {
+    withDir { dir =>
+      TokenShards.write(fixture, dir, nShards = 3)
+      val committed = (0 to 2).flatMap(s0 => Seq(s"shard-$s0.bin", s"shard-$s0.idx"))
+        .map(n => n -> Files.readAllBytes(Paths.get(s"$dir/$n")).toSeq).toMap
+      // simulate a crash BETWEEN the pair's two renames: shard-1's .bin is
+      // published but its .idx never made it (the .idx's stale .tmp is
+      // still on disk, as a real kill would leave it)
+      Files.delete(Paths.get(s"$dir/shard-1.idx"))
+      Files.write(Paths.get(s"$dir/.shard-1.idx.tmp"), Array[Byte](1, 2, 3))
+      // the orphan .bin must not surface: read() keys on .idx, so it sees
+      // exactly the committed shards and throws nothing
+      val torn = TokenShards.read(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](3)))
+      val expected = fixture.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](3)))
+      assert(torn.toSet == expected.filter(_._2 != 1L).toSet,
+        "torn publish leaked or lost committed shards")
+      // replay (the retried task / re-run job) recreates the torn shard
+      // from scratch: every published file is byte-identical to the first
+      // run and the stale .tmp is gone
+      TokenShards.write(fixture, dir, nShards = 3)
+      committed.foreach { case (n, bytes) =>
+        assert(Files.readAllBytes(Paths.get(s"$dir/$n")).toSeq == bytes,
+          s"replay changed published bytes of $n")
+      }
+      assert(!Files.exists(Paths.get(s"$dir/.shard-1.idx.tmp")), "stale .tmp survived replay")
+      val healed = TokenShards.read(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](3)))
+      assert(healed.toSet == expected.toSet)
+    }
+  }
+
   test("a token id over uint16 fails the write loudly") {
     import spark.implicits._
     withDir { dir =>

@@ -17,8 +17,11 @@ class WarcDocsSpec extends SparkSpec {
 
   test("WARC parse: length-delimited records, embedded fake headers, UTF-8 byte lengths, skips bookkeeping") {
     // body 2 QUOTES a WARC record — Content-Length discipline must carry the
-    // parser straight over it instead of re-synchronizing mid-payload
-    val quoting = "see the spec:\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\nnot a record"
+    // parser straight over it instead of re-synchronizing mid-payload. It is
+    // an HTTP message, so the strip removes the HTTP headers and nothing
+    // else: the quoted fake record (with its own CRLFCRLF) stays intact.
+    val quoting = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" +
+      "see the spec:\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\nnot a record"
     // body 3 is multi-byte UTF-8: Content-Length counts BYTES, not chars
     val utf8 = "café über tokens"
     val bytes =
@@ -27,25 +30,32 @@ class WarcDocsSpec extends SparkSpec {
         record("request", "http://a.example/1", "2026-01-01T00:00:01Z", "GET /1".getBytes("UTF-8")) ++
         record("conversion", "http://a.example/2", "2026-01-01T00:00:02Z", utf8.getBytes("UTF-8"))
     val got = WarcDocs.parseWarc(bytes)
-    // response payloads are HTTP messages: the block before the first
-    // CRLFCRLF is stripped as headers (here the "see the spec:..." prefix),
-    // while conversion/WET payloads pass through whole.
+    // HTTP-framed response payloads lose exactly their HTTP header block
+    // (the strip stops at the FIRST CRLFCRLF — the quoted fake record's own
+    // blank line survives); conversion/WET payloads pass through whole.
     assert(got == Seq(
-      ("http://a.example/1", "2026-01-01T00:00:01Z", "not a record"),
+      ("http://a.example/1", "2026-01-01T00:00:01Z",
+        "see the spec:\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\nnot a record"),
       ("http://a.example/2", "2026-01-01T00:00:02Z", utf8)))
   }
 
-  test("WARC parse: response HTTP header block is stripped; header-less payload passes whole") {
+  test("WARC parse: HTTP header block stripped only when the payload IS HTTP") {
     val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>real body</html>"
     val bare = "no http framing here"
+    // the advised regression case: a NON-HTTP response payload whose body
+    // contains a blank CRLF line — the interior CRLFCRLF must NOT be taken
+    // as header framing, so the first paragraph survives
+    val nonHttpBlank = "first paragraph\r\n\r\nsecond paragraph"
     val bytes =
       record("response", "http://h.example/1", "2026-01-01T00:00:00Z", http.getBytes("UTF-8")) ++
         record("response", "http://h.example/2", "2026-01-01T00:00:01Z", bare.getBytes("UTF-8")) ++
+        record("response", "http://h.example/4", "2026-01-01T00:00:03Z", nonHttpBlank.getBytes("UTF-8")) ++
         record("conversion", "http://h.example/3", "2026-01-01T00:00:02Z",
           "keep\r\n\r\nboth halves".getBytes("UTF-8"))
     assert(WarcDocs.parseWarc(bytes) == Seq(
       ("http://h.example/1", "2026-01-01T00:00:00Z", "<html>real body</html>"),
       ("http://h.example/2", "2026-01-01T00:00:01Z", bare),
+      ("http://h.example/4", "2026-01-01T00:00:03Z", nonHttpBlank),
       ("http://h.example/3", "2026-01-01T00:00:02Z", "keep\r\n\r\nboth halves")))
   }
 

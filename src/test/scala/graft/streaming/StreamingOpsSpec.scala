@@ -913,6 +913,29 @@ class StreamingOpsSpec extends SparkSpec {
     assert(snapshot() == first, "re-publishing a batch changed the artifact")
   }
 
+  test("streaming binidx export: empty micro-batch reports 0 rows even over a stale shard file") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("streamshards-stale").toString
+    // a prior run in the same dir left a batch-1 shard pair (2 fake docs);
+    // without the pre-write clear the empty batch 1 below would report 2
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/shard-1.idx"), new Array[Byte](40))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/shard-1.bin"), new Array[Byte](8))
+    val in = MemoryStream[StreamDoc]
+    var batches = Vector.empty[(Long, Long)]
+    val q = StreamingOps.tokenShardExportStream(in.toDF(), Map("alpha" -> 1), dir) {
+      (bid, n) => batches :+= ((bid, n))
+    }.start()
+    try {
+      in.addData(StreamDoc(1L, ts(0), "alpha")); q.processAllAvailable()
+      in.addData(Seq.empty[StreamDoc]: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(batches == Vector((0L, 1L), (1L, 0L)),
+      s"empty batch metric contaminated by directory state: $batches")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/shard-1.idx")),
+      "stale shard file survived an empty batch")
+  }
+
   test("streaming changelog apply lands on the target snapshot and replays are no-ops") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
