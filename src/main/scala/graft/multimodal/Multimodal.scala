@@ -640,6 +640,75 @@ object Multimodal {
     }.toDF("doc_id", "features")
   }
 
+  /** 64-bit perceptual hashes per image — the signature stage of image
+    * near-dup dedup (m6), computed from decoded pixels with the same
+    * integer-exact discipline as [[extractFeaturesPpm]] so a SQL oracle can
+    * replay it bit-for-bit:
+    *
+    *  - `ahash` (average hash): channel-SUMMED gray values pooled onto an
+    *    8×8 grid (cell value = ⌊sum·10⁶ / count⌋ ppm, the ppm fixed-point);
+    *    bit k = gy·8+gx is set iff that cell's ppm exceeds the global mean
+    *    ⌊Σppm / 64⌋. Robust to small pixel noise: a per-pixel ±1 shifts a
+    *    cell mean by ~10⁶/count ppm against bit gaps of ~10⁷ ppm.
+    *  - `dhash` (difference hash): the same pooling onto 8 rows × 9 columns;
+    *    bit k = r·8+j is set iff cell (r, j+1) > cell (r, j) — gradient
+    *    signs, invariant to global brightness shifts.
+    *
+    * All arithmetic is nonnegative 64-bit integer (no float, no rounding
+    * mode), so Spark and the DuckDB oracle agree exactly. Narrow map work:
+    * one pass over each image's pixels, no shuffle — hashing a 100 TB image
+    * corpus is scan-bound, and the downstream pair stage works on 16 bytes
+    * per image, not pixels.
+    */
+  def perceptualHashes(images: Dataset[DecodedImage]): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.map { im =>
+      val w = im.width; val h = im.height; val c = im.channels
+      // pooled ppm over an R×C grid of the channel-summed gray image
+      def pool(rows: Int, cols: Int): Array[Long] = {
+        val sum = new Array[Long](rows * cols)
+        val cnt = new Array[Long](rows * cols)
+        var y = 0
+        while (y < h) {
+          val gy = (rows * y + rows - 1) / h
+          var x = 0
+          while (x < w) {
+            val gx = (cols * x + cols - 1) / w
+            var g = 0L
+            var ch = 0
+            while (ch < c) { g += im.pixels((y * w + x) * c + ch) & 0xff; ch += 1 }
+            sum(gy * cols + gx) += g
+            cnt(gy * cols + gx) += 1
+            x += 1
+          }
+          y += 1
+        }
+        Array.tabulate(rows * cols)(i => if (cnt(i) == 0) 0L else sum(i) * 1000000L / cnt(i))
+      }
+      val a = pool(8, 8)
+      var tot = 0L
+      var i = 0
+      while (i < 64) { tot += a(i); i += 1 }
+      val mu = tot / 64
+      var ahash = 0L
+      i = 0
+      while (i < 64) { if (a(i) > mu) ahash |= 1L << i; i += 1 }
+      val d = pool(8, 9)
+      var dhash = 0L
+      var r = 0
+      while (r < 8) {
+        var j = 0
+        while (j < 8) {
+          if (d(r * 9 + j + 1) > d(r * 9 + j)) dhash |= 1L << (r * 8 + j)
+          j += 1
+        }
+        r += 1
+      }
+      (im.doc_id, ahash, dhash)
+    }.toDF("doc_id", "ahash", "dhash")
+  }
+
   /** Fixed-point twin of [[extractFeatures]]: the same 4×4 average pool, but
     * each cell lands as an integer ppm value `⌊sum·10⁶ / count⌋` instead of a
     * float mean. Integer features make every downstream dot product and

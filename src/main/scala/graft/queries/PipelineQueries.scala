@@ -3517,7 +3517,12 @@ object PipelineQueries {
     * because K < 2³¹. Pixels are random-access (`unnest(range(npix))`), so
     * the whole decode vectorizes with no recursive CTE.
     */
-  val m3Sql: String = {
+  /** Shared oracle CTE chain reproducing `SqlCodec` decode in DuckDB SQL:
+    * ends at `pxv(doc_id, w, h, c, j, pix)` — one row per pixel-channel
+    * sample. m3 (features → ANN) and m6 (perceptual-hash dedup) both build
+    * on it, so the two oracles share one truth of the decode.
+    */
+  private val sqlCodecPxvCte: String = {
     // 8 hex nibbles of md5 starting at `start` (1-based) -> one 32-bit lane
     def lane(start: Int): String =
       (0 to 7).map(k =>
@@ -3547,7 +3552,11 @@ object PipelineQueries {
        |r2b AS (SELECT doc_id, w, h, c, j,
        |    (zh * $K + (zl * $K) // 4294967296) % 4294967296 AS zh,
        |    (zl * $K) % 4294967296 AS zl FROM r2a),
-       |pxv AS (SELECT doc_id, w, h, c, j, xor(zl, zh) % 256 AS pix FROM r2b),
+       |pxv AS (SELECT doc_id, w, h, c, j, xor(zl, zh) % 256 AS pix FROM r2b)""".stripMargin
+  }
+
+  val m3Sql: String = {
+    s"""$sqlCodecPxvCte,
        |cells AS (SELECT doc_id,
        |    ((4 * ((j // c) // w) + 3) // h) * 4 + (4 * ((j // c) % w) + 3) // w AS cell, pix
        |  FROM pxv),
@@ -3567,6 +3576,134 @@ object PipelineQueries {
        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
        |  FROM pairs)
        |SELECT query_id, neighbor_id, cos FROM rk WHERE rn = 1 ORDER BY query_id""".stripMargin
+  }
+
+  // ------------------------------- M6: image near-duplicate deduplication
+
+  /** Variant construction for m6: every `doc_id % 10 == 0` image gets a
+    * "re-encoded" twin (`doc_id + M6VariantOffset`) whose every 97th
+    * pixel-channel sample is nudged by ±1 (255 clamps down so the noise is
+    * always tiny) — the deterministic stand-in for the JPEG re-encode /
+    * resize jitter that makes image dedup NEAR-dup work rather than byte
+    * equality. Both engines derive the variant from the same decoded
+    * pixels, so the oracle replays it exactly.
+    */
+  private[queries] val M6VariantOffset = 10000000L
+  private[queries] val M6NoiseStride = 97
+
+  /** Candidate pairs within Hamming distance 3 on the 64-bit aHash —
+    * d3b's Manku block-permute pairing applied to perceptual image hashes:
+    * band key = one of the 4 16-bit aHash blocks (pigeonhole: ≤3 differing
+    * bits leave ≥1 block identical, so the equi-join finds ALL qualifying
+    * pairs), verify = exact popcount, dHash distance carried as a second
+    * report column. Same [[bandCandidates]] funnel, so the measured-skew
+    * salting applies here too (a corpus of near-black images piles up in
+    * one band exactly like all-identical texts do).
+    */
+  private[queries] def perceptualPairs(sig: DataFrame): DataFrame = {
+    val bands = sig.select(col("doc_id"), col("ahash"), col("dhash"),
+      explode(expr("transform(sequence(0, 3), " +
+        "p -> p * 65536L + (shiftright(ahash, 16 * p) & 65535L))")).as("bk"))
+    bandCandidates(bands, saltThreshold = 4096L,
+        preDedupFilter = Some(expr("bit_count(ahash_a ^ ahash_b) <= 3")))
+      .withColumn("hamming_a", expr("bit_count(ahash_a ^ ahash_b)").cast("int"))
+      .withColumn("hamming_d", expr("bit_count(dhash_a ^ dhash_b)").cast("int"))
+      .select("doc_a", "doc_b", "hamming_a", "hamming_d")
+  }
+
+  /** Image near-dup dedup end-to-end: blobs → SqlCodec decode → noisy
+    * re-encode variants for 10% of the corpus → 64-bit aHash/dHash
+    * ([[graft.multimodal.Multimodal.perceptualHashes]], integer-ppm exact)
+    * → banded Hamming pairing ([[perceptualPairs]]). Each (base, variant)
+    * pair lands within aHash Hamming ≤ 3 — tiny pixel noise barely moves
+    * an 8×8 cell mean — while unrelated images sit ~32 bits apart, so the
+    * output is exactly the planted near-dup pairs (d3's false-positive
+    * arithmetic: P ≈ 2.4e-15 per random pair at 64 bits). The whole
+    * pipeline is narrow until the band join: decode, variant synthesis,
+    * and hashing are one mapPartitions pass; the pair stage shuffles 4
+    * rows × 16 bytes per IMAGE, never pixels — the shape that holds at
+    * 100 TB of actual image bytes.
+    */
+  def m6ImageDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blobs = t(s, dir, "documents")
+      .withColumn("blob", col("text").cast("binary"))
+      .select("doc_id", "blob")
+    val imgs = graft.multimodal.Multimodal
+      .decodeImages(blobs, codec = graft.multimodal.Multimodal.SqlCodec)
+    val withVariants = imgs.flatMap { im =>
+      if (im.doc_id % 10 == 0) {
+        val px = im.pixels.clone()
+        var j = 0
+        while (j < px.length) {
+          if (j % M6NoiseStride == 0) {
+            val v = px(j) & 0xff
+            px(j) = (if (v == 255) 254 else v + 1).toByte
+          }
+          j += 1
+        }
+        Seq(im, graft.multimodal.DecodedImage(
+          im.doc_id + M6VariantOffset, im.width, im.height, im.channels, px))
+      } else Seq(im)
+    }
+    // signatures feed the band explode and ride both join sides
+    val sig = graft.multimodal.Multimodal.perceptualHashes(withVariants)
+      .localCheckpoint()
+    perceptualPairs(sig).orderBy("doc_a", "doc_b")
+  }
+
+  /** The oracle replays decode (shared [[sqlCodecPxvCte]]), variant noise,
+    * the two pooled hashes, and d3b-style banded pairing entirely in SQL.
+    * Hash assembly uses `bit_or` of per-cell weights with bit 63 spelled as
+    * min-BIGINT (d3's trick — DuckDB's checked `1::BIGINT << 63` refuses to
+    * wrap). All pooling arithmetic is nonnegative integer division, exactly
+    * the Scala side's.
+    */
+  val m6Sql: String = {
+    val topBit = "(-9223372036854775807::BIGINT - 1)"
+    s"""$sqlCodecPxvCte,
+       |pxall AS (
+       |  SELECT doc_id, w, h, c, j, pix FROM pxv
+       |  UNION ALL
+       |  SELECT doc_id + $M6VariantOffset, w, h, c, j,
+       |    CASE WHEN j % $M6NoiseStride = 0
+       |         THEN CASE WHEN pix = 255 THEN 254 ELSE pix + 1 END
+       |         ELSE pix END AS pix
+       |  FROM pxv WHERE doc_id % 10 = 0),
+       |gray AS (SELECT doc_id, w, h, pidx % w AS x, pidx // w AS y, g FROM (
+       |  SELECT doc_id, w, h, j // c AS pidx, SUM(pix) AS g
+       |  FROM pxall GROUP BY doc_id, w, h, pidx)),
+       |afeat AS (SELECT doc_id, ((8 * y + 7) // h) * 8 + (8 * x + 7) // w AS cell,
+       |    (CAST(SUM(g) AS BIGINT) * 1000000) // COUNT(*) AS ppm
+       |  FROM gray GROUP BY doc_id, cell),
+       |amean AS (SELECT doc_id, SUM(ppm) // 64 AS mu FROM afeat GROUP BY doc_id),
+       |ah AS (SELECT f.doc_id,
+       |    bit_or(CASE WHEN f.ppm > m.mu
+       |           THEN CASE WHEN f.cell = 63 THEN $topBit
+       |                ELSE (1::BIGINT << CAST(f.cell AS INT)) END
+       |           ELSE 0::BIGINT END) AS ahash
+       |  FROM afeat f JOIN amean m ON f.doc_id = m.doc_id GROUP BY f.doc_id),
+       |dfeat AS (SELECT doc_id, (8 * y + 7) // h AS r, (9 * x + 8) // w AS c9,
+       |    (CAST(SUM(g) AS BIGINT) * 1000000) // COUNT(*) AS ppm
+       |  FROM gray GROUP BY doc_id, r, c9),
+       |dh AS (SELECT l.doc_id,
+       |    bit_or(CASE WHEN rt.ppm > l.ppm
+       |           THEN CASE WHEN l.r * 8 + l.c9 = 63 THEN $topBit
+       |                ELSE (1::BIGINT << CAST(l.r * 8 + l.c9 AS INT)) END
+       |           ELSE 0::BIGINT END) AS dhash
+       |  FROM dfeat l JOIN dfeat rt
+       |    ON l.doc_id = rt.doc_id AND l.r = rt.r AND rt.c9 = l.c9 + 1
+       |  GROUP BY l.doc_id),
+       |sig AS (SELECT a.doc_id, a.ahash, d.dhash FROM ah a JOIN dh d ON a.doc_id = d.doc_id),
+       |bands AS (SELECT doc_id, ahash, dhash, p, (ahash >> (16 * p)) & 65535 AS k
+       |          FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) t(p)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |                a.ahash AS aa, b.ahash AS ab, a.dhash AS da, b.dhash AS db
+       |         FROM bands a JOIN bands b ON a.p = b.p AND a.k = b.k
+       |          AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, bit_count(xor(aa, ab))::INT AS hamming_a,
+       |       bit_count(xor(da, db))::INT AS hamming_d
+       |FROM cand WHERE bit_count(xor(aa, ab)) <= 3 ORDER BY doc_a, doc_b""".stripMargin
   }
 
   // ------------------------- M4: audio decode → framed feature extraction
@@ -6248,6 +6385,7 @@ object PipelineQueries {
     "m2_frame_sample" -> (m2FrameSample _),
     "m3_feature_ann" -> (m3FeatureAnn _),
     "m4_audio_features" -> (m4AudioFeatures _),
+    "m6_image_dedup" -> (m6ImageDedup _),
     "a8s_approx_distinct" -> (a8sApproxDistinct _),
     "a9s_approx_quantiles" -> (a9sApproxQuantiles _),
     "a10s_cms_freq" -> (a10sCmsFreq _),
@@ -6337,6 +6475,7 @@ object PipelineQueries {
     "m2_frame_sample" -> m2Sql,
     "m3_feature_ann" -> m3Sql,
     "m4_audio_features" -> m4Sql,
+    "m6_image_dedup" -> m6Sql,
     "w3_sessionize" -> w3Sql,
     "w4_funnel" -> w4Sql,
     "w8_conversion_latency" -> w8Sql,

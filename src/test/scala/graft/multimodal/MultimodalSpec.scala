@@ -127,6 +127,56 @@ class MultimodalSpec extends SparkSpec {
       "corrupt-bodied blob must degrade to the deterministic stub")
   }
 
+  test("perceptual hashes on real PNGs: noise-robust, brightness-invariant dHash, distinct images far apart") {
+    import spark.implicits._
+    def gradient(perturb: (Int, Int) => Int, bright: Int = 0): Array[Byte] = {
+      val w = 64; val h = 48
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        // smooth gradient, values capped at 200 so +brightness never clamps
+        val r = (x * 200 / w + perturb(x, y) + bright) max 0 min 255
+        val g = (y * 200 / h + bright) max 0 min 255
+        val b = ((x + y) * 100 / (w + h) + bright) max 0 min 255
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val base = gradient((_, _) => 0)
+    // re-encode jitter: scattered ±1 pixel noise
+    val noisy = gradient((x, y) => if ((x * 31 + y * 7) % 53 == 0) 1 else 0)
+    val brighter = gradient((_, _) => 0, bright = 10)
+    val inverted = { // structurally different image
+      val w = 64; val h = 48
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, ((200 - x * 200 / w) << 16) | ((200 - y * 200 / h) << 8) | 100)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val blobs = Seq(1L -> base, 2L -> noisy, 3L -> brighter, 4L -> inverted)
+      .toDF("doc_id", "blob")
+    val hs = Multimodal.perceptualHashes(
+        Multimodal.decodeImages(blobs, codec = Multimodal.ImageIoCodec))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // tiny pixel noise barely moves 8×8 cell means: near-dup territory
+    assert(ham(hs(1L)._1, hs(2L)._1) <= 3,
+      s"aHash not noise-robust: ${ham(hs(1L)._1, hs(2L)._1)} bits")
+    assert(ham(hs(1L)._2, hs(2L)._2) <= 3,
+      s"dHash not noise-robust: ${ham(hs(1L)._2, hs(2L)._2)} bits")
+    // a uniform brightness shift moves every cell equally: both hashes exact
+    assert(hs(1L)._1 == hs(3L)._1 && hs(1L)._2 == hs(3L)._2,
+      "hashes not brightness-invariant")
+    // a structurally different image is many bits away on both hashes
+    assert(ham(hs(1L)._1, hs(4L)._1) > 10 && ham(hs(1L)._2, hs(4L)._2) > 10,
+      s"distinct images too close: a=${ham(hs(1L)._1, hs(4L)._1)} d=${ham(hs(1L)._2, hs(4L)._2)}")
+  }
+
   test("real media end-to-end: PNG blobs → SniffCodec decode → resize → features") {
     // the full multimodal pipeline over REAL encoded payloads, distributed:
     // decode via the sniffing codec, resize to a fixed raster, pool to the

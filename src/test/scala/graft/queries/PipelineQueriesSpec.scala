@@ -38,6 +38,40 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("m6 perceptual pairing: pigeonhole-exact on crafted hashes; sf run recovers every planted variant") {
+    import spark.implicits._
+    // crafted aHashes: doc 2 is 2 bits from doc 1 (pair), doc 3 is 4 bits
+    // from doc 1 spread over all four 16-bit blocks (no block collision AND
+    // over the verify threshold), doc 4 is far away
+    val sig = Seq(
+      (1L, 0L, 0L),
+      (2L, (1L << 0) | (1L << 1), 1L),
+      (3L, (1L << 0) | (1L << 16) | (1L << 32) | (1L << 48), 2L),
+      (4L, -1L, -1L)).toDF("doc_id", "ahash", "dhash")
+    val pairs = PipelineQueries.perceptualPairs(sig).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    // (1,3) collides on block 0 via doc 3's bit 0? no: doc1 block0 = 0,
+    // doc3 block0 has bit 0 set — different keys. (2,3) share no block
+    // either. Only (1,2) survives: blocks 1..3 all match and hamming = 2.
+    assert(pairs.toSet == Set((1L, 2L, 2, java.lang.Long.bitCount(0L ^ 1L))),
+      s"crafted pairing wrong: ${pairs.mkString(", ")}")
+
+    // the registered query finds EXACTLY the planted re-encode variants:
+    // every doc_id % 10 == 0 pairs with its noisy twin, nothing else
+    val out = PipelineQueries.m6ImageDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val planted = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 10 === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out.nonEmpty && out.length == planted.size,
+      s"expected ${planted.size} planted pairs, got ${out.length}")
+    out.foreach { case (a, b, hamA) =>
+      assert(planted(a) && b == a + PipelineQueries.M6VariantOffset,
+        s"unplanted pair ($a, $b)")
+      assert(hamA <= 3, s"pair ($a, $b) hamming $hamA over threshold")
+    }
+  }
+
   test("sim3 IVF with nprobe=2 recovers most of sim1's exact top-3") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet

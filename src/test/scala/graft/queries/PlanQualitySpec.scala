@@ -118,6 +118,15 @@ class PlanQualitySpec extends SparkSpec {
       "band-key candidate join degenerated to a product")
   }
 
+  test("m6 image near-dup pairing is an equi-join on the aHash block key") {
+    // the perceptual-hash pair stage must keep d3b's banded shape: pixels
+    // stay in narrow map work, only 16-byte signatures reach the join, and
+    // candidates come from a (block, key) equi-join — never a product
+    val p = plan(PipelineQueries.m6ImageDedup(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "perceptual-hash candidate join degenerated to a product")
+  }
+
   test("x7 BM25 computes corpus stats in one aggregate and broadcasts the single stats row") {
     val p = plan(PipelineQueries.x7Bm25(spark, sf))
     // one HashAggregate pair (partial + final) for N/L/df — not one pass per
