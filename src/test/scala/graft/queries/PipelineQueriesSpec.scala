@@ -324,6 +324,34 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("k16 bloom-pruned lookup reads only maybe-files and equals the naive filter exactly") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // the same digest derivation k16's index is built over
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(text),1,15),16,10) as bigint)").as("hk"))
+    val rows = docs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val present = rows.filter(_._1 < 20).map(_._2)
+    // salted absent digests, k16Pairs' derivation
+    val absent = spark.range(1).selectExpr(present.map(hk =>
+        s"cast(conv(substring(md5(concat('$hk', ':absent')),1,15),16,10) as bigint)"): _*)
+      .collect().head.toSeq.map(_.asInstanceOf[Long])
+    for (probes <- Seq(present.toSeq, absent, present.toSeq ++ absent)) {
+      val naive = rows.filter(r => probes.contains(r._2)).toSet
+      val pruned = PipelineQueries.bloomPrunedLookup(docs, probes, 64L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pruned == naive, s"pruned lookup diverged from the naive filter ($probes)")
+    }
+    // pruning must BITE: the 20 present probes live in file 0 alone, so the
+    // maybe-list is file 0 plus at most a few false-positive files — never
+    // the whole corpus
+    val nFiles = rows.map(_._1 / 64).distinct.length
+    val maybe = PipelineQueries.bloomMaybeFiles(docs, present.toSeq, 64L)
+    assert(maybe.contains(0L), "the probes' own file was pruned — lossy!")
+    assert(maybe.length < nFiles,
+      s"pruning never skipped a file (${maybe.length} of $nFiles read)")
+  }
+
   test("x36 greedy decode matches a driver replay step-for-step and prefix-nests") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("text").collect().map(_.getString(0).split(" ").toSeq)

@@ -936,6 +936,59 @@ class StreamingOpsSpec extends SparkSpec {
       "stale shard file survived an empty batch")
   }
 
+  test("persistent changelog apply survives a query restart: state reloads, committed batches don't reapply") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def rowSet(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val (vOld, vNew) = graft.queries.RelationalQueries.snapshotPair(spark, sf)
+    val initial = vOld.select(col("k_old").as("k"), col("old_status").as("status"))
+    val log = graft.queries.RelationalQueries.k8SnapshotDiff(spark, sf).collect()
+      .map(r => ChangeRow(r.getLong(0), r.getString(1), r.getString(3)))
+    val batches = log.groupBy(_.k % 3).toSeq.sortBy(_._1).map(_._2.toSeq)
+    val st = java.nio.file.Files.createTempDirectory("graft-cdc-state").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft-cdc-cp").toString
+    // run A: two batches land, then the query is killed
+    val in1 = MemoryStream[ChangeRow]
+    var seen1 = Vector.empty[Long]
+    val q1 = StreamingOps.changelogApplyStreamPersistent(in1.toDF(), initial, st) {
+      (_, bid) => seen1 :+= bid
+    }.option("checkpointLocation", cp).start()
+    try {
+      in1.addData(batches(0): _*); q1.processAllAvailable()
+      in1.addData(batches(1): _*); q1.processAllAvailable()
+    } finally q1.stop()
+    assert(seen1 == Vector(0L, 1L))
+    // a torn write from the "crash": an uncommitted snapshot dir (no
+    // _SUCCESS) with a higher id must be invisible to recovery
+    val torn = java.nio.file.Paths.get(s"$st/snapshot-9")
+    java.nio.file.Files.createDirectories(torn)
+    java.nio.file.Files.write(torn.resolve("part-00000.parquet"), Array[Byte](1))
+    // restart: fresh driver state (new writer, new vars), same checkpoint +
+    // state dir; the source re-serves all blocks, committed offsets skip
+    val in2 = MemoryStream[ChangeRow]
+    batches.foreach(b => in2.addData(b: _*))
+    var seen2 = Vector.empty[(Long, Set[(Long, String)])]
+    val q2 = StreamingOps.changelogApplyStreamPersistent(in2.toDF(), initial, st) {
+      (snap, bid) => seen2 :+= ((bid, rowSet(snap)))
+    }.option("checkpointLocation", cp).start()
+    try q2.processAllAvailable() finally q2.stop()
+    // only the unseen batch fired, and the final snapshot equals applying
+    // ALL THREE batches — batches 0/1 came back from the persisted state,
+    // not from replay and not from a reset to `initial`
+    assert(seen2.map(_._1) == Vector(2L),
+      s"restart re-fired committed batches: ${seen2.map(_._1)}")
+    assert(seen2.last._2 == rowSet(vNew),
+      "restarted apply lost the persisted state")
+    // the persisted artifact is the target too, keyed by the last batch,
+    // and older snapshots are GC'd while the torn dir stayed invisible
+    val (loaded, bid) = StreamingOps.loadChangelogSnapshot(spark, st).get
+    assert(bid == 2L && rowSet(loaded) == rowSet(vNew))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$st/snapshot-0")) &&
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$st/snapshot-1")),
+      "stale snapshots not GC'd")
+  }
+
   test("streaming changelog apply lands on the target snapshot and replays are no-ops") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
