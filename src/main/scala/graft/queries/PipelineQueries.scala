@@ -3619,6 +3619,42 @@ object PipelineQueries {
       .select("doc_a", "doc_b", "hamming_a", "hamming_d")
   }
 
+  /** The deterministic "re-encoded twin" of a decoded image (see
+    * [[M6NoiseStride]]) — ONE definition shared by m6 and m7, replayed by
+    * the [[perceptualSigCte]] oracle.
+    */
+  private def reencodedVariant(im: graft.multimodal.DecodedImage): graft.multimodal.DecodedImage = {
+    val px = im.pixels.clone()
+    var j = 0
+    while (j < px.length) {
+      if (j % M6NoiseStride == 0) {
+        val v = px(j) & 0xff
+        px(j) = (if (v == 255) 254 else v + 1).toByte
+      }
+      j += 1
+    }
+    graft.multimodal.DecodedImage(
+      im.doc_id + M6VariantOffset, im.width, im.height, im.channels, px)
+  }
+
+  /** Signatures of the corpus PLUS the planted variants, one decode+hash
+    * pass (the images never materialize twice), checkpointed because every
+    * consumer — band explode, both verify sides, the m7 increment/index
+    * split — re-reads it.
+    */
+  private def signaturesWithVariants(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blobs = t(s, dir, "documents")
+      .withColumn("blob", col("text").cast("binary"))
+      .select("doc_id", "blob")
+    val withVariants = graft.multimodal.Multimodal
+      .decodeImages(blobs, codec = graft.multimodal.Multimodal.SqlCodec)
+      .flatMap { im =>
+        if (im.doc_id % 10 == 0) Seq(im, reencodedVariant(im)) else Seq(im)
+      }
+    graft.multimodal.Multimodal.perceptualHashes(withVariants).localCheckpoint()
+  }
+
   /** Image near-dup dedup end-to-end: blobs → SqlCodec decode → noisy
     * re-encode variants for 10% of the corpus → 64-bit aHash/dHash
     * ([[graft.multimodal.Multimodal.perceptualHashes]], integer-ppm exact)
@@ -3632,42 +3668,20 @@ object PipelineQueries {
     * rows × 16 bytes per IMAGE, never pixels — the shape that holds at
     * 100 TB of actual image bytes.
     */
-  def m6ImageDedup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val blobs = t(s, dir, "documents")
-      .withColumn("blob", col("text").cast("binary"))
-      .select("doc_id", "blob")
-    val imgs = graft.multimodal.Multimodal
-      .decodeImages(blobs, codec = graft.multimodal.Multimodal.SqlCodec)
-    val withVariants = imgs.flatMap { im =>
-      if (im.doc_id % 10 == 0) {
-        val px = im.pixels.clone()
-        var j = 0
-        while (j < px.length) {
-          if (j % M6NoiseStride == 0) {
-            val v = px(j) & 0xff
-            px(j) = (if (v == 255) 254 else v + 1).toByte
-          }
-          j += 1
-        }
-        Seq(im, graft.multimodal.DecodedImage(
-          im.doc_id + M6VariantOffset, im.width, im.height, im.channels, px))
-      } else Seq(im)
-    }
-    // signatures feed the band explode and ride both join sides
-    val sig = graft.multimodal.Multimodal.perceptualHashes(withVariants)
-      .localCheckpoint()
-    perceptualPairs(sig).orderBy("doc_a", "doc_b")
-  }
+  def m6ImageDedup(s: SparkSession, dir: String): DataFrame =
+    perceptualPairs(signaturesWithVariants(s, dir)).orderBy("doc_a", "doc_b")
 
-  /** The oracle replays decode (shared [[sqlCodecPxvCte]]), variant noise,
-    * the two pooled hashes, and d3b-style banded pairing entirely in SQL.
-    * Hash assembly uses `bit_or` of per-cell weights with bit 63 spelled as
-    * min-BIGINT (d3's trick — DuckDB's checked `1::BIGINT << 63` refuses to
-    * wrap). All pooling arithmetic is nonnegative integer division, exactly
-    * the Scala side's.
+  /** Shared oracle CTE chain for the perceptual-hash family: decode
+    * ([[sqlCodecPxvCte]]), variant noise, and the two pooled hashes,
+    * ending at `sig(doc_id, ahash, dhash)` over the corpus AND its planted
+    * variants. Hash assembly uses `bit_or` of per-cell weights with bit 63
+    * spelled as min-BIGINT (d3's trick — DuckDB's checked `1::BIGINT << 63`
+    * refuses to wrap); all pooling arithmetic is nonnegative integer
+    * division, exactly the Scala side's. m6 (within-set pairing) and m7
+    * (increment-vs-index probing) both build on it — one truth of the
+    * signatures, the m3/d3 sharing discipline.
     */
-  val m6Sql: String = {
+  private val perceptualSigCte: String = {
     val topBit = "(-9223372036854775807::BIGINT - 1)"
     s"""$sqlCodecPxvCte,
        |pxall AS (
@@ -3702,7 +3716,11 @@ object PipelineQueries {
        |  FROM dfeat l JOIN dfeat rt
        |    ON l.doc_id = rt.doc_id AND l.r = rt.r AND rt.c9 = l.c9 + 1
        |  GROUP BY l.doc_id),
-       |sig AS (SELECT a.doc_id, a.ahash, d.dhash FROM ah a JOIN dh d ON a.doc_id = d.doc_id),
+       |sig AS (SELECT a.doc_id, a.ahash, d.dhash FROM ah a JOIN dh d ON a.doc_id = d.doc_id)""".stripMargin
+  }
+
+  val m6Sql: String = {
+    s"""$perceptualSigCte,
        |bands AS (SELECT doc_id, ahash, dhash, p, (ahash >> (16 * p)) & 65535 AS k
        |          FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) t(p)),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -3712,6 +3730,128 @@ object PipelineQueries {
        |SELECT doc_a, doc_b, bit_count(xor(aa, ab))::INT AS hamming_a,
        |       bit_count(xor(da, db))::INT AS hamming_d
        |FROM cand WHERE bit_count(xor(aa, ab)) <= 3 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ----------------------- M7: incremental image dedup (increment vs index)
+
+  /** The persisted-index half of m7 — d10's `CorpusIndex` for images: the
+    * corpus signature table, its exploded aHash band table (both
+    * checkpointed; bucketed-by-`bk` tables in production), and the measured
+    * hot band keys, built ONCE so nightly ingest probes it without ever
+    * re-decoding or re-hashing the corpus.
+    */
+  final case class ImageIndex(sig: DataFrame, bands: DataFrame, hotKeys: Seq[Any])
+
+  private val AhashBandsExpr =
+    "transform(sequence(0, 3), p -> p * 65536L + (shiftright(ahash, 16 * p) & 65535L))"
+
+  def prepareImageIndex(corpusSig: DataFrame, saltThreshold: Long = 4096L): ImageIndex = {
+    val sig = corpusSig.localCheckpoint()
+    val bands = sig.select(col("doc_id").as("m"), col("ahash").as("ah_m"),
+        explode(expr(AhashBandsExpr)).as("bk"))
+      .localCheckpoint()
+    // histogram probe at index-build time (one tiny partial-aggregated job)
+    // so every later probe knows the hot buckets without re-measuring
+    val hot: Seq[Any] = bands.groupBy("bk").agg(count(lit(1)).as("n"))
+      .filter(col("n") > saltThreshold).select("bk")
+      .collect().map(_.get(0)).toSeq
+    ImageIndex(sig, bands, hot)
+  }
+
+  /** Probe arriving image signatures against a prebuilt [[ImageIndex]]:
+    * band equi-join (pigeonhole-complete at Hamming ≤ 3, as
+    * [[perceptualPairs]]) with d10's ASYMMETRIC hot-bucket salting — the
+    * big index side hashes over r salts, only the tiny increment replicates
+    * r× — then exact popcount verify and a min-(hamming, match) pick. The
+    * verify payload (both aHashes) rides the join, so candidates never
+    * re-join the signature tables. Returns one verdict row per increment
+    * image: near_dup with its best match, or novel.
+    */
+  def imageDedupProbe(incSig: DataFrame, index: ImageIndex): DataFrame = {
+    val nb = incSig.select(col("doc_id"), col("ahash"),
+      explode(expr(AhashBandsExpr)).as("bk"))
+    val ib = index.bands
+    val r = 16
+    val hotKeys = index.hotKeys
+    val joined =
+      if (hotKeys.isEmpty) nb.join(ib, Seq("bk"))
+      else {
+        val isHot = col("bk").isin(hotKeys: _*)
+        val cold = nb.filter(!isHot).join(ib.filter(!isHot), Seq("bk"))
+        val salted = nb.filter(isHot)
+          .withColumn("salt", explode(expr(s"sequence(0, ${r - 1})")))
+          .join(ib.filter(isHot).withColumn("salt", pmod(hash(col("m")), lit(r))),
+            Seq("bk", "salt"))
+        cold.unionByName(salted.select(cold.columns.map(col).toIndexedSeq: _*))
+      }
+    // no distinct before the aggregate: duplicate (doc, m) candidates from
+    // multiple matching bands can't change a MIN — one shuffle, not two
+    val near = joined
+      .filter(expr("bit_count(ahash ^ ah_m) <= 3"))
+      .select(col("doc_id"), col("m"),
+        expr("cast(bit_count(ahash ^ ah_m) as int)").as("hamming_a"))
+      .groupBy("doc_id")
+      .agg(min(struct(col("hamming_a"), col("m"))).as("best"))
+      .select(col("doc_id"), col("best.m").as("match_id"),
+        col("best.hamming_a").as("hamming_a"))
+    incSig.select("doc_id")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("match_id").isNotNull, "near_dup").otherwise("novel").as("verdict"),
+        col("match_id"), col("hamming_a"))
+  }
+
+  /** Perceptual signatures of any (doc_id, text) table through the
+    * SqlCodec decode — the same codec and hash rule m6/m7 pin, exposed as
+    * the core the streaming ingest twin hashes arriving batches with.
+    */
+  private[graft] def imageSignatures(docs: DataFrame): DataFrame =
+    graft.multimodal.Multimodal.perceptualHashes(
+      graft.multimodal.Multimodal.decodeImages(
+        docs.withColumn("blob", col("text").cast("binary"))
+          .select("doc_id", "blob"),
+        codec = graft.multimodal.Multimodal.SqlCodec))
+
+  /** Incremental image dedup — d10's nightly-ingest shape on the
+    * multimodal axis: the corpus's perceptual signatures become a
+    * persisted [[ImageIndex]]; the INCREMENT (here the planted re-encode
+    * variants — exactly what a re-crawl delivers) is decoded, hashed, and
+    * probed against it. The corpus is never re-read per increment; probe
+    * cost is increment-sized plus band collisions. Every variant lands as
+    * near_dup on its base image (oracle-exact; a variant that drifts past
+    * Hamming 3 reports novel, identically in both engines).
+    */
+  def m7IncrementalImageDedup(s: SparkSession, dir: String): DataFrame = {
+    val sig = signaturesWithVariants(s, dir)
+    val index = prepareImageIndex(sig.filter(col("doc_id") < M6VariantOffset))
+    val incSig = sig.filter(col("doc_id") >= M6VariantOffset)
+    imageDedupProbe(incSig, index).orderBy("doc_id")
+  }
+
+  /** Oracle: the shared [[perceptualSigCte]] signatures split at the
+    * variant offset into increment and index, banded, verified, and the
+    * per-increment best match picked by (hamming, match) order.
+    */
+  val m7Sql: String = {
+    s"""$perceptualSigCte,
+       |inc AS (SELECT doc_id, ahash FROM sig WHERE doc_id >= $M6VariantOffset),
+       |corpusix AS (SELECT doc_id AS m, ahash AS ah_m FROM sig WHERE doc_id < $M6VariantOffset),
+       |nb AS (SELECT doc_id, ahash, p, (ahash >> (16 * p)) & 65535 AS k
+       |       FROM inc CROSS JOIN (VALUES (0),(1),(2),(3)) t(p)),
+       |ib AS (SELECT m, ah_m, p, (ah_m >> (16 * p)) & 65535 AS k
+       |       FROM corpusix CROSS JOIN (VALUES (0),(1),(2),(3)) t(p)),
+       |nearall AS (SELECT nb.doc_id, ib.m,
+       |        bit_count(xor(nb.ahash, ib.ah_m))::INT AS hamming_a
+       |      FROM nb JOIN ib ON nb.p = ib.p AND nb.k = ib.k
+       |      WHERE bit_count(xor(nb.ahash, ib.ah_m)) <= 3),
+       |near AS (SELECT doc_id, m AS match_id, hamming_a FROM (
+       |    SELECT doc_id, m, hamming_a,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY hamming_a, m) AS rn
+       |    FROM nearall) WHERE rn = 1)
+       |SELECT i.doc_id,
+       |  CASE WHEN near.match_id IS NOT NULL THEN 'near_dup' ELSE 'novel' END AS verdict,
+       |  near.match_id, near.hamming_a
+       |FROM inc i LEFT JOIN near ON i.doc_id = near.doc_id ORDER BY i.doc_id""".stripMargin
   }
 
   // ------------------------- M4: audio decode → framed feature extraction
@@ -6438,6 +6578,7 @@ object PipelineQueries {
     "m3_feature_ann" -> (m3FeatureAnn _),
     "m4_audio_features" -> (m4AudioFeatures _),
     "m6_image_dedup" -> (m6ImageDedup _),
+    "m7_incr_image_dedup" -> (m7IncrementalImageDedup _),
     "a8s_approx_distinct" -> (a8sApproxDistinct _),
     "a9s_approx_quantiles" -> (a9sApproxQuantiles _),
     "a10s_cms_freq" -> (a10sCmsFreq _),
@@ -6528,6 +6669,7 @@ object PipelineQueries {
     "m3_feature_ann" -> m3Sql,
     "m4_audio_features" -> m4Sql,
     "m6_image_dedup" -> m6Sql,
+    "m7_incr_image_dedup" -> m7Sql,
     "w3_sessionize" -> w3Sql,
     "w4_funnel" -> w4Sql,
     "w8_conversion_latency" -> w8Sql,

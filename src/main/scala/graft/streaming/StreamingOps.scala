@@ -450,6 +450,33 @@ object StreamingOps {
     }
   }
 
+  /** Streaming image near-dup screen — m7's ingest twin and the multimodal
+    * member of the against-prebuilt-index family ([[dedupAgainstIndex]] for
+    * text, [[annAgainstIndex]] for vectors): the corpus's perceptual
+    * signatures become ONE [[graft.queries.PipelineQueries.ImageIndex]] at
+    * query start (signature + band tables checkpointed, hot bands
+    * measured — bucketed index tables in production); each micro-batch of
+    * arriving documents decodes (SqlCodec), hashes, and probes it via
+    * foreachBatch running the batch operator's exact
+    * [[graft.queries.PipelineQueries.imageDedupProbe]]. Verdicts are a pure
+    * function of (batch, index) — replays emit identically — and no
+    * streaming state exists beyond the source checkpoint; the corpus is
+    * never re-decoded per trigger.
+    */
+  def imageDedupAgainstIndex(docs: DataFrame, corpus: DataFrame)(
+      onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val index = graft.queries.PipelineQueries.prepareImageIndex(
+      graft.queries.PipelineQueries.imageSignatures(corpus))
+    docs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // checkpoint the batch's (tiny) signature table: the band explode
+        // and the left-join spine both read it
+        val sig = graft.queries.PipelineQueries
+          .imageSignatures(batch.select("doc_id", "text")).localCheckpoint()
+        onBatch(graft.queries.PipelineQueries.imageDedupProbe(sig, index), batchId)
+      }
+  }
+
   /** Streaming ANN ingest — the ingest-time twin of the batch
     * `sim7_incremental_ann`, and the vector-side sibling of
     * [[dedupAgainstIndex]]: each micro-batch of new embeddings probes ONE

@@ -72,6 +72,27 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("m7 incremental image dedup: every re-encoded variant lands on its base, via the index") {
+    val out = PipelineQueries.m7IncrementalImageDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3)))
+    val planted = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 10 === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out.length == planted.size, s"expected ${planted.size} increment rows, got ${out.length}")
+    out.foreach { case (id, verdict, m, ham) =>
+      assert(verdict == "near_dup" && m == id - PipelineQueries.M6VariantOffset,
+        s"variant $id matched $m ($verdict) instead of its base")
+      assert(ham >= 0 && ham <= 3, s"variant $id hamming $ham out of range")
+    }
+    // agreement with m6's within-set pairing: same (base, variant) pair set
+    val m6pairs = PipelineQueries.m6ImageDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.map { case (id, _, m, _) => (m, id) }.toSet == m6pairs,
+      "m7's increment-vs-index verdicts diverge from m6's within-set pairs")
+  }
+
   test("sim3 IVF with nprobe=2 recovers most of sim1's exact top-3") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet

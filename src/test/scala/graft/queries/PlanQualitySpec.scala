@@ -127,6 +127,12 @@ class PlanQualitySpec extends SparkSpec {
       "perceptual-hash candidate join degenerated to a product")
   }
 
+  test("m7 image index probe joins on the band key, never a product") {
+    val p = plan(PipelineQueries.m7IncrementalImageDedup(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "index probe degenerated to a product")
+  }
+
   test("x7 BM25 computes corpus stats in one aggregate and broadcasts the single stats row") {
     val p = plan(PipelineQueries.x7Bm25(spark, sf))
     // one HashAggregate pair (partial + final) for N/L/df — not one pass per

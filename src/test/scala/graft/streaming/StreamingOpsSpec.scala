@@ -936,6 +936,50 @@ class StreamingOpsSpec extends SparkSpec {
       "stale shard file survived an empty batch")
   }
 
+  test("streaming image dedup probes the prebuilt index like the batch operator, statelessly") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    // arriving docs: two byte-identical re-crawls of corpus documents
+    // (hamming 0 against their originals) and two genuinely new payloads
+    val recrawled = corpus.filter(col("doc_id") < 2).collect()
+      .map(r => StreamDoc(r.getLong(0) + 5000000L, ts(0), r.getString(1)))
+    val novel = Seq(StreamDoc(7000001L, ts(1), "wholly unseen payload alpha"),
+      StreamDoc(7000002L, ts(1), "wholly unseen payload beta"))
+    val in = MemoryStream[StreamDoc]
+    var got = Vector.empty[(Long, String, Long)]
+    val q = StreamingOps.imageDedupAgainstIndex(in.toDF(), corpus) { (df, _) =>
+      got ++= df.collect().map(r =>
+        (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    }.start()
+    try {
+      in.addData(recrawled.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(novel: _*); q.processAllAvailable()
+      val prog = q.lastProgress
+      assert(prog == null || prog.stateOperators.isEmpty,
+        "image dedup twin must not carry streaming state")
+    } finally q.stop()
+    val byId = got.map(t => t._1 -> (t._2, t._3)).toMap
+    recrawled.foreach { d =>
+      assert(byId(d.doc_id) == (("near_dup", d.doc_id - 5000000L)),
+        s"re-crawled ${d.doc_id}: ${byId(d.doc_id)}")
+    }
+    novel.foreach { d =>
+      assert(byId(d.doc_id)._1 == "novel", s"unseen ${d.doc_id}: ${byId(d.doc_id)}")
+    }
+    // and the stream's verdicts are exactly the batch operator's on the
+    // same signatures against the same index — one rule, two surfaces
+    val index = graft.queries.PipelineQueries.prepareImageIndex(
+      graft.queries.PipelineQueries.imageSignatures(corpus))
+    val batchGot = graft.queries.PipelineQueries.imageDedupProbe(
+        graft.queries.PipelineQueries.imageSignatures(
+          (recrawled ++ novel).map(d => (d.doc_id, d.text)).toSeq.toDF("doc_id", "text")),
+        index).collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSet
+    assert(got.toSet == batchGot, "stream verdicts diverge from the batch operator")
+  }
+
   test("persistent changelog apply survives a query restart: state reloads, committed batches don't reapply") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
