@@ -116,26 +116,36 @@ object WarcDocs {
     * decompression-bomb bound (the Multimodal budget discipline): a small
     * hostile file cannot expand past this inside one task. Must stay
     * below the JVM's ~2 GiB array cap, or the ByteArrayOutputStream /
-    * Array[Byte] handed to parseWarc would OOM before this require fires.
+    * Array[Byte] handed to parseWarc would OOM first.
     */
   private[sources] val MaxFileBytes = 1L * 1024 * 1024 * 1024
 
   /** Inflates a (possibly multi-member) gzip stream — CommonCrawl gzips
     * each record as its own member and concatenates; JDK GZIPInputStream
-    * reads concatenated members natively — under [[MaxFileBytes]].
+    * reads concatenated members natively. DEGRADE-DON'T-DIE (the SniffCodec
+    * contract applied to segments): a truncated or corrupt stream yields
+    * the bytes that inflated soundly — [[parseWarc]] then stops at the last
+    * good record boundary, exactly as it does for a truncated plain file —
+    * and a stream expanding past [[MaxFileBytes]] stops AT the bound. A
+    * throw here would be worse than useless at crawl scale: Spark retries
+    * the same deterministic file 4× and fails the whole 100k-segment job
+    * over one bad segment.
     */
   private[sources] def gunzip(in: java.io.InputStream): Array[Byte] = {
-    val gz = new java.util.zip.GZIPInputStream(in, 1 << 16)
     val out = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](1 << 16)
-    var total = 0L
-    var r = gz.read(buf)
-    while (r >= 0) {
-      total += r
-      require(total <= MaxFileBytes,
-        s"gzip stream expands past $MaxFileBytes bytes — decompression bomb or mis-segmented file")
-      out.write(buf, 0, r)
-      r = gz.read(buf)
+    try {
+      val gz = new java.util.zip.GZIPInputStream(in, 1 << 16)
+      val buf = new Array[Byte](1 << 16)
+      var total = 0L
+      var r = gz.read(buf)
+      while (r >= 0 && total < MaxFileBytes) {
+        val keep = math.min(r.toLong, MaxFileBytes - total).toInt
+        out.write(buf, 0, keep)
+        total += keep
+        r = if (total < MaxFileBytes) gz.read(buf) else -1
+      }
+    } catch {
+      case _: java.io.IOException => // truncated/corrupt member: keep the sound prefix
     }
     out.toByteArray
   }
@@ -147,20 +157,57 @@ object WarcDocs {
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    spark.sparkContext.binaryFiles(path)
-      .flatMap { case (file, pds) =>
-        val bytes =
-          if (file.endsWith(".gz")) gunzip(pds.open()) else pds.toArray()
-        parseWarc(bytes).map { case (uri, date, text) => (uri, date, text, file) }
-      }
-      .toDF("uri", "warc_date", "text", "warc_file")
-      // stable id from record identity, not read order (x6/J4's surrogate
-      // discipline: re-reads and file reorderings must not renumber docs)
-      .select(
-        expr("cast(conv(substring(md5(concat(uri, '|', warc_date)),1,15),16,10) as bigint)").as("doc_id"),
-        col("text"),
-        lit("und").as("lang"),
-        col("uri").as("source"),
-        length(col("text")).cast("long").as("n_chars"))
+    docsContract(
+      spark.sparkContext.binaryFiles(path)
+        .flatMap { case (file, pds) =>
+          val bytes =
+            if (file.endsWith(".gz")) gunzip(pds.open()) else pds.toArray()
+          parseWarc(bytes).map { case (uri, date, text) => (uri, date, text, file) }
+        }
+        .toDF("uri", "warc_date", "text", "warc_file"))
+  }
+
+  /** The shared landing projection: stable id from record identity, not
+    * read order (x6/J4's surrogate discipline — re-reads, file reorderings,
+    * and batch-vs-stream must not renumber docs).
+    */
+  private def docsContract(parsed: DataFrame): DataFrame =
+    parsed.select(
+      expr("cast(conv(substring(md5(concat(uri, '|', warc_date)),1,15),16,10) as bigint)").as("doc_id"),
+      col("text"),
+      lit("und").as("lang"),
+      col("uri").as("source"),
+      length(col("text")).cast("long").as("n_chars"))
+
+  /** STREAMING twin of [[read]] — the crawl drop directory: Structured
+    * Streaming's `binaryFile` source watches `path`, each newly landed
+    * `.warc`/`.warc.gz` segment becomes one task's whole-file parse (the
+    * same file-granular unit as the batch path — WARC is not splittable),
+    * and rows land on the identical `documents` contract, so every
+    * downstream ingest twin (normalize → quality gate → dedup screen →
+    * quota) composes directly. The SOURCE CHECKPOINT is the only state:
+    * processed segments are remembered across restarts, a segment is
+    * parsed exactly once, and doc_ids are content-derived, so a replayed
+    * file re-emits identical rows — the idempotency the downstream
+    * overwrite-by-batchId sinks key on. Throughput knobs are the source's
+    * (`maxFilesPerTrigger` / `maxBytesPerTrigger`), not ours.
+    */
+  def readStream(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    docsContract(
+      spark.readStream.format("binaryFile")
+        // the binaryFile source requires an explicit schema on the
+        // streaming path; this is ITS fixed schema, not an inference
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "path string, modificationTime timestamp, length long, content binary"))
+        .load(path)
+        .select(col("path"), col("content")).as[(String, Array[Byte])]
+        .flatMap { case (file, raw) =>
+          val bytes =
+            if (file.endsWith(".gz")) gunzip(new java.io.ByteArrayInputStream(raw))
+            else raw
+          parseWarc(bytes).map { case (uri, date, text) => (uri, date, text, file) }
+        }
+        .toDF("uri", "warc_date", "text", "warc_file"))
   }
 }

@@ -76,6 +76,62 @@ class WarcDocsSpec extends SparkSpec {
     assert(WarcDocs.parseWarc(garbage).map(_._1) == Seq("http://b.example/1"))
   }
 
+  test("WARC fuzz: every truncation parses a clean record prefix; byte mutations never throw or mint records") {
+    // base has NO embedded fake version lines, so the boundary invariants
+    // below are exact
+    val base = record("response", "http://f.example/1", "2026-05-01T00:00:00Z",
+      "HTTP/1.1 200 OK\r\n\r\nbody one".getBytes("UTF-8")) ++
+      record("warcinfo", "", "2026-05-01T00:00:00Z", "software: fuzz".getBytes("UTF-8")) ++
+      record("conversion", "http://f.example/2", "2026-05-01T00:00:01Z",
+        "zwei körper".getBytes("UTF-8")) ++
+      record("response", "http://f.example/3", "2026-05-01T00:00:02Z",
+        "bare capture\r\n\r\nwith blank".getBytes("UTF-8"))
+    val full = WarcDocs.parseWarc(base)
+    assert(full.size == 3)
+    // EVERY truncation point: no throw, and the output is a clean prefix of
+    // the full parse — a record is either wholly present or wholly absent
+    (0 to base.length).foreach { k =>
+      val out = WarcDocs.parseWarc(java.util.Arrays.copyOfRange(base, 0, k))
+      assert(full.startsWith(out), s"truncation at $k emitted a non-prefix: $out")
+    }
+    // random byte mutations: never throw, never mint MORE records than the
+    // stream held, and untouched leading records still parse
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 500).foreach { i =>
+      val mutated = base.clone()
+      (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      }
+      val out = WarcDocs.parseWarc(mutated) // must not throw
+      assert(out.size <= 4, s"fuzz case $i minted records: $out")
+    }
+  }
+
+  test("WARC gz robustness: truncated and corrupt segments degrade to the sound prefix, never a thrown task") {
+    def gzMember(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(b); g.close()
+      bo.toByteArray
+    }
+    val r1 = record("conversion", "http://g.example/1", "2026-06-01T00:00:00Z",
+      "erstes dokument".getBytes("UTF-8"))
+    val r2 = record("conversion", "http://g.example/2", "2026-06-01T00:00:01Z",
+      "zweites dokument".getBytes("UTF-8"))
+    // cut mid-second-member's DEFLATE data (header is 10 bytes; 5 more is
+    // far short of the record): the first member inflated soundly and must
+    // survive; the torn tail drops at a record boundary
+    val torn = gzMember(r1) ++ java.util.Arrays.copyOfRange(gzMember(r2), 0, 15)
+    val dir = Files.createTempDirectory("warcgz-torn")
+    Files.write(Paths.get(dir.toString, "torn.warc.gz"), torn)
+    // outright garbage behind the .gz suffix: zero rows, not a dead job
+    Files.write(Paths.get(dir.toString, "junk.warc.gz"),
+      "not gzip at all".getBytes("UTF-8"))
+    val rows = WarcDocs.read(spark, dir.toString).collect().map(_.getString(3))
+    assert(rows.toSeq == Seq("http://g.example/1"),
+      s"torn gz did not degrade to the sound prefix: ${rows.mkString(",")}")
+  }
+
   test("WARC read lands on the documents contract with stable content-derived ids") {
     val dir = Files.createTempDirectory("warc")
     val f1 = record("response", "http://c.example/1", "2026-02-01T00:00:00Z",
@@ -102,6 +158,45 @@ class WarcDocsSpec extends SparkSpec {
     val normed = graft.queries.PipelineQueries.chunkDocs(
       df.select("doc_id", "text"), 4, 4).collect()
     assert(normed.nonEmpty)
+  }
+
+  test("WARC streaming ingest: segments landing in the drop dir parse once, batch-identical, stateless") {
+    val dir = Files.createTempDirectory("warcdrop")
+    def gzMember(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(b); g.close()
+      bo.toByteArray
+    }
+    val seg0 = record("response", "http://s.example/1", "2026-04-01T00:00:00Z",
+      "HTTP/1.1 200 OK\r\n\r\nstreamed body one".getBytes("UTF-8")) ++
+      record("conversion", "http://s.example/2", "2026-04-01T00:00:01Z",
+        "streamed body two".getBytes("UTF-8"))
+    val seg1 = gzMember(record("conversion", "http://s.example/3", "2026-04-01T00:00:02Z",
+      "später gelandet".getBytes("UTF-8")))
+    Files.write(Paths.get(dir.toString, "seg-00000.warc"), seg0)
+    val q = WarcDocs.readStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("warcstream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("warcstream").count() == 2, "first segment did not parse")
+      // a segment landing later is picked up incrementally — and only it
+      Files.write(Paths.get(dir.toString, "seg-00001.warc.gz"), seg1)
+      q.processAllAvailable()
+      val got = spark.table("warcstream").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(3))).toSet
+      assert(got.map(_._3) == Set("http://s.example/1", "http://s.example/2",
+        "http://s.example/3"))
+      // batch-identical: same contract, same content-derived doc_ids
+      val batch = WarcDocs.read(spark, dir.toString).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(3))).toSet
+      assert(got == batch, "streamed rows diverge from the batch read")
+      // the only state is the source checkpoint — no state operators
+      val prog = q.lastProgress
+      assert(prog == null || prog.stateOperators.isEmpty,
+        "WARC ingest must not carry streaming state")
+    } finally q.stop()
   }
 
   test("WARC .gz read: per-record gzip members decompress as one stream, same contract") {
