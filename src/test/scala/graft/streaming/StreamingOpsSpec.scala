@@ -913,6 +913,43 @@ class StreamingOpsSpec extends SparkSpec {
     assert(snapshot() == first, "re-publishing a batch changed the artifact")
   }
 
+  test("crawl → trainer bytes end-to-end: WARC segments landing in the drop dir stream into binidx shards") {
+    // the whole ingest path as ONE streaming query, no batch job anywhere:
+    // [crawl segment files] → WarcDocs.readStream (documents contract)
+    //   → tokenShardExportStream (vocab encode → atomic binidx publish)
+    def rec(uri: String, body: String): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: $uri\r\n" +
+        s"WARC-Date: 2026-07-01T00:00:00Z\r\n" +
+        s"Content-Length: ${body.getBytes("UTF-8").length}\r\n\r\n").getBytes("ISO-8859-1") ++
+        body.getBytes("UTF-8") ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    val drop = java.nio.file.Files.createTempDirectory("crawl-drop").toString
+    val shards = java.nio.file.Files.createTempDirectory("crawl-shards").toString
+    val vocab = Map("alpha" -> 1, "beta" -> 2, "gamma" -> 3)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$drop/seg-0.warc"),
+      rec("http://e2e.example/1", "alpha beta") ++ rec("http://e2e.example/2", "beta unknown gamma"))
+    var batches = Vector.empty[(Long, Long)]
+    val q = StreamingOps.tokenShardExportStream(
+      graft.sources.WarcDocs.readStream(spark, drop), vocab, shards) {
+      (bid, n) => batches :+= ((bid, n))
+    }.start()
+    try {
+      q.processAllAvailable()
+      // a segment landing later extends the corpus in place: its own shard
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$drop/seg-1.warc"),
+        rec("http://e2e.example/3", "gamma gamma"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(batches.map(_._2).sum == 3, s"expected 3 documents through the pipe: $batches")
+    // the published bytes decode to exactly the vocab-encode of the batch
+    // WARC read — stream and batch agree from crawl bytes to trainer ids
+    val back = graft.sources.TokenShards.read(spark, shards).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](3)).toMap
+    val expected = graft.sources.WarcDocs.read(spark, drop).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ", -1).map(t => vocab.getOrElse(t, 0)).toSeq).toMap
+    assert(back == expected, "trainer bytes diverge from the batch-read encode")
+  }
+
   test("streaming binidx export: empty micro-batch reports 0 rows even over a stale shard file") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
