@@ -3854,6 +3854,99 @@ object PipelineQueries {
        |FROM inc i LEFT JOIN near ON i.doc_id = near.doc_id ORDER BY i.doc_id""".stripMargin
   }
 
+  // ---------------------------------------- M8: video near-duplicate dedup
+
+  /** m8 frame geometry and dials: 256-char frames (the stub demux unit —
+    * a real container demuxer, [[graft.multimodal.Multimodal.ImageIoCodec
+    * .frames]], substitutes per-frame bytes without changing the
+    * algorithm), 200-char trim for the planted variants, containment
+    * threshold 50%, and a 64-doc frame-frequency cap.
+    */
+  private[graft] val M8Chunk = 256
+  private[graft] val M8Trim = 200
+  private[graft] val M8MinContainPpm = 500000L
+  private[graft] val M8MaxFrameDf = 64L
+
+  /** Video near-dup dedup — the dedup family's temporal member: two videos
+    * are near-dups when one's FRAME SET is mostly contained in the
+    * other's, the standard identity-level rule for trimmed, re-cut, or
+    * extended copies (exactly what a re-upload pipeline must collapse).
+    * Frames here are the deterministic stub demux unit (fixed-width
+    * chunks); each frame's identity is the md5 of its bytes; candidate
+    * pairs come from an inverted-index EQUI-JOIN on the frame hash (the
+    * frame hash IS the band key — d3b's discipline with a content-defined
+    * band), and the verify is exact containment |A∩B| / min(|A|,|B|) in
+    * integer ppm. The planted variants trim [[M8Trim]] chars off 10% of
+    * the corpus — a trimmed copy shares every frame but its altered tail,
+    * landing at ≥ 50% containment, while unrelated random frames never
+    * collide (the md5 band's false-positive rate).
+    *
+    * Scale shape: framing is a narrow generate; only (doc, 32-byte hash)
+    * rows shuffle; the frame-frequency cap ([[M8MaxFrameDf]]) drops
+    * non-discriminative mega-frames (real corpora: black frames, title
+    * cards) BEFORE the pair join — the df-cap discipline d8/x17 use — so
+    * a frame shared by m docs costs at most cap² pair rows, never m².
+    * Containment denominators stay the UNCAPPED per-video frame counts
+    * (dropping a universal frame from pairing must not inflate the
+    * score).
+    */
+  def m8VideoDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .withColumn("len", length(col("text")).cast("long"))
+    val vids = base.unionByName(
+      base.filter(col("doc_id") % 10 === 0 && col("len") > (M8Chunk + M8Trim))
+        .select((col("doc_id") + M6VariantOffset).as("doc_id"),
+          expr(s"substring(text, 1, cast(len - $M8Trim as int))").as("text"),
+          (col("len") - M8Trim).as("len")))
+    // distinct (video, frame-id) — a frame repeated WITHIN a video must
+    // not double-count overlap; checkpointed because the df cap, the
+    // per-video counts, and both join sides read it
+    val frames = vids.select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, cast((len + ${M8Chunk - 1}) div $M8Chunk as int) - 1), " +
+            s"i -> md5(cast(substring(text, i * $M8Chunk + 1, $M8Chunk) as binary)))")).as("fh"))
+      .distinct()
+      .localCheckpoint()
+    val keep = frames.join(
+      frames.groupBy("fh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= M8MaxFrameDf).select("fh"), "fh")
+    val nf = frames.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    keep.select(col("doc_id").as("doc_a"), col("fh"))
+      .join(keep.select(col("doc_id").as("doc_b"), col("fh")), Seq("fh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .join(nf.select(col("doc_id").as("doc_a"), col("nf").as("na")), "doc_a")
+      .join(nf.select(col("doc_id").as("doc_b"), col("nf").as("nb")), "doc_b")
+      .withColumn("containment_ppm", expr("shared * 1000000L div least(na, nb)"))
+      .filter(col("containment_ppm") >= M8MinContainPpm)
+      .select("doc_a", "doc_b", "shared", "containment_ppm")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val m8Sql: String =
+    s"""WITH base AS (SELECT doc_id, text, length(text)::BIGINT AS len FROM documents),
+       |v AS (SELECT doc_id, text, len FROM base
+       |      UNION ALL
+       |      SELECT doc_id + $M6VariantOffset, substr(text, 1, (len - $M8Trim)::INT),
+       |             len - $M8Trim
+       |      FROM base WHERE doc_id % 10 = 0 AND len > ${M8Chunk + M8Trim}),
+       |fr0 AS (SELECT doc_id, text, unnest(range((len + ${M8Chunk - 1}) // $M8Chunk)) AS i
+       |        FROM v),
+       |fr AS (SELECT DISTINCT doc_id,
+       |         md5(substr(text, (i * $M8Chunk + 1)::INT, $M8Chunk)) AS fh
+       |       FROM fr0),
+       |dfc AS (SELECT fh FROM fr GROUP BY fh HAVING COUNT(*) <= $M8MaxFrameDf),
+       |keep AS (SELECT fr.doc_id, fr.fh FROM fr JOIN dfc USING (fh)),
+       |nf AS (SELECT doc_id, COUNT(*)::BIGINT AS nf FROM fr GROUP BY doc_id),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS shared
+       |      FROM keep a JOIN keep b ON a.fh = b.fh AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |j AS (SELECT doc_a, doc_b, shared,
+       |        (shared * 1000000) // least(x.nf, y.nf) AS containment_ppm
+       |      FROM p JOIN nf x ON x.doc_id = doc_a JOIN nf y ON y.doc_id = doc_b)
+       |SELECT doc_a, doc_b, shared, containment_ppm FROM j
+       |WHERE containment_ppm >= $M8MinContainPpm ORDER BY doc_a, doc_b""".stripMargin
+
   // ------------------------- M4: audio decode → framed feature extraction
 
   /** m4 frame geometry: 64-sample frames, 32-sample hop (50% overlap — the
@@ -6579,6 +6672,7 @@ object PipelineQueries {
     "m4_audio_features" -> (m4AudioFeatures _),
     "m6_image_dedup" -> (m6ImageDedup _),
     "m7_incr_image_dedup" -> (m7IncrementalImageDedup _),
+    "m8_video_dedup" -> (m8VideoDedup _),
     "a8s_approx_distinct" -> (a8sApproxDistinct _),
     "a9s_approx_quantiles" -> (a9sApproxQuantiles _),
     "a10s_cms_freq" -> (a10sCmsFreq _),
@@ -6670,6 +6764,7 @@ object PipelineQueries {
     "m4_audio_features" -> m4Sql,
     "m6_image_dedup" -> m6Sql,
     "m7_incr_image_dedup" -> m7Sql,
+    "m8_video_dedup" -> m8Sql,
     "w3_sessionize" -> w3Sql,
     "w4_funnel" -> w4Sql,
     "w8_conversion_latency" -> w8Sql,

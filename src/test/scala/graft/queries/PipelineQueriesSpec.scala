@@ -93,6 +93,44 @@ class PipelineQueriesSpec extends SparkSpec {
       "m7's increment-vs-index verdicts diverge from m6's within-set pairs")
   }
 
+  test("m8 video near-dup: every trimmed copy is recovered; the rule's invariants hold on all pairs") {
+    import spark.implicits._
+    val out = PipelineQueries.m8VideoDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every planted trimmed copy (doc_id % 10 == 0, long enough to keep
+    // ≥ 2 frames after the trim) must pair with its base
+    val planted = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 10 === 0 &&
+        org.apache.spark.sql.functions.length(col("text")) > PipelineQueries.M8Chunk + PipelineQueries.M8Trim)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(planted.nonEmpty)
+    val pairSet = out.map(t => (t._1, t._2)).toSet
+    planted.foreach { b =>
+      assert(pairSet((b, b + PipelineQueries.M6VariantOffset)),
+        s"trimmed copy of $b not recovered")
+    }
+    // rule invariants on EVERY returned pair: ordered, thresholded, and
+    // shared frames can never exceed the smaller side's frame count
+    // (containment ≤ 100%)
+    out.foreach { case (a, b, shared, cont) =>
+      assert(a < b && cont >= PipelineQueries.M8MinContainPpm && cont <= 1000000L,
+        s"pair ($a,$b) violates the rule: shared=$shared cont=$cont")
+    }
+    // a trimmed copy's containment is exact: (nf_v - 1) / nf_v unless the
+    // trim landed on a frame boundary (then 100%) — replay one planted pair
+    val b0 = planted.min
+    val (_, _, shared0, cont0) =
+      out.find(t => t._1 == b0 && t._2 == b0 + PipelineQueries.M6VariantOffset).get
+    val len = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") === b0).select(org.apache.spark.sql.functions.length(col("text")))
+      .head().getInt(0).toLong
+    val vLen = len - PipelineQueries.M8Trim
+    val nfv = (vLen + PipelineQueries.M8Chunk - 1) / PipelineQueries.M8Chunk
+    val expShared = if (vLen % PipelineQueries.M8Chunk == 0) nfv else nfv - 1
+    assert(shared0 == expShared && cont0 == expShared * 1000000L / nfv,
+      s"pair ($b0, variant): shared=$shared0 cont=$cont0, expected shared=$expShared")
+  }
+
   test("sim3 IVF with nprobe=2 recovers most of sim1's exact top-3") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet

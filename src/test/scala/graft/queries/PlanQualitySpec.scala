@@ -133,6 +133,12 @@ class PlanQualitySpec extends SparkSpec {
       "index probe degenerated to a product")
   }
 
+  test("m8 video pairing is an inverted-index equi-join on the frame hash") {
+    val p = plan(PipelineQueries.m8VideoDedup(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "frame-hash candidate join degenerated to a product")
+  }
+
   test("x7 BM25 computes corpus stats in one aggregate and broadcasts the single stats row") {
     val p = plan(PipelineQueries.x7Bm25(spark, sf))
     // one HashAggregate pair (partial + final) for N/L/df — not one pass per
