@@ -3890,6 +3890,19 @@ object PipelineQueries {
     * (dropping a universal frame from pairing must not inflate the
     * score).
     */
+  /** Distinct (video, frame-id) rows of a (doc_id, text) table — a frame
+    * repeated WITHIN a video must not double-count overlap. ONE definition
+    * of the framing + identity rule, shared by m8, the video index build,
+    * and the streaming probe.
+    */
+  private[graft] def videoFrames(docs: DataFrame): DataFrame =
+    docs.withColumn("len", length(col("text")).cast("long"))
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, cast((len + ${M8Chunk - 1}) div $M8Chunk as int) - 1), " +
+            s"i -> md5(cast(substring(text, i * $M8Chunk + 1, $M8Chunk) as binary)))")).as("fh"))
+      .distinct()
+
   def m8VideoDedup(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
       .withColumn("len", length(col("text")).cast("long"))
@@ -3898,15 +3911,9 @@ object PipelineQueries {
         .select((col("doc_id") + M6VariantOffset).as("doc_id"),
           expr(s"substring(text, 1, cast(len - $M8Trim as int))").as("text"),
           (col("len") - M8Trim).as("len")))
-    // distinct (video, frame-id) — a frame repeated WITHIN a video must
-    // not double-count overlap; checkpointed because the df cap, the
-    // per-video counts, and both join sides read it
-    val frames = vids.select(col("doc_id"),
-        explode(expr(
-          s"transform(sequence(0, cast((len + ${M8Chunk - 1}) div $M8Chunk as int) - 1), " +
-            s"i -> md5(cast(substring(text, i * $M8Chunk + 1, $M8Chunk) as binary)))")).as("fh"))
-      .distinct()
-      .localCheckpoint()
+    // checkpointed because the df cap, the per-video counts, and both
+    // join sides read it
+    val frames = videoFrames(vids.select("doc_id", "text")).localCheckpoint()
     val keep = frames.join(
       frames.groupBy("fh").agg(count(lit(1)).as("df"))
         .filter(col("df") <= M8MaxFrameDf).select("fh"), "fh")
@@ -3921,6 +3928,69 @@ object PipelineQueries {
       .filter(col("containment_ppm") >= M8MinContainPpm)
       .select("doc_a", "doc_b", "shared", "containment_ppm")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** The persisted-index half of the video probe — m7's `ImageIndex` for
+    * frame sets: the corpus's df-capped frame table (mega-frames dropped at
+    * BUILD time — an arriving batch must not retroactively change which
+    * corpus frames pair), the uncapped per-video frame counts for the
+    * containment denominator, and the measured hot frame keys.
+    */
+  final case class VideoIndex(frames: DataFrame, nf: DataFrame, hotKeys: Seq[Any])
+
+  def prepareVideoIndex(corpus: DataFrame, saltThreshold: Long = 4096L): VideoIndex = {
+    val fr = videoFrames(corpus).localCheckpoint()
+    val nf = fr.groupBy("doc_id").agg(count(lit(1)).as("nf_m"))
+      .select(col("doc_id").as("m"), col("nf_m")).localCheckpoint()
+    val keep = fr.join(
+        fr.groupBy("fh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= M8MaxFrameDf).select("fh"), "fh")
+      .select(col("doc_id").as("m"), col("fh")).localCheckpoint()
+    val hot: Seq[Any] = keep.groupBy("fh").agg(count(lit(1)).as("n"))
+      .filter(col("n") > saltThreshold).select("fh")
+      .collect().map(_.get(0)).toSeq
+    VideoIndex(keep, nf, hot)
+  }
+
+  /** Probe arriving videos against a prebuilt [[VideoIndex]]: frame-hash
+    * equi-join (d10's asymmetric salting — hot index frames hash over r
+    * salts, only the tiny batch replicates), shared-count aggregation,
+    * exact containment against the UNCAPPED counts, best match by
+    * (containment desc, match asc). One verdict row per arriving video:
+    * near_dup with its best source, or novel.
+    */
+  def videoDedupProbe(batch: DataFrame, index: VideoIndex): DataFrame = {
+    val fr = videoFrames(batch).localCheckpoint()
+    val nfb = fr.groupBy("doc_id").agg(count(lit(1)).as("nf_b"))
+    val r = 16
+    val hotKeys = index.hotKeys
+    val ib = index.frames
+    val joined =
+      if (hotKeys.isEmpty) fr.join(ib, Seq("fh"))
+      else {
+        val isHot = col("fh").isin(hotKeys: _*)
+        val cold = fr.filter(!isHot).join(ib.filter(!isHot), Seq("fh"))
+        val salted = fr.filter(isHot)
+          .withColumn("salt", explode(expr(s"sequence(0, ${r - 1})")))
+          .join(ib.filter(isHot).withColumn("salt", pmod(hash(col("m")), lit(r))),
+            Seq("fh", "salt"))
+        cold.unionByName(salted.select(cold.columns.map(col).toIndexedSeq: _*))
+      }
+    val best = joined.groupBy("doc_id", "m").agg(count(lit(1)).as("shared"))
+      .join(nfb, "doc_id")
+      .join(index.nf, "m")
+      .withColumn("containment_ppm", expr("shared * 1000000L div least(nf_b, nf_m)"))
+      .filter(col("containment_ppm") >= M8MinContainPpm)
+      .groupBy("doc_id")
+      .agg(max(struct(col("containment_ppm"), (-col("m")).as("negm"),
+        col("shared"))).as("best"))
+      .select(col("doc_id"), (-col("best.negm")).as("match_id"),
+        col("best.shared").as("shared"), col("best.containment_ppm").as("containment_ppm"))
+    fr.select("doc_id").distinct()
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("match_id").isNotNull, "near_dup").otherwise("novel").as("verdict"),
+        col("match_id"), col("shared"), col("containment_ppm"))
   }
 
   val m8Sql: String =

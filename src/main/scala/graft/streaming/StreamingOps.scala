@@ -477,6 +477,28 @@ object StreamingOps {
       }
   }
 
+  /** Streaming video near-dup screen — m8's ingest twin, completing the
+    * against-prebuilt-index family across all three modalities (text
+    * [[dedupAgainstIndex]], image [[imageDedupAgainstIndex]], vector
+    * [[annAgainstIndex]]): the corpus's df-capped frame-hash index
+    * ([[graft.queries.PipelineQueries.prepareVideoIndex]]) is built ONCE
+    * at query start; each micro-batch frames its arriving videos and
+    * probes it via foreachBatch running the batch
+    * [[graft.queries.PipelineQueries.videoDedupProbe]] exactly — a trimmed
+    * re-upload lands near_dup on its source, unseen content lands novel.
+    * Pure function of (batch, index), zero streaming state beyond the
+    * source checkpoint.
+    */
+  def videoDedupAgainstIndex(docs: DataFrame, corpus: DataFrame)(
+      onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val index = graft.queries.PipelineQueries.prepareVideoIndex(corpus)
+    docs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(graft.queries.PipelineQueries.videoDedupProbe(
+          batch.select("doc_id", "text"), index), batchId)
+      }
+  }
+
   /** Streaming ANN ingest — the ingest-time twin of the batch
     * `sim7_incremental_ann`, and the vector-side sibling of
     * [[dedupAgainstIndex]]: each micro-batch of new embeddings probes ONE

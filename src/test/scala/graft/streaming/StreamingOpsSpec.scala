@@ -1017,6 +1017,48 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.toSet == batchGot, "stream verdicts diverge from the batch operator")
   }
 
+  test("streaming video dedup flags trimmed re-uploads against the prebuilt frame index, statelessly") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length => sqlen}
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    // a long corpus video, trimmed like m8's planted variants → near_dup;
+    // plus a genuinely new payload → novel
+    val (srcId, srcText) = corpus
+      .filter(sqlen(col("text")) > graft.queries.PipelineQueries.M8Chunk +
+        graft.queries.PipelineQueries.M8Trim)
+      .orderBy("doc_id").collect().head match {
+      case r => (r.getLong(0), r.getString(1))
+    }
+    val trimmed = StreamDoc(9000001L, ts(0),
+      srcText.substring(0, srcText.length - graft.queries.PipelineQueries.M8Trim))
+    val unseen = StreamDoc(9000002L, ts(1), "x " * 300)
+    val in = MemoryStream[StreamDoc]
+    var got = Map.empty[Long, (String, Long)]
+    val q = StreamingOps.videoDedupAgainstIndex(in.toDF(), corpus) { (df, _) =>
+      got ++= df.collect().map(r =>
+        r.getLong(0) -> ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))))
+    }.start()
+    try {
+      in.addData(trimmed); q.processAllAvailable()
+      in.addData(unseen); q.processAllAvailable()
+      val prog = q.lastProgress
+      assert(prog == null || prog.stateOperators.isEmpty,
+        "video dedup twin must not carry streaming state")
+    } finally q.stop()
+    assert(got(trimmed.doc_id) == (("near_dup", srcId)),
+      s"trimmed re-upload not flagged: ${got(trimmed.doc_id)}")
+    assert(got(unseen.doc_id)._1 == "novel", s"unseen flagged: ${got(unseen.doc_id)}")
+    // verdict-for-verdict the batch probe's output — one rule, two surfaces
+    val index = graft.queries.PipelineQueries.prepareVideoIndex(corpus)
+    val batchGot = graft.queries.PipelineQueries.videoDedupProbe(
+        Seq((trimmed.doc_id, trimmed.text), (unseen.doc_id, unseen.text))
+          .toDF("doc_id", "text"), index).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(got == batchGot, "stream verdicts diverge from the batch probe")
+  }
+
   test("persistent changelog apply survives a query restart: state reloads, committed batches don't reapply") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
