@@ -354,6 +354,49 @@ class MultimodalSpec extends SparkSpec {
       "AVI ".getBytes("US-ASCII") ++ movi
   }
 
+  test("SniffCodec fuzz: mutated/truncated real media and hostile magics never throw; output stays bounded") {
+    val rnd = new scala.util.Random(20260815L)
+    val jpegs = Seq(encoded(8, 6, "jpg"), encoded(10, 8, "jpg"), encoded(6, 6, "jpg"))
+    val seeds: Seq[Array[Byte]] = Seq(
+      encoded(12, 9, "png"), encoded(12, 9, "jpg"), encoded(12, 9, "bmp"),
+      animatedGif(Seq(solidFrame(5, 4, 0xff0000), solidFrame(5, 4, 0x00ff00))),
+      mjpegAvi(jpegs), mjpegMp4(jpegs))
+    def check(i: Int, blob: Array[Byte]): Unit = {
+      // the whole point of the sniffing boundary: NO byte sequence may
+      // throw — a hostile blob in a 100 TB corpus must degrade, not kill
+      val im = Multimodal.SniffCodec.decodeImage(i.toLong, blob)
+      assert(im.width > 0 && im.height > 0 && im.channels >= 1 && im.channels <= 4)
+      assert(im.pixels.length == im.width * im.height * im.channels)
+      val fr = Multimodal.SniffCodec.frames(blob, 64).toSeq
+      assert(fr.length <= math.max(4096, blob.length / 64 + 1),
+        s"case $i: demux expanded past every bound (${fr.length} frames)")
+    }
+    (0 until 360).foreach { i =>
+      val b = seeds(i % seeds.length).clone()
+      (0 until 1 + rnd.nextInt(6)).foreach { _ =>
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      }
+      val blob =
+        if (i % 3 == 0) java.util.Arrays.copyOfRange(b, 0, 1 + rnd.nextInt(b.length))
+        else b
+      check(i, blob)
+    }
+    // hostile bodies behind every recognized magic number
+    def rndBytes(n: Int): Array[Byte] = {
+      val a = new Array[Byte](n); rnd.nextBytes(a); a
+    }
+    val magics: Seq[Array[Byte]] = Seq(
+      "GIF8".getBytes("US-ASCII"),
+      "RIFF".getBytes("US-ASCII") ++ rndBytes(4) ++ "AVI ".getBytes("US-ASCII"),
+      rndBytes(4) ++ "ftyp".getBytes("US-ASCII"),
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte),
+      Array[Byte](0x89.toByte, 'P', 'N', 'G'),
+      "BM".getBytes("US-ASCII"))
+    magics.zipWithIndex.foreach { case (m, i) =>
+      check(1000 + i, m ++ rndBytes(64 + rnd.nextInt(256)))
+    }
+  }
+
   test("animated GIF demuxes to its real frames, each a decodable image") {
     val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff, 0x000000)
     val gif = animatedGif(colors.map(solidFrame(9, 7, _)))
