@@ -47,7 +47,7 @@ object ScaleUp {
     def rd(name: String): DataFrame = Tables.t(spark, src, name)
     /** Offset stride for a surrogate key: copy k adds k·(max+1). */
     def stride(df: DataFrame, key: String): Long =
-      df.agg(max(col(key)).cast("long")).head.getLong(0) + 1L
+      df.agg(max(col(key)).cast("long")).head().getLong(0) + 1L
 
     /** Union `mult` remapped copies and write. `remap(df, k)` must keep the
       * exact source schema (names, types, order).

@@ -5759,7 +5759,7 @@ object PipelineQueries {
     // training sets are samples, inference is corpus-wide) or clip counts.
     val bounds = feat.agg(
       sum(aggregate(col("x"), lit(0L), (a, b) => a + b)).as("tot"),
-      max(aggregate(col("x"), lit(0L), (a, b) => a + b)).as("mx")).head
+      max(aggregate(col("x"), lit(0L), (a, b) => a + b)).as("mx")).head()
     val (tot, maxLen) = (bounds.getLong(0), bounds.getLong(1))
     require(BigInt(maxLen) * rounds * tot <= BigInt(Long.MaxValue),
       s"margin bound maxDocLen($maxLen) * rounds($rounds) * totalTokens($tot) " +

@@ -93,6 +93,28 @@ class PipelineQueriesSpec extends SparkSpec {
       "m7's increment-vs-index verdicts diverge from m6's within-set pairs")
   }
 
+  test("m6 pairing fuzz: banding finds EVERY pair within Hamming 3 (pigeonhole completeness), none past it") {
+    import spark.implicits._
+    // 150 random 64-bit signatures, each with a planted twin k bit-flips
+    // away (k = 0..6). Manku's 4×16-bit pigeonhole guarantees k ≤ 3 pairs
+    // are candidates; the popcount verify must keep exactly those.
+    val rnd = new scala.util.Random(20260815L)
+    val rows = (0 until 150).flatMap { i =>
+      val h = rnd.nextLong()
+      val k = i % 7
+      var twin = h
+      // flip k DISTINCT bits
+      rnd.shuffle((0 until 64).toList).take(k).foreach(b => twin ^= 1L << b)
+      Seq((2L * i, h, 0L), (2L * i + 1, twin, 0L))
+    }
+    val pairs = PipelineQueries.perceptualPairs(rows.toDF("doc_id", "ahash", "dhash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 150).filter(_ % 7 <= 3)
+      .map(i => (2L * i, 2L * i + 1)).toSet
+    assert(pairs == expected,
+      s"missing=${(expected -- pairs).take(5)} extra=${(pairs -- expected).take(5)}")
+  }
+
   test("m8 video near-dup: every trimmed copy is recovered; the rule's invariants hold on all pairs") {
     import spark.implicits._
     val out = PipelineQueries.m8VideoDedup(spark, sf).collect()
