@@ -3903,12 +3903,18 @@ object PipelineQueries {
             s"i -> md5(cast(substring(text, i * $M8Chunk + 1, $M8Chunk) as binary)))")).as("fh"))
       .distinct()
 
-  def m8VideoDedup(s: SparkSession, dir: String): DataFrame = {
+  def m8VideoDedup(s: SparkSession, dir: String): DataFrame =
+    m8VideoDedup(s, dir, M6VariantOffset)
+
+  /** Variant-offset form: pipe7 plants its trimmed copies in a DIFFERENT
+    * id range so image and video variants coexist in one universe.
+    */
+  def m8VideoDedup(s: SparkSession, dir: String, offset: Long): DataFrame = {
     val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
       .withColumn("len", length(col("text")).cast("long"))
     val vids = base.unionByName(
       base.filter(col("doc_id") % 10 === 0 && col("len") > (M8Chunk + M8Trim))
-        .select((col("doc_id") + M6VariantOffset).as("doc_id"),
+        .select((col("doc_id") + offset).as("doc_id"),
           expr(s"substring(text, 1, cast(len - $M8Trim as int))").as("text"),
           (col("len") - M8Trim).as("len")))
     // checkpointed because the df cap, the per-video counts, and both
@@ -4016,6 +4022,110 @@ object PipelineQueries {
        |      FROM p JOIN nf x ON x.doc_id = doc_a JOIN nf y ON y.doc_id = doc_b)
        |SELECT doc_a, doc_b, shared, containment_ppm FROM j
        |WHERE containment_ppm >= $M8MinContainPpm ORDER BY doc_a, doc_b""".stripMargin
+
+  // --------------------- PIPE7: multimodal curation (dedup verdict export)
+
+  /** pipe7's trimmed-video copies live at a THIRD id range so both variant
+    * families coexist in one universe with the image variants at
+    * [[M6VariantOffset]].
+    */
+  private[graft] val Pipe7VideoOffset = 20000000L
+
+  /** Composed multimodal curation — the pipe family's multimodal member,
+    * and what m6/m8 exist FOR: one universe of corpus + re-encoded image
+    * copies + trimmed video copies, both near-dup detectors run over it
+    * (each its own banded equi-join funnel), and every document gets ONE
+    * curation verdict: `canonical`, or `image_dup`/`video_dup` with the
+    * earliest near-duplicate it collapses onto. The drop rule is the
+    * greedy earliest-wins convention exact dedup (d1) uses — a document
+    * is dropped iff SOME earlier document is its near-dup — applied per
+    * modality evidence; the verdict table is exactly what a training-data
+    * curation job exports before tokenization (pipe1's text gates, on the
+    * multimodal axis).
+    *
+    * Scale shape: the two detectors keep their own funnels (signature
+    * bands / frame hashes — nothing new shuffles), the verdict join moves
+    * pair-sized rows onto the id-sized universe spine, and the only new
+    * aggregation is the per-doc earliest-dup MIN. At 100 TB this is the
+    * union of the detectors' cost plus one id-keyed join.
+    */
+  def pipe7MultimodalCurate(s: SparkSession, dir: String): DataFrame = {
+    val img = perceptualPairs(signaturesWithVariants(s, dir))
+      .select(col("doc_a"), col("doc_b"), lit("image").as("kind"))
+    val vid = m8VideoDedup(s, dir, Pipe7VideoOffset)
+      .select(col("doc_a"), col("doc_b"), lit("video").as("kind"))
+    val drp = img.unionByName(vid)
+      .groupBy("doc_b")
+      .agg(min(struct(col("doc_a"), col("kind"))).as("best"))
+      .select(col("doc_b").as("doc_id"), col("best.doc_a").as("dup_of"),
+        col("best.kind").as("kind"))
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    val universe = base.select("doc_id")
+      .unionByName(base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + M6VariantOffset).as("doc_id")))
+      .unionByName(base.filter(col("doc_id") % 10 === 0 && col("len") > (M8Chunk + M8Trim))
+        .select((col("doc_id") + Pipe7VideoOffset).as("doc_id")))
+    universe.join(drp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("dup_of").isNotNull, concat(col("kind"), lit("_dup")))
+          .otherwise("canonical").as("verdict"),
+        col("dup_of"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the shared [[perceptualSigCte]] signatures feed the image
+    * pair CTEs (m6's), the video CTEs are restated at [[Pipe7VideoOffset]]
+    * (`v*` names — the decode chain owns the bare ones), and the verdict
+    * is the earliest-dup window over the union.
+    */
+  val pipe7Sql: String = {
+    s"""$perceptualSigCte,
+       |bands AS (SELECT doc_id, ahash, p, (ahash >> (16 * p)) & 65535 AS k
+       |          FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) t(p)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |                a.ahash AS aa, b.ahash AS ab
+       |         FROM bands a JOIN bands b ON a.p = b.p AND a.k = b.k
+       |          AND a.doc_id < b.doc_id),
+       |ipairs AS (SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(aa, ab)) <= 3),
+       |vb AS (SELECT doc_id, text, length(text)::BIGINT AS len FROM documents),
+       |vv AS (SELECT doc_id, text, len FROM vb
+       |       UNION ALL
+       |       SELECT doc_id + $Pipe7VideoOffset, substr(text, 1, (len - $M8Trim)::INT),
+       |              len - $M8Trim
+       |       FROM vb WHERE doc_id % 10 = 0 AND len > ${M8Chunk + M8Trim}),
+       |vfr0 AS (SELECT doc_id, text, unnest(range((len + ${M8Chunk - 1}) // $M8Chunk)) AS i
+       |         FROM vv),
+       |vfr AS (SELECT DISTINCT doc_id,
+       |          md5(substr(text, (i * $M8Chunk + 1)::INT, $M8Chunk)) AS fh
+       |        FROM vfr0),
+       |vdfc AS (SELECT fh FROM vfr GROUP BY fh HAVING COUNT(*) <= $M8MaxFrameDf),
+       |vkeep AS (SELECT vfr.doc_id, vfr.fh FROM vfr JOIN vdfc USING (fh)),
+       |vnf AS (SELECT doc_id, COUNT(*)::BIGINT AS nf FROM vfr GROUP BY doc_id),
+       |vp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS shared
+       |       FROM vkeep a JOIN vkeep b ON a.fh = b.fh AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |vpairs AS (SELECT doc_a, doc_b
+       |           FROM vp JOIN vnf x ON x.doc_id = vp.doc_a
+       |                   JOIN vnf y ON y.doc_id = vp.doc_b
+       |           WHERE (shared * 1000000) // least(x.nf, y.nf) >= $M8MinContainPpm),
+       |up AS (SELECT doc_a, doc_b, 'image' AS kind FROM ipairs
+       |       UNION ALL SELECT doc_a, doc_b, 'video' AS kind FROM vpairs),
+       |drp AS (SELECT doc_b AS doc_id, doc_a AS dup_of, kind FROM (
+       |          SELECT doc_b, doc_a, kind,
+       |            row_number() OVER (PARTITION BY doc_b ORDER BY doc_a, kind) AS rn
+       |          FROM up) WHERE rn = 1),
+       |uni AS (SELECT doc_id FROM documents
+       |        UNION ALL
+       |        SELECT doc_id + $M6VariantOffset FROM documents WHERE doc_id % 10 = 0
+       |        UNION ALL
+       |        SELECT doc_id + $Pipe7VideoOffset FROM documents
+       |        WHERE doc_id % 10 = 0 AND length(text) > ${M8Chunk + M8Trim})
+       |SELECT u.doc_id,
+       |  CASE WHEN d.dup_of IS NOT NULL THEN d.kind || '_dup' ELSE 'canonical' END AS verdict,
+       |  d.dup_of
+       |FROM uni u LEFT JOIN drp d ON u.doc_id = d.doc_id ORDER BY u.doc_id""".stripMargin
+  }
 
   // ------------------------- M4: audio decode → framed feature extraction
 
@@ -6742,7 +6852,8 @@ object PipelineQueries {
     "m4_audio_features" -> (m4AudioFeatures _),
     "m6_image_dedup" -> (m6ImageDedup _),
     "m7_incr_image_dedup" -> (m7IncrementalImageDedup _),
-    "m8_video_dedup" -> (m8VideoDedup _),
+    "m8_video_dedup" -> ((s: SparkSession, dir: String) => m8VideoDedup(s, dir)),
+    "pipe7_multimodal_curate" -> (pipe7MultimodalCurate _),
     "a8s_approx_distinct" -> (a8sApproxDistinct _),
     "a9s_approx_quantiles" -> (a9sApproxQuantiles _),
     "a10s_cms_freq" -> (a10sCmsFreq _),
@@ -6835,6 +6946,7 @@ object PipelineQueries {
     "m6_image_dedup" -> m6Sql,
     "m7_incr_image_dedup" -> m7Sql,
     "m8_video_dedup" -> m8Sql,
+    "pipe7_multimodal_curate" -> pipe7Sql,
     "w3_sessionize" -> w3Sql,
     "w4_funnel" -> w4Sql,
     "w8_conversion_latency" -> w8Sql,

@@ -153,6 +153,40 @@ class PipelineQueriesSpec extends SparkSpec {
       s"pair ($b0, variant): shared=$shared0 cont=$cont0, expected shared=$expShared")
   }
 
+  test("pipe7 multimodal curation: every planted copy collapses onto an earlier doc, canonicals survive") {
+    val out = PipelineQueries.pipe7MultimodalCurate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    val byId = out.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out.length == byId.size, "universe ids not unique")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), org.apache.spark.sql.functions.length(col("text")).as("len"))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong))
+    // every re-encoded image copy is an image_dup of exactly its base
+    docs.filter(_._1 % 10 == 0).foreach { case (b, _) =>
+      assert(byId(b + PipelineQueries.M6VariantOffset) == (("image_dup", b)),
+        s"image copy of $b: ${byId(b + PipelineQueries.M6VariantOffset)}")
+    }
+    // every trimmed video copy is a video_dup of SOME earlier document
+    docs.filter(d => d._1 % 10 == 0 &&
+        d._2 > PipelineQueries.M8Chunk + PipelineQueries.M8Trim).foreach { case (b, _) =>
+      val (v, m) = byId(b + PipelineQueries.Pipe7VideoOffset)
+      assert(v == "video_dup" && m >= 0 && m < b + PipelineQueries.Pipe7VideoOffset,
+        s"video copy of $b: ($v, $m)")
+    }
+    // a dup's target is always earlier and itself present in the universe;
+    // canonicals carry no target
+    out.foreach { case (id, verdict, dupOf) =>
+      if (verdict == "canonical") assert(dupOf == -1L, s"$id canonical with target")
+      else assert(dupOf >= 0 && dupOf < id && byId.contains(dupOf),
+        s"$id -> $dupOf not an earlier universe doc")
+    }
+    // curation keeps the overwhelming majority: only copies and the few
+    // shared-prefix corpus pairs drop
+    val dropped = out.count(_._2 != "canonical")
+    assert(dropped >= docs.count(_._1 % 10 == 0), "planted copies not dropped")
+    assert(dropped * 4 < out.length, s"curation dropped too much: $dropped of ${out.length}")
+  }
+
   test("sim3 IVF with nprobe=2 recovers most of sim1's exact top-3") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet

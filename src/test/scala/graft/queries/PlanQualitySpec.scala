@@ -139,6 +139,12 @@ class PlanQualitySpec extends SparkSpec {
       "frame-hash candidate join degenerated to a product")
   }
 
+  test("pipe7 composes both dedup funnels without any product join") {
+    val p = plan(PipelineQueries.pipe7MultimodalCurate(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "multimodal curation degenerated to a product")
+  }
+
   test("x7 BM25 computes corpus stats in one aggregate and broadcasts the single stats row") {
     val p = plan(PipelineQueries.x7Bm25(spark, sf))
     // one HashAggregate pair (partial + final) for N/L/df — not one pass per
