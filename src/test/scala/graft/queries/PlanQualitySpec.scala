@@ -418,6 +418,34 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("m7 production layout: bucketed image band table probes with no index-side shuffle") {
+    // m7's nightly-ingest claim (SCALING.md): with the ImageIndex's band
+    // table persisted bucketed by bk, probing an increment of arriving
+    // image signatures shuffles ONLY the increment — the corpus-sized
+    // index is read in place, exactly d10's layout applied to aHash bands.
+    import org.apache.spark.sql.functions._
+    val idx = spark.range(0, 4000)
+      .select((col("id") % 1024).as("bk"), col("id").as("m"), (col("id") * 31).as("ah_m"))
+    val inc = spark.range(0, 40)
+      .select((col("id") % 1024).as("bk"), col("id").as("doc_id"), (col("id") * 7).as("ahash"))
+    spark.sql("DROP TABLE IF EXISTS img_bands_bkt")
+    idx.write.bucketBy(8, "bk").sortBy("bk").saveAsTable("img_bands_bkt")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = inc.join(spark.table("img_bands_bkt"), Seq("bk"))
+        .filter(expr("bit_count(ahash ^ ah_m) <= 3"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      val exchanges = "(?<!Reused)Exchange".r.findAllIn(plan).size
+      assert(exchanges == 1, s"expected 1 exchange (increment only), got $exchanges:\n$plan")
+      joined.count() // the plan executes
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS img_bands_bkt")
+    }
+  }
+
   test("x16 shard shuffle: window sort stays per-shard at any shard count") {
     // The shard count is the sort-parallelism knob; whatever it is set to,
     // the row_number window must sort AFTER a hash exchange on `shard` (each
