@@ -1112,19 +1112,38 @@ object PipelineQueries {
     */
   def g1Pagerank(s: SparkSession, dir: String): DataFrame = {
     val iters = 4
+    // Heavy-aggregation parallelism scales with MEASURED VOLUME, not the
+    // session's shuffle default: at the 100× rehearsal (sf10, local[32],
+    // 8 GiB) the ~40M-key pair-distinct at 32 partitions exhausts per-task
+    // execution memory (AGGREGATE_OUT_OF_MEMORY). One metadata-cheap
+    // parquet count sizes the fan-out at ~500k lineitem rows per partition;
+    // at bench scale that degenerates to the session default (a fixed 8×
+    // core fan-out was measured 5× slower at sf0.1 — pure scheduler
+    // overhead), and at 100× it bounds every aggregation map.
+    val aggP = math.max(s.sparkContext.defaultParallelism,
+      math.min(4096L, t(s, dir, "lineitem").count() / 500000L).toInt)
+    // engage the explicit clustering ONLY past the session default: at
+    // bench scale the original plan (map-side partial aggs, session-width
+    // exchanges) is measured fastest, and an unconditional repartition
+    // both forfeits the partial agg and adds a raw-row exchange
+    def cluster(df: DataFrame, c: Column*): DataFrame =
+      if (aggP > s.sparkContext.defaultParallelism) df.repartition(aggP, c: _*) else df
     // integer node ids (customer = 2k, supplier = 2k+1): 8-byte join/shuffle
     // keys through every round; the display name is reconstructed only at
     // the 50-row output
-    val pairs = t(s, dir, "orders")
-      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("cn"), (col("l_suppkey") * 2 + 1).as("sn"))
-      .distinct()
+    val pairs = cluster(t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("cn"), (col("l_suppkey") * 2 + 1).as("sn")),
+        col("cn"), col("sn"))
+      .distinct() // clustering (when engaged) satisfied → aggregates in place
     val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"))
       .unionByName(pairs.select(col("sn").as("src"), col("cn").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    // one checkpointed (src, dst, deg) table: rounds pay a single rank join
-    // + the dst re-aggregation, never a per-round degree recomputation
-    val edgeDeg = edges.join(deg, "src").localCheckpoint()
+    // one checkpointed (src, dst, deg) table, at scale CLUSTERED BY dst:
+    // the broadcast rank join preserves partitioning, so every round's
+    // dst-aggregation then runs exchange-free on the checkpoint layout —
+    // one up-front exchange replaces one per round
+    val edgeDeg = cluster(edges.join(deg, "src"), col("dst")).localCheckpoint()
     // seed ranks from the checkpoint, not from `deg`: deg's own plan re-runs
     // the orders⋈lineitem distinct (twice, once per union branch), which the
     // checkpoint already paid for
