@@ -6748,12 +6748,42 @@ object PipelineQueries {
   /** Library form over any (ok, pk) membership table: nodes are `pk`s,
     * edges connect nodes sharing an `ok` group. Property specs drive this
     * with synthetic graphs of known closed-form counts (cliques).
+    *
+    * Two exact closure paths, chosen on the MEASURED edge count (the
+    * d4/d6 adaptive discipline): up to [[G2BroadcastEdges]] edges the
+    * oriented adjacency table broadcasts and the wedge set never
+    * materializes (row-local `array_intersect`, the fast plan the bench
+    * pins); past it the adjacency payload outgrows one executor's memory,
+    * so the closure becomes two KEYED equi-joins over the same oriented
+    * DAG (wedges e1.dst = e2.src, closed by (e1.src, e2.dst)): degree
+    * orientation bounds out-degrees by O(√m), so wedge volume is Σ outdeg²
+    * — distributed across a CLUSTER's shuffle capacity, the plan that
+    * scales to any graph the cluster can hold. Honest single-box note from
+    * the 100× rehearsal: at 126M edges NEITHER path fits the 8 GiB
+    * local[32] bench box in practical time (the adjacency is ~GBs
+    * broadcast twice; the wedge set is ~10⁹ rows of spill) — a graph this
+    * size is cluster work, and the keyed-join plan is exactly what
+    * distributes. Both paths emit each triangle exactly once;
+    * `forceJoinPath` is the spec hook pinning them identical.
     */
-  def trianglesOfMemberships(memberships: DataFrame): DataFrame = {
-    val li = memberships.select("ok", "pk").distinct()
-    val e = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+  private[graft] val G2BroadcastEdges = 30000000L
+
+  def trianglesOfMemberships(memberships: DataFrame,
+      forceJoinPath: Boolean = false): DataFrame = {
+    val s = memberships.sparkSession
+    // g1's volume-adaptive clustering, same measured disease: the edge
+    // DISTINCT at the session's 32 partitions dies with
+    // AGGREGATE_OUT_OF_MEMORY at ~126M pair keys (sf10/local[32]/8 GiB).
+    // Pairs expand memberships by the within-group fan-out, hence the ×4.
+    val aggP = math.max(s.sparkContext.defaultParallelism,
+      math.min(4096L, memberships.count() * 4 / 500000L).toInt)
+    def cluster(df: DataFrame, c: Column*): DataFrame =
+      if (aggP > s.sparkContext.defaultParallelism) df.repartition(aggP, c: _*) else df
+    val li = cluster(memberships.select("ok", "pk"), col("ok"), col("pk")).distinct()
+    val e = cluster(li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v")),
+        col("u"), col("v")).distinct()
       .localCheckpoint() // degrees AND orientation read it: one pair join, not two
     val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -6763,17 +6793,29 @@ object PipelineQueries {
       .join(broadcast(deg.select(col("n").as("v"), col("d").as("dv"))), "v")
       .select(when(lower, col("u")).otherwise(col("v")).as("src"),
         when(lower, col("v")).otherwise(col("u")).as("dst"))
-      .localCheckpoint() // read twice below (adjacency + edge stream); cut the join lineage
-    // node-count rows, materialized once so BOTH broadcasts reuse the same
-    // aggregation instead of re-running it per broadcast side
-    val adj = oriented.groupBy(col("src").as("node"))
-      .agg(collect_list(col("dst")).as("nbrs"))
-      .localCheckpoint()
-    val tri = oriented
-      .join(broadcast(adj.select(col("node").as("src"), col("nbrs").as("src_nbrs"))), "src")
-      .join(broadcast(adj.select(col("node").as("dst"), col("nbrs").as("dst_nbrs"))), "dst")
-      .select(col("src"), col("dst"),
-        explode(array_intersect(col("src_nbrs"), col("dst_nbrs"))).as("w"))
+      .localCheckpoint() // read multiple times below; cut the join lineage
+    val tri =
+      if (!forceJoinPath && e.count() <= G2BroadcastEdges) {
+        // node-count rows, materialized once so BOTH broadcasts reuse the
+        // same aggregation instead of re-running it per broadcast side
+        val adj = oriented.groupBy(col("src").as("node"))
+          .agg(collect_list(col("dst")).as("nbrs"))
+          .localCheckpoint()
+        oriented
+          .join(broadcast(adj.select(col("node").as("src"), col("nbrs").as("src_nbrs"))), "src")
+          .join(broadcast(adj.select(col("node").as("dst"), col("nbrs").as("dst_nbrs"))), "dst")
+          .select(col("src"), col("dst"),
+            explode(array_intersect(col("src_nbrs"), col("dst_nbrs"))).as("w"))
+      } else {
+        // e1 = (x,y), e2 = (y,z), closed by e3 = (x,z): each triangle of
+        // the oriented DAG appears exactly once — the oracle's formulation
+        oriented.as("e1")
+          .join(oriented.as("e2"), col("e1.dst") === col("e2.src"))
+          .join(oriented.as("e3"),
+            col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+          .select(col("e1.src").as("src"), col("e1.dst").as("dst"),
+            col("e2.dst").as("w"))
+      }
     tri.select(explode(array(col("src"), col("dst"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
       .orderBy("node")

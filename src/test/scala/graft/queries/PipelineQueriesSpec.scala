@@ -1814,6 +1814,20 @@ class PipelineQueriesSpec extends SparkSpec {
     // triangle-free: the wedge set is huge, the closure empty
     val star = (1L to 20L).flatMap(l => Seq((l, 0L), (l, l + 100L))).toDF("ok", "pk")
     assert(PipelineQueries.trianglesOfMemberships(star).count() == 0L)
+    // the scale path (keyed wedge joins, engaged past G2BroadcastEdges)
+    // produces the identical counts on clique, star, AND the real corpus
+    assert(PipelineQueries.trianglesOfMemberships(clique, forceJoinPath = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted ==
+      (1L to 10L).map(p => (p, 36L)))
+    assert(PipelineQueries.trianglesOfMemberships(star, forceJoinPath = true).count() == 0L)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val broadcastPath = PipelineQueries.trianglesOfMemberships(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val joinPath = PipelineQueries.trianglesOfMemberships(li, forceJoinPath = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(broadcastPath == joinPath && broadcastPath.nonEmpty,
+      "the two triangle closure paths diverged on the real corpus")
   }
 
   test("x22 two-phase pre-cut equals the naive window under a forced mega-source") {
