@@ -61,12 +61,22 @@ object Bench {
       only.forall(_.contains(name)) && !skip.contains(name)
     }
     val calibPre = calibrate()
+    // localCheckpoint blocks from a finished query are garbage — the
+    // DataFrame is discarded after count() — but the ContextCleaner only
+    // reclaims them on a later GC of the weak refs, so across 136 queries
+    // in one JVM they pile up into real storage-memory pressure that
+    // inflates UNRELATED queries (round 7's diffuse 1.1–1.8× drift on
+    // untouched plans). Sweep them eagerly after every query: on a real
+    // cluster each query runs in its own session, so this reproduces the
+    // isolation the bench is supposed to measure.
+    def sweepBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     // Untimed warm-up pass: first execution of each plan pays one-time JVM
     // costs (encoder/codegen Janino compilation, JIT) that a long-running
     // cluster amortizes to zero; the timed pass below measures steady-state
     // engine speed.
     queries.foreach { case (name, fn) =>
-      try { fn(spark, sfDir).count() } catch {
+      try { fn(spark, sfDir).count(); sweepBlocks() } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .linesIterator.take(1).mkString.take(200)
@@ -86,7 +96,9 @@ object Bench {
               .linesIterator.take(1).mkString.take(200)
             false
         }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        sweepBlocks() // outside the timed window: block release is cluster work the query never sees
+        name -> (if (ok) dt else -1.0)
       }
     }
     val first = timedPass()
@@ -105,9 +117,16 @@ object Bench {
     val ok = results.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     val calibPost = calibrate()
+    // A subset run must be distinguishable from a full-suite run in the
+    // artifact itself: record the active filters and the ran-vs-registered
+    // counts so a subset total is never mistaken for a full-suite total.
+    val subsetJson =
+      s""""n_ran":${queries.size},"n_registered":${SparkEntry.queries.size}""" +
+      only.map(o => s""","only":${o.toSeq.sorted.map(Json.str).mkString("[", ",", "]")}""").getOrElse("") +
+      (if (skip.nonEmpty) s""","skip":${skip.toSeq.sorted.map(Json.str).mkString("[", ",", "]")}""" else "")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":${errors.size},"errors":$errJson,""" +
+      s""""failed":${errors.size},"errors":$errJson,$subsetJson,""" +
       s""""calib_pre_sec":$calibPre,"calib_post_sec":$calibPost,"sf":"$sfDir"}"""
     println(line)
     // Also write to a dedicated file so the artifact survives stdout being

@@ -1115,13 +1115,15 @@ object PipelineQueries {
     // Heavy-aggregation parallelism scales with MEASURED VOLUME, not the
     // session's shuffle default: at the 100× rehearsal (sf10, local[32],
     // 8 GiB) the ~40M-key pair-distinct at 32 partitions exhausts per-task
-    // execution memory (AGGREGATE_OUT_OF_MEMORY). One metadata-cheap
-    // parquet count sizes the fan-out at ~500k lineitem rows per partition;
+    // execution memory (AGGREGATE_OUT_OF_MEMORY). The volume probe reads
+    // parquet FOOTER stats on the driver — no Spark job (a per-run count()
+    // job was the round-7 bench's measured ~0.5 s self-inflicted probe
+    // cost) — and sizes the fan-out at ~500k lineitem rows per partition;
     // at bench scale that degenerates to the session default (a fixed 8×
     // core fan-out was measured 5× slower at sf0.1 — pure scheduler
     // overhead), and at 100× it bounds every aggregation map.
     val aggP = math.max(s.sparkContext.defaultParallelism,
-      math.min(4096L, t(s, dir, "lineitem").count() / 500000L).toInt)
+      math.min(4096L, graft.Tables.rowCount(s, s"$dir/lineitem.parquet") / 500000L).toInt)
     // engage the explicit clustering ONLY past the session default: at
     // bench scale the original plan (map-side partial aggs, session-width
     // exchanges) is measured fastest, and an unconditional repartition
@@ -3669,6 +3671,12 @@ object PipelineQueries {
     val withVariants = graft.multimodal.Multimodal
       .decodeImages(blobs, codec = graft.multimodal.Multimodal.SqlCodec)
       .flatMap { im =>
+        // m7 classifies index-vs-increment by doc_id < M6VariantOffset and
+        // pipe7 unions id ranges — a corpus id at or past the offset would
+        // silently misclassify and collide with variant ids, so fail loudly
+        // per-row (free inside the already-deserialized decode pass)
+        require(im.doc_id >= 0 && im.doc_id < M6VariantOffset,
+          s"doc_id ${im.doc_id} overflows M6VariantOffset=$M6VariantOffset; raise the offset")
         if (im.doc_id % 10 == 0) Seq(im, reencodedVariant(im)) else Seq(im)
       }
     graft.multimodal.Multimodal.perceptualHashes(withVariants).localCheckpoint()
@@ -3916,6 +3924,10 @@ object PipelineQueries {
     */
   private[graft] def videoFrames(docs: DataFrame): DataFrame =
     docs.withColumn("len", length(col("text")).cast("long"))
+      // empty docs have NO frames (the oracle's range(0)); without this
+      // guard sequence(0, -1) walks backwards and mints a phantom
+      // md5("") frame, pairing every empty body at 100% containment
+      .filter(col("len") > 0)
       .select(col("doc_id"),
         explode(expr(
           s"transform(sequence(0, cast((len + ${M8Chunk - 1}) div $M8Chunk as int) - 1), " +
@@ -3933,7 +3945,11 @@ object PipelineQueries {
       .withColumn("len", length(col("text")).cast("long"))
     val vids = base.unionByName(
       base.filter(col("doc_id") % 10 === 0 && col("len") > (M8Chunk + M8Trim))
-        .select((col("doc_id") + offset).as("doc_id"),
+        // a corpus id at or past the offset would collide with a variant id
+        // and silently corrupt the pair verdicts — fail loudly instead
+        .select(expr(s"if(doc_id < $offset, doc_id + $offset, " +
+            s"raise_error(concat('doc_id ', doc_id, ' overflows variant offset $offset')))")
+          .as("doc_id"),
           expr(s"substring(text, 1, cast(len - $M8Trim as int))").as("text"),
           (col("len") - M8Trim).as("len")))
     // checkpointed because the df cap, the per-video counts, and both
@@ -6743,7 +6759,9 @@ object PipelineQueries {
     */
   def g2Triangles(s: SparkSession, dir: String): DataFrame =
     trianglesOfMemberships(t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")),
+      // volume from footer stats: no per-run count() job (g1's discipline)
+      knownRows = Some(graft.Tables.rowCount(s, s"$dir/lineitem.parquet")))
 
   /** Library form over any (ok, pk) membership table: nodes are `pk`s,
     * edges connect nodes sharing an `ok` group. Property specs drive this
@@ -6769,14 +6787,17 @@ object PipelineQueries {
   private[graft] val G2BroadcastEdges = 30000000L
 
   def trianglesOfMemberships(memberships: DataFrame,
-      forceJoinPath: Boolean = false): DataFrame = {
+      forceJoinPath: Boolean = false,
+      knownRows: Option[Long] = None): DataFrame = {
     val s = memberships.sparkSession
     // g1's volume-adaptive clustering, same measured disease: the edge
     // DISTINCT at the session's 32 partitions dies with
     // AGGREGATE_OUT_OF_MEMORY at ~126M pair keys (sf10/local[32]/8 GiB).
     // Pairs expand memberships by the within-group fan-out, hence the ×4.
+    // Callers reading a table pass its footer row count (`knownRows`) so
+    // the sizing costs zero jobs; only ad-hoc in-memory inputs pay count().
     val aggP = math.max(s.sparkContext.defaultParallelism,
-      math.min(4096L, memberships.count() * 4 / 500000L).toInt)
+      math.min(4096L, knownRows.getOrElse(memberships.count()) * 4 / 500000L).toInt)
     def cluster(df: DataFrame, c: Column*): DataFrame =
       if (aggP > s.sparkContext.defaultParallelism) df.repartition(aggP, c: _*) else df
     val li = cluster(memberships.select("ok", "pk"), col("ok"), col("pk")).distinct()

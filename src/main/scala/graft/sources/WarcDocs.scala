@@ -145,7 +145,13 @@ object WarcDocs {
         r = if (total < MaxFileBytes) gz.read(buf) else -1
       }
     } catch {
-      case _: java.io.IOException => // truncated/corrupt member: keep the sound prefix
+      // ONLY deflate-level damage degrades (corrupt member, truncated
+      // stream): that is deterministic — a retry re-reads the same bytes.
+      // Any other IOException is the transport (socket reset, throttling)
+      // and MUST propagate so Spark retries the task; swallowing it would
+      // silently truncate the document set with no signal.
+      case _: java.util.zip.ZipException => // corrupt member: keep the sound prefix
+      case _: java.io.EOFException => // truncated member: keep the sound prefix
     }
     out.toByteArray
   }

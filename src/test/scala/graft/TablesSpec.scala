@@ -48,6 +48,16 @@ class TablesSpec extends SparkSpec {
       us.mkString(","))
   }
 
+  test("rowCount reads footer stats equal to a distributed count, for single files and part-file dirs") {
+    // single-file testdata shape
+    val li = s"$sf/lineitem.parquet"
+    assert(Tables.rowCount(spark, li) == spark.read.parquet(li).count())
+    // production shape: a directory of part-files
+    val dir = java.nio.file.Files.createTempDirectory("tbl-parts").toString
+    spark.range(0, 1000).repartition(4).write.mode("overwrite").parquet(s"$dir/t.parquet")
+    assert(Tables.rowCount(spark, s"$dir/t.parquet") == 1000L)
+  }
+
   test("the real testdata events table is analyzable by every ts consumer shape") {
     val ev = Tables.t(spark, sf, "events")
     assert(ev.schema("ts").dataType == TimestampType)

@@ -153,6 +153,20 @@ class PipelineQueriesSpec extends SparkSpec {
       s"pair ($b0, variant): shared=$shared0 cont=$cont0, expected shared=$expShared")
   }
 
+  test("videoFrames: empty docs yield ZERO frames — no phantom md5(\"\") pairing empty bodies at 100%") {
+    import spark.implicits._
+    // sequence(0, -1) in Spark defaults to step -1 and walks [0, -1]; the
+    // len > 0 guard must keep an empty body (a real WARC response with an
+    // empty payload) out of the frame table entirely, matching the
+    // oracle's range(0) = no rows
+    val fr = PipelineQueries.videoFrames(
+      Seq((1L, ""), (2L, ""), (3L, "x" * 100)).toDF("doc_id", "text"))
+      .collect().map(_.getLong(0))
+    assert(!fr.contains(1L) && !fr.contains(2L),
+      s"empty docs minted phantom frames: ${fr.toSeq}")
+    assert(fr.count(_ == 3L) > 0)
+  }
+
   test("pipe7 multimodal curation: every planted copy collapses onto an earlier doc, canonicals survive") {
     val out = PipelineQueries.pipe7MultimodalCurate(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))

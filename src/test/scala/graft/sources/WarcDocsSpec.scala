@@ -132,6 +132,33 @@ class WarcDocsSpec extends SparkSpec {
       s"torn gz did not degrade to the sound prefix: ${rows.mkString(",")}")
   }
 
+  test("gunzip degrades ONLY on deflate damage; transport IOExceptions propagate for task retry") {
+    def gzMember(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(b); g.close()
+      bo.toByteArray
+    }
+    val payload = "sound member".getBytes("UTF-8")
+    val whole = gzMember(payload)
+    // deflate damage (truncation → EOFException inside the inflater):
+    // degrade to the sound prefix — deterministic data, a retry re-reads
+    // the identical bytes, so failing the task would loop forever
+    val torn = java.util.Arrays.copyOfRange(whole, 0, whole.length - 6)
+    assert(new String(WarcDocs.gunzip(new java.io.ByteArrayInputStream(torn)), "UTF-8")
+      .startsWith("sound") || WarcDocs.gunzip(new java.io.ByteArrayInputStream(torn)).isEmpty)
+    // transport damage (socket reset mid-read): MUST propagate — swallowing
+    // it would silently truncate the document set with no retry signal
+    val flaky = new java.io.InputStream {
+      private var i = 0
+      override def read(): Int = {
+        if (i >= 12) throw new java.io.IOException("Connection reset by peer")
+        val b = whole(i) & 0xff; i += 1; b
+      }
+    }
+    intercept[java.io.IOException] { WarcDocs.gunzip(flaky) }
+  }
+
   test("WARC read lands on the documents contract with stable content-derived ids") {
     val dir = Files.createTempDirectory("warc")
     val f1 = record("response", "http://c.example/1", "2026-02-01T00:00:00Z",
