@@ -69,8 +69,12 @@ object Bench {
     // untouched plans). Sweep them eagerly after every query: on a real
     // cluster each query runs in its own session, so this reproduces the
     // isolation the bench is supposed to measure.
-    def sweepBlocks(): Unit =
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    // blocking=true: an async unpersist's removal work would land inside
+    // the NEXT query's timed window (measured +0.6 s over 12 queries);
+    // blocking puts the release in the untimed gap between queries.
+    val sweep = sys.env.getOrElse("SPARK_GRAFT_BENCH_SWEEP", "1") != "0"
+    def sweepBlocks(): Unit = if (sweep)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     // Untimed warm-up pass: first execution of each plan pays one-time JVM
     // costs (encoder/codegen Janino compilation, JIT) that a long-running
     // cluster amortizes to zero; the timed pass below measures steady-state
