@@ -102,14 +102,118 @@ object WarcDocs {
             i += 1
           }
         }
-        out += ((uri, date,
-          new String(bytes, bodyStart, (q + len - bodyStart).toInt, "UTF-8")))
+        val text =
+          if (isHttp && bodyStart > q) {
+            // A real crawl's `response` records carry the wire encoding:
+            // Transfer-Encoding: chunked framing (hex size lines interleaved
+            // with the payload) and/or Content-Encoding: gzip/deflate bodies.
+            // Decode both — gated on the PARSED HTTP headers, never sniffed —
+            // or the "text" column holds hex framing noise / deflate bytes.
+            // Transfer-Encoding is the outer (wire) layer, so de-frame first.
+            val httpHeaders = new String(bytes, q, bodyStart - q, Ascii).toLowerCase
+              .split("\r\n", -1)
+            def headerValue(name: String): String =
+              httpHeaders.collectFirst {
+                case l if l.startsWith(name) && l.length > name.length &&
+                  l.substring(name.length).dropWhile(_ == ' ').startsWith(":") =>
+                  l.substring(l.indexOf(':') + 1).trim
+              }.getOrElse("")
+            var body = java.util.Arrays.copyOfRange(bytes, bodyStart, (q + len).toInt)
+            if (headerValue("transfer-encoding").contains("chunked"))
+              body = dechunk(body).getOrElse(body)
+            headerValue("content-encoding") match {
+              case enc if enc.contains("gzip") => body = inflateBody(body, gzipWrapped = true)
+              case enc if enc.contains("deflate") => body = inflateBody(body, gzipWrapped = false)
+              case _ =>
+            }
+            new String(body, "UTF-8")
+          } else // conversion/WET and non-HTTP captures: no copy, no decode
+            new String(bytes, bodyStart, (q + len - bodyStart).toInt, "UTF-8")
+        out += ((uri, date, text))
       }
       p = (q + len).toInt
       // skip the record-terminating CRLFCRLF (tolerate a truncated tail)
       while (p + 1 < n && bytes(p) == '\r' && bytes(p + 1) == '\n') p += 2
     }
     out.toSeq
+  }
+
+  /** De-frames a `Transfer-Encoding: chunked` HTTP body: hex chunk-size
+    * lines (chunk extensions after `;` ignored) interleaved with payload,
+    * terminated by a 0-size chunk (trailers dropped). DEGRADE-DON'T-DIE:
+    * `None` when the FIRST size line isn't valid hex — the body was
+    * mislabeled, keep it raw; a body that breaks mid-stream (truncated
+    * chunk, later garbage framing) yields the chunks that framed soundly,
+    * the same last-good-boundary rule the record parser uses.
+    */
+  private[sources] def dechunk(b: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val n = b.length
+    var p = 0
+    var first = true
+    while (p < n) {
+      // chunk-size line: hex digits, optional ;extension, CRLF
+      var e = p
+      while (e + 1 < n && !(b(e) == '\r' && b(e + 1) == '\n')) e += 1
+      if (e + 1 >= n) return if (first) None else Some(out.toByteArray) // no CRLF: truncated
+      val line = new String(b, p, e - p, Ascii)
+      val sizeStr = line.indexOf(';') match {
+        case -1 => line.trim
+        case i  => line.substring(0, i).trim
+      }
+      val size = try java.lang.Long.parseLong(sizeStr, 16) catch { case _: NumberFormatException => -1L }
+      if (size < 0 || size > MaxPayload)
+        return if (first) None else Some(out.toByteArray) // bad/hostile framing
+      if (size == 0) return Some(out.toByteArray) // last-chunk; trailers dropped
+      first = false
+      val dataStart = e + 2
+      val avail = math.min(size, (n - dataStart).toLong).toInt
+      if (avail > 0) out.write(b, dataStart, avail)
+      if (avail < size) return Some(out.toByteArray) // truncated final chunk: sound prefix
+      p = dataStart + avail + 2 // skip the chunk-terminating CRLF (tolerated if absent at end)
+    }
+    if (first) None else Some(out.toByteArray)
+  }
+
+  /** Inflates a `Content-Encoding: gzip|deflate` HTTP body, bounded by
+    * [[MaxPayload]] (a hostile body cannot bomb past the same cap the
+    * record parser enforces on declared lengths). `deflate` in the wild is
+    * both zlib-wrapped (the spec) and raw deflate (historic servers) —
+    * zlib is tried first, raw on failure. DEGRADE-DON'T-DIE: damage
+    * mid-stream keeps the bytes that inflated soundly; a body that yields
+    * nothing (hostile magic, total garbage) stays raw, never throws.
+    * These are in-memory deterministic bytes, so unlike [[gunzip]] there
+    * is no transport-exception class to let through.
+    */
+  private[sources] def inflateBody(b: Array[Byte], gzipWrapped: Boolean): Array[Byte] = {
+    def drain(mk: () => java.io.InputStream): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      try {
+        val in = mk() // GZIPInputStream reads (and may reject) the header here
+        val buf = new Array[Byte](1 << 16)
+        var total = 0L
+        var r = in.read(buf)
+        while (r >= 0 && total < MaxPayload) {
+          val keep = math.min(r.toLong, MaxPayload - total).toInt
+          out.write(buf, 0, keep)
+          total += keep
+          r = if (total < MaxPayload) in.read(buf) else -1
+        }
+      } catch { case _: java.io.IOException => /* sound prefix */ }
+      out.toByteArray
+    }
+    val inflated =
+      if (gzipWrapped)
+        drain(() => new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(b), 1 << 16))
+      else {
+        val zlib = drain(() => new java.util.zip.InflaterInputStream(
+          new java.io.ByteArrayInputStream(b), new java.util.zip.Inflater(false)))
+        if (zlib.nonEmpty) zlib
+        else drain(() => new java.util.zip.InflaterInputStream(
+          new java.io.ByteArrayInputStream(b), new java.util.zip.Inflater(true)))
+      }
+    if (inflated.nonEmpty) inflated else b
   }
 
   /** Total decompressed bytes allowed per .warc.gz file — the

@@ -132,6 +132,98 @@ class WarcDocsSpec extends SparkSpec {
       s"torn gz did not degrade to the sound prefix: ${rows.mkString(",")}")
   }
 
+  test("HTTP body decoding: chunked de-framing and gzip/deflate inflation, gated on the parsed headers") {
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo); g.write(b); g.close()
+      bo.toByteArray
+    }
+    def zlib(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(); d.setInput(b); d.finish()
+      val out = new Array[Byte](b.length * 2 + 64)
+      val n = d.deflate(out); d.end()
+      java.util.Arrays.copyOfRange(out, 0, n)
+    }
+    def chunked(b: Array[Byte], sizes: Seq[Int]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      var p = 0
+      for (s <- sizes; if p < b.length) {
+        val take = math.min(s, b.length - p)
+        bo.write(s"${take.toHexString}\r\n".getBytes("ISO-8859-1"))
+        bo.write(b, p, take); bo.write("\r\n".getBytes("ISO-8859-1")); p += take
+      }
+      bo.write("0\r\nX-Trailer: ignored\r\n\r\n".getBytes("ISO-8859-1"))
+      bo.toByteArray
+    }
+    val doc = "real page text, chunked AND gzipped on the wire — the CommonCrawl case"
+    def http(headers: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\n$headers\r\n\r\n").getBytes("ISO-8859-1") ++ body
+    val bytes =
+      // the real-crawl composition: Content-Encoding INSIDE Transfer-Encoding
+      record("response", "http://d.example/1", "2026-03-01T00:00:00Z",
+        http("Content-Type: text/html\r\nContent-Encoding: gzip\r\nTransfer-Encoding: chunked",
+          chunked(gz(doc.getBytes("UTF-8")), Seq(7, 13, 1000)))) ++
+      record("response", "http://d.example/2", "2026-03-01T00:00:01Z",
+        http("Transfer-Encoding: chunked", chunked("plain but chunked".getBytes("UTF-8"), Seq(4, 1000)))) ++
+      record("response", "http://d.example/3", "2026-03-01T00:00:02Z",
+        http("Content-Encoding: gzip", gz("gzip only".getBytes("UTF-8")))) ++
+      record("response", "http://d.example/4", "2026-03-01T00:00:03Z",
+        http("Content-Encoding: deflate", zlib("zlib deflate".getBytes("UTF-8")))) ++
+      // raw deflate (no zlib wrapper): historic-server reality
+      record("response", "http://d.example/5", "2026-03-01T00:00:04Z",
+        http("Content-Encoding: deflate", {
+          val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+          val b = "raw deflate".getBytes("UTF-8"); d.setInput(b); d.finish()
+          val out = new Array[Byte](256); val n = d.deflate(out); d.end()
+          java.util.Arrays.copyOfRange(out, 0, n)
+        })) ++
+      // headers absent → body untouched even if it LOOKS like framing
+      record("response", "http://d.example/6", "2026-03-01T00:00:05Z",
+        http("Content-Type: text/plain", "5\r\nhello\r\n0\r\n\r\n".getBytes("UTF-8")))
+    val got = WarcDocs.parseWarc(bytes).map(t => t._1 -> t._3).toMap
+    assert(got("http://d.example/1") == doc)
+    assert(got("http://d.example/2") == "plain but chunked")
+    assert(got("http://d.example/3") == "gzip only")
+    assert(got("http://d.example/4") == "zlib deflate")
+    assert(got("http://d.example/5") == "raw deflate")
+    assert(got("http://d.example/6") == "5\r\nhello\r\n0\r\n\r\n")
+  }
+
+  test("HTTP body decoding degrades, never throws: malformed chunk framing, lying sizes, hostile magic") {
+    // mislabeled chunked: first size line is not hex → raw body kept
+    assert(WarcDocs.dechunk("not chunked at all".getBytes("UTF-8")).isEmpty)
+    // truncated chunk: sound prefix
+    val torn = "a\r\n0123456789\r\n14\r\nonly five".getBytes("ISO-8859-1")
+    assert(new String(WarcDocs.dechunk(torn).get, "UTF-8") == "0123456789only five")
+    // hostile size: bounded, prior chunks kept
+    val hostile = s"3\r\nabc\r\n${java.lang.Long.toHexString(Long.MaxValue / 2)}\r\nx".getBytes("ISO-8859-1")
+    assert(new String(WarcDocs.dechunk(hostile).get, "UTF-8") == "abc")
+    // declared gzip but garbage bytes → body kept raw
+    val junk = "definitely not gzip".getBytes("UTF-8")
+    assert(WarcDocs.inflateBody(junk, gzipWrapped = true).toSeq == junk.toSeq)
+    assert(WarcDocs.inflateBody(junk, gzipWrapped = false).toSeq == junk.toSeq)
+    // fuzz: random mutations of a well-formed chunked+gzip record never throw
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo); g.write(b); g.close()
+      bo.toByteArray
+    }
+    val payload = gz("fuzz seed body".getBytes("UTF-8"))
+    val base = record("response", "http://f.example/1", "2026-03-02T00:00:00Z",
+      ("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n\r\n" +
+        s"${payload.length.toHexString}\r\n").getBytes("ISO-8859-1") ++ payload ++
+        "\r\n0\r\n\r\n".getBytes("ISO-8859-1"))
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 300).foreach { i =>
+      val m = base.clone()
+      (0 until 1 + rnd.nextInt(4)).foreach(_ => m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte)
+      WarcDocs.parseWarc(m) // must not throw
+    }
+    (1 to base.length).foreach { k =>
+      WarcDocs.parseWarc(java.util.Arrays.copyOfRange(base, 0, base.length - k)) // must not throw
+    }
+  }
+
   test("gunzip degrades ONLY on deflate damage; transport IOExceptions propagate for task retry") {
     def gzMember(b: Array[Byte]): Array[Byte] = {
       val bo = new java.io.ByteArrayOutputStream()
