@@ -1855,13 +1855,43 @@ object PipelineQueries {
     * increment's probed cells — at 10⁹ indexed vectors a nightly batch
     * touches ~nProbe/nCells of the index and nothing else.
     */
-  def sim7IncrementalAnn(s: SparkSession, dir: String): DataFrame = {
+  def sim7IncrementalAnn(s: SparkSession, dir: String): DataFrame =
+    sim7IncrementalAnn(s, dir, 8)
+
+  /** The √n-dial twin the round-7 sf10 rehearsal proved necessary: the
+    * registered fixed dial (nCells = 8, the oracle contract) makes
+    * candidate volume quadratic once the corpus outgrows its 8 cells
+    * (871 s at sf10 vs 1.9 s with the scaled dial). `sim7b` registers the
+    * configuration a 100 TB user actually runs — nCells = max(8, ⌈√n⌉)
+    * derived from parquet FOOTER stats (zero sizing jobs) — with its own
+    * DuckDB oracle row: the oracle recomputes the identical dial as
+    * `GREATEST(8, CEIL(SQRT(COUNT(*))))`, so the scaled path is
+    * hash-checked, not just benchmarked. √n holds per-cell size at √n,
+    * so probe cost per increment row is O(√n·d) and the cell equi-join
+    * stays balanced — the standard IVF sizing rule.
+    */
+  def sim7bIncrementalAnnScaled(s: SparkSession, dir: String): DataFrame =
+    sim7IncrementalAnn(s, dir, scaledCellCount(s, dir))
+
+  private def sim7IncrementalAnn(s: SparkSession, dir: String, nCells: Int): DataFrame = {
     import s.implicits._
     val vecs = embVec(s, dir).filter(col("nrm") > 0)
       .select(col("vec_id"), col("v"), col("nrm")).as[(Long, Array[Double], Double)]
     val isNew = col("vec_id") % 4 === 0
-    sim7Probe(vecs.filter(isNew), prepareVectorIndex(vecs.filter(!isNew), 8), 2)
+    sim7Probe(vecs.filter(isNew), prepareVectorIndex(vecs.filter(!isNew), nCells), 2)
   }
+
+  /** The shared √n cell/cluster dial (sim7b, d9b): a pure function of the
+    * embeddings table's row count, so the DuckDB oracle replays it exactly
+    * as `GREATEST(8, CEIL(SQRT(COUNT(*))))` — both engines' `sqrt`/`ceil`
+    * are IEEE-754 correctly-rounded, so the integer agrees at any SF.
+    */
+  private[graft] def scaledCellCount(s: SparkSession, dir: String): Int =
+    math.max(8L, math.ceil(math.sqrt(
+      graft.Tables.rowCount(s, s"$dir/embeddings.parquet").toDouble)).toLong).toInt
+
+  private[graft] val ScaledCellSql =
+    "(SELECT GREATEST(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embeddings)"
 
   /** Library form over a prebuilt [[VectorIndex]] — the shape a streaming
     * ingest calls per micro-batch (d10's `incrementalDedup` discipline).
@@ -1891,12 +1921,16 @@ object PipelineQueries {
       .orderBy("query_id", "rnk")
   }
 
-  val sim7Sql: String =
+  val sim7Sql: String = sim7SqlWithCells("8")
+
+  val sim7bSql: String = sim7SqlWithCells(ScaledCellSql)
+
+  private def sim7SqlWithCells(cells: String): String =
     s"""WITH $embSqlCte,
        |nn AS (SELECT vec_id, v, nrm FROM n WHERE nrm > 0),
        |idx AS (SELECT * FROM nn WHERE vec_id % 4 != 0),
        |inc AS (SELECT * FROM nn WHERE vec_id % 4 = 0),
-       |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM idx ORDER BY vec_id LIMIT 8),
+       |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM idx ORDER BY vec_id LIMIT $cells),
        |iaff AS (SELECT idx.vec_id, cent_id,
        |          round(${dotSql("v", "cv")} / (nrm * cn), 6) AS ccos
        |        FROM idx CROSS JOIN cent),
@@ -2043,7 +2077,19 @@ object PipelineQueries {
       .orderBy("vec_a", "vec_b")
   }
 
-  val d9Sql: String = {
+  /** d9's √n-dial twin (see [[sim7bIncrementalAnnScaled]] — same rationale,
+    * same dial, same footer-stat derivation): raising k ∝ √n holds
+    * within-cell pair volume at ~n instead of n²/k, the SemDeDup sizing
+    * rule SCALING.md measured (sf10: 411 s at k=8 vs flat with √n).
+    */
+  def d9bSemDedupScaled(s: SparkSession, dir: String): DataFrame =
+    d9SemDedup(s, dir, scaledCellCount(s, dir))
+
+  val d9Sql: String = d9SqlSeeded("8")
+
+  val d9bSql: String = d9SqlSeeded(ScaledCellSql)
+
+  private def d9SqlSeeded(seed: String): String = {
     // NOTE: these builders mirror sim4Sql's (the canonical copy of the
     // fixed-point Lloyd's oracle contract: ×2^20+2^21 quantization, floor
     // means via `//`, argmin ties to lowest cid) over the `fe` table name;
@@ -2065,7 +2111,7 @@ object PipelineQueries {
     s"""WITH fe AS (SELECT vec_id,
        |  list_transform(embedding, x -> CAST(round(x::DOUBLE * 1048576) AS BIGINT) + 2097152) AS v
        |  FROM embeddings),
-       |c0 AS (SELECT vec_id AS cid, v AS cv FROM fe WHERE vec_id < 8),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM fe WHERE vec_id < $seed),
        |${assign("c0", "a1")},
        |${update("a1", "c1")},
        |${assign("c1", "a2")},
@@ -6884,6 +6930,7 @@ object PipelineQueries {
     "m5_audio_pitch" -> (m5AudioPitch _),
     "x31_span_corrupt" -> ((s: SparkSession, dir: String) => x31SpanCorrupt(s, dir)),
     "d9_sem_dedup" -> (d9SemDedup _),
+    "d9b_sem_dedup_scaled" -> (d9bSemDedupScaled _),
     "d10_incremental_dedup" -> (d10IncrementalDedup _),
     "sim1_cosine_topk" -> (sim1CosineTopk _),
     "sim2_lsh_ann" -> (sim2LshAnn _),
@@ -6893,6 +6940,7 @@ object PipelineQueries {
     "sim5_pq_ann" -> (sim5PqAnn _),
     "sim6_ivfpq" -> (sim6IvfPq _),
     "sim7_incremental_ann" -> (sim7IncrementalAnn _),
+    "sim7b_incremental_ann_scaled" -> (sim7bIncrementalAnnScaled _),
     "sim8_range_search" -> ((s: SparkSession, dir: String) => sim8RangeSearch(s, dir)),
     "sim9_recall_eval" -> ((s: SparkSession, dir: String) => sim9RecallEval(s, dir)),
     "sim10_mips_topk" -> (sim10MipsTopk _),
@@ -6977,6 +7025,7 @@ object PipelineQueries {
     "m5_audio_pitch" -> m5Sql,
     "x31_span_corrupt" -> x31Sql,
     "d9_sem_dedup" -> d9Sql,
+    "d9b_sem_dedup_scaled" -> d9bSql,
     "d10_incremental_dedup" -> d10Sql,
     "sim1_cosine_topk" -> sim1Sql,
     "sim2_lsh_ann" -> sim2Sql,
@@ -6986,6 +7035,7 @@ object PipelineQueries {
     "sim5_pq_ann" -> sim5Sql,
     "sim6_ivfpq" -> sim6Sql,
     "sim7_incremental_ann" -> sim7Sql,
+    "sim7b_incremental_ann_scaled" -> sim7bSql,
     "sim8_range_search" -> sim8Sql,
     "sim9_recall_eval" -> sim9Sql,
     "sim10_mips_topk" -> sim10Sql,

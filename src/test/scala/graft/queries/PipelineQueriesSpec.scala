@@ -1409,6 +1409,28 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("scaled-dial twins: the √n dial is the footer-derived formula, and both twins stay sound") {
+    // the dial the oracle replays as GREATEST(8, CEIL(SQRT(COUNT(*))))
+    val n = graft.Tables.rowCount(spark, s"$sf/embeddings.parquet")
+    val expect = math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+    assert(PipelineQueries.scaledCellCount(spark, sf) == expect)
+    assert(expect > 8, s"fixture vacuous: √$n dial must actually exceed the fixed dial")
+    // d9b soundness is dial-independent (threshold + same-cell + drop rule)
+    val asg = PipelineQueries.sim4KmeansCodebook(spark, sf, expect).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    PipelineQueries.d9bSemDedupScaled(spark, sf).collect().foreach { r =>
+      val (a, b) = (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))
+      assert(r.getAs[Double]("cos") >= 0.30 && asg(a)._1 == asg(b)._1)
+    }
+    // sim7b: every query reports ≤3 ranked neighbors from its probed cells
+    val rows = PipelineQueries.sim7bIncrementalAnnScaled(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.toSeq == (1 to rs.length))
+      assert(rs.length <= 3)
+    }
+  }
+
   test("d9's k knob: higher k shrinks cells, and any k yields a sound dedup") {
     // SCALING.md's production dial made code: at 10⁹ vectors you raise k to
     // hold cell size (and so within-cell pair work) constant. Soundness is
