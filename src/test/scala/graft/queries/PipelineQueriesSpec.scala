@@ -481,6 +481,48 @@ class PipelineQueriesSpec extends SparkSpec {
       s"pruning never skipped a file (${maybe.length} of $nFiles read)")
   }
 
+  test("k16 persisted bloom index: pruned lookup ≡ naive filter after appends, never rebuilt at query time") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(text),1,15),16,10) as bigint)").as("hk"))
+    val maxId = all.agg(org.apache.spark.sql.functions.max("doc_id")).head().getLong(0)
+    // ingest-time split: the initial corpus, then TWO appends — one landing
+    // in fresh file_ids, one landing INSIDE an existing file_id (the
+    // multi-row-per-file union case the incremental contract promises)
+    val initial = all.filter(col("doc_id") <= maxId - 70)
+    val intoExisting = all.filter(col("doc_id") > maxId - 70 && col("doc_id") <= maxId - 64)
+    val freshFiles = all.filter(col("doc_id") > maxId - 64)
+    val idxPath = java.nio.file.Files.createTempDirectory("bloomidx").toString + "/idx.parquet"
+    PipelineQueries.buildBloomIndex(initial, 64L, idxPath)
+    PipelineQueries.appendBloomIndex(intoExisting, 64L, idxPath)
+    PipelineQueries.appendBloomIndex(freshFiles, 64L, idxPath)
+    val rows = all.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // probes from every ingest generation, plus salted absent ones
+    val present = rows.filter(_._1 < 10).map(_._2) ++
+      rows.filter(_._1 > maxId - 70).take(10).map(_._2)
+    val absent = spark.range(1).selectExpr(present.take(10).map(hk =>
+        s"cast(conv(substring(md5(concat('$hk', ':absent')),1,15),16,10) as bigint)"): _*)
+      .collect().head.toSeq.map(_.asInstanceOf[Long])
+    for (probes <- Seq(present.toSeq, absent, present.toSeq ++ absent)) {
+      val naive = rows.filter(r => probes.contains(r._2)).toSet
+      val pruned = PipelineQueries.bloomPrunedLookupIndexed(all, idxPath, probes, 64L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pruned == naive, s"persisted-index lookup diverged after append")
+    }
+    // pruning still bites through the persisted index
+    val nFiles = rows.map(_._1 / 64).distinct.length
+    val maybe = PipelineQueries.bloomMaybeFilesFromIndex(spark, idxPath,
+      rows.filter(_._1 < 10).map(_._2).toSeq)
+    assert(maybe.contains(0L) && maybe.length < nFiles,
+      s"persisted-index pruning lossy or toothless (${maybe.length} of $nFiles)")
+    // and the appended-into file answers maybe via the UNION of its rows
+    val lateProbe = rows.filter(_._1 > maxId - 70).take(1).map(_._2).toSeq
+    val lateFile = rows.filter(_._1 > maxId - 70).head._1 / 64
+    assert(PipelineQueries.bloomMaybeFilesFromIndex(spark, idxPath, lateProbe)
+      .contains(lateFile), "append row's membership lost — union across rows broken")
+  }
+
   test("x36 greedy decode matches a driver replay step-for-step and prefix-nests") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("text").collect().map(_.getString(0).split(" ").toSeq)
