@@ -4000,7 +4000,17 @@ object PipelineQueries {
           (col("len") - M8Trim).as("len")))
     // checkpointed because the df cap, the per-video counts, and both
     // join sides read it
-    val frames = videoFrames(vids.select("doc_id", "text")).localCheckpoint()
+    frameContainmentPairs(videoFrames(vids.select("doc_id", "text")).localCheckpoint())
+  }
+
+  /** The m8 pairing rule over ANY distinct (doc_id, fh) frame table — ONE
+    * definition shared by the stub-chunker path ([[m8VideoDedup]], the
+    * oracle contract) and the real demuxed-container path
+    * ([[videoDedupDemuxed]]): df-cap mega-frames BEFORE pairing,
+    * inverted-index equi-join on the frame hash, exact containment against
+    * the UNCAPPED per-video counts.
+    */
+  private[graft] def frameContainmentPairs(frames: DataFrame): DataFrame = {
     val keep = frames.join(
       frames.groupBy("fh").agg(count(lit(1)).as("df"))
         .filter(col("df") <= M8MaxFrameDf).select("fh"), "fh")
@@ -4016,6 +4026,38 @@ object PipelineQueries {
       .select("doc_a", "doc_b", "shared", "containment_ppm")
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Distinct (doc_id, fh) rows from REAL container frames:
+    * [[graft.multimodal.Multimodal.ImageIoCodec]] demuxes GIF / AVI-MJPEG /
+    * MP4-MJPEG blobs into true per-frame bytes, and each frame's identity
+    * is the md5 of those bytes — the identity rule the stub chunker uses,
+    * now over the codec's own frame boundaries. A narrow flatMap per blob;
+    * only (doc, 32-byte hash) rows ever shuffle. This is the TYPED path —
+    * a non-container blob throws, per ImageIoCodec's contract; route mixed
+    * corpora through SniffCodec-gated filtering first.
+    */
+  private[graft] def videoFramesDemuxed(blobs: DataFrame): DataFrame = {
+    val s = blobs.sparkSession
+    import s.implicits._
+    blobs.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .flatMap { case (id, b) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        graft.multimodal.Multimodal.ImageIoCodec.frames(b, 0).map { fb =>
+          (id, md.digest(fb).map(x => f"$x%02x").mkString)
+        }
+      }.toDF("doc_id", "fh").distinct()
+  }
+
+  /** m8 over REAL demuxed frames — the round-7 stub-chunker caveat closed
+    * for every container a pure JVM demuxes (GIF, AVI/MJPEG, MP4/MJPEG):
+    * same pairing rule, same df-cap, same containment arithmetic, but the
+    * frame set is the container's actual frames, so a re-cut that drops or
+    * appends REAL frames lands exactly where the rule predicts. The stub
+    * chunker stays as the registered oracle contract (DuckDB cannot demux
+    * GIFs); this path is spec-pinned on real fixtures instead.
+    */
+  def videoDedupDemuxed(blobs: DataFrame): DataFrame =
+    frameContainmentPairs(videoFramesDemuxed(blobs).localCheckpoint())
 
   /** The persisted-index half of the video probe — m7's `ImageIndex` for
     * frame sets: the corpus's df-capped frame table (mega-frames dropped at

@@ -354,6 +354,33 @@ class MultimodalSpec extends SparkSpec {
       "AVI ".getBytes("US-ASCII") ++ movi
   }
 
+  test("video dedup over REAL demuxed frames: trimmed GIF and AVI copies land exactly where the frame rule predicts") {
+    import spark.implicits._
+    // GIF pair: the trimmed copy re-encodes the SAME first 5 solid frames,
+    // so its demuxed frame set is a strict subset → containment 100% of the
+    // shorter side. AVI pair: MJPEG chunks pass through byte-identical, so
+    // sharing is exact by construction.
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffff00, 0x00ffff, 0xff00ff)
+    val gifFull = animatedGif(colors.map(solidFrame(9, 7, _)))
+    val gifTrim = animatedGif(colors.dropRight(1).map(solidFrame(9, 7, _)))
+    val jpegs = Seq(encoded(8, 6, "jpg"), encoded(10, 8, "jpg"),
+      encoded(6, 6, "jpg"), encoded(12, 10, "jpg"))
+    val aviFull = mjpegAvi(jpegs)
+    val aviTrim = mjpegAvi(jpegs.dropRight(1))
+    val gifOther = animatedGif(Seq(0x111111, 0x222222, 0x333333).map(solidFrame(9, 7, _)))
+    val in = Seq((1L, gifFull), (2L, gifTrim), (3L, aviFull), (4L, aviTrim),
+      (5L, gifOther)).toDF("doc_id", "blob")
+    val out = graft.queries.PipelineQueries.videoDedupDemuxed(in).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.contains((1L, 2L, 5L, 1000000L)), s"GIF trim pair missing: ${out.toSeq}")
+    assert(out.contains((3L, 4L, 3L, 1000000L)), s"AVI trim pair missing: ${out.toSeq}")
+    assert(out.length == 2, s"unrelated videos paired: ${out.toSeq}")
+    // and the demuxed frame sets really are the containers' frame counts
+    val nf = graft.queries.PipelineQueries.videoFramesDemuxed(in)
+      .groupBy("doc_id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nf == Map(1L -> 6L, 2L -> 5L, 3L -> 4L, 4L -> 3L, 5L -> 3L), nf.toString)
+  }
+
   test("SniffCodec fuzz: mutated/truncated real media and hostile magics never throw; output stays bounded") {
     val rnd = new scala.util.Random(20260815L)
     val jpegs = Seq(encoded(8, 6, "jpg"), encoded(10, 8, "jpg"), encoded(6, 6, "jpg"))
