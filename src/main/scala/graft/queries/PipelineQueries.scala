@@ -1291,6 +1291,75 @@ object PipelineQueries {
        |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id) AS rnk FROM p)
        |SELECT vec_id, nn_id, cos FROM r WHERE rnk = 1 ORDER BY vec_id""".stripMargin
 
+  /** d5's SCALE PATH, registered and oracle-checked — the cure for the
+    * labeled brute-force baseline's n² at 100×: every vector reports its
+    * best neighbor from its max(4, ⌈n^¼⌉) closest of max(8, ⌈√n⌉) IVF
+    * cells (the sim7b/d9b footer-stat dial plus the √cells probe rule),
+    * so candidate volume is n · n^¼ · (n/√n) = n^1¾ instead of n² — the
+    * standard IVF corpus-self-join shape, and the one a 100 TB near-dup
+    * sweep runs. The measured recall artifact lives in the spec:
+    * probe-breadth n^¼ recovers the exact neighbor for the majority of
+    * vectors on the diffuse synthetic corpus, and pruned-best can never
+    * exceed exact-best.
+    * Pruned recall is the CONTRACT (a cross-cell nearest neighbor is
+    * deliberately out of scope, exactly sim3's rule), which is why the
+    * oracle replays the identical cell assignment and probe list rather
+    * than comparing against d5's exact output. Zero-norm vectors carry no
+    * defined cosine and are excluded on both engines.
+    */
+  def d5bEmbeddingNnScaled(s: SparkSession, dir: String): DataFrame =
+    d5bWithDials(s, dir, scaledCellCount(s, dir), scaledProbeCount(s, dir))
+
+  private[graft] def d5bWithDials(s: SparkSession, dir: String,
+      nCells: Int, nProbe: Int): DataFrame = {
+    import s.implicits._
+    val vecs = embVec(s, dir).filter(col("nrm") > 0)
+      .select(col("vec_id"), col("v"), col("nrm")).as[(Long, Array[Double], Double)]
+    val index = prepareVectorIndex(vecs, nCells)
+    val bc = s.sparkContext.broadcast(index.cents)
+    val probed = vecs.mapPartitions(_.map { case (id, v, nrm) =>
+      val scored = bc.value.map { case (cid, cv, cn) =>
+        var d = 0.0; var k = 0
+        while (k < v.length) { d += v(k) * cv(k); k += 1 }
+        (round6(d / (nrm * cn)), cid)
+      }.sortBy { case (c, cid) => (-c, cid) }
+      (id, v, nrm, scored.take(nProbe).map(_._2).toSeq)
+    }).toDF("vec_id", "qv", "qn", "probes")
+    val top = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nn_id"))
+    probed.select(col("vec_id"), col("qv"), col("qn"),
+        explode(col("probes")).as("cell"))
+      .join(index.assigned.select(col("vec_id").as("nn_id"),
+        col("v").as("cv"), col("nrm").as("cn"), col("cell")), Seq("cell"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .withColumn("cos", round(dotCol("qv", "cv") / (col("qn") * col("cn")), 6))
+      .withColumn("rnk", row_number().over(top))
+      .filter(col("rnk") === 1)
+      .select("vec_id", "nn_id", "cos")
+      .orderBy("vec_id")
+  }
+
+  val d5bSql: String =
+    s"""WITH $embSqlCte,
+       |nn AS (SELECT vec_id, v, nrm FROM n WHERE nrm > 0),
+       |cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM nn
+       |         ORDER BY vec_id LIMIT $ScaledCellSql),
+       |aff AS (SELECT vec_id, cent_id,
+       |          round(${dotSql("v", "cv")} / (nrm * cn), 6) AS ccos
+       |        FROM nn CROSS JOIN cent),
+       |rk AS (SELECT vec_id, cent_id,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+       |       FROM aff),
+       |corp AS (SELECT nn.vec_id AS nn_id, v AS cv, nrm AS cn, cent_id AS cell
+       |         FROM nn JOIN rk ON nn.vec_id = rk.vec_id AND crk = 1),
+       |q AS (SELECT rk.vec_id, cent_id AS cell, v AS qv, nrm AS qn
+       |      FROM rk JOIN nn ON nn.vec_id = rk.vec_id WHERE crk <= $ScaledProbeSql),
+       |p AS (SELECT q.vec_id, nn_id,
+       |        round(${dotSql("qv", "cv")} / (qn * cn), 6) AS cos
+       |      FROM q JOIN corp USING (cell) WHERE q.vec_id != nn_id),
+       |r AS (SELECT vec_id, nn_id, cos,
+       |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id) AS rnk FROM p)
+       |SELECT vec_id, nn_id, cos FROM r WHERE rnk = 1 ORDER BY vec_id""".stripMargin
+
   // ------------------------------------------- SIM1: brute-force top-k ANN
 
   /** Brute-force cosine top-3 for a query set (vec_id < 10): broadcast the
@@ -1890,8 +1959,25 @@ object PipelineQueries {
     math.max(8L, math.ceil(math.sqrt(
       graft.Tables.rowCount(s, s"$dir/embeddings.parquet").toDouble)).toLong).toInt
 
-  private[graft] val ScaledCellSql =
+  // def, not val: referenced by oracle-SQL vals that appear EARLIER in this
+  // object's initialization order (d5bSql) — a val would interpolate as
+  // "null" there (observed: `LIMIT null` = no limit in DuckDB, an oracle
+  // silently computing ALL vectors as centroids)
+  private[graft] def ScaledCellSql: String =
     "(SELECT GREATEST(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embeddings)"
+
+  /** d5b's probe-breadth dial: nProbe = max(4, ⌈n^¼⌉) = ⌈√nCells⌉ — the
+    * standard IVF recall rule (probe √cells). Per-query candidate volume is
+    * nProbe·n/nCells = n^¾, total n^1¾ — still polynomially under the n²
+    * brute force, and the dial is a pure function of the same footer count
+    * so the oracle replays it as `GREATEST(4, CEIL(POWER(n, 0.25)))`.
+    */
+  private[graft] def scaledProbeCount(s: SparkSession, dir: String): Int =
+    math.max(4L, math.ceil(math.pow(
+      graft.Tables.rowCount(s, s"$dir/embeddings.parquet").toDouble, 0.25)).toLong).toInt
+
+  private[graft] def ScaledProbeSql: String =
+    "(SELECT GREATEST(4, CAST(ceil(power(count(*), 0.25)) AS BIGINT)) FROM embeddings)"
 
   /** Library form over a prebuilt [[VectorIndex]] — the shape a streaming
     * ingest calls per micro-batch (d10's `incrementalDedup` discipline).
@@ -7016,6 +7102,7 @@ object PipelineQueries {
     "d3b_simhash_pairs" -> (d3bSimhashPairs _),
     "d4_ngram_jaccard" -> (d4NgramJaccard _),
     "d5_embedding_nn" -> (d5EmbeddingNn _),
+    "d5b_embedding_nn_scaled" -> (d5bEmbeddingNnScaled _),
     "d6_dup_clusters" -> (d6DupClusters _),
     "g1_pagerank" -> (g1Pagerank _),
     "d7_contamination" -> (d7Contamination _),
@@ -7111,6 +7198,7 @@ object PipelineQueries {
     "d3b_simhash_pairs" -> d3bSql,
     "d4_ngram_jaccard" -> d4Sql,
     "d5_embedding_nn" -> d5Sql,
+    "d5b_embedding_nn_scaled" -> d5bSql,
     "d6_dup_clusters" -> d6Sql,
     "g1_pagerank" -> g1Sql,
     "d7_contamination" -> d7Sql,

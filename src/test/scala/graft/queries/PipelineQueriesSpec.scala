@@ -1473,6 +1473,62 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("d5b: pruned NN never beats exact, and the n^¼ probe dial holds its measured recall") {
+    // Pruned-recall contract: d5b's best-in-probed-cells cosine can never
+    // EXCEED d5's exact best (the probed candidate set is a subset of the
+    // corpus). Recall on THIS corpus is the measured artifact (sim9/d12
+    // discipline): the synthetic embeddings are diffuse (no pair above
+    // cos 0.5 at this sf), so arbitrary-NN recall is the IVF worst case —
+    // measured 0.52 at sf0.001 / 0.50 at sf0.01 with nProbe = ⌈n^¼⌉
+    // (up from 0.31 at nProbe=2). Floor pinned under the measurement;
+    // the operator's real contract (near-DUP recovery) is the next test.
+    val exact = PipelineQueries.d5EmbeddingNn(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos")).toMap
+    val pruned = PipelineQueries.d5bEmbeddingNnScaled(spark, sf).collect()
+    assert(pruned.nonEmpty)
+    assert(pruned.map(_.getAs[Long]("vec_id")).distinct.length == pruned.length)
+    var hits = 0
+    pruned.foreach { r =>
+      val (id, cos) = (r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))
+      assert(cos <= exact(id) + 1e-9, s"pruned cos $cos beats exact ${exact(id)} for $id")
+      if (cos >= exact(id) - 1e-9) hits += 1
+    }
+    assert(hits * 100 >= pruned.length * 45,
+      s"recall ${hits.toDouble / pruned.length} below the measured 0.45 floor")
+  }
+
+  test("d5b planted near-dups: a perturbed copy of every corpus vector finds its source") {
+    // The contract that matters at 100 TB: d5's JOB is near-duplicate
+    // detection, and a true near-dup (cos ≈ 1) lands in (or next to) its
+    // source's home cell, so the pruned probe recovers it even though
+    // arbitrary-NN recall on diffuse vectors is ~0.5. Perturb every corpus
+    // vector by a tiny deterministic epsilon and probe the index: the
+    // source must come back as the top-1 neighbor at cos ≥ 0.999 for at
+    // least 95% of vectors (boundary-cell assignments may flip for the
+    // rest — that misses only vectors with no close neighbor at all).
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+      .selectExpr("vec_id", "v",
+        "sqrt(aggregate(v, 0.0d, (a, x) -> a + x * x)) AS nrm")
+      .filter("nrm > 0").as[(Long, Array[Double], Double)]
+    val n = vecs.count()
+    val nCells = PipelineQueries.scaledCellCount(spark, sf)
+    val nProbe = PipelineQueries.scaledProbeCount(spark, sf)
+    val index = PipelineQueries.prepareVectorIndex(vecs, nCells)
+    val planted = vecs.map { case (id, v, _) =>
+      val p = v.zipWithIndex.map { case (x, i) => x * (1.0 + 1e-4 * ((id + i) % 3 - 1)) }
+      val pn = math.sqrt(p.map(x => x * x).sum)
+      (id + 1000000L, p, pn)
+    }
+    val probed = PipelineQueries.sim7Probe(planted, index, nProbe).collect()
+    val top1 = probed.filter(_.getAs[Int]("rnk") == 1)
+      .map(r => r.getAs[Long]("query_id") -> ((r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos")))).toMap
+    val good = top1.count { case (qid, (nn, cos)) => nn == qid - 1000000L && cos >= 0.999 }
+    assert(good * 100 >= n * 95,
+      s"planted near-dup recall $good/$n below 0.95 — the probe misses true duplicates")
+  }
+
   test("d9's k knob: higher k shrinks cells, and any k yields a sound dedup") {
     // SCALING.md's production dial made code: at 10⁹ vectors you raise k to
     // hold cell size (and so within-cell pair work) constant. Soundness is
