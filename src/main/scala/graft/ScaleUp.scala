@@ -35,6 +35,16 @@ object ScaleUp {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "target/testdata/sf1"
     val mult = if (args.length > 2) args(2).toInt else 10
+    // Document-salt mode (arg 4): "word" (default) keeps the source's
+    // TEMPLATED vocabulary — cross-copy grams mostly shared, the few-
+    // thousand-gram property synthetic corpora have at any size. "vocab"
+    // additionally suffixes every word type with a copy-keyed md5 fragment,
+    // so the 4-gram vocabulary grows ~linearly with copies — the real-web
+    // property (heaps' law) that flips d4's adaptive gate to the PPJoin
+    // prefix path. Both modes preserve within-copy duplicate structure
+    // (the transform is deterministic per word type per copy).
+    val docSalt = if (args.length > 3) args(3) else "word"
+    require(docSalt == "word" || docSalt == "vocab", s"bad docSalt mode $docSalt")
     require(mult >= 1, s"mult must be >= 1, got $mult")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
@@ -92,13 +102,61 @@ object ScaleUp {
       shiftKeys(df, k, Map("event_id" -> evS, "user_id" -> userS)))
 
     val docS = stride(rd("documents"), "doc_id")
+    // "vocab" mode's class count: the synthetic source is fully TEMPLATED —
+    // its median gram hits ~1-2% of documents, so even the "rarest" 40% of
+    // each doc's grams (a PPJoin prefix) carries df in the tens and every
+    // prefix gram mints ~df² candidate pairs (measured: 8 fixed jitter
+    // classes left median prefix-gram df at 75 and Σdf² at 864M — 532 s at
+    // sf1 for an operator that should be linear). Real web text has
+    // Heaps-law vocabulary where rare grams hit a HANDFUL of documents.
+    // Splitting each copy into C ≈ srcDocs/6 content-keyed classes lands
+    // every salted gram's df at ≤ ~6 (a class holds ~6 docs and nothing is
+    // shared across classes), which is the property the rehearsal exists to
+    // model. The class key is a pure function of the text, so exact-dup
+    // families land in one class and survive salting in every copy;
+    // template-similarity near-dup pairs dilute across classes — the
+    // boilerplate/exact families that dominate real-web near-dup output are
+    // the ones kept.
+    val srcDocs = rd("documents").count()
+    val vocabClasses = math.max(64L, srcDocs / 4)
     emit("documents") { (df, k) =>
       val shifted = shiftKeys(df, k, Map("doc_id" -> docS))
-      if (k == 0) shifted
+      // "word" mode keeps copy 0 byte-identical to the source (the
+      // multiplied corpus is a superset — what the oracle-rehearsal sf1
+      // relies on). "vocab" mode salts EVERY copy, 0 included: an unsalted
+      // copy 0 would leave a 1/mult templated sub-corpus with exactly the
+      // quadratic-candidate property the class split removes.
+      val saltedWord: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        if (docSalt == "vocab") {
+          // per-word-type copy-and-class-keyed 12-char suffix: each
+          // distinct word mints ~14 brand-new 4-grams per (copy, class), so
+          // the 4-gram vocabulary grows ~linearly with copies — the
+          // real-web property that flips d4's adaptive gate to the PPJoin
+          // prefix path. Two measured traps shape the suffix:
+          //  - It must be LONG. A window covering the last word chars plus
+          //    h < 4 salt chars is keyed by only |A|^h salt values, i.e.
+          //    shared copy-wide at df/|A|^h; the source has ~23 distinct
+          //    word types per ~290-gram doc, so ~12 suffix chars are
+          //    needed before class-keyed (df ≤ class size) grams alone can
+          //    fill the rarest-40% prefix.
+          //  - The alphabet must be WIDE. Hex salt saturates: 16^4 = 65536
+          //    possible salt 4-grams vs millions of (word, copy, class)
+          //    windows, so unrelated salts collide into shared grams —
+          //    measured median gram df 22 instead of the class size 4.
+          //    Decoding raw md5 bytes as ISO-8859-1 gives |A| ≈ 256
+          //    (4-gram space 4.3B): collision-free at 100× and 1000×.
+          // The transform is deterministic per (word type, copy, class), so
+          // within-class duplicate structure is preserved exactly. cls
+          // references the pre-salt text of this projection.
+          val cls = pmod(xxhash64(col("text")), lit(vocabClasses))
+          w => concat(w,
+            decode(unhex(substring(md5(concat(w, lit(s"#$k#"), cls)), 1, 24)),
+              "ISO-8859-1"))
+        } else w => concat(w, lit("~" + k))
+      if (k == 0 && docSalt == "word") shifted
       else {
         val salted = shifted.withColumn("text",
-          array_join(transform(split(col("text"), " "),
-            w => concat(w, lit("~" + k))), " "))
+          array_join(transform(split(col("text"), " "), saltedWord), " "))
         salted.withColumn("n_chars", length(col("text")).cast("long"))
           .select(df.columns.map(col).toIndexedSeq: _*)
       }

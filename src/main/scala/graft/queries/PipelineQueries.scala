@@ -779,9 +779,15 @@ object PipelineQueries {
     import s.implicits._
     // Distinct char-4-grams per doc in one typed pass (tight JVM loop over a
     // LinkedHashSet; the interpreted transform/array_distinct HOF pair cost
-    // ~2s alone at sf0.1). Checkpointed once: the dict pass, the
-    // bitmap/prefix build, and the verification all reuse it. Documents are
-    // ASCII so JVM char slicing equals the oracle's codepoint slicing.
+    // ~2s alone at sf0.1). Cached once: the dict pass, the bitmap/prefix
+    // build, and the verification all reuse it. MEMORY_AND_DISK persist,
+    // NOT localCheckpoint: the gram set is data-sized (~80 bytes × grams),
+    // and localCheckpoint pins it as deserialized row blocks in the JVM —
+    // at 100× bench volume that alone is ~half the heap and the rehearsal
+    // OOM'd; the columnar cache compresses and spills per-batch, which is
+    // also the shape that degrades gracefully on a cluster executor.
+    // Documents are ASCII so JVM char slicing equals the oracle's
+    // codepoint slicing.
     val g = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("text"))
       .as[(Long, String, String)]
@@ -795,7 +801,7 @@ object PipelineQueries {
         }
       })
       .toDF("doc_id", "lang", "g")
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Adaptive plan choice on cheap stats, the way an engine consults table
     // statistics: measure the 4-gram vocabulary first. Synthetic/templated
@@ -842,8 +848,12 @@ object PipelineQueries {
       }.toMap)
     else {
       val ex = g.select(col("lang"), col("doc_id"), explode(col("g")).as("gram"))
+      // dfreq is consumed exactly once (the prefix build's df join), so it
+      // stays lazy: it is vocabulary-sized — ∝ corpus under Heaps' law —
+      // and materializing it as checkpoint blocks was the second half of
+      // the 100× rehearsal OOM. Catalyst plans it as one extra shuffle
+      // stage off the cached gram set.
       val dfreq = ex.groupBy("lang", "gram").agg(count(lit(1)).as("df"))
-        .localCheckpoint()
       d4PrefixPath(g, ex, dfreq)
     }
   }
