@@ -770,12 +770,76 @@ object PipelineQueries {
   def d4NgramJaccard(s: SparkSession, dir: String): DataFrame =
     d4Impl(s, dir, forcePrefixPath = false)
 
+  /** d4's SCALE BRANCH as its own registered, oracle-checked entry (the
+    * sim7b/d9b/d5b discipline applied to adaptive PLAN choice) — run in
+    * the regime the gate SELECTS it for. Forcing the prefix path onto the
+    * templated test corpus would register a known scale-killer (prefix
+    * filtering cannot prune when even the rarest grams hit ~1% of
+    * documents — measured 10.4 s vs the bitmap branch's 1.1 s at sf0.1,
+    * which is precisely what the vocabulary gate saves); instead d4b runs
+    * over [[heapsViewDocs]], a deterministic query-side view with the
+    * real-web property (Heaps-law vocabulary, single-digit rare-gram df)
+    * plus planted truncated near-dups so the output is non-trivially
+    * positive at every sf. The DuckDB oracle replays the identical view
+    * and brute-forces Jaccard over it — independent plan, same rows. The
+    * 100× rehearsal of this exact branch+corpus shape: 10× data → 13.0×
+    * time, no OOM, no spill death (SCALING.md).
+    */
+  def d4bJaccardPrefixPath(s: SparkSession, dir: String): DataFrame =
+    d4Core(s, heapsViewDocs(s, dir), forcePrefixPath = true)
+
+  /** A Heaps-law view of `documents`, identical in Spark and DuckDB: every
+    * word type gets an 8-char content-class-keyed salt suffix, and every
+    * 101st document plants a truncated (first ⌈4n/5⌉ words) near-dup copy
+    * at doc_id + 2⁴⁰ that CARRIES its source's class so the planted pair
+    * survives salting (char-4-gram Jaccard ≈ 0.8 > 0.6).
+    *
+    * The salt design carries the measured lessons from the ScaleUp `vocab`
+    * rehearsal corpus (ScaleUp.scala): classes of ~4 docs land rare-gram
+    * df in the real-web single digits; the class key is a pure function of
+    * the text (`md5(text)` hex → int) so exact-dup families survive; the
+    * salt alphabet must outgrow the 4-gram space (chr(161+h%94): 94 BMP
+    * codepoints both engines slice identically, 78M 4-gram points); and
+    * the class count scales with the corpus (footer-stat row count / 4 —
+    * zero sizing jobs) so per-class density, hence candidate volume per
+    * doc, stays constant at any sf.
+    */
+  private[queries] def heapsViewDocs(s: SparkSession, dir: String): DataFrame = {
+    val classes = math.max(64L,
+      graft.Tables.rowCount(s, s"$dir/documents.parquet") / 4)
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("cls",
+        expr("cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint)") % classes)
+    val planted = base.filter(col("doc_id") % 101 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1099511627776L))
+      .withColumn("text", expr(
+        "array_join(slice(split(text, ' '), 1, " +
+          "cast((4 * size(split(text, ' ')) + 4) div 5 as int)), ' ')"))
+    // nested transform so each word's md5 is computed ONCE, not once per
+    // salt char (8× fewer digests; the emitted text is identical)
+    val saltChars = (0 until 8).map(i =>
+      s"chr(161 + cast(conv(substring(p.h, ${1 + 2 * i}, 2), 16, 10) as int) % 94)")
+      .mkString(", ")
+    base.unionByName(planted)
+      .withColumn("text", expr(
+        "array_join(transform(" +
+          "transform(split(text, ' '), w -> struct(w AS w, md5(concat(w, '#', cls)) AS h)), " +
+          s"p -> concat(p.w, $saltChars)), ' ')"))
+      .select("doc_id", "lang", "text")
+  }
+
   /** `forcePrefixPath` is a test hook: testdata vocabularies always take the
     * bitmap branch, so the spec forces the PPJoin branch to assert both
     * paths produce identical pairs (same pattern as d6's two paths).
     */
   private[queries] def d4Impl(
-      s: SparkSession, dir: String, forcePrefixPath: Boolean): DataFrame = {
+      s: SparkSession, dir: String, forcePrefixPath: Boolean): DataFrame =
+    d4Core(s, t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+      forcePrefixPath)
+
+  private def d4Core(
+      s: SparkSession, docs: DataFrame, forcePrefixPath: Boolean): DataFrame = {
     import s.implicits._
     // Distinct char-4-grams per doc in one typed pass (tight JVM loop over a
     // LinkedHashSet; the interpreted transform/array_distinct HOF pair cost
@@ -786,9 +850,10 @@ object PipelineQueries {
     // at 100× bench volume that alone is ~half the heap and the rehearsal
     // OOM'd; the columnar cache compresses and spills per-batch, which is
     // also the shape that degrades gracefully on a cluster executor.
-    // Documents are ASCII so JVM char slicing equals the oracle's
-    // codepoint slicing.
-    val g = t(s, dir, "documents")
+    // Documents are ASCII (or, for the d4b view, BMP codepoints that JVM
+    // chars and the oracle's codepoint slicing agree on) so JVM char
+    // slicing equals the oracle's.
+    val g = docs
       .select(col("doc_id"), col("lang"), col("text"))
       .as[(Long, String, String)]
       .mapPartitions(_.flatMap { case (id, lang, text) =>
@@ -951,6 +1016,39 @@ object PipelineQueries {
       |SELECT doc_a, doc_b, lang, (1000000 * inter) // uni AS jaccard_ppm
       |FROM p WHERE inter * 5 >= uni * 3 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** d4b's oracle: replay [[heapsViewDocs]] (class key, planted truncated
+    * copies, 8-char chr(161+h%94) word salts — byte-identical text both
+    * engines) then brute-force the same Jaccard d4Sql uses. Independent
+    * plan (cross join + list arithmetic) over the identical view.
+    */
+  val d4bSql: String = {
+    val saltChars = (0 until 8).map(i =>
+      s"chr(161 + (('0x' || substring(md5(w || '#' || cls), ${1 + 2 * i}, 2))::INT % 94))")
+      .mkString(" || ")
+    s"""WITH hv0 AS (SELECT doc_id, lang, text,
+       |  ('0x' || substring(md5(text), 1, 8))::BIGINT %
+       |    (SELECT GREATEST(64, count(*) // 4) FROM documents) AS cls
+       |  FROM documents),
+       |hvp AS (SELECT doc_id + 1099511627776 AS doc_id, lang,
+       |  array_to_string(list_slice(string_split(text, ' '), 1,
+       |    (4 * len(string_split(text, ' ')) + 4) // 5), ' ') AS text, cls
+       |  FROM hv0 WHERE doc_id % 101 = 0),
+       |hvu AS (SELECT * FROM hv0 UNION ALL SELECT * FROM hvp),
+       |hv AS (SELECT doc_id, lang,
+       |  array_to_string(list_transform(string_split(text, ' '),
+       |    w -> w || $saltChars), ' ') AS text
+       |  FROM hvu),
+       |g AS (SELECT doc_id, lang,
+       |  list_distinct(list_transform(range(len(text)-3), i -> text[i+1:i+4])) AS g
+       |  FROM hv WHERE len(text) >= 4),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+       |        len(list_intersect(a.g, b.g))::BIGINT AS inter,
+       |        len(list_distinct(a.g || b.g))::BIGINT AS uni
+       |      FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, lang, (1000000 * inter) // uni AS jaccard_ppm
+       |FROM p WHERE inter * 5 >= uni * 3 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ---------------------------------- D6: duplicate-cluster assembly (CC)
 
   /** The stage that turns pair lists into dedup decisions: connected
@@ -974,7 +1072,24 @@ object PipelineQueries {
     * set, which is exactly what a correctness gate for a fixpoint algorithm
     * should be.
     */
-  def d6DupClusters(s: SparkSession, dir: String): DataFrame = {
+  def d6DupClusters(s: SparkSession, dir: String): DataFrame =
+    d6Impl(s, dir, forceDistributed = false)
+
+  /** d6's SCALE BRANCH as its own registered, oracle-checked entry (the
+    * sim7b/d9b/d5b discipline applied to adaptive PLAN choice): a 10⁹-edge
+    * corpus takes the distributed min-label-propagation loop, so that
+    * branch — not just the driver union-find the small corpus picks — gets
+    * a green CORRECTNESS row every round. Identical output by construction
+    * (both paths land on the same fixpoint; also spec-pinned), same DuckDB
+    * oracle. Its bench time on the small corpus measures exactly what the
+    * adaptive probe saves (per-round job scheduling dominates at this
+    * size — the documented reason the small path exists).
+    */
+  def d6bDupClustersDist(s: SparkSession, dir: String): DataFrame =
+    d6Impl(s, dir, forceDistributed = true)
+
+  private[queries] def d6Impl(
+      s: SparkSession, dir: String, forceDistributed: Boolean): DataFrame = {
     val withCanon = t(s, dir, "documents")
       .select(col("doc_id"), md5(col("text")).as("h"))
       .withColumn("canon", min("doc_id").over(Window.partitionBy("h")))
@@ -998,10 +1113,13 @@ object PipelineQueries {
     // fixpoint.
     val labels: DataFrame = {
       import s.implicits._
-      val threshold = 2000000
-      val probe = edges0.limit(threshold + 1).as[(Long, Long)].collect()
-      if (probe.length <= threshold) unionFindAssign(s, dir, probe)
-      else propagateLabels(withCanon, edges0.localCheckpoint())
+      if (forceDistributed) propagateLabels(withCanon, edges0.localCheckpoint())
+      else {
+        val threshold = 2000000
+        val probe = edges0.limit(threshold + 1).as[(Long, Long)].collect()
+        if (probe.length <= threshold) unionFindAssign(s, dir, probe)
+        else propagateLabels(withCanon, edges0.localCheckpoint())
+      }
     }
 
     labels
@@ -7006,6 +7124,22 @@ object PipelineQueries {
       // volume from footer stats: no per-run count() job (g1's discipline)
       knownRows = Some(graft.Tables.rowCount(s, s"$dir/lineitem.parquet")))
 
+  /** g2's SCALE BRANCH as its own registered, oracle-checked entry (the
+    * sim7b/d9b/d5b discipline applied to adaptive PLAN choice): past
+    * [[G2BroadcastEdges]] the closure runs as two KEYED equi-joins — the
+    * plan that distributes a >30M-edge wedge set across a cluster's
+    * shuffle (cluster-sizing table in SCALING.md) — so that branch gets a
+    * green CORRECTNESS row every round, not only the broadcast-adjacency
+    * branch the bench-sized graph selects. Identical output by
+    * construction (degree orientation emits each triangle once on either
+    * path; also spec-pinned on cliques/stars/corpus), same DuckDB oracle.
+    */
+  def g2bTrianglesKeyed(s: SparkSession, dir: String): DataFrame =
+    trianglesOfMemberships(t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")),
+      forceJoinPath = true,
+      knownRows = Some(graft.Tables.rowCount(s, s"$dir/lineitem.parquet")))
+
   /** Library form over any (ok, pk) membership table: nodes are `pk`s,
     * edges connect nodes sharing an `ok` group. Property specs drive this
     * with synthetic graphs of known closed-form counts (cliques).
@@ -7111,9 +7245,11 @@ object PipelineQueries {
     "d3_simhash" -> (d3Simhash _),
     "d3b_simhash_pairs" -> (d3bSimhashPairs _),
     "d4_ngram_jaccard" -> (d4NgramJaccard _),
+    "d4b_jaccard_prefix_path" -> (d4bJaccardPrefixPath _),
     "d5_embedding_nn" -> (d5EmbeddingNn _),
     "d5b_embedding_nn_scaled" -> (d5bEmbeddingNnScaled _),
     "d6_dup_clusters" -> (d6DupClusters _),
+    "d6b_dup_clusters_dist" -> (d6bDupClustersDist _),
     "g1_pagerank" -> (g1Pagerank _),
     "d7_contamination" -> (d7Contamination _),
     "d8_span_dedup" -> (d8SpanDedup _),
@@ -7174,6 +7310,7 @@ object PipelineQueries {
     "x37_apply_mixture" -> (x37ApplyMixture _),
     "x24_drift_report" -> (x24DriftReport _),
     "g2_triangles" -> (g2Triangles _),
+    "g2b_triangles_keyed" -> (g2bTrianglesKeyed _),
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_frame_sample" -> (m2FrameSample _),
     "m3_feature_ann" -> (m3FeatureAnn _),
@@ -7207,9 +7344,11 @@ object PipelineQueries {
     "d3_simhash" -> d3Sql,
     "d3b_simhash_pairs" -> d3bSql,
     "d4_ngram_jaccard" -> d4Sql,
+    "d4b_jaccard_prefix_path" -> d4bSql,
     "d5_embedding_nn" -> d5Sql,
     "d5b_embedding_nn_scaled" -> d5bSql,
     "d6_dup_clusters" -> d6Sql,
+    "d6b_dup_clusters_dist" -> d6Sql,
     "g1_pagerank" -> g1Sql,
     "d7_contamination" -> d7Sql,
     "d8_span_dedup" -> d8Sql,
@@ -7270,6 +7409,7 @@ object PipelineQueries {
     "x37_apply_mixture" -> x37Sql,
     "x24_drift_report" -> x24Sql,
     "g2_triangles" -> g2Sql,
+    "g2b_triangles_keyed" -> g2Sql,
     "m1_binary_meta" -> m1Sql,
     "m2_frame_sample" -> m2Sql,
     "m3_feature_ann" -> m3Sql,

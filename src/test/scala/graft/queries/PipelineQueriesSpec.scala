@@ -720,6 +720,55 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(multi.nonEmpty)
   }
 
+  test("scale-branch twins d6b/g2b equal their adaptive base entries row-for-row") {
+    // The registered contract behind the b-twins: forcing the branch a
+    // 100 TB corpus takes (distributed label propagation / keyed wedge
+    // joins) changes the PLAN, never the rows. The library paths are
+    // pinned equivalent elsewhere; this pins the REGISTERED entries
+    // end-to-end on the corpus, including the shared oracle SQL.
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().toSeq.map(_.toSeq)
+    assert(rowsOf(PipelineQueries.d6bDupClustersDist(spark, sf)) ==
+      rowsOf(PipelineQueries.d6DupClusters(spark, sf)))
+    assert(rowsOf(PipelineQueries.g2bTrianglesKeyed(spark, sf)) ==
+      rowsOf(PipelineQueries.g2Triangles(spark, sf)))
+    assert(PipelineQueries.oracles("d6b_dup_clusters_dist") ==
+      PipelineQueries.oracles("d6_dup_clusters"))
+    assert(PipelineQueries.oracles("g2b_triangles_keyed") ==
+      PipelineQueries.oracles("g2_triangles"))
+  }
+
+  test("d4b: prefix path over the Heaps view matches a driver-side brute force; planted pairs recovered") {
+    // d4b's registered contract: the PPJoin prefix branch over the
+    // Heaps-vocabulary view equals exact all-pairs Jaccard over the SAME
+    // view (prefix filtering is exact), and every planted truncated copy
+    // pairs with its source at J ≈ 0.8 > 0.6. The brute force here is an
+    // independent JVM set computation, not Spark.
+    val view = PipelineQueries.heapsViewDocs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"), r.getAs[String]("text")))
+    def grams(t: String): Set[String] =
+      (0 to t.length - 4).map(i => t.substring(i, i + 4)).toSet
+    val gs = view.filter(_._3.length >= 4).map { case (id, lang, t) => (id, lang, grams(t)) }
+    val expected = (for {
+      a <- gs; b <- gs
+      if a._2 == b._2 && a._1 < b._1
+      inter = (a._3 & b._3).size.toLong
+      uni = (a._3 | b._3).size.toLong
+      if inter * 5 >= uni * 3
+    } yield (a._1, b._1, a._2, 1000000L * inter / uni)).toSet
+    val got = PipelineQueries.d4bJaccardPrefixPath(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[String]("lang"), r.getAs[Long]("jaccard_ppm"))).toSet
+    assert(got == expected)
+    val planted = got.filter { case (a, b, _, _) => b == a + 1099511627776L }
+    assert(planted.nonEmpty, "no planted truncated pair recovered")
+    assert(planted.forall(_._4 >= 600000))
+    // the planted family: every 101st doc must find its copy
+    val sources = view.map(_._1).filter(id => id < 1099511627776L && id % 101 == 0)
+    assert(planted.size == sources.length,
+      s"planted ${planted.size} of ${sources.length} recovered")
+  }
+
   test("d6 clusters are consistent: every doc labeled, edges intra-cluster, id = min member") {
     val rows = PipelineQueries.d6DupClusters(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
