@@ -44,6 +44,23 @@ class PlanQualitySpec extends SparkSpec {
         p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
   }
 
+  test("scale twins (d5b/d4b/g2b/d6b) keep their keyed-join shape, never a product") {
+    // These entries exist to pin the branch a 100 TB run executes, so their
+    // PLAN is the contract: d5b's candidate generation must be an equi-join
+    // on the IVF cell, d4b's on the prefix gram, g2b's wedge closure on the
+    // oriented edge key, d6b's per-round propagation on the edge list — a
+    // cartesian fallback in any of them silently reintroduces exactly the
+    // O(n²) the twin was registered to disprove.
+    Seq("d5b" -> PipelineQueries.d5bEmbeddingNnScaled(spark, sf),
+        "d4b" -> PipelineQueries.d4bJaccardPrefixPath(spark, sf),
+        "g2b" -> PipelineQueries.g2bTrianglesKeyed(spark, sf),
+        "d6b" -> PipelineQueries.d6bDupClustersDist(spark, sf)).foreach { case (name, df) =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name degenerated to a product join")
+    }
+  }
+
   test("bucketed ANN paths (sim2/sim3/sim7) join on their bucket key, never a product") {
     // The whole point of the LSH/IVF scale paths is that candidate
     // generation is an equi-join on a compact key; a cartesian fallback
