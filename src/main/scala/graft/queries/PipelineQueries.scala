@@ -791,8 +791,10 @@ object PipelineQueries {
   /** A Heaps-law view of `documents`, identical in Spark and DuckDB: every
     * word type gets an 8-char content-class-keyed salt suffix, and every
     * 101st document plants a truncated (first ⌈4n/5⌉ words) near-dup copy
-    * at doc_id + 2⁴⁰ that CARRIES its source's class so the planted pair
-    * survives salting (char-4-gram Jaccard ≈ 0.8 > 0.6).
+    * at -(doc_id + 1) — negative ids cannot collide with any real id at
+    * ANY corpus size, unlike an additive offset, which silently aliases
+    * once ids outgrow it — that CARRIES its source's class so the planted
+    * pair survives salting (char-4-gram Jaccard ≈ 0.8 > 0.6).
     *
     * The salt design carries the measured lessons from the ScaleUp `vocab`
     * rehearsal corpus (ScaleUp.scala): classes of ~4 docs land rare-gram
@@ -812,7 +814,7 @@ object PipelineQueries {
       .withColumn("cls",
         expr("cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint)") % classes)
     val planted = base.filter(col("doc_id") % 101 === 0)
-      .withColumn("doc_id", col("doc_id") + lit(1099511627776L))
+      .withColumn("doc_id", -(col("doc_id") + lit(1L)))
       .withColumn("text", expr(
         "array_join(slice(split(text, ' '), 1, " +
           "cast((4 * size(split(text, ' ')) + 4) div 5 as int)), ' ')"))
@@ -1029,7 +1031,7 @@ object PipelineQueries {
        |  ('0x' || substring(md5(text), 1, 8))::BIGINT %
        |    (SELECT GREATEST(64, count(*) // 4) FROM documents) AS cls
        |  FROM documents),
-       |hvp AS (SELECT doc_id + 1099511627776 AS doc_id, lang,
+       |hvp AS (SELECT -(doc_id + 1) AS doc_id, lang,
        |  array_to_string(list_slice(string_split(text, ' '), 1,
        |    (4 * len(string_split(text, ' ')) + 4) // 5), ' ') AS text, cls
        |  FROM hv0 WHERE doc_id % 101 = 0),

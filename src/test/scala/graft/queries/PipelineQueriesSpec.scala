@@ -760,11 +760,13 @@ class PipelineQueriesSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
         r.getAs[String]("lang"), r.getAs[Long]("jaccard_ppm"))).toSet
     assert(got == expected)
-    val planted = got.filter { case (a, b, _, _) => b == a + 1099511627776L }
+    // planted copies carry -(source+1): a pair (copy, source) sorts copy
+    // first (negative < positive), so detect a == -(b + 1)
+    val planted = got.filter { case (a, b, _, _) => a == -(b + 1L) }
     assert(planted.nonEmpty, "no planted truncated pair recovered")
     assert(planted.forall(_._4 >= 600000))
     // the planted family: every 101st doc must find its copy
-    val sources = view.map(_._1).filter(id => id < 1099511627776L && id % 101 == 0)
+    val sources = view.map(_._1).filter(id => id >= 0 && id % 101 == 0)
     assert(planted.size == sources.length,
       s"planted ${planted.size} of ${sources.length} recovered")
   }
