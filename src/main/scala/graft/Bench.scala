@@ -73,8 +73,13 @@ object Bench {
     // the NEXT query's timed window (measured +0.6 s over 12 queries);
     // blocking puts the release in the untimed gap between queries.
     val sweep = sys.env.getOrElse("SPARK_GRAFT_BENCH_SWEEP", "1") != "0"
-    def sweepBlocks(): Unit = if (sweep)
+    def sweepBlocks(): Unit = if (sweep) {
+      // clearCache drops CacheManager ENTRIES too (d4 persists its gram
+      // set): without it the plan-match list grows across 142 queries and
+      // every later .persist pays a scan over stale InMemoryRelations.
+      spark.sqlContext.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    }
     // Untimed warm-up pass: first execution of each plan pays one-time JVM
     // costs (encoder/codegen Janino compilation, JIT) that a long-running
     // cluster amortizes to zero; the timed pass below measures steady-state
