@@ -126,7 +126,15 @@ object WarcDocs {
               case enc if enc.contains("deflate") => body = inflateBody(body, gzipWrapped = false)
               case _ =>
             }
-            new String(body, "UTF-8")
+            // Honor the DECLARED charset (Content-Type: ...; charset=x): a
+            // latin-1 / windows-1252 / shift_jis page decoded as UTF-8
+            // collapses every non-ASCII byte to U+FFFD — silent text loss
+            // on a large slice of the real web. Declared-header charset
+            // only (no meta-tag sniffing, no statistical guessing);
+            // absent, unsupported, or syntactically illegal → UTF-8.
+            // String decoding itself never throws (malformed input is
+            // replaced), so this stays total like the rest of the parser.
+            new String(body, declaredCharset(headerValue("content-type")))
           } else // conversion/WET and non-HTTP captures: no copy, no decode
             new String(bytes, bodyStart, (q + len - bodyStart).toInt, "UTF-8")
         out += ((uri, date, text))
@@ -136,6 +144,28 @@ object WarcDocs {
       while (p + 1 < n && bytes(p) == '\r' && bytes(p + 1) == '\n') p += 2
     }
     out.toSeq
+  }
+
+  /** Resolves a lowercased Content-Type header's `charset=` token to a JVM
+    * charset, UTF-8 when absent/unknown/illegal. Quoted values
+    * (`charset="iso-8859-1"`) unwrap; the token ends at `;`, space, or `,`.
+    */
+  private[sources] def declaredCharset(contentType: String): java.nio.charset.Charset = {
+    val i = contentType.indexOf("charset=")
+    if (i < 0) java.nio.charset.StandardCharsets.UTF_8
+    else {
+      val tail = contentType.substring(i + 8)
+      val raw0 = tail.takeWhile(c => c != ';' && c != ' ' && c != ',')
+      val raw = if (raw0.startsWith("\"")) raw0.drop(1).takeWhile(_ != '"') else raw0
+      try {
+        if (raw.nonEmpty && java.nio.charset.Charset.isSupported(raw))
+          java.nio.charset.Charset.forName(raw)
+        else java.nio.charset.StandardCharsets.UTF_8
+      } catch {
+        // isSupported itself throws on ILLEGAL charset syntax (e.g. "_x")
+        case _: Exception => java.nio.charset.StandardCharsets.UTF_8
+      }
+    }
   }
 
   /** De-frames a `Transfer-Encoding: chunked` HTTP body: hex chunk-size

@@ -189,6 +189,50 @@ class WarcDocsSpec extends SparkSpec {
     assert(got("http://d.example/6") == "5\r\nhello\r\n0\r\n\r\n")
   }
 
+  test("HTTP body decoding honors the declared charset; unknown or illegal charsets fall back to UTF-8") {
+    def http(headers: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\n$headers\r\n\r\n").getBytes("ISO-8859-1") ++ body
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo); g.write(b); g.close()
+      bo.toByteArray
+    }
+    val latin = "café résumé"          // é = 0xE9 in latin-1, invalid alone in UTF-8
+    val sjis = "日本語"                    // CP932 text
+    val bytes =
+      record("response", "http://c.example/1", "2026-03-01T00:00:00Z",
+        http("Content-Type: text/html; charset=ISO-8859-1", latin.getBytes("ISO-8859-1"))) ++
+      // quoted value + trailing parameter
+      record("response", "http://c.example/2", "2026-03-01T00:00:01Z",
+        http("Content-Type: text/html; charset=\"windows-1252\"; format=flowed",
+          latin.getBytes("windows-1252"))) ++
+      record("response", "http://c.example/3", "2026-03-01T00:00:02Z",
+        http("Content-Type: text/html; charset=shift_jis", sjis.getBytes("Shift_JIS"))) ++
+      // charset INSIDE a gzipped body: inflate first, then decode
+      record("response", "http://c.example/4", "2026-03-01T00:00:03Z",
+        http("Content-Type: text/html; charset=iso-8859-1\r\nContent-Encoding: gzip",
+          gz(latin.getBytes("ISO-8859-1")))) ++
+      // unknown and syntactically ILLEGAL charsets: UTF-8 fallback, no throw
+      record("response", "http://c.example/5", "2026-03-01T00:00:04Z",
+        http("Content-Type: text/html; charset=not-a-real-charset", "ascii body".getBytes("UTF-8"))) ++
+      record("response", "http://c.example/6", "2026-03-01T00:00:05Z",
+        http("Content-Type: text/html; charset=_%$!", "still fine".getBytes("UTF-8"))) ++
+      // no charset: UTF-8 default unchanged
+      record("response", "http://c.example/7", "2026-03-01T00:00:06Z",
+        http("Content-Type: text/html", latin.getBytes("UTF-8")))
+    val got = WarcDocs.parseWarc(bytes).map(t => t._1 -> t._3).toMap
+    assert(got("http://c.example/1") == latin)
+    assert(got("http://c.example/2") == latin)
+    assert(got("http://c.example/3") == sjis)
+    assert(got("http://c.example/4") == latin)
+    assert(got("http://c.example/5") == "ascii body")
+    assert(got("http://c.example/6") == "still fine")
+    assert(got("http://c.example/7") == latin)
+    // the latin-1 page read as UTF-8 WOULD have lost the accents — pin the
+    // counterfactual so the test fails if the charset path is ever removed
+    assert(new String(latin.getBytes("ISO-8859-1"), "UTF-8") != latin)
+  }
+
   test("HTTP body decoding degrades, never throws: malformed chunk framing, lying sizes, hostile magic") {
     // mislabeled chunked: first size line is not hex → raw body kept
     assert(WarcDocs.dechunk("not chunked at all".getBytes("UTF-8")).isEmpty)
