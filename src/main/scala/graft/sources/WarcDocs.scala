@@ -39,7 +39,8 @@ object WarcDocs {
   /** Parses one WARC file's bytes into (targetUri, warcDate, payload)
     * triples for response/conversion records. Exposed for the spec.
     */
-  private[sources] def parseWarc(bytes: Array[Byte]): Seq[(String, String, String)] = {
+  private[sources] def parseWarc(bytes: Array[Byte],
+      extractText: Boolean = false): Seq[(String, String, String)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
     var p = 0
     val n = bytes.length
@@ -134,7 +135,17 @@ object WarcDocs {
             // absent, unsupported, or syntactically illegal → UTF-8.
             // String decoding itself never throws (malformed input is
             // replaced), so this stays total like the rest of the parser.
-            new String(body, declaredCharset(headerValue("content-type")))
+            val ct = headerValue("content-type")
+            val decoded = new String(body, declaredCharset(ct))
+            // extractText strips HTML only where HTML is DECLARED (or,
+            // with no content-type at all, self-evident from the leading
+            // doctype/html tag) — a text/plain body with angle brackets
+            // is prose and stays byte-identical.
+            if (extractText && (ct.contains("html") || (ct.isEmpty && {
+              val head = decoded.dropWhile(_.isWhitespace).take(15).toLowerCase(java.util.Locale.ROOT)
+              head.startsWith("<!doctype") || head.startsWith("<html")
+            }))) stripHtml(decoded)
+            else decoded
           } else // conversion/WET and non-HTTP captures: no copy, no decode
             new String(bytes, bodyStart, (q + len - bodyStart).toInt, "UTF-8")
         out += ((uri, date, text))
@@ -144,6 +155,89 @@ object WarcDocs {
       while (p + 1 < n && bytes(p) == '\r' && bytes(p + 1) == '\n') p += 2
     }
     out.toSeq
+  }
+
+  /** Extracts readable text from HTML in one pass — the step between a
+    * decoded crawl body and every downstream text operator (raw markup in
+    * the text column poisons langid n-grams, quality ratios, shingles, and
+    * token counts alike). Deliberately a small, total state machine, not a
+    * DOM parser:
+    *  - `<!-- -->` comments and `<script>`/`<style>` ELEMENTS (tag AND
+    *    contents) disappear; an unclosed one swallows the rest — that
+    *    remainder IS script/comment bytes, not prose.
+    *  - any other tag becomes one space; `<` NOT followed by a letter,
+    *    `/`, `!` or `?` is literal text (the HTML5 tokenizer rule), so
+    *    plain-text pages with math like `a < b` survive unharmed; a
+    *    truncated trailing tag (no `>`) drops to end.
+    *  - the core entities (`&amp; &lt; &gt; &quot; &apos; &nbsp;`) and
+    *    numeric references (`&#65;` / `&#x41;`, code points validated)
+    *    decode; anything unrecognized stays literal.
+    *  - whitespace runs collapse to one space and the result is trimmed —
+    *    markup position carries no meaning downstream.
+    * Output length never exceeds input length (every rewrite shrinks its
+    * span), a property the fuzz suite pins along with totality.
+    */
+  private[sources] def stripHtml(s: String): String = {
+    val n = s.length
+    val lower = s.toLowerCase(java.util.Locale.ROOT)
+    val out = new java.lang.StringBuilder(n)
+    var lastSpace = true // leading whitespace trims itself
+    def space(): Unit = if (!lastSpace) { out.append(' '); lastSpace = true }
+    // tag-name boundary: `<script>` `<script src=…>` `<script/>` but NOT
+    // `<scripty>` (whose contents are prose, not code)
+    def tagEnd(p: Int): Boolean = p >= n || " \t\n\r/>".indexOf(lower.charAt(p)) >= 0
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (lower.startsWith("<!--", i)) {
+          val e = lower.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+          space()
+        } else if ((lower.startsWith("<script", i) && tagEnd(i + 7)) ||
+            (lower.startsWith("<style", i) && tagEnd(i + 6))) {
+          val close = if (lower.charAt(i + 1) == 's' && lower.charAt(i + 2) == 'c') "</script" else "</style"
+          val e = lower.indexOf(close, i + 1)
+          val gt = if (e < 0) -1 else lower.indexOf('>', e)
+          i = if (gt < 0) n else gt + 1
+          space()
+        } else if (i + 1 < n && (s.charAt(i + 1).isLetter ||
+            s.charAt(i + 1) == '/' || s.charAt(i + 1) == '!' || s.charAt(i + 1) == '?')) {
+          val e = lower.indexOf('>', i + 1)
+          i = if (e < 0) n else e + 1
+          space()
+        } else { out.append(c); lastSpace = false; i += 1 }
+      } else if (c == '&') {
+        val semi = lower.indexOf(';', i + 1)
+        val ent = if (semi > i && semi - i <= 10) lower.substring(i + 1, semi) else ""
+        val decoded: String = ent match {
+          case "amp" => "&"
+          case "lt" => "<"
+          case "gt" => ">"
+          case "quot" => "\""
+          case "apos" => "'"
+          case "nbsp" => " "
+          case e if e.startsWith("#") =>
+            val cp = try {
+              if (e.startsWith("#x")) Integer.parseInt(e.drop(2), 16)
+              else Integer.parseInt(e.drop(1), 10)
+            } catch { case _: NumberFormatException => -1 }
+            if (cp >= 0x20 && cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF))
+              new String(Character.toChars(cp))
+            else if (cp >= 0 && cp < 0x20) " " // control refs act as whitespace
+            else null
+          case _ => null
+        }
+        if (decoded == null) { out.append('&'); lastSpace = false; i += 1 }
+        else {
+          if (decoded == " ") space()
+          else { out.append(decoded); lastSpace = false }
+          i = semi + 1
+        }
+      } else if (c.isWhitespace) { space(); i += 1 }
+      else { out.append(c); lastSpace = false; i += 1 }
+    }
+    out.toString.trim
   }
 
   /** Resolves a lowercased Content-Type header's `charset=` token to a JVM
@@ -295,14 +389,22 @@ object WarcDocs {
     * concatenated stream) — onto the `documents` contract. One task per
     * file — the CommonCrawl unit.
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  /** `extractText = true` additionally strips declared-HTML response
+    * bodies to readable text ([[stripHtml]]) — what a training-data
+    * pipeline wants in the `text` column; the default keeps raw bodies
+    * (the archival contract, and what WET `conversion` records already
+    * are).
+    */
+  def read(spark: SparkSession, path: String,
+      extractText: Boolean = false): DataFrame = {
     import spark.implicits._
     docsContract(
       spark.sparkContext.binaryFiles(path)
         .flatMap { case (file, pds) =>
           val bytes =
             if (file.endsWith(".gz")) gunzip(pds.open()) else pds.toArray()
-          parseWarc(bytes).map { case (uri, date, text) => (uri, date, text, file) }
+          parseWarc(bytes, extractText)
+            .map { case (uri, date, text) => (uri, date, text, file) }
         }
         .toDF("uri", "warc_date", "text", "warc_file"))
   }
@@ -332,7 +434,8 @@ object WarcDocs {
     * overwrite-by-batchId sinks key on. Throughput knobs are the source's
     * (`maxFilesPerTrigger` / `maxBytesPerTrigger`), not ours.
     */
-  def readStream(spark: SparkSession, path: String): DataFrame = {
+  def readStream(spark: SparkSession, path: String,
+      extractText: Boolean = false): DataFrame = {
     import spark.implicits._
     docsContract(
       spark.readStream.format("binaryFile")
@@ -346,7 +449,8 @@ object WarcDocs {
           val bytes =
             if (file.endsWith(".gz")) gunzip(new java.io.ByteArrayInputStream(raw))
             else raw
-          parseWarc(bytes).map { case (uri, date, text) => (uri, date, text, file) }
+          parseWarc(bytes, extractText)
+            .map { case (uri, date, text) => (uri, date, text, file) }
         }
         .toDF("uri", "warc_date", "text", "warc_file"))
   }

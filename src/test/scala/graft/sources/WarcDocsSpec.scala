@@ -233,6 +233,58 @@ class WarcDocsSpec extends SparkSpec {
     assert(new String(latin.getBytes("ISO-8859-1"), "UTF-8") != latin)
   }
 
+  test("stripHtml: tags, script/style elements, comments, entities, whitespace — and what it must NOT touch") {
+    import WarcDocs.stripHtml
+    assert(stripHtml("<html><body><h1>Title</h1><p>one <b>two</b> three</p></body></html>")
+      == "Title one two three")
+    // script/style contents are code, not prose — gone entirely
+    assert(stripHtml("<p>keep</p><script type=\"x\">var a = '<p>fake</p>';</script><p>more</p>")
+      == "keep more")
+    assert(stripHtml("<style>.c { color: red }</style>text") == "text")
+    // but <scripty> is just an unknown tag: its CONTENTS are prose
+    assert(stripHtml("<scripty>words</scripty>") == "words")
+    // comments vanish, even wrapping markup
+    assert(stripHtml("a<!-- <p>hidden</p> -->b") == "a b")
+    // entities: named, decimal, hex; unknown stays literal
+    assert(stripHtml("T&amp;C &lt;ok&gt; &#65;&#x42; &bogus; R&amp;D")
+      == "T&C <ok> AB &bogus; R&D")
+    assert(stripHtml("one&nbsp;&nbsp;two") == "one two")
+    // HTML5 rule: < not followed by letter//!? is literal text
+    assert(stripHtml("if a < b then c > d") == "if a < b then c > d")
+    // unclosed script swallows the tail (it IS code); unclosed tag at EOF drops
+    assert(stripHtml("before<script>var x = 1") == "before")
+    assert(stripHtml("text<div cla") == "text")
+    // whitespace collapses across newlines/tabs and trims
+    assert(stripHtml("  <p>\n\ta\n\nb\t</p>  ") == "a b")
+    assert(stripHtml("") == "")
+  }
+
+  test("extractText strips only DECLARED html; text/plain and WET conversion records stay raw") {
+    def http(headers: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\n$headers\r\n\r\n").getBytes("ISO-8859-1") ++ body
+    val html = "<html><body><p>r&eacute;al&nbsp;<b>page</b></p></body></html>"
+    val bytes =
+      record("response", "http://h.example/1", "2026-03-01T00:00:00Z",
+        http("Content-Type: text/html; charset=utf-8", html.getBytes("UTF-8"))) ++
+      // plain text WITH angle brackets: math, not markup
+      record("response", "http://h.example/2", "2026-03-01T00:00:01Z",
+        http("Content-Type: text/plain", "for x < 10 emit <result>".getBytes("UTF-8"))) ++
+      // no content-type at all, body self-evidently html
+      record("response", "http://h.example/3", "2026-03-01T00:00:02Z",
+        http("Server: x", "<!DOCTYPE html><html><p>bare</p></html>".getBytes("UTF-8"))) ++
+      // WET-style conversion record: never touched
+      record("conversion", "http://h.example/4", "2026-03-01T00:00:03Z",
+        "already <extracted> text".getBytes("UTF-8"))
+    val on = WarcDocs.parseWarc(bytes, extractText = true).map(t => t._1 -> t._3).toMap
+    assert(on("http://h.example/1") == "r&eacute;al page") // entity decode: &nbsp; yes, unknown stays
+    assert(on("http://h.example/2") == "for x < 10 emit <result>")
+    assert(on("http://h.example/3") == "bare")
+    assert(on("http://h.example/4") == "already <extracted> text")
+    // default OFF: byte-identical to the archival contract
+    val off = WarcDocs.parseWarc(bytes).map(t => t._1 -> t._3).toMap
+    assert(off("http://h.example/1") == html)
+  }
+
   test("HTTP body decoding degrades, never throws: malformed chunk framing, lying sizes, hostile magic") {
     // mislabeled chunked: first size line is not hex → raw body kept
     assert(WarcDocs.dechunk("not chunked at all".getBytes("UTF-8")).isEmpty)

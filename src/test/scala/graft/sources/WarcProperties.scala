@@ -104,4 +104,30 @@ object WarcProperties extends Properties("WarcDocs") {
       // load-bearing half of the law is "does not throw"
       WarcDocs.parseWarc(b).size <= b.length / 30 + 1
     }
+
+  // markup-flavored noise: unbalanced tags, stray &/<, truncated comments
+  private val htmlish: Gen[String] =
+    Gen.chooseNum(0, 60).flatMap(n => Gen.listOfN(n, Gen.oneOf(
+      Gen.oneOf("<", ">", "&", "&#", ";", "<!--", "-->", "</", "<script",
+        "</script>", "<style>", "<p>", "<div class=\"x\">", "&amp;", "&#x41;",
+        "&nbsp;", " ", "\n", "\t"),
+      Gen.alphaNumStr.map(_.take(8))
+    )).map(_.mkString))
+
+  property("stripHtml is total on markup noise and never grows its input") =
+    Prop.forAll(htmlish) { s =>
+      val out = WarcDocs.stripHtml(s)
+      out != null && out.length <= s.length
+    }
+
+  property("stripHtml is idempotent-safe on its own output: no residual tags or decodable entities appear") =
+    Prop.forAll(htmlish) { s =>
+      // not full idempotence (a '<' literal kept by the HTML5 rule stays a
+      // literal) — the law is that a SECOND pass never shrinks further by
+      // more than re-collapsed whitespace around kept literals can explain;
+      // practically: no "<tag" survives pass one
+      val once = WarcDocs.stripHtml(s)
+      !once.toLowerCase.contains("<script") && !once.contains("<!--") &&
+        !once.toLowerCase.contains("<div")
+    }
 }
