@@ -210,6 +210,7 @@ object VectorExpressions {
     "graft_cms_estimate" -> (exprs => CmsEstimate(exprs(0), exprs(1))),
     "graft_bitmap_distinct" -> (exprs => BitmapDistinct(exprs(0))
       .toAggregateExpression()),
+    "graft_canonical_url" -> (exprs => CanonicalUrl(exprs(0))),
   )
 
   def register(spark: SparkSession): Unit =
