@@ -285,6 +285,54 @@ class WarcDocsSpec extends SparkSpec {
     assert(off("http://h.example/1") == html)
   }
 
+  test("wire-realistic crawl e2e: chunked+gzipped latin-1 HTML → read(extractText) → canonical-URL dedup") {
+    // The whole round-8 ingest story in one pass: a CommonCrawl-shaped
+    // response (Transfer-Encoding: chunked wrapping Content-Encoding: gzip,
+    // charset=ISO-8859-1, HTML body, tracking-parameter URL) must land in
+    // the documents contract as clean prose, and the same page crawled
+    // under two URL spellings must collapse under graft_canonical_url.
+    import org.apache.spark.sql.functions._
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo); g.write(b); g.close()
+      bo.toByteArray
+    }
+    def chunked(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      var p = 0
+      while (p < b.length) {
+        val take = math.min(11, b.length - p)
+        bo.write(s"${take.toHexString}\r\n".getBytes("ISO-8859-1"))
+        bo.write(b, p, take); bo.write("\r\n".getBytes("ISO-8859-1")); p += take
+      }
+      bo.write("0\r\n\r\n".getBytes("ISO-8859-1"))
+      bo.toByteArray
+    }
+    def http(headers: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\n$headers\r\n\r\n").getBytes("ISO-8859-1") ++ body
+    val page = "<html><head><script>track();</script></head>" +
+      "<body><h1>Café menu</h1><p>cr&egrave;me&nbsp;brûlée</p></body></html>"
+    val wire = http(
+      "Content-Type: text/html; charset=ISO-8859-1\r\n" +
+        "Content-Encoding: gzip\r\nTransfer-Encoding: chunked",
+      chunked(gz(page.getBytes("ISO-8859-1"))))
+    val bytes =
+      record("response", "HTTP://Cafe.example:80/menu?utm_source=feed", "2026-03-01T00:00:00Z", wire) ++
+      record("response", "http://cafe.example/menu#today", "2026-03-01T00:00:01Z", wire)
+    val dir = Files.createTempDirectory("warc-e2e")
+    Files.write(dir.resolve("seg.warc"), bytes)
+    try {
+      val docs = WarcDocs.read(spark, dir.toString, extractText = true)
+      val texts = docs.select("text").collect().map(_.getString(0)).toSeq
+      assert(texts == Seq.fill(2)("Café menu cr&egrave;me brûlée"))
+      val canon = docs.groupBy(expr("graft_canonical_url(source)").as("u")).count().collect()
+      assert(canon.map(r => r.getString(0) -> r.getLong(1)).toSeq ==
+        Seq("http://cafe.example/menu" -> 2L))
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete()); Files.delete(dir)
+    }
+  }
+
   test("HTTP body decoding degrades, never throws: malformed chunk framing, lying sizes, hostile magic") {
     // mislabeled chunked: first size line is not hex → raw body kept
     assert(WarcDocs.dechunk("not chunked at all".getBytes("UTF-8")).isEmpty)
