@@ -786,7 +786,9 @@ object PipelineQueries {
     * time, no OOM, no spill death (SCALING.md).
     */
   def d4bJaccardPrefixPath(s: SparkSession, dir: String): DataFrame =
-    d4Core(s, heapsViewDocs(s, dir), forcePrefixPath = true)
+    d4Core(s, heapsViewDocs(s, dir), forcePrefixPath = true,
+      // + ~1% planted copies — immaterial for partition SIZING
+      knownDocs = Some(graft.Tables.rowCount(s, s"$dir/documents.parquet")))
 
   /** A Heaps-law view of `documents`, identical in Spark and DuckDB: every
     * word type gets an 8-char content-class-keyed salt suffix, and every
@@ -838,10 +840,11 @@ object PipelineQueries {
   private[queries] def d4Impl(
       s: SparkSession, dir: String, forcePrefixPath: Boolean): DataFrame =
     d4Core(s, t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
-      forcePrefixPath)
+      forcePrefixPath,
+      knownDocs = Some(graft.Tables.rowCount(s, s"$dir/documents.parquet")))
 
-  private def d4Core(
-      s: SparkSession, docs: DataFrame, forcePrefixPath: Boolean): DataFrame = {
+  private def d4Core(s: SparkSession, docs: DataFrame,
+      forcePrefixPath: Boolean, knownDocs: Option[Long] = None): DataFrame = {
     import s.implicits._
     // Distinct char-4-grams per doc in one typed pass (tight JVM loop over a
     // LinkedHashSet; the interpreted transform/array_distinct HOF pair cost
@@ -921,7 +924,7 @@ object PipelineQueries {
       // the 100× rehearsal OOM. Catalyst plans it as one extra shuffle
       // stage off the cached gram set.
       val dfreq = ex.groupBy("lang", "gram").agg(count(lit(1)).as("df"))
-      d4PrefixPath(g, ex, dfreq)
+      d4PrefixPath(g, ex, dfreq, knownDocs)
     }
   }
 
@@ -982,20 +985,41 @@ object PipelineQueries {
     * drop out of the prefixes. Candidate generation is ~linear when grams
     * are selective, which is precisely the regime this branch is chosen for.
     */
-  private def d4PrefixPath(g: DataFrame, ex: DataFrame, dfreq: DataFrame): DataFrame = {
+  private def d4PrefixPath(g: DataFrame, ex: DataFrame, dfreq: DataFrame,
+      knownDocs: Option[Long] = None): DataFrame = {
+    val s = g.sparkSession
+    // g1/g2's volume-adaptive clustering for the three data-wide stages
+    // (per-doc rank window, prefix self-join, candidate distinct): at 100×
+    // they each push ~10⁸ gram rows through the session's 32 partitions —
+    // multi-GB sort spills per task. Size to ~2M gram rows per partition
+    // from the footer doc count (× ~400 distinct grams/doc, the measured
+    // corpus shape — sizing only, exactness unaffected), engaged ONLY past
+    // the session default so bench-scale plans are byte-identical.
+    val aggP = math.max(s.sparkContext.defaultParallelism,
+      math.min(4096L, knownDocs.getOrElse(0L) / 5000L).toInt)
+    def cluster(df: DataFrame, c: Column*): DataFrame =
+      if (aggP > s.sparkContext.defaultParallelism) df.repartition(aggP, c: _*) else df
     val exN = ex.join(g.select(col("doc_id"), size(col("g")).cast("long").as("n")), Seq("doc_id"))
     val byDoc = Window.partitionBy("doc_id").orderBy("df", "gram")
-    val prefix = exN.join(dfreq.select("lang", "gram", "df"), Seq("lang", "gram"))
+    // pre-clustering by doc_id at aggP satisfies the window's required
+    // distribution, so the rank sort runs at aggP with no extra exchange
+    val prefix = cluster(
+        exN.join(dfreq.select("lang", "gram", "df"), Seq("lang", "gram")), col("doc_id"))
       .withColumn("rk", row_number().over(byDoc))
       // prefix length n - ceil(0.6n) + 1; ceil(3n/5) = (3n+4) div 5 exactly
       .filter(col("rk") <= col("n") - expr("(3L * n + 4L) div 5L") + lit(1))
       .select("lang", "gram", "doc_id", "n")
-    val cand = prefix.select(col("lang"), col("gram"), col("doc_id").as("doc_a"), col("n").as("na"))
-      .join(prefix.select(col("lang"), col("gram"), col("doc_id").as("doc_b"), col("n").as("nb")),
-        Seq("lang", "gram"))
-      .filter(col("doc_a") < col("doc_b") &&
-        col("na") * 3 <= col("nb") * 5 && col("nb") * 3 <= col("na") * 5)
-      .select("lang", "doc_a", "doc_b").distinct()
+    // both self-join sides derive from ONE clustered frame: the second
+    // side's exchange is reused, and the join itself runs at aggP
+    val pc = cluster(prefix, col("lang"), col("gram"))
+    val cand = cluster(
+        pc.select(col("lang"), col("gram"), col("doc_id").as("doc_a"), col("n").as("na"))
+          .join(pc.select(col("lang"), col("gram"), col("doc_id").as("doc_b"), col("n").as("nb")),
+            Seq("lang", "gram"))
+          .filter(col("doc_a") < col("doc_b") &&
+            col("na") * 3 <= col("nb") * 5 && col("nb") * 3 <= col("na") * 5)
+          .select("lang", "doc_a", "doc_b"),
+        col("doc_a"), col("doc_b")).distinct()
     cand
       .join(g.select(col("doc_id").as("doc_a"), col("g").as("ga")), Seq("doc_a"))
       .join(g.select(col("doc_id").as("doc_b"), col("g").as("gb")), Seq("doc_b"))
