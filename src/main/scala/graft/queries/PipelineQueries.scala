@@ -1088,10 +1088,13 @@ object PipelineQueries {
     * equi-join (labels ⨝ edges) + one partial-aggregable min, with
     * convergence detected by a monotone scalar (Σ labels strictly decreases
     * until fixpoint) — one cheap agg per round instead of a full frame diff.
-    * Rounds needed = graph diameter (near-dup graphs are overwhelmingly tiny
-    * stars and chains); a corpus with adversarial diameters would switch to
-    * the alternating large-star/small-star formulation (Kiveris et al.,
-    * SoCC'14) — same per-round plan shape, O(log n) rounds guaranteed.
+    * Rounds needed = O(log diameter), not diameter: each round pairs the
+    * neighbor-min step with a POINTER JUMP (label(v) ← label(label(v)), a
+    * node-sized self-join — the classic doubling trick behind the
+    * large-star/small-star formulation, Kiveris et al., SoCC'14), so a
+    * 10⁶-node chain converges in ~20 rounds instead of 10⁶ — spec-pinned
+    * on a 1500-node path that diameter-bounded propagation could never
+    * finish under the round cap.
     *
     * The DuckDB oracle computes the same components via a recursive CTE —
     * an independent algorithm (transitive closure + min) over the same edge
@@ -1203,11 +1206,35 @@ object PipelineQueries {
         .select(edges("b").as("doc_id"), labels("label").as("label"))
         .union(labels)
         .groupBy("doc_id").agg(min("label").as("label"))
-        .localCheckpoint() // cut lineage: each round's plan stays one join deep
-      val s2 = prop.agg(sum("label")).first().getLong(0)
+        // checkpoint BEFORE the self-join below: joining a live multi-step
+        // plan with a projection of itself trips the analyzer's union
+        // constraint rewrite; a materialized leaf self-joins cleanly (and
+        // each round's plan stays one join deep either way)
+        .localCheckpoint()
+      // Pointer jump — label(v) ← min(label(v), label(label(v))): every
+      // label IS a doc_id in v's own component (canon seeds are doc_ids;
+      // both steps only adopt other nodes' labels), so the node-keyed
+      // self-join is well-defined, preserves the component invariant, and
+      // is monotone non-increasing. Neighbor-min alone needs DIAMETER
+      // rounds (a 10⁶-node chain would blow any round cap); the jump
+      // halves chain depth each round, so rounds are O(log diameter) —
+      // the property that makes the distributed path safe on adversarial
+      // graphs, not just the star/chain shapes near-dup corpora produce.
+      // One extra NODE-sized equi-join per round, nothing edge-sized.
+      val jumped = prop
+        .join(prop.select(col("doc_id").as("label"), col("label").as("label2")),
+          Seq("label"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("label2"), col("label"))).as("label"))
+        .localCheckpoint()
+      // Σ labels strictly decreases until the JOINT fixpoint: both steps
+      // are non-increasing, so an unchanged sum means neither changed any
+      // label — and a neighbor-min fixpoint is constant across every edge,
+      // i.e. per-component, with the min node pinning the value.
+      val s2 = jumped.agg(sum("label")).first().getLong(0)
       converged = s2 == prevSum
       prevSum = s2
-      labels = prop
+      labels = jumped
       rounds += 1
     }
     require(converged, s"components did not converge in $rounds rounds")

@@ -844,6 +844,23 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("d6 label propagation converges in O(log diameter): a 1500-node chain beats the 64-round cap") {
+    // The adversarial shape for min-label propagation: one long path.
+    // Diameter-bounded propagation would need 1499 rounds and trip the
+    // require at 64 — this test FAILS on the jump-free formulation. With
+    // the per-round pointer jump (label(v) ← label(label(v))), chain depth
+    // halves each round, so ~⌈log₂ 1500⌉ + ε rounds suffice and every node
+    // lands on the global min.
+    import spark.implicits._
+    val n = 1500L
+    val und = (0L until n - 1).map(i => (i, i + 1)).toDF("a", "b")
+    val edges = und.union(und.select(col("b").as("a"), col("a").as("b")))
+    val nodes = (0L until n).toDF("doc_id").withColumn("canon", col("doc_id"))
+    val got = PipelineQueries.propagateLabels(nodes, edges).collect()
+    assert(got.length == n)
+    assert(got.forall(_.getAs[Long]("label") == 0L))
+  }
+
   test("d4's bitmap and PPJoin-prefix paths produce identical pairs") {
     // the prefix branch never engages on testdata (vocabulary under the
     // gate), so force it and compare against the adaptive (bitmap) result
