@@ -4887,18 +4887,29 @@ object PipelineQueries {
       .write.mode(mode).parquet(indexPath)
   }
 
-  /** [[bloomMaybeFiles]] over the PERSISTED index: reads the metadata-sized
-    * bloom table (never the corpus), unions maybes across a file's rows.
+  /** [[bloomMaybeFiles]] over the PERSISTED index: probes the bloom table
+    * (never the corpus) and collects ONLY the maybe file ids. The probe
+    * runs in EXECUTORS via a typed pass — at 100 TB the index has one row
+    * per file (∝ corpus, kilobytes of sketch each), so collecting the
+    * whole table to probe on the driver would be data-proportional; the
+    * maybe LIST is what's driver-sized (true hits + the bloom's tiny FP
+    * slice). Spark's own `BloomFilterMightContain` can't express this side
+    * of the probe — it requires the SKETCH to be the constant and the key
+    * per-row; here keys are the constants and the sketch is per-row.
     */
   private[graft] def bloomMaybeFilesFromIndex(s: SparkSession, indexPath: String,
       probes: Seq[Long]): Seq[Long] = {
     require(probes.nonEmpty, "empty probe set")
-    s.read.parquet(indexPath).collect()
-      .flatMap { r =>
+    import s.implicits._
+    val pb = probes.toArray
+    s.read.parquet(indexPath).select(col("file_id"), col("bf"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (fid, bytes) =>
         val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bf")))
-        if (probes.exists(bf.mightContainLong)) Some(r.getLong(0)) else None
-      }.distinct.toSeq
+          new java.io.ByteArrayInputStream(bytes))
+        if (pb.exists(bf.mightContainLong)) Some(fid) else None
+      })
+      .distinct().collect().toSeq.sorted
   }
 
   /** [[bloomPrunedLookup]] against the persisted index — the shape a
