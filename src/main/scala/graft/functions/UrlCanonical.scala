@@ -92,6 +92,36 @@ object UrlCanonical {
   }
 }
 
+/** `graft_strip_html(text)` — [[graft.sources.WarcDocs.stripHtml]] as a
+  * native codegen'd expression, for corpora whose raw-HTML bodies are
+  * ALREADY LANDED in a text column (the WARC reader's `extractText` only
+  * helps at ingest time): one projection turns markup into the prose every
+  * downstream text operator expects, inside whole-stage codegen. Same
+  * total state machine, same fuzz-pinned laws.
+  */
+case class HtmlText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_strip_html expects a string argument, got ${child.dataType}")
+  override def prettyName: String = "graft_strip_html"
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      graft.sources.WarcDocs.stripHtml(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = graft.sources.WarcDocs.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, c =>
+      s"UTF8String.fromString($helper.stripHtml($c.toString()))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `graft_canonical_url(url)` — [[UrlCanonical.canonicalize]] as a native
   * codegen'd expression, so the URL-dedup groupBy key stays inside
   * whole-stage codegen (no UDF serialization boundary on the 100k-segment

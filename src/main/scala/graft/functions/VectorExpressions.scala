@@ -211,6 +211,7 @@ object VectorExpressions {
     "graft_bitmap_distinct" -> (exprs => BitmapDistinct(exprs(0))
       .toAggregateExpression()),
     "graft_canonical_url" -> (exprs => CanonicalUrl(exprs(0))),
+    "graft_strip_html" -> (exprs => HtmlText(exprs(0))),
   )
 
   def register(spark: SparkSession): Unit =

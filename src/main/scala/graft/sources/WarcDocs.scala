@@ -177,7 +177,7 @@ object WarcDocs {
     * Output length never exceeds input length (every rewrite shrinks its
     * span), a property the fuzz suite pins along with totality.
     */
-  private[sources] def stripHtml(s: String): String = {
+  private[graft] def stripHtml(s: String): String = {
     val n = s.length
     val lower = s.toLowerCase(java.util.Locale.ROOT)
     val out = new java.lang.StringBuilder(n)

@@ -45,6 +45,18 @@ class UrlCanonicalSpec extends SparkSpec {
     }
   }
 
+  test("graft_strip_html cleans an already-landed raw-HTML text column inside the plan") {
+    import spark.implicits._
+    val docs = Seq(
+      "<html><body><h1>T</h1><p>a &amp; b</p><script>x()</script></body></html>",
+      "no markup at all",
+      "a < b stays math").toDF("text")
+    val got = docs.selectExpr("graft_strip_html(text) AS t").collect().map(_.getString(0))
+    assert(got.toSeq == Seq("T a & b", "no markup at all", "a < b stays math"))
+    assert(Seq[Option[String]](None).toDF("text")
+      .selectExpr("graft_strip_html(text)").head().isNullAt(0))
+  }
+
   test("graft_canonical_url runs as a native expression inside the plan and groups URL dups") {
     import spark.implicits._
     val urls = Seq(
