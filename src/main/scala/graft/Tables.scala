@@ -43,29 +43,48 @@ object Tables {
     * shuffle, milliseconds. Volume-adaptive operators (g1/g2's aggregation
     * sizing) need the input's order of magnitude, not a distributed count;
     * paying a count() job per query run was measured as ~0.5 s of pure
-    * probe overhead per graph query at bench scale. Cached per path: the
-    * same table sized by several queries in one session reads its footers
-    * once. Handles both the single-file testdata shape and a directory of
-    * part-files (the production shape).
+    * probe overhead per graph query at bench scale. Cached per listing
+    * signature (path + file names/mtimes/lengths): the same table sized by
+    * several queries in one session reads its footers once, but a rewrite or
+    * append at the same path invalidates naturally. Handles the single-file
+    * testdata shape and a flat directory of part-files; refuses nested
+    * (partitioned) layouts and empty directories rather than undercounting.
     */
   private val rowCountCache = new java.util.concurrent.ConcurrentHashMap[String, Long]()
-  def rowCount(spark: SparkSession, path: String): Long =
-    rowCountCache.computeIfAbsent(path, { p =>
-      val conf = spark.sparkContext.hadoopConfiguration
-      val fsPath = new org.apache.hadoop.fs.Path(p)
-      val fs = fsPath.getFileSystem(conf)
-      val files: Seq[org.apache.hadoop.fs.Path] =
-        if (fs.getFileStatus(fsPath).isDirectory)
-          fs.listStatus(fsPath).toSeq
-            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-            .map(_.getPath)
-        else Seq(fsPath)
+  def rowCount(spark: SparkSession, path: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val fs = fsPath.getFileSystem(conf)
+    // Resolve the listing FIRST and key the cache on (path, files, mtimes,
+    // lengths): a table rewritten or appended at the same path within one
+    // session must not return the stale count (the adaptive operators would
+    // silently mis-size, and d4b's oracle — which recomputes count(*) live —
+    // would hash-diverge rather than fail loudly).
+    val files: Seq[org.apache.hadoop.fs.FileStatus] =
+      if (fs.getFileStatus(fsPath).isDirectory) {
+        val entries = fs.listStatus(fsPath).toSeq
+        val subdirs = entries.filter(s =>
+          s.isDirectory && !s.getPath.getName.startsWith("_"))
+        require(subdirs.isEmpty,
+          s"rowCount($path): nested/partitioned layout (subdirs " +
+            s"${subdirs.map(_.getPath.getName).take(3).mkString(",")}…) — a " +
+            "non-recursive footer scan would silently undercount; read the " +
+            "partitioned dataset through Spark instead")
+        entries.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      } else Seq(fs.getFileStatus(fsPath))
+    require(files.nonEmpty,
+      s"rowCount($path): no .parquet files found — refusing to return 0 " +
+        "(a zero count would silently disable volume-adaptive plan choices)")
+    val key = files.map(s => s"${s.getPath}#${s.getModificationTime}#${s.getLen}")
+      .sorted.mkString(path + "|", ";", "")
+    rowCountCache.computeIfAbsent(key, { _ =>
       files.map { f =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf)
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try reader.getRecordCount finally reader.close()
       }.sum
     })
+  }
 
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {

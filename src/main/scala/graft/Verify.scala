@@ -46,6 +46,12 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => only(kv._1))
       .map { case (k, v) => s"${Json.str(k)}: ${Json.str(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Self-explaining correctness artifact: each deliberately oracle-less
+    // query (sketches — see SparkEntry.noOracleRationale) records WHY it has
+    // no DuckDB row and which spec pins its error contract instead.
+    val rationale = SparkEntry.noOracleRationale.filter(kv => only(kv._1))
+      .map { case (k, v) => s"${Json.str(k)}: ${Json.str(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/no_oracle_rationale.json"), rationale)
     spark.stop()
   }
 }

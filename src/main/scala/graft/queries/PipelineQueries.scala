@@ -912,20 +912,30 @@ object PipelineQueries {
         })
     val smallVocab = setsByLang.values.forall(_.size <= cap)
 
-    if (!forcePrefixPath && smallVocab && g.count() <= 200000)
-      d4BitmapPath(g, setsByLang.map { case (lang, s) =>
-        lang -> s.toArray.sorted.zipWithIndex.toMap
-      }.toMap)
-    else {
-      val ex = g.select(col("lang"), col("doc_id"), explode(col("g")).as("gram"))
-      // dfreq is consumed exactly once (the prefix build's df join), so it
-      // stays lazy: it is vocabulary-sized — ∝ corpus under Heaps' law —
-      // and materializing it as checkpoint blocks was the second half of
-      // the 100× rehearsal OOM. Catalyst plans it as one extra shuffle
-      // stage off the cached gram set.
-      val dfreq = ex.groupBy("lang", "gram").agg(count(lit(1)).as("df"))
-      d4PrefixPath(g, ex, dfreq, knownDocs)
-    }
+    val result =
+      if (!forcePrefixPath && smallVocab && g.count() <= 200000)
+        d4BitmapPath(g, setsByLang.map { case (lang, s) =>
+          lang -> s.toArray.sorted.zipWithIndex.toMap
+        }.toMap)
+      else {
+        val ex = g.select(col("lang"), col("doc_id"), explode(col("g")).as("gram"))
+        // dfreq is consumed exactly once (the prefix build's df join), so it
+        // stays lazy: it is vocabulary-sized — ∝ corpus under Heaps' law —
+        // and materializing it as checkpoint blocks was the second half of
+        // the 100× rehearsal OOM. Catalyst plans it as one extra shuffle
+        // stage off the cached gram set.
+        val dfreq = ex.groupBy("lang", "gram").agg(count(lit(1)).as("df"))
+        d4PrefixPath(g, ex, dfreq, knownDocs)
+      }
+    // Materialize the (output-sized) pair set eagerly so the data-sized gram
+    // cache can be RELEASED before returning: without this, every d4/d4b
+    // call in one session leaves an InMemoryRelation in the CacheManager,
+    // accumulating storage-memory pressure across a long-lived application.
+    // localCheckpoint blocks (unlike persist) are reclaimed by the
+    // ContextCleaner once the returned frame goes out of scope.
+    val out = result.localCheckpoint()
+    g.unpersist(blocking = false)
+    out
   }
 
   /** Small-vocabulary path: per-lang gram dictionary → each document becomes
@@ -1117,6 +1127,24 @@ object PipelineQueries {
   def d6bDupClustersDist(s: SparkSession, dir: String): DataFrame =
     d6Impl(s, dir, forceDistributed = true)
 
+  /** Edge-count boundary between d6's driver union-find path and the
+    * distributed label-propagation path. Each probed edge is one
+    * (Long, Long) tuple — ~16 payload bytes, ~48 with driver-side object
+    * overhead — so the 2M default bounds the probe's driver footprint at
+    * ~100 MB, comfortable under any realistic driver heap (Spark's own
+    * default driver is 1g; a cluster deployment running 10g+ drivers can
+    * raise the crossover, a constrained one can lower it). Configurable
+    * per session via `spark.graft.d6.driverEdgeThreshold`; the crossover
+    * economics are documented in SCALING.md alongside d6b's exponent.
+    */
+  private[queries] val D6DriverEdgeThresholdDefault: Int = 2000000
+  private[queries] def d6DriverEdgeThreshold(s: SparkSession): Int = {
+    val v = s.conf.getOption("spark.graft.d6.driverEdgeThreshold")
+      .map(_.toInt).getOrElse(D6DriverEdgeThresholdDefault)
+    require(v >= 0, s"spark.graft.d6.driverEdgeThreshold must be >= 0, got $v")
+    math.min(v, Int.MaxValue - 1) // the probe runs limit(threshold + 1)
+  }
+
   private[queries] def d6Impl(
       s: SparkSession, dir: String, forceDistributed: Boolean): DataFrame = {
     val withCanon = t(s, dir, "documents")
@@ -1144,7 +1172,7 @@ object PipelineQueries {
       import s.implicits._
       if (forceDistributed) propagateLabels(withCanon, edges0.localCheckpoint())
       else {
-        val threshold = 2000000
+        val threshold = d6DriverEdgeThreshold(s)
         val probe = edges0.limit(threshold + 1).as[(Long, Long)].collect()
         if (probe.length <= threshold) unionFindAssign(s, dir, probe)
         else propagateLabels(withCanon, edges0.localCheckpoint())

@@ -122,11 +122,23 @@ object WarcDocs {
             var body = java.util.Arrays.copyOfRange(bytes, bodyStart, (q + len).toInt)
             if (headerValue("transfer-encoding").contains("chunked"))
               body = dechunk(body).getOrElse(body)
-            headerValue("content-encoding") match {
-              case enc if enc.contains("gzip") => body = inflateBody(body, gzipWrapped = true)
-              case enc if enc.contains("deflate") => body = inflateBody(body, gzipWrapped = false)
-              case _ =>
-            }
+            // Token-exact match (the header is a comma-list of codings):
+            // "gzip"/"x-gzip", "deflate", "br". Brotli (RFC 7932) has no
+            // pure-JVM decoder on this classpath (commons-compress's
+            // BrotliCompressorInputStream is a wrapper that needs
+            // org.brotli:dec at runtime), so `br` bodies DEGRADE TO EMPTY:
+            // the record survives with url/metadata intact and an empty
+            // text column — never raw compressed bytes posing as prose,
+            // which would poison every downstream text operator. See
+            // SURVEY.md §8 ADR "brotli".
+            val codings = headerValue("content-encoding")
+              .split(',').map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
+            if (codings.contains("gzip") || codings.contains("x-gzip"))
+              body = inflateBody(body, gzipWrapped = true)
+            else if (codings.contains("deflate"))
+              body = inflateBody(body, gzipWrapped = false)
+            else if (codings.contains("br"))
+              body = Array.emptyByteArray
             // Honor the DECLARED charset (Content-Type: ...; charset=x): a
             // latin-1 / windows-1252 / shift_jis page decoded as UTF-8
             // collapses every non-ASCII byte to U+FFFD — silent text loss
@@ -305,13 +317,22 @@ object WarcDocs {
     * both zlib-wrapped (the spec) and raw deflate (historic servers) —
     * zlib is tried first, raw on failure. DEGRADE-DON'T-DIE: damage
     * mid-stream keeps the bytes that inflated soundly; a body that yields
-    * nothing (hostile magic, total garbage) stays raw, never throws.
+    * no sound structure at all (hostile magic, total garbage) stays raw,
+    * never throws. A body that inflates CLEANLY to zero bytes (an empty
+    * page, a 204-style capture gzipped by the server) is a success and
+    * returns the empty array — NOT the raw compressed bytes, which would
+    * land gzip magic in the text column.
     * These are in-memory deterministic bytes, so unlike [[gunzip]] there
     * is no transport-exception class to let through.
     */
   private[sources] def inflateBody(b: Array[Byte], gzipWrapped: Boolean): Array[Byte] = {
-    def drain(mk: () => java.io.InputStream): Array[Byte] = {
+    // None = the stream never opened / produced nothing before damage
+    // (indistinguishable from garbage → caller keeps raw bytes);
+    // Some(bytes) = the stream opened and either reached EOF/the bound
+    // cleanly (possibly empty) or yielded a sound prefix before damage.
+    def drain(mk: () => java.io.InputStream): Option[Array[Byte]] = {
       val out = new java.io.ByteArrayOutputStream()
+      var clean = false
       try {
         val in = mk() // GZIPInputStream reads (and may reject) the header here
         val buf = new Array[Byte](1 << 16)
@@ -323,22 +344,31 @@ object WarcDocs {
           total += keep
           r = if (total < MaxPayload) in.read(buf) else -1
         }
-      } catch { case _: java.io.IOException => /* sound prefix */ }
-      out.toByteArray
+        clean = true
+      } catch { case _: java.io.IOException => /* sound prefix, if any */ }
+      if (clean || out.size > 0) Some(out.toByteArray) else None
     }
-    val inflated =
+    val inflated: Option[Array[Byte]] =
       if (gzipWrapped)
         drain(() => new java.util.zip.GZIPInputStream(
           new java.io.ByteArrayInputStream(b), 1 << 16))
-      else {
-        val zlib = drain(() => new java.util.zip.InflaterInputStream(
+      else
+        drain(() => new java.util.zip.InflaterInputStream(
           new java.io.ByteArrayInputStream(b), new java.util.zip.Inflater(false)))
-        if (zlib.nonEmpty) zlib
-        else drain(() => new java.util.zip.InflaterInputStream(
-          new java.io.ByteArrayInputStream(b), new java.util.zip.Inflater(true)))
-      }
-    if (inflated.nonEmpty) inflated else b
+          .filter(z => z.nonEmpty || isZlibHeader(b))
+          .orElse(drain(() => new java.util.zip.InflaterInputStream(
+            new java.io.ByteArrayInputStream(b), new java.util.zip.Inflater(true))))
+    inflated.getOrElse(b)
   }
+
+  /** RFC 1950 two-byte header check: CMF low nibble 8 (deflate), FCHECK
+    * makes the 16-bit word a multiple of 31. Used only to accept a CLEAN
+    * empty zlib inflate as authoritative (vs falling through to the raw-
+    * deflate retry, which on arbitrary bytes can also "succeed" empty).
+    */
+  private def isZlibHeader(b: Array[Byte]): Boolean =
+    b.length >= 2 && (b(0) & 0x0f) == 8 &&
+      (((b(0) & 0xff) << 8) | (b(1) & 0xff)) % 31 == 0
 
   /** Total decompressed bytes allowed per .warc.gz file — the
     * decompression-bomb bound (the Multimodal budget discipline): a small

@@ -411,18 +411,9 @@ object StreamingOps {
     * writes (no marker) are invisible, exactly like TokenShards' torn pairs.
     */
   private[graft] def loadChangelogSnapshot(s: org.apache.spark.sql.SparkSession,
-      stateDir: String): Option[(DataFrame, Long)] = {
-    val dir = java.nio.file.Paths.get(stateDir)
-    if (!java.nio.file.Files.isDirectory(dir)) return None
-    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
-    val listing = java.nio.file.Files.list(dir)
-    try listing.iterator().forEachRemaining { p =>
-      val n = p.getFileName.toString
-      if (n.startsWith("snapshot-") && java.nio.file.Files.exists(p.resolve("_SUCCESS")))
-        scala.util.Try(n.stripPrefix("snapshot-").toLong).foreach(ids += _)
-    } finally listing.close()
-    ids.maxOption.map(bid => (s.read.parquet(s"$stateDir/snapshot-$bid"), bid))
-  }
+      stateDir: String): Option[(DataFrame, Long)] =
+    committedSnapshotIds(s, stateDir).maxOption
+      .map(bid => (s.read.parquet(s"$stateDir/snapshot-$bid"), bid))
 
   /** Write the snapshot for `batchId` and GC older committed ones — only
     * after the new write is fully committed, so there is always at least
@@ -431,22 +422,50 @@ object StreamingOps {
   private[graft] def persistChangelogSnapshot(df: DataFrame, stateDir: String,
       batchId: Long): Unit = {
     df.write.mode("overwrite").parquet(s"$stateDir/snapshot-$batchId")
-    val dir = java.nio.file.Paths.get(stateDir)
-    val listing = java.nio.file.Files.list(dir)
-    val stale = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-    try listing.iterator().forEachRemaining { p =>
-      val n = p.getFileName.toString
+    gcSnapshotsBelow(df.sparkSession, stateDir, batchId)
+  }
+
+  /** Hadoop FileSystem handle for a state path. ALL state-dir existence /
+    * listing / GC goes through this — the data path already uses Spark's
+    * writers and readers, so routing the bookkeeping through the same
+    * FileSystem abstraction is what lets a non-local stateDir (HDFS, S3A)
+    * work end to end instead of failing at the first java.nio check.
+    */
+  private def fsFor(s: org.apache.spark.sql.SparkSession,
+      path: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** BatchIds of COMMITTED `snapshot-<id>` children of `dir` (committed =
+    * Spark's `_SUCCESS` marker present; torn writes invisible).
+    */
+  private def committedSnapshotIds(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[Long] = {
+    val (fs, p) = fsFor(s, dir)
+    if (!fs.exists(p) || !fs.getFileStatus(p).isDirectory) return Seq.empty
+    fs.listStatus(p).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("snapshot-") &&
+          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+        scala.util.Try(n.stripPrefix("snapshot-").toLong).toOption
+      else None
+    }
+  }
+
+  /** Best-effort GC of `snapshot-<id>` children with id < `keep` —
+    * committed or torn; a leftover is re-GC'd on the next commit.
+    */
+  private def gcSnapshotsBelow(s: org.apache.spark.sql.SparkSession,
+      dir: String, keep: Long): Unit = {
+    val (fs, p) = fsFor(s, dir)
+    if (!fs.exists(p)) return
+    fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
       if (n.startsWith("snapshot-") &&
-          scala.util.Try(n.stripPrefix("snapshot-").toLong).toOption.exists(_ < batchId))
-        stale += p
-    } finally listing.close()
-    stale.foreach { p => // best-effort GC; a leftover is re-GC'd next batch
-      try {
-        val files = java.nio.file.Files.list(p)
-        try files.iterator().forEachRemaining(java.nio.file.Files.deleteIfExists(_))
-        finally files.close()
-        java.nio.file.Files.deleteIfExists(p)
-      } catch { case _: java.io.IOException => }
+          scala.util.Try(n.stripPrefix("snapshot-").toLong).toOption.exists(_ < keep))
+        try fs.delete(st.getPath, true)
+        catch { case _: java.io.IOException => }
     }
   }
 
@@ -496,11 +515,13 @@ object StreamingOps {
     log.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        require(java.nio.file.Files.exists(
-            java.nio.file.Paths.get(s"$stateDir/seed/_SUCCESS")),
+        require({
+            val (fs, _) = fsFor(s, stateDir)
+            fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/seed/_SUCCESS"))
+          },
           s"no committed seed under $stateDir — run prepareBucketedChangelogTarget first")
         if (version == null) // first batch after (re)start: recover bucket versions
-          version = Array.tabulate(nBuckets)(latestBucketVersion(stateDir, _))
+          version = Array.tabulate(nBuckets)(latestBucketVersion(s, stateDir, _))
         val b = batch.select("k", "op", "new_status")
           .withColumn("bkt", pmod(hash(col("k")), lit(nBuckets))).localCheckpoint()
         // same net-op precondition as the whole-snapshot forms
@@ -517,7 +538,7 @@ object StreamingOps {
               .applyChangelog(cur, b.filter(col("bkt") === i).drop("bkt"))
             merged.write.mode("overwrite")
               .parquet(s"$stateDir/b$i/snapshot-$batchId")
-            gcBucket(stateDir, i, batchId)
+            gcSnapshotsBelow(s, s"$stateDir/b$i", batchId)
             version(i) = batchId
           }
         }
@@ -533,46 +554,16 @@ object StreamingOps {
       i: Int, v: Long, logBatch: DataFrame): DataFrame =
     if (v >= 0) s.read.parquet(s"$stateDir/b$i/snapshot-$v")
     else {
-      val seed = java.nio.file.Paths.get(s"$stateDir/seed/bkt=$i")
-      if (java.nio.file.Files.isDirectory(seed))
+      val (fs, seed) = fsFor(s, s"$stateDir/seed/bkt=$i")
+      if (fs.exists(seed) && fs.getFileStatus(seed).isDirectory)
         s.read.parquet(seed.toString).select("k", "status")
       else logBatch.filter(lit(false))
         .select(col("k"), col("new_status").as("status"))
     }
 
-  private[graft] def latestBucketVersion(stateDir: String, i: Int): Long = {
-    val dir = java.nio.file.Paths.get(s"$stateDir/b$i")
-    if (!java.nio.file.Files.isDirectory(dir)) return -1L
-    var best = -1L
-    val listing = java.nio.file.Files.list(dir)
-    try listing.iterator().forEachRemaining { p =>
-      val n = p.getFileName.toString
-      if (n.startsWith("snapshot-") && java.nio.file.Files.exists(p.resolve("_SUCCESS")))
-        scala.util.Try(n.stripPrefix("snapshot-").toLong).toOption
-          .foreach(v => best = math.max(best, v))
-    } finally listing.close()
-    best
-  }
-
-  private def gcBucket(stateDir: String, i: Int, keep: Long): Unit = {
-    val dir = java.nio.file.Paths.get(s"$stateDir/b$i")
-    val listing = java.nio.file.Files.list(dir)
-    val stale = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
-    try listing.iterator().forEachRemaining { p =>
-      val n = p.getFileName.toString
-      if (n.startsWith("snapshot-") &&
-          scala.util.Try(n.stripPrefix("snapshot-").toLong).toOption.exists(_ < keep))
-        stale += p
-    } finally listing.close()
-    stale.foreach { p => // best-effort GC; a leftover is re-GC'd next commit
-      try {
-        val files = java.nio.file.Files.list(p)
-        try files.iterator().forEachRemaining(java.nio.file.Files.deleteIfExists(_))
-        finally files.close()
-        java.nio.file.Files.deleteIfExists(p)
-      } catch { case _: java.io.IOException => }
-    }
-  }
+  private[graft] def latestBucketVersion(s: org.apache.spark.sql.SparkSession,
+      stateDir: String, i: Int): Long =
+    committedSnapshotIds(s, s"$stateDir/b$i").maxOption.getOrElse(-1L)
 
   /** The full-target VIEW over the bucketed layout: each bucket's latest
     * committed version, else its seed partition. A lazy union — nothing
@@ -583,15 +574,21 @@ object StreamingOps {
   private[graft] def loadBucketedSnapshot(s: org.apache.spark.sql.SparkSession,
       stateDir: String, nBuckets: Int): DataFrame =
     (0 until nBuckets).flatMap { i =>
-      val v = latestBucketVersion(stateDir, i)
+      val v = latestBucketVersion(s, stateDir, i)
       if (v >= 0) Some(s.read.parquet(s"$stateDir/b$i/snapshot-$v"))
       else {
-        val seed = java.nio.file.Paths.get(s"$stateDir/seed/bkt=$i")
-        if (java.nio.file.Files.isDirectory(seed))
+        val (fs, seed) = fsFor(s, s"$stateDir/seed/bkt=$i")
+        if (fs.exists(seed) && fs.getFileStatus(seed).isDirectory)
           Some(s.read.parquet(seed.toString).select("k", "status"))
         else None
       }
-    }.reduce(_.unionByName(_))
+    }.reduceOption(_.unionByName(_))
+      // a layout with no seed partitions and no committed snapshots (empty
+      // initial target + an empty first micro-batch) is a valid empty
+      // target, not a crash inside foreachBatch
+      .getOrElse(s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, status STRING")))
 
   /** Streaming image near-dup screen — m7's ingest twin and the multimodal
     * member of the against-prebuilt-index family ([[dedupAgainstIndex]] for

@@ -58,6 +58,31 @@ class TablesSpec extends SparkSpec {
     assert(Tables.rowCount(spark, s"$dir/t.parquet") == 1000L)
   }
 
+  test("rowCount invalidates on rewrite/append and refuses layouts it would undercount") {
+    // rewrite at the same path must not serve the stale cached count — the
+    // adaptive operators would mis-size and d4b's oracle (which recomputes
+    // count(*) live) would silently hash-diverge
+    val dir = java.nio.file.Files.createTempDirectory("tbl-stale").toString
+    spark.range(0, 100).coalesce(1).write.mode("overwrite").parquet(s"$dir/t.parquet")
+    assert(Tables.rowCount(spark, s"$dir/t.parquet") == 100L)
+    spark.range(0, 250).coalesce(1).write.mode("overwrite").parquet(s"$dir/t.parquet")
+    assert(Tables.rowCount(spark, s"$dir/t.parquet") == 250L,
+      "rewrite at the same path served a stale cached count")
+    spark.range(0, 50).coalesce(1).write.mode("append").parquet(s"$dir/t.parquet")
+    assert(Tables.rowCount(spark, s"$dir/t.parquet") == 300L,
+      "append at the same path served a stale cached count")
+    // an empty directory must throw, not return 0 (a zero silently disables
+    // every volume-adaptive plan gate)
+    val empty = java.nio.file.Files.createTempDirectory("tbl-empty").toString
+    intercept[IllegalArgumentException](Tables.rowCount(spark, empty))
+    // a nested (partitioned) layout must throw, not undercount to the
+    // top-level files only
+    val part = java.nio.file.Files.createTempDirectory("tbl-part").toString
+    spark.range(0, 100).withColumn("p", org.apache.spark.sql.functions.expr("id % 2"))
+      .write.mode("overwrite").partitionBy("p").parquet(s"$part/t.parquet")
+    intercept[IllegalArgumentException](Tables.rowCount(spark, s"$part/t.parquet"))
+  }
+
   test("the real testdata events table is analyzable by every ts consumer shape") {
     val ev = Tables.t(spark, sf, "events")
     assert(ev.schema("ts").dataType == TimestampType)

@@ -892,6 +892,27 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("d6's driver/distributed crossover threshold is a session dial and both branches agree at the boundary") {
+    def run(): Set[(Long, Long, Long)] =
+      PipelineQueries.d6DupClusters(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val conf = "spark.graft.d6.driverEdgeThreshold"
+    assert(PipelineQueries.d6DriverEdgeThreshold(spark) ==
+      PipelineQueries.D6DriverEdgeThresholdDefault)
+    val baseline = run() // default: driver union-find at this corpus size
+    try {
+      // threshold 0 forces every edge past the probe → distributed branch;
+      // a huge threshold pins the driver branch. Same fixpoint either way.
+      spark.conf.set(conf, "0")
+      assert(PipelineQueries.d6DriverEdgeThreshold(spark) == 0)
+      assert(run() == baseline, "distributed branch diverged at threshold 0")
+      spark.conf.set(conf, Int.MaxValue.toString)
+      assert(run() == baseline, "driver branch diverged at max threshold")
+      spark.conf.set(conf, "-1")
+      intercept[IllegalArgumentException](PipelineQueries.d6DriverEdgeThreshold(spark))
+    } finally spark.conf.unset(conf)
+  }
+
   test("a8s HLL estimate lands within 5% of the exact distinct count") {
     PipelineQueries.a8sApproxDistinct(spark, sf).collect().foreach { r =>
       val approx = r.getAs[Long]("approx_users").toDouble

@@ -189,6 +189,62 @@ class WarcDocsSpec extends SparkSpec {
     assert(got("http://d.example/6") == "5\r\nhello\r\n0\r\n\r\n")
   }
 
+  test("HTTP body decoding: empty inflates stay empty, brotli degrades to empty, codings match token-exact") {
+    def http(headers: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\n$headers\r\n\r\n").getBytes("ISO-8859-1") ++ body
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo); g.write(b); g.close()
+      bo.toByteArray
+    }
+    def zlib(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(); d.setInput(b); d.finish()
+      val out = new Array[Byte](b.length * 2 + 64)
+      val n = d.deflate(out); d.end()
+      java.util.Arrays.copyOfRange(out, 0, n)
+    }
+    // an RFC 7932 brotli stream of "hello brotli" (one uncompressed
+    // meta-block) — enough to be REAL br bytes, not gzip-shaped garbage
+    val brBytes = Array[Int](0x0b, 0x05, 0x80, 0x68, 0x65, 0x6c, 0x6c, 0x6f,
+      0x20, 0x62, 0x72, 0x6f, 0x74, 0x6c, 0x69, 0x03).map(_.toByte)
+    val bytes =
+      // a legitimately EMPTY gzip body (204-style capture): must land as
+      // "" — the old behavior returned the raw compressed bytes, putting
+      // gzip magic (\x1f\x8b) in the text column
+      record("response", "http://e.example/empty-gz", "2026-03-01T00:00:00Z",
+        http("Content-Encoding: gzip", gz(Array.emptyByteArray))) ++
+      record("response", "http://e.example/empty-zlib", "2026-03-01T00:00:01Z",
+        http("Content-Encoding: deflate", zlib(Array.emptyByteArray))) ++
+      // brotli: no pure-JVM decoder on this classpath — degrade to empty,
+      // record survives with its URL; NEVER raw compressed bytes as prose
+      record("response", "http://e.example/br", "2026-03-01T00:00:02Z",
+        http("Content-Type: text/html\r\nContent-Encoding: br", brBytes)) ++
+      // a server LYING br over plain text pays the same degrade (we cannot
+      // tell a mislabeled body from an undecodable one without a decoder)
+      record("response", "http://e.example/br-lie", "2026-03-01T00:00:03Z",
+        http("Content-Encoding: br", "actually plain".getBytes("UTF-8"))) ++
+      // token-exact coding match: "brotli-experimental" must NOT trigger
+      // the br branch via substring, x-gzip MUST trigger gzip
+      record("response", "http://e.example/not-br", "2026-03-01T00:00:04Z",
+        http("Content-Encoding: brotli-experimental", "kept as-is".getBytes("UTF-8"))) ++
+      record("response", "http://e.example/x-gzip", "2026-03-01T00:00:05Z",
+        http("Content-Encoding: x-gzip", gz("x-gzip body".getBytes("UTF-8"))))
+    val got = WarcDocs.parseWarc(bytes).map(t => t._1 -> t._3).toMap
+    assert(got.size == 6, "every record must survive, empty-bodied or not")
+    assert(got("http://e.example/empty-gz") == "")
+    assert(got("http://e.example/empty-zlib") == "")
+    assert(got("http://e.example/br") == "")
+    assert(got("http://e.example/br-lie") == "")
+    assert(got("http://e.example/not-br") == "kept as-is")
+    assert(got("http://e.example/x-gzip") == "x-gzip body")
+    // the degrade must be visible, not a crash — and hostile magic under a
+    // gzip label still keeps the raw bytes (inflate opened nothing sound)
+    val hostile = WarcDocs.parseWarc(
+      record("response", "http://e.example/hostile", "2026-03-01T00:00:06Z",
+        http("Content-Encoding: gzip", "not gzip at all".getBytes("UTF-8"))))
+    assert(hostile.head._3 == "not gzip at all")
+  }
+
   test("HTTP body decoding honors the declared charset; unknown or illegal charsets fall back to UTF-8") {
     def http(headers: String, body: Array[Byte]): Array[Byte] =
       (s"HTTP/1.1 200 OK\r\n$headers\r\n\r\n").getBytes("ISO-8859-1") ++ body

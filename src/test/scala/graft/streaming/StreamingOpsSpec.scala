@@ -1191,6 +1191,33 @@ class StreamingOpsSpec extends SparkSpec {
       "bucketed target diverged from the global merge")
   }
 
+  test("bucketed changelog: an empty initial target is a valid empty layout, not a crash") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val nB = 8
+    val st = java.nio.file.Files.createTempDirectory("graft-cdc-empty").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft-cdc-empty-cp").toString
+    // empty seed: _SUCCESS lands but zero bkt= partitions exist
+    StreamingOps.prepareBucketedChangelogTarget(
+      Seq.empty[(Long, String)].toDF("k", "status"), st, nB)
+    // the view over the empty layout must be an empty (k, status) frame —
+    // the reduce over zero buckets used to throw UnsupportedOperationException
+    val view0 = StreamingOps.loadBucketedSnapshot(spark, st, nB)
+    assert(view0.isEmpty && view0.columns.toSeq == Seq("k", "status"))
+    // and the stream over it works end to end: first batch inserts into
+    // buckets that have neither seed partition nor committed snapshot
+    val in = MemoryStream[ChangeRow]
+    var last: Set[(Long, String)] = null
+    val q = StreamingOps.changelogApplyStreamBucketed(in.toDF(), st, nB) {
+      (snap, _) => last = snap.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    }.option("checkpointLocation", cp).start()
+    try {
+      in.addData(ChangeRow(1L, "I", "a"), ChangeRow(2L, "I", "b"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(last == Set((1L, "a"), (2L, "b")))
+  }
+
   test("streaming changelog apply lands on the target snapshot and replays are no-ops") {
     implicit val sq = spark.sqlContext
     import spark.implicits._

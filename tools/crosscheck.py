@@ -98,6 +98,20 @@ def main(sf_dir, out_dir):
                 print(f"   row {i} col {c}: spark={spark_df[c][i]!r} duck={duck_df[c][i]!r}")
             n_bad += 1; continue
         print(f"ok   {name} ({len(spark_df)} rows)"); n_ok += 1
+    # Deliberately oracle-less queries (sketch family): report the Verify-
+    # emitted rationale so the artifact is self-explaining, and fail loudly
+    # if a new oracle-less query slipped in WITHOUT a documented rationale.
+    rat_path = f"{out_dir}/no_oracle_rationale.json"
+    rationale = json.load(open(rat_path)) if os.path.exists(rat_path) else {}
+    produced = {os.path.basename(d) for d in glob.glob(f"{out_dir}/*")
+                if os.path.isdir(d)}
+    for name in sorted(produced - set(oracle)):
+        why = rationale.get(name)
+        if why:
+            print(f"skip {name}: no_oracle — {why}")
+        else:
+            print(f"FAIL {name}: no oracle SQL and no documented rationale")
+            n_bad += 1
     print(f"== {n_ok} ok, {n_bad} failed ==")
     return 1 if n_bad else 0
 
