@@ -36,3 +36,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 )
 // Surface deprecation sites explicitly (the default only counts them).
 scalacOptions += "-deprecation"
+// ClusterModeSpec boots a local-cluster[2,2,1024] master (real executor
+// JVMs), which cannot share a JVM with the suite-wide local[4] session every
+// other spec uses — one SparkContext per JVM — so it runs in its own forked
+// test JVM; everything else keeps sharing one.
+Test / testGrouping := {
+  val (cluster, rest) = (Test / definedTests).value
+    .partition(_.name == "graft.ClusterModeSpec")
+  val opts = (Test / forkOptions).value
+  Seq(Tests.Group("cluster-mode", cluster, Tests.SubProcess(opts)),
+      Tests.Group("default", rest, Tests.SubProcess(opts)))
+    .filter(_.tests.nonEmpty)
+}

@@ -1,0 +1,206 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Multi-executor rehearsal: the registered-query smoke set on
+  * `local-cluster[2,2,1024]` — REAL executor JVMs behind a real
+  * serialization boundary, unlike `local[n]` where driver and executors
+  * share one heap and one classloader.
+  *
+  * What only this mode can catch (and `local[32]` structurally cannot):
+  *  - TypedImperativeAggregate buffer serialization (graft_bitmap_distinct's
+  *    roaring-style buffers cross the wire in partial-merge),
+  *  - codegen'd custom expressions compiled INSIDE executor JVMs from
+  *    serialized plans (graft_cms_estimate / graft_bloom_agg /
+  *    graft_popcnt_and reference driver-built sketch objects as literals),
+  *  - broadcast variables actually transported (TorrentBroadcast blocks)
+  *    rather than read from the shared heap,
+  *  - localCheckpoint blocks living on executor block managers,
+  *  - closure cleanliness: a closure accidentally capturing a
+  *    non-serializable driver object fails HERE, not in local mode.
+  *
+  * Method: run the smoke set on a plain `local[4]` session first, capture
+  * canonical result multisets, stop it, boot the cluster session in the
+  * SAME JVM (one SparkContext at a time), re-run, compare. Both sessions
+  * use the same shuffle-partition count so plan shapes match; doubles are
+  * rounded to 9 significant decimals because reduction order across real
+  * executors legitimately differs at the ulp level.
+  *
+  * This suite runs in its OWN forked test JVM (build.sbt testGrouping):
+  * the suite-shared local[4] session of every other spec cannot coexist
+  * with a local-cluster master in one JVM.
+  */
+class ClusterModeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** The judge-designated smoke set: every custom Catalyst expression, the
+    * checkpointed iterative loops, the keyed/broadcast join branches, the
+    * IVF index probe, and the two-phase prefix-sum export.
+    */
+  private val smokeSet = Seq(
+    "a14_bitmap_distinct",         // TypedImperativeAggregate buffers
+    "a10s_cms_freq",               // CMS expression w/ driver-built sketch
+    "a8s_approx_distinct",         // HLL partial-merge across executors
+    "j8_bloom_semi",               // bloom agg + contains
+    "d4_ngram_jaccard",            // broadcast dictionaries + popcnt codegen
+    "g1_pagerank",                 // checkpointed iterative loop
+    "g2b_triangles_keyed",         // forced keyed-join cluster branch
+    "d6b_dup_clusters_dist",       // distributed label prop + pointer jump
+    "sim7b_incremental_ann_scaled",// VectorIndex build + probe
+    "pipe3_export")                // two-phase prefix sums
+
+  private def canonValue(v: Any): String = v match {
+    case null => "∅"
+    case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
+    case d: Double => if (d == 0.0) "0" else f"${BigDecimal(d).round(new java.math.MathContext(9))}%s"
+    case f: Float => canonValue(f.toDouble)
+    case s: scala.collection.Seq[_] => s.map(canonValue).mkString("[", ",", "]")
+    case a: Array[_] => a.map(canonValue).mkString("[", ",", "]")
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, x) => canonValue(k) + ":" + canonValue(x) }
+        .toSeq.sorted.mkString("{", ",", "}")
+    case r: org.apache.spark.sql.Row => r.toSeq.map(canonValue).mkString("(", ",", ")")
+    case x => x.toString
+  }
+
+  private def runSet(s: SparkSession): Map[String, (Seq[String], Map[String, Int])] =
+    smokeSet.map { name =>
+      val df = SparkEntry.queries(name)(s, sf)
+      val schema = df.columns.toSeq
+      val rows = df.collect().toSeq
+        .map(r => schema.mkString("<", "|", ">") + canonValue(r))
+      name -> ((rows.sorted, rows.groupBy(identity).view.mapValues(_.size).toMap))
+    }.toMap
+
+  private def localSession(): SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-cluster-baseline")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    Tables.configure(s)
+    s
+  }
+
+  private def clusterSession(): SparkSession = {
+    // a file-local "spark home" so standalone worker/executor dirs land
+    // under target/, with the real jars dir linked in for the launcher
+    val home = new java.io.File("target/spark-test-home").getAbsoluteFile
+    home.mkdirs()
+    val jars = new java.io.File(home, "jars").toPath
+    if (!java.nio.file.Files.exists(jars))
+      java.nio.file.Files.createSymbolicLink(jars,
+        java.nio.file.Paths.get("/opt/spark/jars"))
+    // the launcher infers the Scala version from build-dir layout when
+    // SPARK_SCALA_VERSION is unset
+    new java.io.File(home, "launcher/target/scala-2.13").mkdirs()
+    sys.props("spark.testing") = "true"
+    sys.props("spark.test.home") = home.getAbsolutePath
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+    val s = SparkSession.builder()
+      .master("local-cluster[2,2,1024]")
+      .appName("graft-cluster-smoke")
+      // executors are fresh JVMs: they need the library + test classpath
+      // and the same JDK17 module opens the driver runs with
+      .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      .config("spark.executor.extraJavaOptions", addOpens)
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    Tables.configure(s)
+    s
+  }
+
+  test("the smoke set is executor-JVM-clean: local-cluster[2,2,1024] reproduces local[4] exactly") {
+    // 1. baseline on a single-JVM session
+    val local = localSession()
+    val expected = try runSet(local) finally local.stop()
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+
+    // 2. the same queries across a real executor boundary
+    val cluster = clusterSession()
+    try {
+      // prove we're really multi-JVM before trusting anything else
+      val jvms = cluster.sparkContext.range(0, 8, 1, 8)
+        .map(_ => java.lang.management.ManagementFactory.getRuntimeMXBean.getName)
+        .collect().toSet
+      val driverJvm = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+      assert(jvms.size >= 2 && !jvms.contains(driverJvm),
+        s"not a multi-JVM run: executors=$jvms driver=$driverJvm")
+
+      val got = runSet(cluster)
+      for (name <- smokeSet) {
+        val (expRows, expCounts) = expected(name)
+        val (gotRows, gotCounts) = got(name)
+        assert(gotRows.size == expRows.size,
+          s"$name: ${gotRows.size} rows on cluster vs ${expRows.size} local")
+        if (gotCounts != expCounts) {
+          val onlyCluster = gotRows.diff(expRows).take(3)
+          val onlyLocal = expRows.diff(gotRows).take(3)
+          fail(s"$name diverged across the executor boundary;" +
+            s" cluster-only=$onlyCluster local-only=$onlyLocal")
+        }
+      }
+    } finally {
+      cluster.stop()
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    }
+  }
+
+  test("bucketed changelog MERGE survives a kill-and-restart on real executors") {
+    val cluster = clusterSession()
+    try {
+      implicit val sq = cluster.sqlContext
+      import cluster.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val nB = 8
+      val initial = cluster.range(10000L)
+        .selectExpr("id AS k", "concat('s', id % 3) AS status")
+      val st = java.nio.file.Files.createTempDirectory("graft-cluster-cdc").toString
+      val cp = java.nio.file.Files.createTempDirectory("graft-cluster-cdc-cp").toString
+      graft.streaming.StreamingOps.prepareBucketedChangelogTarget(initial, st, nB)
+      val b0 = Seq((7L, "U", "u0"), (9999L, "U", "u1"))
+      val b1 = Seq((10001L, "I", "fresh"), (11L, "D", null.asInstanceOf[String]))
+      // run A: one batch lands, then the query "dies"
+      val in1 = MemoryStream[(Long, String, String)]
+      val q1 = graft.streaming.StreamingOps.changelogApplyStreamBucketed(
+        in1.toDF().toDF("k", "op", "new_status"), st, nB) { (_, _) => () }
+        .option("checkpointLocation", cp).start()
+      try { in1.addData(b0: _*); q1.processAllAvailable() } finally q1.stop()
+      // restart: fresh driver state, same checkpoint — committed batch 0
+      // must replay-skip, batch 1 must apply, all on cluster executors
+      val in2 = MemoryStream[(Long, String, String)]
+      var applied = Vector.empty[Long]
+      Seq(b0, b1).foreach(b => in2.addData(b: _*))
+      val q2 = graft.streaming.StreamingOps.changelogApplyStreamBucketed(
+        in2.toDF().toDF("k", "op", "new_status"), st, nB) { (_, bid) => applied :+= bid }
+        .option("checkpointLocation", cp).start()
+      try q2.processAllAvailable() finally q2.stop()
+      assert(applied == Vector(1L), s"restart re-fired committed batches: $applied")
+      val got = graft.streaming.StreamingOps.loadBucketedSnapshot(cluster, st, nB)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(got.size == 10000L, s"${got.size}")
+      assert(got(7L) == "u0" && got(9999L) == "u1" && got(10001L) == "fresh" &&
+        !got.contains(11L))
+    } finally {
+      cluster.stop()
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    }
+  }
+}
