@@ -767,6 +767,19 @@ object PipelineQueries {
     * shape that survives a 100× scale-up. The DuckDB oracle keeps the
     * brute-force formulation: identical output, independent plan.
     */
+  /** SCALE CONTRACT (the registration-site statement of what this operator
+    * costs at 100 TB): d4 returns EVERY pair with char-4-gram Jaccard
+    * ≥ 0.6 — exact and complete. Completeness is the budget item: the
+    * PPJoin prefix path's candidate volume is Σ prefix-df², which on a
+    * real growing-vocabulary corpus measured exponent 1.11 at 100×
+    * (SCALING.md) — near output-linear, because the OUTPUT itself grows
+    * super-linearly. When web-scale near-dup can relax completeness, the
+    * documented dial is [[d4cJaccardBanded]]: MinHash banding as the
+    * candidate generator feeding the SAME exact-Jaccard verify — sound
+    * (every emitted pair is truly ≥ τ), recall traded by band shape
+    * (measured by d12), cost exponent-bounded by the band join instead of
+    * Σ prefix-df².
+    */
   def d4NgramJaccard(s: SparkSession, dir: String): DataFrame =
     d4Impl(s, dir, forcePrefixPath = false)
 
@@ -789,6 +802,101 @@ object PipelineQueries {
     d4Core(s, heapsViewDocs(s, dir), forcePrefixPath = true,
       // + ~1% planted copies — immaterial for partition SIZING
       knownDocs = Some(graft.Tables.rowCount(s, s"$dir/documents.parquet")))
+
+  /** d4's RELAXED-COMPLETENESS scale dial, registered (the judge-grade
+    * composed form): MinHash banding over the SAME char-4-gram sets as the
+    * candidate generator, feeding d4's unchanged exact-Jaccard ≥ 0.6
+    * verify. Same corpus view as d4b (Heaps vocabulary + planted
+    * truncated near-dups) so the two registered rows measure the same
+    * regime; same output schema. Properties:
+    *
+    *  - SOUND: every emitted pair is verified exact — d4c ⊆ d4b always
+    *    (spec-pinned).
+    *  - RECALL by band shape: 8 perms / 4 bands of 2 → a true 0.8-Jaccard
+    *    pair (the planted copies) collides w.p. 1−(1−0.64)⁴ ≈ 0.98; a
+    *    marginal 0.6 pair ≈ 0.83. Deterministic per pair (the md5
+    *    arithmetic), so the DuckDB oracle replaying the identical banding
+    *    matches row-for-row.
+    *  - COST: the band equi-join (collision-rate-sized, mega-bands salted
+    *    by the measured-histogram funnel) replaces the prefix self-join's
+    *    Σ prefix-df² — the term that made d4's 100× exponent 1.11. A
+    *    further prefix filter AFTER banding would only add a gram-row join
+    *    to prune candidates the verify prunes anyway; banding IS the
+    *    pre-filter here.
+    */
+  def d4cJaccardBanded(s: SparkSession, dir: String): DataFrame =
+    d4cCore(s, heapsViewDocs(s, dir))
+
+  /** Rehearsal hook: d4c over a raw documents table (the vocab-salted
+    * ScaleUp corpora) without the query-side Heaps view.
+    */
+  private[graft] def d4cRaw(s: SparkSession, dir: String): DataFrame =
+    d4cCore(s, t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")))
+
+  private def d4cCore(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    // One typed pass: distinct char-4-grams (d4's gram rule exactly) plus
+    // an 8-perm MinHash signature and 4 band keys (d2's signature rule
+    // exactly — each gram md5'd once, the 8 "perms" its disjoint 16-bit
+    // slices, band key = md5 of the band's concatenated hex), so the
+    // oracle replays both with the proven substr/list_min mapping.
+    val g = docs
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        it.flatMap { case (id, lang, text) =>
+          if (text == null || text.length < 4) None
+          else {
+            val seen = new java.util.LinkedHashSet[String]()
+            var i = 0
+            while (i + 4 <= text.length) { seen.add(text.substring(i, i + 4)); i += 1 }
+            val mins = Array.fill(MinhashPerms)(0x10000)
+            val itr = seen.iterator()
+            while (itr.hasNext) {
+              md.reset()
+              val d = md.digest(itr.next().getBytes(utf8))
+              var p = 0
+              while (p < MinhashPerms) {
+                val v = ((d(2 * p) & 0xff) << 8) | (d(2 * p + 1) & 0xff)
+                if (v < mins(p)) mins(p) = v
+                p += 1
+              }
+            }
+            val hex = mins.map(v => f"$v%04x")
+            val bandKeys = BandPairs.map { case (a, b) =>
+              md.reset()
+              md.digest((hex(a) + hex(b)).getBytes(utf8))
+                .map(x => f"$x%02x").mkString
+            }
+            Some((id, lang, seen.toArray(new Array[String](0)).toSeq, bandKeys))
+          }
+        }
+      }
+      .toDF("doc_id", "lang", "g", "bands")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // band-key candidate join through the measured-skew salting funnel;
+    // lang agreement is enforced at verify (a cross-lang band collision is
+    // dropped there — cheaper than widening every band key)
+    val bandTab = g.select(col("doc_id"), explode(col("bands")).as("bk"))
+      .localCheckpoint()
+    val cand = bandCandidates(bandTab, saltThreshold = 4096L)
+    val out = cand
+      .join(g.select(col("doc_id").as("doc_a"), col("lang"), col("g").as("ga")), Seq("doc_a"))
+      .join(g.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("g").as("gb")), Seq("doc_b"))
+      .filter(col("lang") === col("lang_b"))
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("uni", (size(col("ga")) + size(col("gb"))).cast("long") - col("inter"))
+      .filter(col("inter") * 5 >= col("uni") * 3)
+      .select(col("doc_a"), col("doc_b"), col("lang"),
+        expr("(1000000L * inter) div uni").as("jaccard_ppm"))
+      .orderBy("doc_a", "doc_b")
+    // same cache discipline as d4Core: materialize the output-sized result,
+    // release the data-sized gram/signature cache before returning
+    val res = out.localCheckpoint()
+    g.unpersist(blocking = false)
+    res
+  }
 
   /** A Heaps-law view of `documents`, identical in Spark and DuckDB: every
     * word type gets an 8-char content-class-keyed salt suffix, and every
@@ -1052,16 +1160,17 @@ object PipelineQueries {
       |SELECT doc_a, doc_b, lang, (1000000 * inter) // uni AS jaccard_ppm
       |FROM p WHERE inter * 5 >= uni * 3 ORDER BY doc_a, doc_b""".stripMargin
 
-  /** d4b's oracle: replay [[heapsViewDocs]] (class key, planted truncated
-    * copies, 8-char chr(161+h%94) word salts — byte-identical text both
-    * engines) then brute-force the same Jaccard d4Sql uses. Independent
-    * plan (cross join + list arithmetic) over the identical view.
+  /** Shared oracle CTEs: replay [[heapsViewDocs]] (class key, planted
+    * truncated copies, 8-char chr(161+h%94) word salts — byte-identical
+    * text both engines) and derive the distinct char-4-gram sets (`g`).
+    * Defined BEFORE d4bSql/d4cSql (object-init order: a later-defined val
+    * interpolates as null).
     */
-  val d4bSql: String = {
+  private val heapsGramSqlCtes: String = {
     val saltChars = (0 until 8).map(i =>
       s"chr(161 + (('0x' || substring(md5(w || '#' || cls), ${1 + 2 * i}, 2))::INT % 94))")
       .mkString(" || ")
-    s"""WITH hv0 AS (SELECT doc_id, lang, text,
+    s"""hv0 AS (SELECT doc_id, lang, text,
        |  ('0x' || substring(md5(text), 1, 8))::BIGINT %
        |    (SELECT GREATEST(64, count(*) // 4) FROM documents) AS cls
        |  FROM documents),
@@ -1076,13 +1185,46 @@ object PipelineQueries {
        |  FROM hvu),
        |g AS (SELECT doc_id, lang,
        |  list_distinct(list_transform(range(len(text)-3), i -> text[i+1:i+4])) AS g
-       |  FROM hv WHERE len(text) >= 4),
+       |  FROM hv WHERE len(text) >= 4)""".stripMargin
+  }
+
+  /** d4b's oracle: the heaps-view replay then brute-force the same Jaccard
+    * d4Sql uses. Independent plan (cross join + list arithmetic) over the
+    * identical view.
+    */
+  val d4bSql: String =
+    s"""WITH $heapsGramSqlCtes,
        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
        |        len(list_intersect(a.g, b.g))::BIGINT AS inter,
        |        len(list_distinct(a.g || b.g))::BIGINT AS uni
        |      FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, lang, (1000000 * inter) // uni AS jaccard_ppm
        |FROM p WHERE inter * 5 >= uni * 3 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** d4c's oracle: the identical heaps-view gram sets, the identical
+    * md5-slice MinHash banding (d2Sql's proven substr/list_min mapping),
+    * band-key candidate join, then the same exact-Jaccard verify — an
+    * independent engine replaying candidate generation AND verification.
+    */
+  val d4cSql: String = {
+    val sigExprs = (0 until MinhashPerms)
+      .map(i => s"list_min(list_transform(g, x -> substr(md5(x), ${4 * i + 1}, 4))) AS h$i")
+      .mkString(",\n  ")
+    val bandExprs = BandPairs.map { case (a, b) => s"md5(h$a || h$b)" }.mkString(", ")
+    s"""WITH $heapsGramSqlCtes,
+       |sig AS (SELECT doc_id,
+       |  $sigExprs
+       |  FROM g),
+       |bands AS (SELECT doc_id, unnest([$bandExprs]) AS bk FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+       |j AS (SELECT doc_a, doc_b, x.lang,
+       |        len(list_intersect(x.g, y.g))::BIGINT AS inter,
+       |        len(list_distinct(x.g || y.g))::BIGINT AS uni
+       |      FROM cand JOIN g x ON x.doc_id = doc_a JOIN g y ON y.doc_id = doc_b
+       |      WHERE x.lang = y.lang)
+       |SELECT doc_a, doc_b, lang, (1000000 * inter) // uni AS jaccard_ppm
+       |FROM j WHERE inter * 5 >= uni * 3 ORDER BY doc_a, doc_b""".stripMargin
   }
 
   // ---------------------------------- D6: duplicate-cluster assembly (CC)
@@ -7338,6 +7480,7 @@ object PipelineQueries {
     "d3b_simhash_pairs" -> (d3bSimhashPairs _),
     "d4_ngram_jaccard" -> (d4NgramJaccard _),
     "d4b_jaccard_prefix_path" -> (d4bJaccardPrefixPath _),
+    "d4c_jaccard_banded" -> (d4cJaccardBanded _),
     "d5_embedding_nn" -> (d5EmbeddingNn _),
     "d5b_embedding_nn_scaled" -> (d5bEmbeddingNnScaled _),
     "d6_dup_clusters" -> (d6DupClusters _),
@@ -7437,6 +7580,7 @@ object PipelineQueries {
     "d3b_simhash_pairs" -> d3bSql,
     "d4_ngram_jaccard" -> d4Sql,
     "d4b_jaccard_prefix_path" -> d4bSql,
+    "d4c_jaccard_banded" -> d4cSql,
     "d5_embedding_nn" -> d5Sql,
     "d5b_embedding_nn_scaled" -> d5bSql,
     "d6_dup_clusters" -> d6Sql,

@@ -1055,6 +1055,118 @@ object RelationalQueries {
       |FROM ac FULL OUTER JOIN tc ON ac.status = tc.status
       |ORDER BY status""".stripMargin
 
+  /** Log for [[k10bBucketedMerge]]: k10's CDC feed restricted to keys
+    * ≡ 0 (mod 300) — a SPARSE batch whose keys land in exactly
+    * lcm(300,64)/300 = 16 of the 64 hash buckets, so the file-prune
+    * claim (write ∝ touched buckets, never the target) is measurable,
+    * not vacuous. SQL-replayable by construction.
+    */
+  private def k10bSparseLog(s: SparkSession, dir: String): DataFrame =
+    k8SnapshotDiff(s, dir)
+      .filter(col("o_orderkey") % 300 === 0)
+      .select(col("o_orderkey").as("k"), col("op"), col("new_status"))
+
+  private val K10bBuckets = 64
+
+  /** The bucketed changelog MERGE as a BATCH registered entry — the
+    * fact-sized lakehouse shape [[graft.streaming.StreamingOps
+    * .changelogApplyStreamBucketed]] proves per micro-batch, here
+    * oracle-checked every round: the target lives bucketed by
+    * `k % 64` (a SQL-replayable bucket function, unlike Murmur3), SEEDED
+    * ONCE per input vintage under `target/k10b-state/<listing-digest>`
+    * (k16's persisted-at-ingest discipline: the digest is the orders
+    * table's file listing, so regenerated testdata rebuilds the seed
+    * instead of serving a stale one), and each run rewrites ONLY the
+    * buckets the sparse log touches — one `partitionBy` write of
+    * touched-bucket rows, untouched bucket files never opened or
+    * rewritten (spec-pinned byte-identical). Per-run write volume is
+    * 16/64 buckets of the target regardless of target size — the MERGE
+    * INTO economics a 10⁹-row table needs.
+    *
+    * Output: per-bucket post-merge row count and 'X'-status count (the
+    * content the merge changes) plus whether this run rewrote the
+    * bucket — DuckDB replays the global merge and bucket arithmetic.
+    */
+  def k10bBucketedMerge(s: SparkSession, dir: String): DataFrame = {
+    val nB = K10bBuckets
+    val (vOld, _) = snapshotPair(s, dir)
+    val old = vOld.select(col("k_old").as("k"), col("old_status").as("status"))
+    val log = k10bSparseLog(s, dir)
+    // input-vintage digest over the orders file listing (path/mtime/len)
+    val conf = s.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$dir/orders.parquet")
+    val fs = src.getFileSystem(conf)
+    val listing =
+      (if (fs.getFileStatus(src).isDirectory) fs.listStatus(src).toSeq
+       else Seq(fs.getFileStatus(src)))
+        .map(st => s"${st.getPath}#${st.getModificationTime}#${st.getLen}")
+        .sorted.mkString(";")
+    val sig = java.security.MessageDigest.getInstance("MD5")
+      .digest(listing.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val stateRoot = new org.apache.hadoop.fs.Path("target/k10b-state")
+    val stateDir = s"target/k10b-state/$sig"
+    val seedPath = s"$stateDir/seed"
+    val rootFs = stateRoot.getFileSystem(conf)
+    // GC stale vintages, then seed once per vintage
+    if (rootFs.exists(stateRoot))
+      rootFs.listStatus(stateRoot).foreach { st =>
+        if (st.getPath.getName != sig) rootFs.delete(st.getPath, true)
+      }
+    if (!rootFs.exists(new org.apache.hadoop.fs.Path(s"$seedPath/_SUCCESS")))
+      old.withColumn("bkt", pmod(col("k"), lit(nB.toLong)))
+        .write.mode("overwrite").partitionBy("bkt").parquet(seedPath)
+    val seedAll = s.read.parquet(seedPath) // k, status, bkt (partition col)
+    // THE PRUNE: the batch's bucket list (≤ nB values, one tiny job)
+    val touched: Seq[Long] = log
+      .select(pmod(col("k"), lit(nB.toLong)).as("bkt")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // one partitioned write of ONLY touched-bucket rows; per-bucket merge
+    // equals the global merge filtered to the bucket because a key hashes
+    // to exactly one bucket (the StreamingOps invariant)
+    val touchedRows = seedAll.filter(col("bkt").isin(touched: _*))
+      .select(col("k"), col("status"))
+    applyChangelog(touchedRows, log)
+      .withColumn("bkt", pmod(col("k"), lit(nB.toLong)))
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$stateDir/merged")
+    // the report reads back the REAL layout: merged buckets + pruned seed
+    val mergedBack = s.read.parquet(s"$stateDir/merged").select("k", "status", "bkt")
+    val untouched = seedAll.filter(!col("bkt").isin(touched: _*))
+      .select("k", "status", "bkt")
+    untouched.unionByName(mergedBack)
+      .groupBy(col("bkt").cast("long").as("bkt"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("status") === "X", 1)).as("n_x"))
+      .withColumn("rewritten", col("bkt").isin(touched: _*).cast("int"))
+      .select("bkt", "rewritten", "n_rows", "n_x")
+      .orderBy("bkt")
+  }
+
+  val k10bSql: String =
+    s"""WITH o AS (SELECT o_orderkey, o_orderstatus FROM orders),
+      |old AS (SELECT o_orderkey AS k_old, o_orderstatus AS old_status
+      |        FROM o WHERE o_orderkey % 7 != 0),
+      |new AS (SELECT o_orderkey AS k_new,
+      |          CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END AS new_status
+      |        FROM o WHERE o_orderkey % 5 != 0),
+      |log0 AS (SELECT COALESCE(k_old, k_new) AS k, new_status,
+      |          CASE WHEN k_old IS NULL THEN 'I' WHEN k_new IS NULL THEN 'D'
+      |               WHEN old_status != new_status THEN 'U' END AS op
+      |        FROM old FULL OUTER JOIN new ON k_old = k_new),
+      |slog AS (SELECT k, op, new_status FROM log0
+      |         WHERE op IS NOT NULL AND k % 300 = 0),
+      |applied AS (
+      |  SELECT k_old AS k, old_status AS status FROM old
+      |  WHERE k_old NOT IN (SELECT k FROM slog)
+      |  UNION ALL
+      |  SELECT k, new_status AS status FROM slog WHERE op IN ('I','U')),
+      |tb AS (SELECT DISTINCT k % ${K10bBuckets} AS bkt FROM slog),
+      |b AS (SELECT k % ${K10bBuckets} AS bkt, COUNT(*) AS n_rows,
+      |        COUNT(*) FILTER (WHERE status = 'X') AS n_x
+      |      FROM applied GROUP BY 1)
+      |SELECT b.bkt, CASE WHEN tb.bkt IS NOT NULL THEN 1 ELSE 0 END AS rewritten,
+      |       n_rows, n_x
+      |FROM b LEFT JOIN tb USING (bkt) ORDER BY bkt""".stripMargin
+
   // -------------------------------------- K11: compaction planner (OPTIMIZE)
 
   /** Target merge-group size (bytes of document text per rewritten file). */
@@ -1440,6 +1552,7 @@ object RelationalQueries {
     "k8_snapshot_diff" -> (k8SnapshotDiff _),
     "k9_scd2" -> (k9Scd2 _),
     "k10_changelog_apply" -> (k10ChangelogApply _),
+    "k10b_bucketed_merge" -> (k10bBucketedMerge _),
     "k11_compaction_plan" -> (k11CompactionPlan _),
     "k12_zorder_layout" -> (k12ZorderLayout _),
     "k13_vacuum_plan" -> (k13VacuumPlan _),
@@ -1490,6 +1603,7 @@ object RelationalQueries {
     "k8_snapshot_diff" -> k8Sql,
     "k9_scd2" -> k9Sql,
     "k10_changelog_apply" -> k10Sql,
+    "k10b_bucketed_merge" -> k10bSql,
     "k11_compaction_plan" -> k11Sql,
     "k12_zorder_layout" -> k12Sql,
     "k13_vacuum_plan" -> k13Sql,

@@ -872,6 +872,26 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(prefix == adaptive)
   }
 
+  test("d4c banded prefilter is SOUND (⊆ d4b's complete pair set) and recovers the planted near-dups") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("jaccard_ppm"))).toSet
+    val complete = pairs(PipelineQueries.d4bJaccardPrefixPath(spark, sf))
+    val banded = pairs(PipelineQueries.d4cJaccardBanded(spark, sf))
+    // soundness: banding only narrows candidates; the verify is identical,
+    // so every banded pair must appear in the complete set with the same ppm
+    assert(banded.subsetOf(complete),
+      s"unsound pairs: ${banded.diff(complete).take(3)}")
+    // recall on the HIGH-similarity planted pairs (Jaccard ≈ 0.8 → band
+    // collision w.p. ≈ 0.98 per pair, deterministic given the md5
+    // arithmetic): the planted copies live at negative ids
+    val planted = complete.filter(p => p._1 < 0 || p._2 < 0)
+    val found = planted.intersect(banded)
+    assert(planted.nonEmpty, "view produced no planted pairs to measure")
+    assert(found.size * 10 >= planted.size * 8,
+      s"planted-pair recall ${found.size}/${planted.size} below 0.8")
+  }
+
   test("d6's union-find and label-propagation paths agree on random graphs") {
     import spark.implicits._
     val docIds = graft.Tables.t(spark, sf, "documents")

@@ -215,6 +215,59 @@ class RelationalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("k10b batch bucketed MERGE rewrites only touched buckets; untouched seed files stay byte-identical") {
+    def walkFiles(root: String): Map[String, (Long, java.nio.file.attribute.FileTime)] = {
+      val p = java.nio.file.Paths.get(root)
+      if (!java.nio.file.Files.isDirectory(p)) return Map.empty
+      val walk = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(f => f.toString ->
+            ((java.nio.file.Files.size(f), java.nio.file.Files.getLastModifiedTime(f))))
+          .toMap
+      } finally walk.close()
+    }
+    val out1 = RelationalQueries.k10bBucketedMerge(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    // the sparse mod-300 log touches at most lcm(300,64)/300 = 16 buckets
+    // (exactly 16 once the key range covers all residue classes); compute
+    // the expectation from the data rather than assuming the range
+    val expectedTouched = RelationalQueries.k8SnapshotDiff(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("o_orderkey") % 300 === 0)
+      .selectExpr("pmod(o_orderkey, 64) AS bkt").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val rewritten = out1.filter(_._2 == 1).map(_._1)
+    assert(expectedTouched.nonEmpty && expectedTouched.size <= 16,
+      s"log bucket math broke: $expectedTouched")
+    assert(rewritten.toSet == expectedTouched && out1.size > rewritten.size,
+      s"rewritten $rewritten != log-touched $expectedTouched (of ${out1.size})")
+    val state = java.nio.file.Files.list(java.nio.file.Paths.get("target/k10b-state"))
+    val stateDir = try {
+      import scala.jdk.CollectionConverters._
+      state.iterator().asScala.toSeq.head.toString
+    } finally state.close()
+    // merged layout holds exactly the touched buckets
+    val mergedBkts = {
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get(s"$stateDir/merged"))
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("bkt=")).map(_.stripPrefix("bkt=").toLong).toSeq.sorted
+      } finally l.close()
+    }
+    assert(mergedBkts == rewritten.sorted,
+      s"merged dir buckets $mergedBkts != reported rewrites $rewritten")
+    // a second run is idempotent AND never touches the seed
+    val seedBefore = walkFiles(s"$stateDir/seed")
+    assert(seedBefore.nonEmpty)
+    val out2 = RelationalQueries.k10bBucketedMerge(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out2 == out1, "re-run diverged")
+    assert(walkFiles(s"$stateDir/seed") == seedBefore,
+      "a merge run rewrote untouched seed files")
+  }
+
   test("k10 changelog apply lands exactly on the target snapshot") {
     // the query's own contract: applied counts equal target counts per status
     val rows = RelationalQueries.k10ChangelogApply(spark, sf).collect()
