@@ -150,8 +150,11 @@ object SonarVcf {
   }
 
   /** Full export: header + body written as one text dataset (the Spark analog
-    * of the reference's merged `.vcf` file; gzip via codec if the path ends
-    * in .gz).
+    * of the reference's merged `.vcf` file). A `.gz` path compresses through
+    * [[BgzfCodec]] — BGZF blocked gzip, byte-compatible with plain gzip
+    * readers AND tabix/bcftools-indexable, matching the reference's bgzip
+    * output (ref: lib/sonartoVCF.py:92-129) instead of round-8's plain
+    * whole-stream gzip.
     */
   def exportVcf(
       store: SonarStore,
@@ -169,7 +172,9 @@ object SonarVcf {
     val writer = head.coalesce(1)
       .union(vcfLines(sites, sampleIds).coalesce(1))
       .write.mode(SaveMode.Overwrite)
-    (if (path.endsWith(".gz")) writer.option("compression", "gzip") else writer)
+    (if (path.endsWith(".gz"))
+       writer.option("compression", classOf[BgzfCodec].getName)
+     else writer)
       .text(path)
     sites.unpersist()
   }

@@ -836,10 +836,18 @@ object PipelineQueries {
   private def d4cCore(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     // One typed pass: distinct char-4-grams (d4's gram rule exactly) plus
-    // an 8-perm MinHash signature and 4 band keys (d2's signature rule
-    // exactly — each gram md5'd once, the 8 "perms" its disjoint 16-bit
-    // slices, band key = md5 of the band's concatenated hex), so the
-    // oracle replays both with the proven substr/list_min mapping.
+    // an 8-perm MinHash signature and 4 band keys. Unlike d2's 16-bit
+    // slices, the perms here are 32-BIT md5 slices (4 from md5(gram), 4
+    // from md5(gram||"!")): the min of N uniform samples concentrates at
+    // universe/N with only ~log2(universe/N) bits of entropy, and with
+    // ~460 grams/doc a 16-bit universe leaves ~14 bits per band key —
+    // measured 48M chance-collision candidate pairs at the 100× corpus,
+    // each shipping two gram arrays through the verify join (a ~400 GB
+    // shuffle that filled the disk). 32-bit mins give ~46 bits per band
+    // key; hot bands are then genuine near-dup clusters only. Collision
+    // probability per perm is the Jaccard either way, so recall is
+    // unchanged; the oracle replays via the same substr/list_min hex
+    // mapping (8 hex chars, lexicographic min = numeric min).
     val g = docs
       .as[(Long, String, String)]
       .mapPartitions { it =>
@@ -851,19 +859,25 @@ object PipelineQueries {
             val seen = new java.util.LinkedHashSet[String]()
             var i = 0
             while (i + 4 <= text.length) { seen.add(text.substring(i, i + 4)); i += 1 }
-            val mins = Array.fill(MinhashPerms)(0x10000)
+            val mins = Array.fill(MinhashPerms)(0x100000000L)
             val itr = seen.iterator()
             while (itr.hasNext) {
+              val gram = itr.next()
               md.reset()
-              val d = md.digest(itr.next().getBytes(utf8))
+              val d1 = md.digest(gram.getBytes(utf8))
+              md.reset()
+              val d2 = md.digest((gram + "!").getBytes(utf8))
               var p = 0
               while (p < MinhashPerms) {
-                val v = ((d(2 * p) & 0xff) << 8) | (d(2 * p + 1) & 0xff)
+                val d = if (p < 4) d1 else d2
+                val o = (p % 4) * 4
+                val v = (((d(o) & 0xffL) << 24) | ((d(o + 1) & 0xffL) << 16) |
+                  ((d(o + 2) & 0xffL) << 8) | (d(o + 3) & 0xffL))
                 if (v < mins(p)) mins(p) = v
                 p += 1
               }
             }
-            val hex = mins.map(v => f"$v%04x")
+            val hex = mins.map(v => f"$v%08x")
             val bandKeys = BandPairs.map { case (a, b) =>
               md.reset()
               md.digest((hex(a) + hex(b)).getBytes(utf8))
@@ -1207,9 +1221,10 @@ object PipelineQueries {
     * independent engine replaying candidate generation AND verification.
     */
   val d4cSql: String = {
-    val sigExprs = (0 until MinhashPerms)
-      .map(i => s"list_min(list_transform(g, x -> substr(md5(x), ${4 * i + 1}, 4))) AS h$i")
-      .mkString(",\n  ")
+    val sigExprs = (0 until MinhashPerms).map { i =>
+      val src = if (i < 4) "md5(x)" else "md5(x || '!')"
+      s"list_min(list_transform(g, x -> substr($src, ${8 * (i % 4) + 1}, 8))) AS h$i"
+    }.mkString(",\n  ")
     val bandExprs = BandPairs.map { case (a, b) => s"md5(h$a || h$b)" }.mkString(", ")
     s"""WITH $heapsGramSqlCtes,
        |sig AS (SELECT doc_id,

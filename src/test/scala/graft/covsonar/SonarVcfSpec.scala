@@ -93,4 +93,48 @@ class SonarVcfSpec extends SparkSpec {
       assert(f(4).split(",").length == ac.length, line)
     }
   }
+
+  test(".gz export is BGZF: BC-subfield blocks <= 64 KiB, spec EOF marker, gzip-readable, content-identical") {
+    val dir = Files.createTempDirectory("vcf-bgzf").toString
+    val plain = s"$dir/all.vcf"
+    val gz = s"$dir/all.vcf.gz"
+    SonarVcf.exportVcf(store, plain)
+    SonarVcf.exportVcf(store, gz)
+    val part = new java.io.File(gz).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".gz"))
+    assert(part.length == 1)
+    val bytes = Files.readAllBytes(part.head.toPath)
+    // 1. BGZF magic: gzip + FEXTRA flag + the BC subfield at offset 12
+    assert((bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b &&
+      bytes(2) == 8 && (bytes(3) & 4) == 4, "not gzip+FEXTRA")
+    assert(bytes(12) == 'B' && bytes(13) == 'C', "missing BC subfield")
+    // 2. the BSIZE chain tiles the file exactly — every block addressable
+    //    and <= 64 KiB (the tabix virtual-offset requirement)
+    var off = 0
+    var blocks = 0
+    while (off < bytes.length) {
+      assert((bytes(off) & 0xff) == 0x1f && (bytes(off + 1) & 0xff) == 0x8b,
+        s"block $blocks at $off lacks gzip magic")
+      assert(bytes(off + 12) == 'B' && bytes(off + 13) == 'C')
+      val bsize = ((bytes(off + 16) & 0xff) | ((bytes(off + 17) & 0xff) << 8)) + 1
+      assert(bsize <= 65536, s"block $blocks size $bsize > 64 KiB")
+      off += bsize
+      blocks += 1
+    }
+    assert(off == bytes.length, "BSIZE chain does not tile the file")
+    // 3. ends with the spec's fixed 28-byte EOF block
+    assert(bytes.takeRight(28).sameElements(BgzfOutputStream.EofBlock),
+      "missing BGZF EOF marker")
+    // 4. BGZF is valid multi-member gzip: the JDK reader inflates it to
+    //    exactly the uncompressed export
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes), 1 << 16)
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](1 << 16)
+    var r = in.read(buf)
+    while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
+    val gotLines = new String(out.toByteArray, "UTF-8").split("\n", -1).filter(_.nonEmpty)
+    val plainLines = spark.read.text(plain).collect().map(_.getString(0))
+    assert(gotLines.sameElements(plainLines), "BGZF content diverged from plain export")
+  }
 }
