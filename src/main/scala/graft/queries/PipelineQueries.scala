@@ -833,36 +833,82 @@ object PipelineQueries {
   private[graft] def d4cRaw(s: SparkSession, dir: String): DataFrame =
     d4cCore(s, t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")))
 
+  /** Doc-frequency cap above which a 4-gram is a STOP-GRAM for d4c's
+    * MinHash input: carrying no identity, it only poisons signature slots
+    * (see the pass-2 comment). 64 keeps every class-salted gram (class
+    * family df is single digits on the Heaps corpora / heaps view) while
+    * excluding frequent-word interiors at every scale factor.
+    */
+  private[queries] val D4cDfCap = 64L
+
   private def d4cCore(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    // One typed pass: distinct char-4-grams (d4's gram rule exactly) plus
-    // an 8-perm MinHash signature and 4 band keys. Unlike d2's 16-bit
-    // slices, the perms here are 32-BIT md5 slices (4 from md5(gram), 4
-    // from md5(gram||"!")): the min of N uniform samples concentrates at
-    // universe/N with only ~log2(universe/N) bits of entropy, and with
-    // ~460 grams/doc a 16-bit universe leaves ~14 bits per band key —
-    // measured 48M chance-collision candidate pairs at the 100× corpus,
-    // each shipping two gram arrays through the verify join (a ~400 GB
-    // shuffle that filled the disk). 32-bit mins give ~46 bits per band
-    // key; hot bands are then genuine near-dup clusters only. Collision
-    // probability per perm is the Jaccard either way, so recall is
-    // unchanged; the oracle replays via the same substr/list_min hex
-    // mapping (8 hex chars, lexicographic min = numeric min).
+    // Pass 1: distinct char-4-grams per doc (d4's gram rule exactly),
+    // cached — the hot-gram probe, the signature pass, and the exact
+    // verify all reuse it.
     val g = docs
       .as[(Long, String, String)]
       .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val utf8 = java.nio.charset.StandardCharsets.UTF_8
         it.flatMap { case (id, lang, text) =>
           if (text == null || text.length < 4) None
           else {
             val seen = new java.util.LinkedHashSet[String]()
             var i = 0
             while (i + 4 <= text.length) { seen.add(text.substring(i, i + 4)); i += 1 }
-            val mins = Array.fill(MinhashPerms)(0x100000000L)
-            val itr = seen.iterator()
-            while (itr.hasNext) {
-              val gram = itr.next()
+            Some((id, lang, seen.toArray(new Array[String](0)).toSeq))
+          }
+        }
+      }
+      .toDF("doc_id", "lang", "g")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // STOP-GRAM exclusion before MinHash — the load-bearing scale choice.
+    // Interior 4-grams of frequent words are corpus-wide common (they carry
+    // no identity), and the LOWEST-HASHING common gram captures a MinHash
+    // slot for every document containing it: measured at the 100× Heaps
+    // corpus, single min VALUES shared by 1000+ docs produced 6M candidate
+    // pairs (and with 16-bit mins, 48M — a disk-filling verify shuffle).
+    // Dropping grams with df > cap from the SIGNATURE input (the verify
+    // below still runs over FULL gram sets — exactness untouched) makes
+    // band collisions mean shared RARE grams, i.e. genuine similarity.
+    // The stop-gram set is language/template-bounded (frequent-word
+    // interiors), so it collects and broadcasts like a stopword list; one
+    // partial-aggregable df pass — d4's dfreq shuffle — pays for it.
+    val hot: Map[String, Set[String]] = g
+      .select(col("lang"), col("doc_id"), explode(col("g")).as("gram"))
+      .groupBy("lang", "gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") > lit(D4cDfCap))
+      .select("lang", "gram").as[(String, String)].collect()
+      .groupBy(_._1).map { case (l, gs) => l -> gs.map(_._2).toSet }
+    require(hot.valuesIterator.map(_.size.toLong).sum < (1L << 24),
+      "stop-gram set exceeded 16M entries — not broadcast-shaped; raise " +
+        "spark.graft... no dial exists because a natural-language corpus " +
+        "cannot reach this (frequent-gram count is language-bounded)")
+    val hotB = s.sparkContext.broadcast(hot)
+
+    // Pass 2: 8-perm MinHash over each doc's RARE grams. Unlike d2's
+    // 16-bit slices, the perms are 32-BIT md5 slices (4 from md5(gram), 4
+    // from md5(gram||"!")): the min of N uniform samples concentrates at
+    // universe/N with only ~log2(universe/N) bits of entropy, and a
+    // 16-bit universe leaves ~14 bits per band key at ~460 grams/doc —
+    // chance collisions at corpus scale. Collision probability per perm
+    // is the (rare-gram) Jaccard either way; the oracle replays via the
+    // same substr/list_min hex mapping (8 hex chars, lexicographic min =
+    // numeric min). Docs with no rare grams emit no bands: all-template
+    // documents have no identity to band on (their pairs are d1's job).
+    val bandTab = g.select(col("doc_id"), col("lang"), col("g"))
+      .as[(Long, String, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val hotSets = hotB.value
+        it.flatMap { case (id, lang, grams) =>
+          val hotSet = hotSets.getOrElse(lang, Set.empty[String])
+          val mins = Array.fill(MinhashPerms)(0x100000000L)
+          var any = false
+          grams.foreach { gram =>
+            if (!hotSet.contains(gram)) {
+              any = true
               md.reset()
               val d1 = md.digest(gram.getBytes(utf8))
               md.reset()
@@ -877,23 +923,23 @@ object PipelineQueries {
                 p += 1
               }
             }
+          }
+          if (!any) Iterator.empty
+          else {
             val hex = mins.map(v => f"$v%08x")
-            val bandKeys = BandPairs.map { case (a, b) =>
+            BandPairs.iterator.map { case (a, b) =>
               md.reset()
-              md.digest((hex(a) + hex(b)).getBytes(utf8))
-                .map(x => f"$x%02x").mkString
+              (id, md.digest((hex(a) + hex(b)).getBytes(utf8))
+                .map(x => f"$x%02x").mkString)
             }
-            Some((id, lang, seen.toArray(new Array[String](0)).toSeq, bandKeys))
           }
         }
       }
-      .toDF("doc_id", "lang", "g", "bands")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .toDF("doc_id", "bk")
+      .localCheckpoint()
     // band-key candidate join through the measured-skew salting funnel;
     // lang agreement is enforced at verify (a cross-lang band collision is
     // dropped there — cheaper than widening every band key)
-    val bandTab = g.select(col("doc_id"), explode(col("bands")).as("bk"))
-      .localCheckpoint()
     val cand = bandCandidates(bandTab, saltThreshold = 4096L)
     val out = cand
       .join(g.select(col("doc_id").as("doc_a"), col("lang"), col("g").as("ga")), Seq("doc_a"))
@@ -1216,20 +1262,27 @@ object PipelineQueries {
        |FROM p WHERE inter * 5 >= uni * 3 ORDER BY doc_a, doc_b""".stripMargin
 
   /** d4c's oracle: the identical heaps-view gram sets, the identical
-    * md5-slice MinHash banding (d2Sql's proven substr/list_min mapping),
-    * band-key candidate join, then the same exact-Jaccard verify — an
+    * df-capped stop-gram exclusion, the identical md5-slice MinHash
+    * banding (d2Sql's proven substr/list_min mapping), band-key candidate
+    * join, then the same exact-Jaccard verify over FULL gram sets — an
     * independent engine replaying candidate generation AND verification.
     */
   val d4cSql: String = {
     val sigExprs = (0 until MinhashPerms).map { i =>
       val src = if (i < 4) "md5(x)" else "md5(x || '!')"
-      s"list_min(list_transform(g, x -> substr($src, ${8 * (i % 4) + 1}, 8))) AS h$i"
+      s"list_min(list_transform(rg, x -> substr($src, ${8 * (i % 4) + 1}, 8))) AS h$i"
     }.mkString(",\n  ")
     val bandExprs = BandPairs.map { case (a, b) => s"md5(h$a || h$b)" }.mkString(", ")
     s"""WITH $heapsGramSqlCtes,
+       |ex AS (SELECT doc_id, lang, unnest(g) AS gram FROM g),
+       |rare AS (SELECT lang, gram FROM ex GROUP BY lang, gram
+       |         HAVING count(*) <= $D4cDfCap),
+       |rgs AS (SELECT e.doc_id, list(e.gram) AS rg
+       |        FROM ex e JOIN rare r ON e.lang = r.lang AND e.gram = r.gram
+       |        GROUP BY e.doc_id),
        |sig AS (SELECT doc_id,
        |  $sigExprs
-       |  FROM g),
+       |  FROM rgs),
        |bands AS (SELECT doc_id, unnest([$bandExprs]) AS bk FROM sig),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
