@@ -46,6 +46,7 @@ class ClusterModeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "a8s_approx_distinct",         // HLL partial-merge across executors
     "j8_bloom_semi",               // bloom agg + contains
     "d4_ngram_jaccard",            // broadcast dictionaries + popcnt codegen
+    "d4c_jaccard_banded",          // broadcast stop-gram map + banded join
     "g1_pagerank",                 // checkpointed iterative loop
     "g2b_triangles_keyed",         // forced keyed-join cluster branch
     "d6b_dup_clusters_dist",       // distributed label prop + pointer jump
