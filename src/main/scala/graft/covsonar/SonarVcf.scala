@@ -127,12 +127,19 @@ object SonarVcf {
     * fill against a broadcast sample→column index). The global sort matches
     * the reference's POS-sorted output (lib/sonartoVCF_v2.py:338).
     */
-  def vcfLines(sites: DataFrame, sampleIds: Seq[String]): DataFrame = {
+  def vcfLines(sites: DataFrame, sampleIds: Seq[String]): DataFrame =
+    formatLines(sites.orderBy(col("pos")), sampleIds)
+
+  /** Formats already-ordered site rows into VCF body lines (one narrow
+    * pass; ordering is the caller's contract — global orderBy for the
+    * single-file export, range-partition + intra-shard sort for the
+    * sharded one).
+    */
+  private def formatLines(sites: DataFrame, sampleIds: Seq[String]): DataFrame = {
     val spark = sites.sparkSession
     import spark.implicits._
     val bcIdx = spark.sparkContext.broadcast(sampleIds.zipWithIndex.toMap)
     sites
-      .orderBy(col("pos"))
       .select(col("chrom"), col("pos").cast("long"), col("id"), col("ref"),
         col("alt"), col("qual"), col("filter"), col("info"), col("format"),
         col("genotypes"))
@@ -176,6 +183,46 @@ object SonarVcf {
        writer.option("compression", classOf[BgzfCodec].getName)
      else writer)
       .text(path)
+    sites.unpersist()
+  }
+
+  /** Population-scale export — removes [[exportVcf]]'s inherent
+    * single-task coalesce(1) (fine at reference parity, a bottleneck for
+    * a many-sample population export): the body is RANGE-partitioned by
+    * position into `shards` BGZF part files written in parallel, the
+    * header its own part. Because BGZF concatenates soundly (an interior
+    * EOF block is just an empty member) and `repartitionByRange` assigns
+    * ascending position ranges to ascending partition ids, the single
+    * merged, sorted, tabix-indexable VCF is a pure BYTE CONCATENATION in
+    * lexicographic part order —
+    * `cat 00-header/part-* 01-body/part-* > all.vcf.gz`, or an
+    * object-store compose — with no recompression and no single writer
+    * task anywhere. Spec-pinned: concat-of-shards gunzips to exactly the
+    * single-file export's lines.
+    */
+  def exportVcfSharded(
+      store: SonarStore,
+      path: String,
+      shards: Int,
+      accessions: Seq[String] = Nil,
+      dates: Seq[String] = Nil): Unit = {
+    require(shards >= 1, s"shards must be positive, got $shards")
+    val spark = store.spark
+    import spark.implicits._
+    val sites = vcfSites(store, accessions, dates).cache()
+    val sampleIds = sites
+      .select(explode(map_keys(col("genotypes"))).as("acc"))
+      .distinct().orderBy("acc").as[String].collect().toSeq
+    val bgzf = classOf[BgzfCodec].getName
+    spark.createDataset(header(sampleIds, Reference.sarsCov2.refDescr)
+        .split("\n").toSeq).toDF("line")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("compression", bgzf).text(s"$path/00-header")
+    formatLines(
+        sites.repartitionByRange(shards, col("pos")).sortWithinPartitions("pos"),
+        sampleIds)
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", bgzf).text(s"$path/01-body")
     sites.unpersist()
   }
 }

@@ -137,4 +137,36 @@ class SonarVcfSpec extends SparkSpec {
     val plainLines = spark.read.text(plain).collect().map(_.getString(0))
     assert(gotLines.sameElements(plainLines), "BGZF content diverged from plain export")
   }
+
+  test("sharded export: byte-concat of header + range-ordered body shards equals the single-file export") {
+    val dir = Files.createTempDirectory("vcf-shard").toString
+    val plain = s"$dir/all.vcf"
+    val sharded = s"$dir/sharded"
+    SonarVcf.exportVcf(store, plain)
+    SonarVcf.exportVcfSharded(store, sharded, shards = 4)
+    def parts(sub: String): Seq[java.io.File] =
+      new java.io.File(s"$sharded/$sub").listFiles()
+        .filter(f => f.getName.startsWith("part-")).sortBy(_.getName).toSeq
+    val body = parts("01-body")
+    assert(body.count(_.length > BgzfOutputStream.EofBlock.length) >= 2,
+      s"no real sharding: ${body.map(_.length)}")
+    // every part is independently valid BGZF (ends with the EOF block)
+    (parts("00-header") ++ body).foreach { f =>
+      val b = Files.readAllBytes(f.toPath)
+      assert(b.takeRight(28).sameElements(BgzfOutputStream.EofBlock), f.getName)
+    }
+    // THE MERGE: pure byte concatenation in lexicographic part order
+    val cat = new java.io.ByteArrayOutputStream()
+    (parts("00-header") ++ body).foreach(f => cat.write(Files.readAllBytes(f.toPath)))
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(cat.toByteArray), 1 << 16)
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](1 << 16)
+    var r = in.read(buf)
+    while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
+    val gotLines = new String(out.toByteArray, "UTF-8").split("\n", -1).filter(_.nonEmpty)
+    val plainLines = spark.read.text(plain).collect().map(_.getString(0))
+    assert(gotLines.sameElements(plainLines),
+      "concatenated shards diverged from the single-file export")
+  }
 }

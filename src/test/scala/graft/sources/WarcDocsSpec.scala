@@ -228,9 +228,13 @@ class WarcDocsSpec extends SparkSpec {
       record("response", "http://e.example/not-br", "2026-03-01T00:00:04Z",
         http("Content-Encoding: brotli-experimental", "kept as-is".getBytes("UTF-8"))) ++
       record("response", "http://e.example/x-gzip", "2026-03-01T00:00:05Z",
-        http("Content-Encoding: x-gzip", gz("x-gzip body".getBytes("UTF-8"))))
+        http("Content-Encoding: x-gzip", gz("x-gzip body".getBytes("UTF-8")))) ++
+      // truncated br stream: same degrade, never a throw
+      record("response", "http://e.example/br-trunc", "2026-03-01T00:00:06Z",
+        http("Content-Encoding: br", brBytes.take(5)))
     val got = WarcDocs.parseWarc(bytes).map(t => t._1 -> t._3).toMap
-    assert(got.size == 6, "every record must survive, empty-bodied or not")
+    assert(got.size == 7, "every record must survive, empty-bodied or not")
+    assert(got("http://e.example/br-trunc") == "")
     assert(got("http://e.example/empty-gz") == "")
     assert(got("http://e.example/empty-zlib") == "")
     assert(got("http://e.example/br") == "")
