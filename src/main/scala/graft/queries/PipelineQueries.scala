@@ -833,6 +833,17 @@ object PipelineQueries {
   private[graft] def d4cRaw(s: SparkSession, dir: String): DataFrame =
     d4cCore(s, t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")))
 
+  /** Plan-inspection probes: the same frames WITHOUT the eager result
+    * checkpoint, so PlanQualitySpec's no-product asserts see the real
+    * join structure instead of a checkpoint scan.
+    */
+  private[graft] def d4bPlanProbe(s: SparkSession, dir: String): DataFrame =
+    d4Core(s, heapsViewDocs(s, dir), forcePrefixPath = true,
+      knownDocs = Some(graft.Tables.rowCount(s, s"$dir/documents.parquet")),
+      materialize = false)
+  private[graft] def d4cPlanProbe(s: SparkSession, dir: String): DataFrame =
+    d4cCore(s, heapsViewDocs(s, dir), materialize = false)
+
   /** Doc-frequency cap above which a 4-gram is a STOP-GRAM for d4c's
     * MinHash input: carrying no identity, it only poisons signature slots
     * (see the pass-2 comment). 64 keeps every class-salted gram (class
@@ -841,7 +852,8 @@ object PipelineQueries {
     */
   private[queries] val D4cDfCap = 64L
 
-  private def d4cCore(s: SparkSession, docs: DataFrame): DataFrame = {
+  private def d4cCore(s: SparkSession, docs: DataFrame,
+      materialize: Boolean = true): DataFrame = {
     import s.implicits._
     // Pass 1: distinct char-4-grams per doc (d4's gram rule exactly),
     // cached — the hot-gram probe, the signature pass, and the exact
@@ -953,9 +965,13 @@ object PipelineQueries {
       .orderBy("doc_a", "doc_b")
     // same cache discipline as d4Core: materialize the output-sized result,
     // release the data-sized gram/signature cache before returning
-    val res = out.localCheckpoint()
-    g.unpersist(blocking = false)
-    res
+    // (materialize=false = PlanQualitySpec's plan-inspection hook)
+    if (!materialize) out
+    else {
+      val res = out.localCheckpoint()
+      g.unpersist(blocking = false)
+      res
+    }
   }
 
   /** A Heaps-law view of `documents`, identical in Spark and DuckDB: every
@@ -1012,7 +1028,8 @@ object PipelineQueries {
       knownDocs = Some(graft.Tables.rowCount(s, s"$dir/documents.parquet")))
 
   private def d4Core(s: SparkSession, docs: DataFrame,
-      forcePrefixPath: Boolean, knownDocs: Option[Long] = None): DataFrame = {
+      forcePrefixPath: Boolean, knownDocs: Option[Long] = None,
+      materialize: Boolean = true): DataFrame = {
     import s.implicits._
     // Distinct char-4-grams per doc in one typed pass (tight JVM loop over a
     // LinkedHashSet; the interpreted transform/array_distinct HOF pair cost
@@ -1101,9 +1118,15 @@ object PipelineQueries {
     // accumulating storage-memory pressure across a long-lived application.
     // localCheckpoint blocks (unlike persist) are reclaimed by the
     // ContextCleaner once the returned frame goes out of scope.
-    val out = result.localCheckpoint()
-    g.unpersist(blocking = false)
-    out
+    // materialize=false is the PLAN-INSPECTION hook (PlanQualitySpec): a
+    // checkpointed result's executedPlan is just the RDD scan, which would
+    // make the no-product assert vacuously true.
+    if (!materialize) result
+    else {
+      val out = result.localCheckpoint()
+      g.unpersist(blocking = false)
+      out
+    }
   }
 
   /** Small-vocabulary path: per-lang gram dictionary → each document becomes
@@ -1434,8 +1457,28 @@ object PipelineQueries {
     * an unchanged sum means an unchanged frame).
     */
   private[queries] def propagateLabels(withCanon: DataFrame, edges: DataFrame): DataFrame = {
-    var labels = withCanon.select(col("doc_id"), col("canon").as("label"))
-      .localCheckpoint()
+    val s = withCanon.sparkSession
+    import s.implicits._
+    // Re-baseline each round's frame through a TYPED RDD, not
+    // Dataset.localCheckpoint alone. Dataset.localCheckpoint's LogicalRDD
+    // INHERITS the checkpointed plan's estimated statistics, and a
+    // self-join's sizeInBytes estimate is the PRODUCT of its sides — so a
+    // loop that checkpoints its own self-join SQUARES the BigInt estimate
+    // every round. Measured on a 21-round corpus: by round 20 the driver
+    // spent 38 s/round inside BigInteger.multiplyToomCook3 on
+    // million-digit stats while every Spark job finished in <60 ms —
+    // geometric wall-time growth invisible to plans, lineage, and GC.
+    // createDataset over the checkpointed RDD gets CONSTANT default
+    // statistics, so per-round driver cost stays flat at any round count;
+    // the RDD localCheckpoint still cuts lineage, and the row↔tuple hop is
+    // a narrow node-sized map.
+    def rebased(df: DataFrame): DataFrame = {
+      val rdd = df.as[(Long, Long)].rdd
+      rdd.localCheckpoint()
+      rdd.count()
+      s.createDataset(rdd).toDF("doc_id", "label")
+    }
+    var labels = rebased(withCanon.select(col("doc_id"), col("canon").as("label")))
     var prevSum = labels.agg(sum("label")).first().getLong(0)
     var converged = false
     var rounds = 0
@@ -1459,12 +1502,11 @@ object PipelineQueries {
       // the property that makes the distributed path safe on adversarial
       // graphs, not just the star/chain shapes near-dup corpora produce.
       // One extra NODE-sized equi-join per round, nothing edge-sized.
-      val jumped = prop
+      val jumped = rebased(prop
         .join(prop.select(col("doc_id").as("label"), col("label").as("label2")),
           Seq("label"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("label2"), col("label"))).as("label"))
-        .localCheckpoint()
+          least(col("label"), coalesce(col("label2"), col("label"))).as("label")))
       // Σ labels strictly decreases until the JOINT fixpoint: both steps
       // are non-increasing, so an unchanged sum means neither changed any
       // label — and a neighbor-min fixpoint is constant across every edge,

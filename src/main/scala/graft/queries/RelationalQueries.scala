@@ -1123,13 +1123,21 @@ object RelationalQueries {
     // one partitioned write of ONLY touched-bucket rows; per-bucket merge
     // equals the global merge filtered to the bucket because a key hashes
     // to exactly one bucket (the StreamingOps invariant)
-    val touchedRows = seedAll.filter(col("bkt").isin(touched: _*))
-      .select(col("k"), col("status"))
-    applyChangelog(touchedRows, log)
-      .withColumn("bkt", pmod(col("k"), lit(nB.toLong)))
-      .write.mode("overwrite").partitionBy("bkt").parquet(s"$stateDir/merged")
-    // the report reads back the REAL layout: merged buckets + pruned seed
-    val mergedBack = s.read.parquet(s"$stateDir/merged").select("k", "status", "bkt")
+    val mergedBack =
+      if (touched.isEmpty) {
+        // an empty batch touches nothing: zero writes, the report is the
+        // seed as-is (an all-partitions-empty parquet write would also be
+        // unreadable back — no schema to infer)
+        seedAll.filter(lit(false)).select("k", "status", "bkt")
+      } else {
+        val touchedRows = seedAll.filter(col("bkt").isin(touched: _*))
+          .select(col("k"), col("status"))
+        applyChangelog(touchedRows, log)
+          .withColumn("bkt", pmod(col("k"), lit(nB.toLong)))
+          .write.mode("overwrite").partitionBy("bkt").parquet(s"$stateDir/merged")
+        // the report reads back the REAL layout: merged buckets + pruned seed
+        s.read.parquet(s"$stateDir/merged").select("k", "status", "bkt")
+      }
     val untouched = seedAll.filter(!col("bkt").isin(touched: _*))
       .select("k", "status", "bkt")
     untouched.unionByName(mergedBack)

@@ -51,8 +51,12 @@ class PlanQualitySpec extends SparkSpec {
     // oriented edge key, d6b's per-round propagation on the edge list — a
     // cartesian fallback in any of them silently reintroduces exactly the
     // O(n²) the twin was registered to disprove.
+    // d4b/d4c go through their plan PROBES: the registered entries
+    // checkpoint their result (cache-release discipline), which would make
+    // this assert vacuous — the probe is the same frame unmaterialized
     Seq("d5b" -> PipelineQueries.d5bEmbeddingNnScaled(spark, sf),
-        "d4b" -> PipelineQueries.d4bJaccardPrefixPath(spark, sf),
+        "d4b" -> PipelineQueries.d4bPlanProbe(spark, sf),
+        "d4c" -> PipelineQueries.d4cPlanProbe(spark, sf),
         "g2b" -> PipelineQueries.g2bTrianglesKeyed(spark, sf),
         "d6b" -> PipelineQueries.d6bDupClustersDist(spark, sf)).foreach { case (name, df) =>
       val p = plan(df)
