@@ -1121,6 +1121,12 @@ object PipelineQueries {
     // materialize=false is the PLAN-INSPECTION hook (PlanQualitySpec): a
     // checkpointed result's executedPlan is just the RDD scan, which would
     // make the no-product assert vacuously true.
+    // Cost: one materialization of the OUTPUT (pairs). On the templated
+    // sf1 corpus — 35% of all cross-copy pairs qualify, 17M rows — that
+    // is measurably ~+12 s, but any consumer of a 17M-row result pays
+    // that once anyway, and the pre-fix alternative recomputed the whole
+    // gram pipeline per downstream action while leaking the cached gram
+    // table. Real corpora have output ≪ input and pay ~nothing.
     if (!materialize) result
     else {
       val out = result.localCheckpoint()
