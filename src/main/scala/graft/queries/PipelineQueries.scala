@@ -236,6 +236,16 @@ object PipelineQueries {
     * 16-bit substrings of that one digest (min over a 16-bit universe is
     * plenty for banding, and hashing is the dominant cost of signature
     * computation — this is 8× cheaper than 8 seeded hashes).
+    *
+    * SCALE NOTE (the d4c lesson applied here): the min of N samples over a
+    * 16-bit universe carries only ~log2(65536/N) bits of entropy, so past
+    * ~10⁸ documents CHANCE band collisions (docs sharing two concentrated
+    * mins without shared shingles) start inflating the candidate join.
+    * Word-3-shingles keep N per doc low and near-unique, which is why the
+    * measured exponent holds at the rehearsal scales; a 10⁹-doc deployment
+    * widens the mins to 32-bit md5 slices exactly as d4cCore does (the
+    * oracle mapping substr(md5(x), 8i+1, 8) is already proven there) —
+    * same recall, band keys collide only on genuine similarity.
     */
   /** Shared MinHash signature derivation over any (doc_id, text) frame:
     * one narrow typed pass → (doc_id, shingle set, band keys), checkpointed

@@ -51,6 +51,7 @@ class ClusterModeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "g2b_triangles_keyed",         // forced keyed-join cluster branch
     "d6b_dup_clusters_dist",       // distributed label prop + pointer jump
     "sim7b_incremental_ann_scaled",// VectorIndex build + probe
+    "k10b_bucketed_merge",         // executor-side partitionBy writes + FS state
     "pipe3_export")                // two-phase prefix sums
 
   private def canonValue(v: Any): String = v match {
