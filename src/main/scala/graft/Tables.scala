@@ -77,6 +77,9 @@ object Tables {
         "(a zero count would silently disable volume-adaptive plan choices)")
     val key = files.map(s => s"${s.getPath}#${s.getModificationTime}#${s.getLen}")
       .sorted.mkString(path + "|", ";", "")
+    // evict superseded vintages of this path: a long-lived session that
+    // rewrites the same table repeatedly must not grow the cache unboundedly
+    rowCountCache.keySet.removeIf(k => k.startsWith(path + "|") && k != key)
     rowCountCache.computeIfAbsent(key, { _ =>
       files.map { f =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf)

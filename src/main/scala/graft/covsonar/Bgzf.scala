@@ -21,6 +21,13 @@ final class BgzfOutputStream(out: java.io.OutputStream) extends java.io.OutputSt
   private val buf = new Array[Byte](MaxChunk)
   private var n = 0
   private var finished = false
+  // one native zlib stream and one compression buffer per BGZF stream,
+  // reset per block — a GB-scale sharded export writes ~16k blocks/GB and
+  // per-block Deflater alloc/end() is measurable native churn
+  private val deflater = new java.util.zip.Deflater(
+    java.util.zip.Deflater.DEFAULT_COMPRESSION, true) // raw deflate
+  private val cbuf = new Array[Byte](MaxChunk + 1024)
+  private val crc = new java.util.zip.CRC32()
 
   override def write(b: Int): Unit = {
     buf(n) = b.toByte; n += 1
@@ -50,19 +57,17 @@ final class BgzfOutputStream(out: java.io.OutputStream) extends java.io.OutputSt
 
   override def close(): Unit = {
     finish()
+    deflater.end()
     out.close()
   }
 
   private def writeBlock(d: Array[Byte], off: Int, len: Int): Unit = {
-    val deflater = new java.util.zip.Deflater(
-      java.util.zip.Deflater.DEFAULT_COMPRESSION, true) // raw deflate
+    deflater.reset()
     deflater.setInput(d, off, len)
     deflater.finish()
-    val cbuf = new Array[Byte](MaxChunk + 1024)
     var clen = 0
     while (!deflater.finished())
       clen += deflater.deflate(cbuf, clen, cbuf.length - clen)
-    deflater.end()
     if (clen + 26 > 0xffff) {
       // pathological incompressible chunk would overflow the u16 BSIZE:
       // split and recurse (each half compresses into its own block) — the
@@ -71,7 +76,7 @@ final class BgzfOutputStream(out: java.io.OutputStream) extends java.io.OutputSt
       writeBlock(d, off + len / 2, len - len / 2)
       return
     }
-    val crc = new java.util.zip.CRC32()
+    crc.reset()
     crc.update(d, off, len)
     val total = clen + 26 // 18 header + clen + 8 trailer
     val h = new Array[Byte](18)

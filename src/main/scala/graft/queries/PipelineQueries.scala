@@ -976,7 +976,7 @@ object PipelineQueries {
     // same cache discipline as d4Core: materialize the output-sized result,
     // release the data-sized gram/signature cache before returning
     // (materialize=false = PlanQualitySpec's plan-inspection hook)
-    if (!materialize) out
+    if (!materialize) { g.unpersist(blocking = false); out }
     else {
       val res = out.localCheckpoint()
       g.unpersist(blocking = false)
@@ -1130,14 +1130,16 @@ object PipelineQueries {
     // ContextCleaner once the returned frame goes out of scope.
     // materialize=false is the PLAN-INSPECTION hook (PlanQualitySpec): a
     // checkpointed result's executedPlan is just the RDD scan, which would
-    // make the no-product assert vacuously true.
+    // make the no-product assert vacuously true. The gram cache is released
+    // on THIS path too (the probe reads the plan, not the data; executing
+    // the returned frame recomputes without the cache — correct, slower).
     // Cost: one materialization of the OUTPUT (pairs). On the templated
     // sf1 corpus — 35% of all cross-copy pairs qualify, 17M rows — that
     // is measurably ~+12 s, but any consumer of a 17M-row result pays
     // that once anyway, and the pre-fix alternative recomputed the whole
     // gram pipeline per downstream action while leaking the cached gram
     // table. Real corpora have output ≪ input and pay ~nothing.
-    if (!materialize) result
+    if (!materialize) { g.unpersist(blocking = false); result }
     else {
       val out = result.localCheckpoint()
       g.unpersist(blocking = false)

@@ -1056,14 +1056,19 @@ object RelationalQueries {
       |ORDER BY status""".stripMargin
 
   /** Log for [[k10bBucketedMerge]]: k10's CDC feed restricted to keys
-    * ≡ 0 (mod 300) — a SPARSE batch whose keys land in exactly
-    * lcm(300,64)/300 = 16 of the 64 hash buckets, so the file-prune
+    * ≡ 0 (mod 292) — a SPARSE batch whose keys land in exactly
+    * lcm(292,64)/292 = 16 of the 64 hash buckets, so the file-prune
     * claim (write ∝ touched buckets, never the target) is measurable,
-    * not vacuous. SQL-replayable by construction.
+    * not vacuous. 292 = 4·73 is deliberately coprime to the snapshot
+    * rules' moduli (not a multiple of 5 or 7, unlike 300, whose every
+    * key was absent from vNew and made the log ALL-DELETES): a mod-292
+    * log carries mixed I/U/D ops, so the bucketed rewrite exercises the
+    * upsert path and n_x is non-trivial. SQL-replayable by construction.
     */
+  private[queries] val K10bLogModulus = 292
   private def k10bSparseLog(s: SparkSession, dir: String): DataFrame =
     k8SnapshotDiff(s, dir)
-      .filter(col("o_orderkey") % 300 === 0)
+      .filter(col("o_orderkey") % K10bLogModulus === 0)
       .select(col("o_orderkey").as("k"), col("op"), col("new_status"))
 
   private val K10bBuckets = 64
@@ -1115,7 +1120,12 @@ object RelationalQueries {
     if (!rootFs.exists(new org.apache.hadoop.fs.Path(s"$seedPath/_SUCCESS")))
       old.withColumn("bkt", pmod(col("k"), lit(nB.toLong)))
         .write.mode("overwrite").partitionBy("bkt").parquet(seedPath)
-    val seedAll = s.read.parquet(seedPath) // k, status, bkt (partition col)
+    // explicit schema on every read-back: a zero-row partitionBy write
+    // emits only _SUCCESS, and schema inference over no files throws —
+    // an empty target or an all-delete merge is valid, not a crash
+    val layout = org.apache.spark.sql.types.StructType
+      .fromDDL("k BIGINT, status STRING, bkt INT")
+    val seedAll = s.read.schema(layout).parquet(seedPath)
     // THE PRUNE: the batch's bucket list (≤ nB values, one tiny job)
     val touched: Seq[Long] = log
       .select(pmod(col("k"), lit(nB.toLong)).as("bkt")).distinct()
@@ -1136,7 +1146,8 @@ object RelationalQueries {
           .withColumn("bkt", pmod(col("k"), lit(nB.toLong)))
           .write.mode("overwrite").partitionBy("bkt").parquet(s"$stateDir/merged")
         // the report reads back the REAL layout: merged buckets + pruned seed
-        s.read.parquet(s"$stateDir/merged").select("k", "status", "bkt")
+        s.read.schema(layout).parquet(s"$stateDir/merged")
+          .select("k", "status", "bkt")
       }
     val untouched = seedAll.filter(!col("bkt").isin(touched: _*))
       .select("k", "status", "bkt")
@@ -1161,7 +1172,7 @@ object RelationalQueries {
       |               WHEN old_status != new_status THEN 'U' END AS op
       |        FROM old FULL OUTER JOIN new ON k_old = k_new),
       |slog AS (SELECT k, op, new_status FROM log0
-      |         WHERE op IS NOT NULL AND k % 300 = 0),
+      |         WHERE op IS NOT NULL AND k % $K10bLogModulus = 0),
       |applied AS (
       |  SELECT k_old AS k, old_status AS status FROM old
       |  WHERE k_old NOT IN (SELECT k FROM slog)

@@ -133,12 +133,16 @@ object WarcDocs {
             // SURVEY.md §8 ADR "brotli".
             val codings = headerValue("content-encoding")
               .split(',').map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
-            if (codings.contains("gzip") || codings.contains("x-gzip"))
+            // br FIRST: codings are layered (RFC 9110 lists them in
+            // application order), so ANY br in the stack means brotli
+            // bytes survive whatever else we can undo — 'br, gzip' would
+            // otherwise gunzip one layer and land brotli binary as prose
+            if (codings.contains("br"))
+              body = Array.emptyByteArray
+            else if (codings.contains("gzip") || codings.contains("x-gzip"))
               body = inflateBody(body, gzipWrapped = true)
             else if (codings.contains("deflate"))
               body = inflateBody(body, gzipWrapped = false)
-            else if (codings.contains("br"))
-              body = Array.emptyByteArray
             // Honor the DECLARED charset (Content-Type: ...; charset=x): a
             // latin-1 / windows-1252 / shift_jis page decoded as UTF-8
             // collapses every non-ASCII byte to U+FFFD — silent text loss

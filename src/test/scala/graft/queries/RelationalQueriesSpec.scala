@@ -230,13 +230,17 @@ class RelationalQueriesSpec extends SparkSpec {
     }
     val out1 = RelationalQueries.k10bBucketedMerge(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
-    // the sparse mod-300 log touches at most lcm(300,64)/300 = 16 buckets
+    // the sparse mod-292 log touches at most lcm(292,64)/292 = 16 buckets
     // (exactly 16 once the key range covers all residue classes); compute
     // the expectation from the data rather than assuming the range
-    val expectedTouched = RelationalQueries.k8SnapshotDiff(spark, sf)
-      .filter(org.apache.spark.sql.functions.col("o_orderkey") % 300 === 0)
-      .selectExpr("pmod(o_orderkey, 64) AS bkt").distinct()
-      .collect().map(_.getLong(0)).toSet
+    val logRows = RelationalQueries.k8SnapshotDiff(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("o_orderkey") % 292 === 0)
+      .selectExpr("pmod(o_orderkey, 64) AS bkt", "op").collect()
+    val expectedTouched = logRows.map(_.getLong(0)).toSet
+    // the log must exercise the MERGE, not just deletes: 292 is coprime to
+    // the snapshot rules' 5 and 7, so I/U ops appear alongside D
+    assert(logRows.map(_.getString(1)).toSet.intersect(Set("I", "U")).nonEmpty,
+      s"log is all-deletes: ${logRows.map(_.getString(1)).toSet}")
     val rewritten = out1.filter(_._2 == 1).map(_._1)
     assert(expectedTouched.nonEmpty && expectedTouched.size <= 16,
       s"log bucket math broke: $expectedTouched")

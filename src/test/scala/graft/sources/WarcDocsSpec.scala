@@ -231,10 +231,15 @@ class WarcDocsSpec extends SparkSpec {
         http("Content-Encoding: x-gzip", gz("x-gzip body".getBytes("UTF-8")))) ++
       // truncated br stream: same degrade, never a throw
       record("response", "http://e.example/br-trunc", "2026-03-01T00:00:06Z",
-        http("Content-Encoding: br", brBytes.take(5)))
+        http("Content-Encoding: br", brBytes.take(5))) ++
+      // LAYERED codings with br anywhere in the stack must degrade to
+      // empty, not gunzip one layer and land brotli binary as prose
+      record("response", "http://e.example/br-gzip", "2026-03-01T00:00:07Z",
+        http("Content-Encoding: br, gzip", gz(brBytes)))
     val got = WarcDocs.parseWarc(bytes).map(t => t._1 -> t._3).toMap
-    assert(got.size == 7, "every record must survive, empty-bodied or not")
+    assert(got.size == 8, "every record must survive, empty-bodied or not")
     assert(got("http://e.example/br-trunc") == "")
+    assert(got("http://e.example/br-gzip") == "")
     assert(got("http://e.example/empty-gz") == "")
     assert(got("http://e.example/empty-zlib") == "")
     assert(got("http://e.example/br") == "")

@@ -106,6 +106,13 @@ def main(sf_dir, out_dir):
     produced = {os.path.basename(d) for d in glob.glob(f"{out_dir}/*")
                 if os.path.isdir(d)}
     for name in sorted(produced - set(oracle)):
+        # a crashed query must not hide behind its documented skip: Verify
+        # writes _FAILED into the output dir on any exception
+        if os.path.exists(f"{out_dir}/{name}/_FAILED"):
+            msg = open(f"{out_dir}/{name}/_FAILED").read().strip().splitlines()[:1]
+            print(f"FAIL {name}: spark query FAILED: {msg[0][:160] if msg else ''}")
+            n_bad += 1
+            continue
         why = rationale.get(name)
         if why:
             print(f"skip {name}: no_oracle — {why}")
