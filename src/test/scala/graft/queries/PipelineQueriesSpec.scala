@@ -856,9 +856,22 @@ class PipelineQueriesSpec extends SparkSpec {
     val und = (0L until n - 1).map(i => (i, i + 1)).toDF("a", "b")
     val edges = und.union(und.select(col("b").as("a"), col("a").as("b")))
     val nodes = (0L until n).toDF("doc_id").withColumn("canon", col("doc_id"))
-    val got = PipelineQueries.propagateLabels(nodes, edges).collect()
+    val labels = PipelineQueries.propagateLabels(nodes, edges)
+    val got = labels.collect()
     assert(got.length == n)
     assert(got.forall(_.getAs[Long]("label") == 0L))
+    // REGRESSION PIN for the round-9 stats-squaring pathology:
+    // Dataset.localCheckpoint inherits the checkpointed plan's estimated
+    // statistics, and a loop checkpointing its own SELF-join squares the
+    // BigInt sizeInBytes per round — after ~20 rounds the driver burned
+    // 38 s/round in BigInteger multiplication (jobs all <60 ms). The
+    // typed-RDD rewrap keeps stats CONSTANT; if the returned frame's
+    // sizeInBytes ever carries hundreds of bits again, the squaring is
+    // back even though results stay correct and every job stays fast.
+    val bits = labels.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
+    assert(bits < 128,
+      s"propagation result carries a $bits-bit size estimate — the " +
+        "self-join checkpoint stats-squaring has regressed")
   }
 
   test("d4's bitmap and PPJoin-prefix paths produce identical pairs") {
