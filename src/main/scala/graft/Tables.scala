@@ -51,32 +51,54 @@ object Tables {
     * (partitioned) layouts and empty directories rather than undercounting.
     */
   private val rowCountCache = new java.util.concurrent.ConcurrentHashMap[String, Long]()
-  def rowCount(spark: SparkSession, path: String): Long = {
+
+  /** Flat-layout file listing for a parquet table path (single file, or a
+    * directory of .parquet part-files). Refuses nested/partitioned layouts
+    * and empty directories — the shared precondition of every consumer
+    * below (a non-recursive scan over those would silently miss data).
+    */
+  private def flatParquetFiles(spark: SparkSession,
+      path: String): Seq[org.apache.hadoop.fs.FileStatus] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fsPath = new org.apache.hadoop.fs.Path(path)
     val fs = fsPath.getFileSystem(conf)
-    // Resolve the listing FIRST and key the cache on (path, files, mtimes,
-    // lengths): a table rewritten or appended at the same path within one
-    // session must not return the stale count (the adaptive operators would
-    // silently mis-size, and d4b's oracle — which recomputes count(*) live —
-    // would hash-diverge rather than fail loudly).
     val files: Seq[org.apache.hadoop.fs.FileStatus] =
       if (fs.getFileStatus(fsPath).isDirectory) {
         val entries = fs.listStatus(fsPath).toSeq
         val subdirs = entries.filter(s =>
           s.isDirectory && !s.getPath.getName.startsWith("_"))
         require(subdirs.isEmpty,
-          s"rowCount($path): nested/partitioned layout (subdirs " +
+          s"flat listing of $path: nested/partitioned layout (subdirs " +
             s"${subdirs.map(_.getPath.getName).take(3).mkString(",")}…) — a " +
-            "non-recursive footer scan would silently undercount; read the " +
+            "non-recursive scan would silently miss data; read the " +
             "partitioned dataset through Spark instead")
         entries.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       } else Seq(fs.getFileStatus(fsPath))
     require(files.nonEmpty,
-      s"rowCount($path): no .parquet files found — refusing to return 0 " +
-        "(a zero count would silently disable volume-adaptive plan choices)")
-    val key = files.map(s => s"${s.getPath}#${s.getModificationTime}#${s.getLen}")
-      .sorted.mkString(path + "|", ";", "")
+      s"flat listing of $path: no .parquet files found — refusing to treat " +
+        "an empty table as a valid vintage")
+    files
+  }
+
+  /** Content-vintage signature of a flat parquet table: file paths, mtimes,
+    * lengths — sorted and joined. ONE definition shared by every cache /
+    * persisted-state keying decision (rowCount's invalidation, k10b's seed
+    * vintage), so a hardening fix to the signature rule lands everywhere.
+    */
+  private[graft] def listingSignature(spark: SparkSession, path: String): String =
+    flatParquetFiles(spark, path)
+      .map(s => s"${s.getPath}#${s.getModificationTime}#${s.getLen}")
+      .sorted.mkString(";")
+
+  def rowCount(spark: SparkSession, path: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    // Resolve the listing FIRST and key the cache on (path, files, mtimes,
+    // lengths): a table rewritten or appended at the same path within one
+    // session must not return the stale count (the adaptive operators would
+    // silently mis-size, and d4b's oracle — which recomputes count(*) live —
+    // would hash-diverge rather than fail loudly).
+    val files = flatParquetFiles(spark, path)
+    val key = path + "|" + listingSignature(spark, path)
     // evict superseded vintages of this path: a long-lived session that
     // rewrites the same table repeatedly must not grow the cache unboundedly
     rowCountCache.keySet.removeIf(k => k.startsWith(path + "|") && k != key)

@@ -129,7 +129,11 @@ final class BgzfCodec extends org.apache.hadoop.io.compress.GzipCodec {
       override def finish(): Unit = bgzf.finish()
       override def resetState(): Unit = ()
       override def flush(): Unit = bgzf.flush()
-      // CompressionOutputStream.close() → finish() then closes `out`
+      // The base close() would call finish() then out.close() and never
+      // release the native Deflater; route through bgzf.close() (finish →
+      // deflater.end() → out.close()) so every part file written through
+      // the codec frees its zlib stream deterministically.
+      override def close(): Unit = bgzf.close()
     }
 
   override def createOutputStream(out: java.io.OutputStream,

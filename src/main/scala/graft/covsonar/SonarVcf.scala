@@ -128,7 +128,11 @@ object SonarVcf {
     * the reference's POS-sorted output (lib/sonartoVCF_v2.py:338).
     */
   def vcfLines(sites: DataFrame, sampleIds: Seq[String]): DataFrame =
-    formatLines(sites.orderBy(col("pos")), sampleIds)
+    // (pos, ref) — not pos alone: sites are one row per (pos, ref), and a
+    // same-pos SNV/MNV tie under a non-stable sort would order
+    // engine-arbitrarily, breaking the sharded export's byte-concat
+    // equivalence with this single-file form
+    formatLines(sites.orderBy(col("pos"), col("ref")), sampleIds)
 
   /** Formats already-ordered site rows into VCF body lines (one narrow
     * pass; ordering is the caller's contract — global orderBy for the
@@ -219,7 +223,8 @@ object SonarVcf {
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .option("compression", bgzf).text(s"$path/00-header")
     formatLines(
-        sites.repartitionByRange(shards, col("pos")).sortWithinPartitions("pos"),
+        sites.repartitionByRange(shards, col("pos"))
+          .sortWithinPartitions("pos", "ref"),
         sampleIds)
       .write.mode(SaveMode.Overwrite)
       .option("compression", bgzf).text(s"$path/01-body")

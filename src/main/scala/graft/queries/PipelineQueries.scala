@@ -903,9 +903,12 @@ object PipelineQueries {
       .select("lang", "gram").as[(String, String)].collect()
       .groupBy(_._1).map { case (l, gs) => l -> gs.map(_._2).toSet }
     require(hot.valuesIterator.map(_.size.toLong).sum < (1L << 24),
-      "stop-gram set exceeded 16M entries — not broadcast-shaped; raise " +
-        "spark.graft... no dial exists because a natural-language corpus " +
-        "cannot reach this (frequent-gram count is language-bounded)")
+      "d4c stop-gram set exceeded 16M entries — not broadcast-shaped. A " +
+        "natural-language corpus cannot reach this (frequent-gram count is " +
+        "language-bounded), so the input is adversarial or non-text: raise " +
+        s"D4cDfCap (currently $D4cDfCap) so fewer grams qualify as hot, " +
+        "pre-filter the corpus view, or use d4b's exact prefix path, which " +
+        "has no broadcast stop-gram stage")
     val hotB = s.sparkContext.broadcast(hot)
 
     // Pass 2: 8-perm MinHash over each doc's RARE grams. Unlike d2's
@@ -1390,10 +1393,20 @@ object PipelineQueries {
     */
   private[queries] val D6DriverEdgeThresholdDefault: Int = 2000000
   private[queries] def d6DriverEdgeThreshold(s: SparkSession): Int = {
-    val v = s.conf.getOption("spark.graft.d6.driverEdgeThreshold")
-      .map(_.toInt).getOrElse(D6DriverEdgeThresholdDefault)
+    val v: Long = s.conf.getOption("spark.graft.d6.driverEdgeThreshold") match {
+      case None => D6DriverEdgeThresholdDefault.toLong
+      case Some(x) =>
+        try x.toLong
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"spark.graft.d6.driverEdgeThreshold must be a plain non-negative " +
+              s"integer (no 3e6 notation), got '$x'")
+        }
+    }
     require(v >= 0, s"spark.graft.d6.driverEdgeThreshold must be >= 0, got $v")
-    math.min(v, Int.MaxValue - 1) // the probe runs limit(threshold + 1)
+    // the probe runs limit(threshold + 1); larger settings just mean
+    // "always take the driver path up to Int.MaxValue-1 probed edges"
+    math.min(v, (Int.MaxValue - 1).toLong).toInt
   }
 
   private[queries] def d6Impl(

@@ -1097,15 +1097,11 @@ object RelationalQueries {
     val (vOld, _) = snapshotPair(s, dir)
     val old = vOld.select(col("k_old").as("k"), col("old_status").as("status"))
     val log = k10bSparseLog(s, dir)
-    // input-vintage digest over the orders file listing (path/mtime/len)
+    // input-vintage digest over the orders file listing — the ONE shared
+    // signature rule (Tables.listingSignature), so invalidation hardening
+    // lands here and in rowCount's cache together
     val conf = s.sparkContext.hadoopConfiguration
-    val src = new org.apache.hadoop.fs.Path(s"$dir/orders.parquet")
-    val fs = src.getFileSystem(conf)
-    val listing =
-      (if (fs.getFileStatus(src).isDirectory) fs.listStatus(src).toSeq
-       else Seq(fs.getFileStatus(src)))
-        .map(st => s"${st.getPath}#${st.getModificationTime}#${st.getLen}")
-        .sorted.mkString(";")
+    val listing = graft.Tables.listingSignature(s, s"$dir/orders.parquet")
     val sig = java.security.MessageDigest.getInstance("MD5")
       .digest(listing.getBytes("UTF-8")).map(b => f"$b%02x").mkString
     val stateRoot = new org.apache.hadoop.fs.Path("target/k10b-state")

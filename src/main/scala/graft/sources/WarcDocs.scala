@@ -131,18 +131,27 @@ object WarcDocs {
             // text column — never raw compressed bytes posing as prose,
             // which would poison every downstream text operator. See
             // SURVEY.md §8 ADR "brotli".
-            val codings = headerValue("content-encoding")
-              .split(',').map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
-            // br FIRST: codings are layered (RFC 9110 lists them in
-            // application order), so ANY br in the stack means brotli
-            // bytes survive whatever else we can undo — 'br, gzip' would
-            // otherwise gunzip one layer and land brotli binary as prose
-            if (codings.contains("br"))
-              body = Array.emptyByteArray
-            else if (codings.contains("gzip") || codings.contains("x-gzip"))
-              body = inflateBody(body, gzipWrapped = true)
-            else if (codings.contains("deflate"))
-              body = inflateBody(body, gzipWrapped = false)
+            // Codings are a LAYERED LIST (RFC 9110 lists them in
+            // application order), so decode last-applied first — one
+            // branch per message would leave 'gzip, gzip' (real
+            // misconfigured servers) or 'deflate, gzip' half-decoded,
+            // landing compressed binary in the text column. 'br' anywhere
+            // in the stack degrades to EMPTY (no decoder — everything
+            // beneath it is unreachable); an unknown coding stops
+            // decoding and keeps the bytes as-is (the pre-round-9
+            // behavior for unrecognized values, spec-pinned).
+            val codingList = headerValue("content-encoding")
+              .split(',').map(_.trim.toLowerCase).filter(_.nonEmpty).toList
+            var stop = false
+            codingList.reverse.foreach { c =>
+              if (!stop) c match {
+                case "gzip" | "x-gzip" => body = inflateBody(body, gzipWrapped = true)
+                case "deflate" => body = inflateBody(body, gzipWrapped = false)
+                case "identity" => // explicit no-op coding
+                case "br" => body = Array.emptyByteArray; stop = true
+                case _ => stop = true // unknown: keep bytes as-is
+              }
+            }
             // Honor the DECLARED charset (Content-Type: ...; charset=x): a
             // latin-1 / windows-1252 / shift_jis page decoded as UTF-8
             // collapses every non-ASCII byte to U+FFFD — silent text loss

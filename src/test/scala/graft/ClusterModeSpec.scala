@@ -57,7 +57,12 @@ class ClusterModeSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def canonValue(v: Any): String = v match {
     case null => "∅"
     case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
-    case d: Double => if (d == 0.0) "0" else f"${BigDecimal(d).round(new java.math.MathContext(9))}%s"
+    case d: Double =>
+      // non-finite doubles crash BigDecimal; report them verbatim so a
+      // NaN divergence reads as a diff, not a harness crash
+      if (d.isNaN || d.isInfinite) d.toString
+      else if (d == 0.0) "0"
+      else f"${BigDecimal(d).round(new java.math.MathContext(9))}%s"
     case f: Float => canonValue(f.toDouble)
     case s: scala.collection.Seq[_] => s.map(canonValue).mkString("[", ",", "]")
     case a: Array[_] => a.map(canonValue).mkString("[", ",", "]")

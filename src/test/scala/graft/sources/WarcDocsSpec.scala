@@ -235,11 +235,23 @@ class WarcDocsSpec extends SparkSpec {
       // LAYERED codings with br anywhere in the stack must degrade to
       // empty, not gunzip one layer and land brotli binary as prose
       record("response", "http://e.example/br-gzip", "2026-03-01T00:00:07Z",
-        http("Content-Encoding: br, gzip", gz(brBytes)))
+        http("Content-Encoding: br, gzip", gz(brBytes))) ++
+      // layered codings WITHOUT br decode fully, last-applied first:
+      // double-gzip (real misconfigured servers) and deflate-then-gzip
+      record("response", "http://e.example/gzip-gzip", "2026-03-01T00:00:08Z",
+        http("Content-Encoding: gzip, gzip", gz(gz("twice wrapped".getBytes("UTF-8"))))) ++
+      record("response", "http://e.example/deflate-gzip", "2026-03-01T00:00:09Z",
+        http("Content-Encoding: deflate, gzip",
+          gz(zlib("layered body".getBytes("UTF-8"))))) ++
+      record("response", "http://e.example/identity-gzip", "2026-03-01T00:00:10Z",
+        http("Content-Encoding: identity, gzip", gz("plain under identity".getBytes("UTF-8"))))
     val got = WarcDocs.parseWarc(bytes).map(t => t._1 -> t._3).toMap
-    assert(got.size == 8, "every record must survive, empty-bodied or not")
+    assert(got.size == 11, "every record must survive, empty-bodied or not")
     assert(got("http://e.example/br-trunc") == "")
     assert(got("http://e.example/br-gzip") == "")
+    assert(got("http://e.example/gzip-gzip") == "twice wrapped")
+    assert(got("http://e.example/deflate-gzip") == "layered body")
+    assert(got("http://e.example/identity-gzip") == "plain under identity")
     assert(got("http://e.example/empty-gz") == "")
     assert(got("http://e.example/empty-zlib") == "")
     assert(got("http://e.example/br") == "")
