@@ -26,8 +26,18 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     var nFailed = 0
     SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // deliberately oracle-less queries carry their rationale INSIDE the
+        // result dir too, so a reader browsing the artifacts (or a driver
+        // surfacing marker files) sees why this row has no DuckDB compare
+        SparkEntry.noOracleRationale.get(name).foreach { why =>
+          Files.writeString(
+            Paths.get(s"$outDir/$name").resolve("_NO_ORACLE_RATIONALE"),
+            why + "\n")
+        }
+      }
       catch { case e: Throwable =>
         // Loud failure: a marker file the driver (and a human) can see, so a
         // broken query shows up as an explicit FAILED row rather than a
