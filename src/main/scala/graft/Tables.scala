@@ -50,7 +50,8 @@ object Tables {
     * testdata shape and a flat directory of part-files; refuses nested
     * (partitioned) layouts and empty directories rather than undercounting.
     */
-  private val rowCountCache = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Long]()
 
   /** Flat-layout file listing for a parquet table path (single file, or a
     * directory of .parquet part-files). Refuses nested/partitioned layouts
@@ -80,15 +81,40 @@ object Tables {
     files
   }
 
-  /** Content-vintage signature of a flat parquet table: file paths, mtimes,
-    * lengths — sorted and joined. ONE definition shared by every cache /
-    * persisted-state keying decision (rowCount's invalidation, k10b's seed
-    * vintage), so a hardening fix to the signature rule lands everywhere.
+  /** Content-vintage signature of a flat parquet table: file count, then
+    * per-file path, mtime, length, and the 4-byte footer-metadata length
+    * read from each file's tail — sorted and joined. ONE definition shared
+    * by every cache / persisted-state keying decision (rowCount's
+    * invalidation, k10b's seed vintage), so a hardening fix to the
+    * signature rule lands everywhere.
+    *
+    * The footer-length discriminator closes the residual staleness window
+    * of (mtime, length) alone: a rewrite producing equal-length files
+    * within the filesystem's mtime resolution still almost surely changes
+    * the footer's thrift-serialized metadata size (row-group offsets,
+    * stats). It costs one 8-byte ranged read per file — the same order as
+    * the footer read a rowCount cache MISS performs anyway, and a HEAD-
+    * sized request on object stores.
     */
-  private[graft] def listingSignature(spark: SparkSession, path: String): String =
-    flatParquetFiles(spark, path)
-      .map(s => s"${s.getPath}#${s.getModificationTime}#${s.getLen}")
-      .sorted.mkString(";")
+  private[graft] def listingSignature(spark: SparkSession, path: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = flatParquetFiles(spark, path)
+    val parts = files.map { s =>
+      val fs = s.getPath.getFileSystem(conf)
+      val in = fs.open(s.getPath)
+      val footerLen =
+        try {
+          // parquet tail: ...[4-byte footer length][PAR1]
+          in.seek(s.getLen - 8)
+          val b = new Array[Byte](4)
+          in.readFully(b)
+          (b(0) & 0xff) | ((b(1) & 0xff) << 8) | ((b(2) & 0xff) << 16) |
+            ((b(3) & 0xff) << 24)
+        } finally in.close()
+      s"${s.getPath}#${s.getModificationTime}#${s.getLen}#$footerLen"
+    }
+    s"n=${files.size};" + parts.sorted.mkString(";")
+  }
 
   def rowCount(spark: SparkSession, path: String): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -98,10 +124,13 @@ object Tables {
     // silently mis-size, and d4b's oracle — which recomputes count(*) live —
     // would hash-diverge rather than fail loudly).
     val files = flatParquetFiles(spark, path)
-    val key = path + "|" + listingSignature(spark, path)
+    // composite (path, signature) key — never string concatenation, so a
+    // path whose own name contains the old '|' separator cannot alias or
+    // evict an unrelated path's entries
+    val key = (path, listingSignature(spark, path))
     // evict superseded vintages of this path: a long-lived session that
     // rewrites the same table repeatedly must not grow the cache unboundedly
-    rowCountCache.keySet.removeIf(k => k.startsWith(path + "|") && k != key)
+    rowCountCache.keySet.removeIf(k => k._1 == path && k != key)
     rowCountCache.computeIfAbsent(key, { _ =>
       files.map { f =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf)

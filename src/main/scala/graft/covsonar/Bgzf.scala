@@ -115,8 +115,18 @@ object BgzfOutputStream {
   * BGZF files concatenate soundly (an interior EOF block is just an empty
   * block), so the format survives Spark's many-part layout. Extends
   * GzipCodec: the READ side inherits gzip's (BGZF is valid multi-member
-  * gzip; Hadoop's built-in decompressor handles concatenated members) and
-  * the `.gz` extension is correct for bgzip output by convention.
+  * gzip) and the `.gz` extension is correct for bgzip output by
+  * convention.
+  *
+  * READ-SIDE REQUIREMENT: reading multi-block BGZF through the Hadoop
+  * codec factory depends on the resolved gzip decompressor handling
+  * CONCATENATED gzip members. Hadoop's pure-Java
+  * `BuiltInGzipDecompressor` does; historical native-zlib decompressor
+  * paths stopped at the first member, which would silently truncate a
+  * readback to the first ~64 KiB block. SonarVcfSpec pins the full
+  * codec-factory + spark.read.text chain against a multi-block fixture
+  * on this runtime; a deployment overriding `io.compression.codecs`
+  * with a native gzip codec must re-verify that property.
   */
 final class BgzfCodec extends org.apache.hadoop.io.compress.GzipCodec {
   override def createOutputStream(out: java.io.OutputStream)

@@ -862,7 +862,32 @@ object PipelineQueries {
     */
   private[queries] val D4cDfCap = 64L
 
-  private def d4cCore(s: SparkSession, docs: DataFrame,
+  /** Broadcast budget for d4c's stop-gram set (entries, not bytes):
+    * default 16M ≈ the point past which a driver-collected + broadcast
+    * string set stops being "stopword-list shaped". Session-configurable
+    * via `spark.graft.d4c.stopGramBudget` — tests shrink it to force the
+    * over-budget paths; a large-driver deployment can raise it. Bounded
+    * to Int range because the degrade path's deterministic top-(budget-1)
+    * cut runs through limit().
+    */
+  private[queries] val D4cStopGramBudgetDefault: Long = 1L << 24
+  private[queries] def d4cStopGramBudget(s: SparkSession): Long = {
+    val v: Long = s.conf.getOption("spark.graft.d4c.stopGramBudget") match {
+      case None => D4cStopGramBudgetDefault
+      case Some(x) =>
+        try x.toLong
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"spark.graft.d4c.stopGramBudget must be a plain positive " +
+              s"integer (no 1e7 notation), got '$x'")
+        }
+    }
+    require(v >= 2 && v <= Int.MaxValue.toLong,
+      s"spark.graft.d4c.stopGramBudget must be in [2, ${Int.MaxValue}], got $v")
+    v
+  }
+
+  private[queries] def d4cCore(s: SparkSession, docs: DataFrame,
       materialize: Boolean = true): DataFrame = {
     import s.implicits._
     // Pass 1: distinct char-4-grams per doc (d4's gram rule exactly),
@@ -896,19 +921,63 @@ object PipelineQueries {
     // The stop-gram set is language/template-bounded (frequent-word
     // interiors), so it collects and broadcasts like a stopword list; one
     // partial-aggregable df pass — d4's dfreq shuffle — pays for it.
-    val hot: Map[String, Set[String]] = g
+    // Broadcast budget + over-budget policy are session dials. The GUARD
+    // runs as a DISTRIBUTED count BEFORE any driver-side collect: on
+    // exactly the adversarial/non-text corpus the refusal message
+    // describes, collecting the full hot set first would OOM the driver
+    // before the guard could fire, making the actionable error
+    // unreachable in the one case it was written for.
+    val budget: Long = d4cStopGramBudget(s)
+    val overCapMode: String =
+      s.conf.getOption("spark.graft.d4c.overCapMode").getOrElse("degrade")
+    require(overCapMode == "degrade" || overCapMode == "fail",
+      s"spark.graft.d4c.overCapMode must be 'degrade' or 'fail', got '$overCapMode'")
+    val hotFrame = g
       .select(col("lang"), col("doc_id"), explode(col("g")).as("gram"))
       .groupBy("lang", "gram").agg(count(lit(1)).as("df"))
       .filter(col("df") > lit(D4cDfCap))
-      .select("lang", "gram").as[(String, String)].collect()
-      .groupBy(_._1).map { case (l, gs) => l -> gs.map(_._2).toSet }
-    require(hot.valuesIterator.map(_.size.toLong).sum < (1L << 24),
-      "d4c stop-gram set exceeded 16M entries — not broadcast-shaped. A " +
-        "natural-language corpus cannot reach this (frequent-gram count is " +
-        "language-bounded), so the input is adversarial or non-text: raise " +
-        s"D4cDfCap (currently $D4cDfCap) so fewer grams qualify as hot, " +
-        "pre-filter the corpus view, or use d4b's exact prefix path, which " +
-        "has no broadcast stop-gram stage")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hotPairs: Array[(String, String)] = try {
+    val hotN = hotFrame.count()
+      if (hotN < budget)
+        hotFrame.select("lang", "gram").as[(String, String)].collect()
+      else if (overCapMode == "fail")
+        throw new IllegalArgumentException(
+          s"d4c stop-gram set has $hotN entries, exceeding the broadcast " +
+            s"budget of $budget — not broadcast-shaped. A natural-language " +
+            "corpus cannot reach this (frequent-gram count is language-" +
+            s"bounded), so the input is adversarial or non-text: raise " +
+            s"D4cDfCap (currently $D4cDfCap) so fewer grams qualify as hot, " +
+            "pre-filter the corpus view, use d4b's exact prefix path (no " +
+            "broadcast stop-gram stage), or set " +
+            "spark.graft.d4c.overCapMode=degrade to keep only the " +
+            "budget's-worth of hottest grams")
+      else {
+        // DEGRADE: auto-raise the effective df cap to the broadcast
+        // budget — keep only the (budget-1) hottest grams as stop-grams,
+        // deterministic total order (df desc, lang, gram) so a re-run
+        // reproduces the same signature rule. Grams past the cut re-enter
+        // signatures: more chance band collisions (slower verify, recall
+        // shifts at the margin) but every emitted pair is still exactly
+        // verified — a priced degrade, not a correctness loss. A 100 TB
+        // job dying at hour N on a require is the worse outcome.
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"d4c: stop-gram set $hotN >= budget $budget; degrading " +
+            s"to the ${budget - 1} hottest grams (overCapMode=degrade)")
+        hotFrame.orderBy(col("df").desc, col("lang").asc, col("gram").asc)
+          .limit((budget - 1).toInt)
+          .select("lang", "gram").as[(String, String)].collect()
+      }
+    } catch { case t: Throwable =>
+      // the fail-mode refusal must not leak the gram/df caches into a
+      // long-lived session that catches the error and moves on
+      hotFrame.unpersist(blocking = false)
+      g.unpersist(blocking = false)
+      throw t
+    }
+    hotFrame.unpersist(blocking = false)
+    val hot: Map[String, Set[String]] =
+      hotPairs.groupBy(_._1).map { case (l, gs) => l -> gs.map(_._2).toSet }
     val hotB = s.sparkContext.broadcast(hot)
 
     // Pass 2: 8-perm MinHash over each doc's RARE grams. Unlike d2's

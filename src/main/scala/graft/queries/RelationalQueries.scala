@@ -1102,15 +1102,23 @@ object RelationalQueries {
     // lands here and in rowCount's cache together
     val conf = s.sparkContext.hadoopConfiguration
     val listing = graft.Tables.listingSignature(s, s"$dir/orders.parquet")
-    val sig = java.security.MessageDigest.getInstance("MD5")
-      .digest(listing.getBytes("UTF-8")).map(b => f"$b%02x").mkString
-    val stateRoot = new org.apache.hadoop.fs.Path("target/k10b-state")
-    val stateDir = s"target/k10b-state/$sig"
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val sig = md5hex(listing)
+    // state scoped PER DATASET (hash of the input dir), vintage-keyed
+    // within it: two sessions — or one harness alternating sfDirs, e.g.
+    // sf0.01 verify interleaved with sf0.1 bench — must not GC each
+    // other's seed, which would both break a still-lazy earlier result
+    // and force a full re-seed per call, silently defeating the
+    // write-∝-touched-buckets economics this query exists to demonstrate
+    val dsRoot = new org.apache.hadoop.fs.Path(
+      s"target/k10b-state/${md5hex(new java.io.File(dir).getAbsolutePath)}")
+    val stateDir = s"$dsRoot/$sig"
     val seedPath = s"$stateDir/seed"
-    val rootFs = stateRoot.getFileSystem(conf)
-    // GC stale vintages, then seed once per vintage
-    if (rootFs.exists(stateRoot))
-      rootFs.listStatus(stateRoot).foreach { st =>
+    val rootFs = dsRoot.getFileSystem(conf)
+    // GC only SIBLING vintages of this same dataset, then seed once per vintage
+    if (rootFs.exists(dsRoot))
+      rootFs.listStatus(dsRoot).foreach { st =>
         if (st.getPath.getName != sig) rootFs.delete(st.getPath, true)
       }
     if (!rootFs.exists(new org.apache.hadoop.fs.Path(s"$seedPath/_SUCCESS")))
@@ -1147,12 +1155,18 @@ object RelationalQueries {
       }
     val untouched = seedAll.filter(!col("bkt").isin(touched: _*))
       .select("k", "status", "bkt")
-    untouched.unionByName(mergedBack)
+    val report = untouched.unionByName(mergedBack)
       .groupBy(col("bkt").cast("long").as("bkt"))
       .agg(count(lit(1)).as("n_rows"),
         count(when(col("status") === "X", 1)).as("n_x"))
       .withColumn("rewritten", col("bkt").isin(touched: _*).cast("int"))
       .select("bkt", "rewritten", "n_rows", "n_x")
+      .orderBy("bkt")
+    // EAGERLY materialize the ≤64-row report before returning: the lazy
+    // plan reads state files a later call (new vintage, another dataset's
+    // GC) may delete — the returned frame must not depend on them
+    s.createDataFrame(
+      java.util.Arrays.asList(report.collect(): _*), report.schema)
       .orderBy("bkt")
   }
 

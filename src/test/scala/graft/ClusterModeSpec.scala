@@ -54,85 +54,23 @@ class ClusterModeSpec extends AnyFunSuite with BeforeAndAfterAll {
     "k10b_bucketed_merge",         // executor-side partitionBy writes + FS state
     "pipe3_export")                // two-phase prefix sums
 
-  private def canonValue(v: Any): String = v match {
-    case null => "∅"
-    case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
-    case d: Double =>
-      // non-finite doubles crash BigDecimal; report them verbatim so a
-      // NaN divergence reads as a diff, not a harness crash
-      if (d.isNaN || d.isInfinite) d.toString
-      else if (d == 0.0) "0"
-      else f"${BigDecimal(d).round(new java.math.MathContext(9))}%s"
-    case f: Float => canonValue(f.toDouble)
-    case s: scala.collection.Seq[_] => s.map(canonValue).mkString("[", ",", "]")
-    case a: Array[_] => a.map(canonValue).mkString("[", ",", "]")
-    case m: scala.collection.Map[_, _] =>
-      m.map { case (k, x) => canonValue(k) + ":" + canonValue(x) }
-        .toSeq.sorted.mkString("{", ",", "}")
-    case r: org.apache.spark.sql.Row => r.toSeq.map(canonValue).mkString("(", ",", ")")
-    case x => x.toString
-  }
-
+  // canonicalization + session bring-up live in graft.ClusterHarness — ONE
+  // definition shared with the full sweep (graft.ClusterSweep), so the CI
+  // gate and the sweep cannot drift apart in either
   private def runSet(s: SparkSession): Map[String, (Seq[String], Map[String, Int])] =
     smokeSet.map { name =>
       val df = SparkEntry.queries(name)(s, sf)
       val schema = df.columns.toSeq
       val rows = df.collect().toSeq
-        .map(r => schema.mkString("<", "|", ">") + canonValue(r))
+        .map(r => schema.mkString("<", "|", ">") + ClusterHarness.canonValue(r))
       name -> ((rows.sorted, rows.groupBy(identity).view.mapValues(_.size).toMap))
     }.toMap
 
-  private def localSession(): SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-cluster-baseline")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    Tables.configure(s)
-    s
-  }
+  private def localSession(): SparkSession =
+    ClusterHarness.localSession("graft-cluster-baseline")
 
-  private def clusterSession(): SparkSession = {
-    // a file-local "spark home" so standalone worker/executor dirs land
-    // under target/, with the real jars dir linked in for the launcher
-    val home = new java.io.File("target/spark-test-home").getAbsoluteFile
-    home.mkdirs()
-    val jars = new java.io.File(home, "jars").toPath
-    if (!java.nio.file.Files.exists(jars))
-      java.nio.file.Files.createSymbolicLink(jars,
-        java.nio.file.Paths.get("/opt/spark/jars"))
-    // the launcher infers the Scala version from build-dir layout when
-    // SPARK_SCALA_VERSION is unset
-    new java.io.File(home, "launcher/target/scala-2.13").mkdirs()
-    sys.props("spark.testing") = "true"
-    sys.props("spark.test.home") = home.getAbsolutePath
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar",
-    ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
-    val s = SparkSession.builder()
-      .master("local-cluster[2,2,1024]")
-      .appName("graft-cluster-smoke")
-      // executors are fresh JVMs: they need the library + test classpath
-      // and the same JDK17 module opens the driver runs with
-      .config("spark.executor.extraClassPath", sys.props("java.class.path"))
-      .config("spark.executor.extraJavaOptions", addOpens)
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    Tables.configure(s)
-    s
-  }
+  private def clusterSession(): SparkSession =
+    ClusterHarness.clusterSession("graft-cluster-smoke")
 
   test("the smoke set is executor-JVM-clean: local-cluster[2,2,1024] reproduces local[4] exactly") {
     // 1. baseline on a single-JVM session
@@ -144,12 +82,7 @@ class ClusterModeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cluster = clusterSession()
     try {
       // prove we're really multi-JVM before trusting anything else
-      val jvms = cluster.sparkContext.range(0, 8, 1, 8)
-        .map(_ => java.lang.management.ManagementFactory.getRuntimeMXBean.getName)
-        .collect().toSet
-      val driverJvm = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
-      assert(jvms.size >= 2 && !jvms.contains(driverJvm),
-        s"not a multi-JVM run: executors=$jvms driver=$driverJvm")
+      ClusterHarness.requireMultiJvm(cluster)
 
       val got = runSet(cluster)
       for (name <- smokeSet) {

@@ -138,6 +138,45 @@ class SonarVcfSpec extends SparkSpec {
     assert(gotLines.sameElements(plainLines), "BGZF content diverged from plain export")
   }
 
+  test("multi-block BGZF reads back intact through the HADOOP codec-factory path and spark.read.text, not just the JDK reader") {
+    // The read side relies on Hadoop's gzip decompressor handling
+    // multi-member concatenated gzip (BuiltInGzipDecompressor does; a
+    // deployment whose codec factory resolves a native single-member
+    // zlib path would silently truncate to the first ~64 KiB block —
+    // this pins the full chain on THIS runtime and documents the
+    // requirement). ~300 KiB of lines forces >= 4 BGZF blocks.
+    val dir = Files.createTempDirectory("bgzf-hadoop").toString
+    val f = new java.io.File(s"$dir/multi.gz")
+    val expected = (0 until 20000).map(i => f"line-$i%06d-${"x" * 8}")
+    val bgzf = new BgzfOutputStream(new java.io.FileOutputStream(f))
+    expected.foreach(l => bgzf.write((l + "\n").getBytes("UTF-8")))
+    bgzf.close()
+    assert(f.length > 3 * 65536 / 4, s"fixture too small: ${f.length}")
+    // 1. the Hadoop codec factory must resolve a codec for .gz and
+    //    inflate ALL members
+    val conf = spark.sparkContext.hadoopConfiguration
+    val factory = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
+    val hPath = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
+    val codec = factory.getCodec(hPath)
+    assert(codec != null, "no codec for .gz")
+    val fs = hPath.getFileSystem(conf)
+    val in = codec.createInputStream(fs.open(hPath))
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](1 << 16)
+    var r = in.read(buf)
+    while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
+    in.close()
+    val hadoopLines = new String(out.toByteArray, "UTF-8")
+      .split("\n", -1).filter(_.nonEmpty).toSeq
+    assert(hadoopLines == expected,
+      s"Hadoop codec path truncated/diverged: got ${hadoopLines.size} of ${expected.size} lines")
+    // 2. the full Spark scan path (what a downstream job actually runs)
+    val sparkLines = spark.read.text(f.getAbsolutePath)
+      .collect().map(_.getString(0)).toSeq
+    assert(sparkLines == expected,
+      s"spark.read.text truncated/diverged: got ${sparkLines.size} of ${expected.size} lines")
+  }
+
   test("sharded export: byte-concat of header + range-ordered body shards equals the single-file export") {
     val dir = Files.createTempDirectory("vcf-shard").toString
     val plain = s"$dir/all.vcf"

@@ -905,6 +905,78 @@ class PipelineQueriesSpec extends SparkSpec {
       s"planted-pair recall ${found.size}/${planted.size} below 0.8")
   }
 
+  test("d4c over-budget stop-grams: distributed probe guards before any collect; fail refuses, degrade keeps the hottest grams and stays exactly-verified") {
+    import spark.implicits._
+    // Adversarial corpus: a large vocabulary shared by EVERY doc, so the
+    // df > 64 stop-gram set (~1200 grams) dwarfs a tiny broadcast budget.
+    // Docs come in planted near-dup pairs (2i, 2i+1) sharing a unique
+    // block; unrelated pairs sit at J ≈ 0.25, planted at J ≈ 0.9.
+    val common = (0 until 200).map(i => f"w$i%04d").mkString(" ")
+    // per-family unique blocks are seeded-RANDOM strings: 4-grams from a
+    // 36-char alphabet (~1.7M-point space) are family-distinct in
+    // practice, unlike patterned words whose digit grams alias across
+    // families and pull unrelated pairs over the threshold
+    def rndStr(seed: Long, n: Int): String = {
+      val r = new scala.util.Random(seed)
+      val ab = "abcdefghijklmnopqrstuvwxyz0123456789"
+      (0 until n).map(_ => ab(r.nextInt(ab.length))).mkString
+    }
+    val docs = (0L until 100L).map { id =>
+      val fam = id / 2
+      val tail = if (id % 2 == 1) " " + rndStr(1000 + id, 120) else ""
+      (id, "en", common + " " + rndStr(fam, 1500) + tail)
+    }.toDF("doc_id", "lang", "text")
+    def grams(t: String): Set[String] =
+      (0 to t.length - 4).map(i => t.substring(i, i + 4)).toSet
+    val gsets = docs.collect().map(r => r.getLong(0) -> grams(r.getString(2))).toMap
+    val truth = (for {
+      a <- 0L until 100L; b <- (a + 1) until 100L
+      ga = gsets(a); gb = gsets(b)
+      inter = ga.intersect(gb).size.toLong
+      uni = ga.size + gb.size - inter
+      if inter * 5 >= uni * 3
+    } yield (a, b, 1000000L * inter / uni)).toSet
+    assert(truth.size == 50, s"corpus design broke: ${truth.size} true pairs")
+    try {
+      spark.conf.set("spark.graft.d4c.stopGramBudget", "10")
+      spark.conf.set("spark.graft.d4c.overCapMode", "fail")
+      val e = intercept[IllegalArgumentException] {
+        PipelineQueries.d4cCore(spark, docs).collect()
+      }
+      assert(e.getMessage.contains("stop-gram") && e.getMessage.contains("degrade"))
+      spark.conf.set("spark.graft.d4c.overCapMode", "degrade")
+      val degraded = PipelineQueries.d4cCore(spark, docs).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Long]("jaccard_ppm"))).toSet
+      // exactness survives the degrade: every emitted pair is in the
+      // brute-force truth set WITH the exact ppm (the verify is unchanged)
+      assert(degraded.subsetOf(truth),
+        s"degrade emitted unverified pairs: ${degraded.diff(truth).take(3)}")
+      // and the recall delta vs the un-degraded run is measured, not guessed
+      spark.conf.set("spark.graft.d4c.stopGramBudget",
+        PipelineQueries.D4cStopGramBudgetDefault.toString)
+      val full = PipelineQueries.d4cCore(spark, docs).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Long]("jaccard_ppm"))).toSet
+      assert(full.subsetOf(truth))
+      info(s"d4c recall: degraded ${degraded.size}/${truth.size}, " +
+        s"full ${full.size}/${truth.size} (budget 10 vs default)")
+      // the degrade must still be a useful operator, not a stub: it keeps
+      // the majority of the true pairs on this corpus
+      assert(degraded.size * 2 >= truth.size,
+        s"degraded recall collapsed: ${degraded.size}/${truth.size}")
+      // conf validation: notation rejected loudly
+      spark.conf.set("spark.graft.d4c.stopGramBudget", "1e7")
+      val e2 = intercept[IllegalArgumentException] {
+        PipelineQueries.d4cCore(spark, docs).collect()
+      }
+      assert(e2.getMessage.contains("stopGramBudget"))
+    } finally {
+      spark.conf.unset("spark.graft.d4c.stopGramBudget")
+      spark.conf.unset("spark.graft.d4c.overCapMode")
+    }
+  }
+
   test("d6's union-find and label-propagation paths agree on random graphs") {
     import spark.implicits._
     val docIds = graft.Tables.t(spark, sf, "documents")

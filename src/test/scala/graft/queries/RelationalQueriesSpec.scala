@@ -246,11 +246,20 @@ class RelationalQueriesSpec extends SparkSpec {
       s"log bucket math broke: $expectedTouched")
     assert(rewritten.toSet == expectedTouched && out1.size > rewritten.size,
       s"rewritten $rewritten != log-touched $expectedTouched (of ${out1.size})")
-    val state = java.nio.file.Files.list(java.nio.file.Paths.get("target/k10b-state"))
-    val stateDir = try {
-      import scala.jdk.CollectionConverters._
-      state.iterator().asScala.toSeq.head.toString
-    } finally state.close()
+    // state layout is target/k10b-state/<dataset-hash>/<vintage-sig>:
+    // resolve THIS dataset's one vintage dir (other datasets' state may
+    // coexist — that isolation is the point of the layout)
+    val dsHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(sf).getAbsolutePath.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val stateDir = {
+      val l = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"target/k10b-state/$dsHash"))
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.toSeq.head.toString
+      } finally l.close()
+    }
     // merged layout holds exactly the touched buckets
     val mergedBkts = {
       val l = java.nio.file.Files.list(java.nio.file.Paths.get(s"$stateDir/merged"))
@@ -270,6 +279,41 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(out2 == out1, "re-run diverged")
     assert(walkFiles(s"$stateDir/seed") == seedBefore,
       "a merge run rewrote untouched seed files")
+  }
+
+  test("k10b state is scoped per dataset: alternating sfDirs neither GC each other's seed nor invalidate earlier results") {
+    def dsHash(dir: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(dir).getAbsolutePath.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    def seedFiles(dir: String): Set[String] = {
+      val root = java.nio.file.Paths.get(s"target/k10b-state/${dsHash(dir)}")
+      if (!java.nio.file.Files.isDirectory(root)) return Set.empty
+      val walk = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .filter(_.toString.contains("/seed/")) // merged/ legitimately rewrites per run
+          .map(f => f.toString + "#" +
+            java.nio.file.Files.getLastModifiedTime(f).toMillis).toSet
+      } finally walk.close()
+    }
+    val sfB = "/root/testdata/sf0.01"
+    // run A, hold its RESULT frame lazy-shaped (collect later)
+    val resA = RelationalQueries.k10bBucketedMerge(spark, sf)
+    val stateA = seedFiles(sf)
+    assert(stateA.nonEmpty, "dataset A left no state")
+    // run B on another dataset — the harness-alternation pattern
+    val resB = RelationalQueries.k10bBucketedMerge(spark, sfB).collect()
+    assert(resB.nonEmpty)
+    // A's state survived B byte-for-byte (no cross-dataset GC, no re-seed)
+    assert(seedFiles(sf) == stateA,
+      "running dataset B GC'd or re-seeded dataset A's state")
+    // and A's earlier result frame still collects — eagerly materialized,
+    // independent of any files a later call might have deleted
+    assert(resA.collect().nonEmpty)
+    // run A again: vintage unchanged → same seed files (no re-seed churn)
+    RelationalQueries.k10bBucketedMerge(spark, sf).collect()
+    assert(seedFiles(sf) == stateA, "alternating datasets forced a re-seed")
   }
 
   test("k10 changelog apply lands exactly on the target snapshot") {
