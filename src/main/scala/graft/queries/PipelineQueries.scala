@@ -1299,18 +1299,47 @@ object PipelineQueries {
       .withColumn("rk", row_number().over(byDoc))
       // prefix length n - ceil(0.6n) + 1; ceil(3n/5) = (3n+4) div 5 exactly
       .filter(col("rk") <= col("n") - expr("(3L * n + 4L) div 5L") + lit(1))
-      .select("lang", "gram", "doc_id", "n")
+      .select("lang", "gram", "doc_id", "n", "rk")
     // both self-join sides derive from ONE clustered frame: the second
     // side's exchange is reused, and the join itself runs at aggP
     val pc = cluster(prefix, col("lang"), col("gram"))
+    // POSITIONAL FILTER (PPJoin proper, Xiao et al. WWW'08 §3.2). `rk` is
+    // each gram's 1-based rank in the doc's FULL gram set under the shared
+    // (df, gram) total order, so shared grams appear in the same relative
+    // order on both sides. Jaccard ≥ 3/5 needs overlap α = ceil(3(na+nb)/8)
+    // (from 5I ≥ 3(na+nb−I)). Two bounds, both exact:
+    //  - per join row (gram matching at ranks ra, rb): overlap ≤
+    //    min(ra,rb)−1 matches before + this gram + min(na−ra, nb−rb) after.
+    //    Applied BEFORE the pair shuffle — kills late-position collisions
+    //    (the shared-prefix-gram multiplicity SCALING.md names) at the
+    //    cheapest point.
+    //  - per pair, at the FIRST match (min rank on both sides — attained by
+    //    the same gram, since shared grams are order-consistent; and any
+    //    shared gram earlier than a both-prefix match is itself in both
+    //    prefixes, so the join's first match IS the globally first shared
+    //    gram, with zero overlap before it): overlap ≤ 1 + min(na−ra, nb−rb).
+    // Qualifying pairs always survive: at their first match both bounds
+    // dominate the true overlap ≥ α. Only never-qualifying candidates are
+    // pruned before the exact-verify join.
+    val alphaNeeded = expr("(3L * (na + nb) + 7L) div 8L")
     val cand = cluster(
-        pc.select(col("lang"), col("gram"), col("doc_id").as("doc_a"), col("n").as("na"))
-          .join(pc.select(col("lang"), col("gram"), col("doc_id").as("doc_b"), col("n").as("nb")),
-            Seq("lang", "gram"))
+        pc.select(col("lang"), col("gram"), col("doc_id").as("doc_a"),
+            col("n").as("na"), col("rk").as("ra"))
+          .join(pc.select(col("lang"), col("gram"), col("doc_id").as("doc_b"),
+            col("n").as("nb"), col("rk").as("rb")), Seq("lang", "gram"))
           .filter(col("doc_a") < col("doc_b") &&
             col("na") * 3 <= col("nb") * 5 && col("nb") * 3 <= col("na") * 5)
-          .select("lang", "doc_a", "doc_b"),
-        col("doc_a"), col("doc_b")).distinct()
+          .filter(least(col("ra"), col("rb")) +
+            least(col("na") - col("ra"), col("nb") - col("rb")) >= alphaNeeded)
+          .select("lang", "doc_a", "doc_b", "na", "nb", "ra", "rb"),
+        col("doc_a"), col("doc_b"))
+      // grouped min replaces the old distinct — same (doc_a, doc_b)-clustered
+      // exchange (na/nb functionally depend on the docs, so the aggregate
+      // reuses the partitioning), but recovers the first-match ranks
+      .groupBy("lang", "doc_a", "doc_b", "na", "nb")
+      .agg(min("ra").as("ra"), min("rb").as("rb"))
+      .filter(lit(1L) + least(col("na") - col("ra"), col("nb") - col("rb")) >= alphaNeeded)
+      .select("lang", "doc_a", "doc_b")
     cand
       .join(g.select(col("doc_id").as("doc_a"), col("g").as("ga")), Seq("doc_a"))
       .join(g.select(col("doc_id").as("doc_b"), col("g").as("gb")), Seq("doc_b"))
