@@ -123,23 +123,21 @@ object WarcDocs {
             if (headerValue("transfer-encoding").contains("chunked"))
               body = dechunk(body).getOrElse(body)
             // Token-exact match (the header is a comma-list of codings):
-            // "gzip"/"x-gzip", "deflate", "br". Brotli (RFC 7932) has no
-            // pure-JVM decoder on this classpath (commons-compress's
-            // BrotliCompressorInputStream is a wrapper that needs
-            // org.brotli:dec at runtime), so `br` bodies DEGRADE TO EMPTY:
-            // the record survives with url/metadata intact and an empty
-            // text column — never raw compressed bytes posing as prose,
-            // which would poison every downstream text operator. See
-            // SURVEY.md §8 ADR "brotli".
+            // "gzip"/"x-gzip", "deflate", "br". Brotli (RFC 7932) decodes
+            // through [[Brotli]], the in-repo from-scratch decoder (no
+            // external dependency), differentially pinned against the
+            // reference encoder's output in BrotliSpec. A MALFORMED br
+            // stream degrades to EMPTY — never raw compressed bytes
+            // posing as prose, which would poison every downstream text
+            // operator (see SURVEY.md §8 ADR "brotli": the degrade path
+            // survives; only the happy path changed in round 10).
             // Codings are a LAYERED LIST (RFC 9110 lists them in
             // application order), so decode last-applied first — one
             // branch per message would leave 'gzip, gzip' (real
             // misconfigured servers) or 'deflate, gzip' half-decoded,
-            // landing compressed binary in the text column. 'br' anywhere
-            // in the stack degrades to EMPTY (no decoder — everything
-            // beneath it is unreachable); an unknown coding stops
-            // decoding and keeps the bytes as-is (the pre-round-9
-            // behavior for unrecognized values, spec-pinned).
+            // landing compressed binary in the text column. An unknown
+            // coding stops decoding and keeps the bytes as-is (the
+            // pre-round-9 behavior for unrecognized values, spec-pinned).
             val codingList = headerValue("content-encoding")
               .split(',').map(_.trim.toLowerCase).filter(_.nonEmpty).toList
             var stop = false
@@ -148,7 +146,8 @@ object WarcDocs {
                 case "gzip" | "x-gzip" => body = inflateBody(body, gzipWrapped = true)
                 case "deflate" => body = inflateBody(body, gzipWrapped = false)
                 case "identity" => // explicit no-op coding
-                case "br" => body = Array.emptyByteArray; stop = true
+                case "br" =>
+                  body = Brotli.decompress(body, MaxPayload).getOrElse(Array.emptyByteArray)
                 case _ => stop = true // unknown: keep bytes as-is
               }
             }

@@ -189,7 +189,7 @@ class WarcDocsSpec extends SparkSpec {
     assert(got("http://d.example/6") == "5\r\nhello\r\n0\r\n\r\n")
   }
 
-  test("HTTP body decoding: empty inflates stay empty, brotli degrades to empty, codings match token-exact") {
+  test("HTTP body decoding: empty inflates stay empty, brotli decodes (malformed br degrades to empty), codings match token-exact") {
     def http(headers: String, body: Array[Byte]): Array[Byte] =
       (s"HTTP/1.1 200 OK\r\n$headers\r\n\r\n").getBytes("ISO-8859-1") ++ body
     def gz(b: Array[Byte]): Array[Byte] = {
@@ -204,8 +204,8 @@ class WarcDocsSpec extends SparkSpec {
       java.util.Arrays.copyOfRange(out, 0, n)
     }
     // an RFC 7932 brotli stream of "hello brotli" (one uncompressed
-    // meta-block) — enough to be REAL br bytes, not gzip-shaped garbage
-    val brBytes = Array[Int](0x0b, 0x05, 0x80, 0x68, 0x65, 0x6c, 0x6c, 0x6f,
+    // meta-block; byte-identical to the reference encoder's output)
+    val brBytes = Array[Int](0x8b, 0x05, 0x80, 0x68, 0x65, 0x6c, 0x6c, 0x6f,
       0x20, 0x62, 0x72, 0x6f, 0x74, 0x6c, 0x69, 0x03).map(_.toByte)
     val bytes =
       // a legitimately EMPTY gzip body (204-style capture): must land as
@@ -215,12 +215,11 @@ class WarcDocsSpec extends SparkSpec {
         http("Content-Encoding: gzip", gz(Array.emptyByteArray))) ++
       record("response", "http://e.example/empty-zlib", "2026-03-01T00:00:01Z",
         http("Content-Encoding: deflate", zlib(Array.emptyByteArray))) ++
-      // brotli: no pure-JVM decoder on this classpath — degrade to empty,
-      // record survives with its URL; NEVER raw compressed bytes as prose
+      // brotli: the in-repo RFC 7932 decoder handles the real stream
       record("response", "http://e.example/br", "2026-03-01T00:00:02Z",
         http("Content-Type: text/html\r\nContent-Encoding: br", brBytes)) ++
-      // a server LYING br over plain text pays the same degrade (we cannot
-      // tell a mislabeled body from an undecodable one without a decoder)
+      // a server LYING br over plain text degrades to empty (undecodable)
+      // — NEVER raw mislabeled bytes passed through as prose
       record("response", "http://e.example/br-lie", "2026-03-01T00:00:03Z",
         http("Content-Encoding: br", "actually plain".getBytes("UTF-8"))) ++
       // token-exact coding match: "brotli-experimental" must NOT trigger
@@ -229,11 +228,10 @@ class WarcDocsSpec extends SparkSpec {
         http("Content-Encoding: brotli-experimental", "kept as-is".getBytes("UTF-8"))) ++
       record("response", "http://e.example/x-gzip", "2026-03-01T00:00:05Z",
         http("Content-Encoding: x-gzip", gz("x-gzip body".getBytes("UTF-8")))) ++
-      // truncated br stream: same degrade, never a throw
+      // truncated br stream: degrade to empty, never a throw
       record("response", "http://e.example/br-trunc", "2026-03-01T00:00:06Z",
         http("Content-Encoding: br", brBytes.take(5))) ++
-      // LAYERED codings with br anywhere in the stack must degrade to
-      // empty, not gunzip one layer and land brotli binary as prose
+      // LAYERED codings with br decode the full stack, last-applied first
       record("response", "http://e.example/br-gzip", "2026-03-01T00:00:07Z",
         http("Content-Encoding: br, gzip", gz(brBytes))) ++
       // layered codings WITHOUT br decode fully, last-applied first:
@@ -248,13 +246,13 @@ class WarcDocsSpec extends SparkSpec {
     val got = WarcDocs.parseWarc(bytes).map(t => t._1 -> t._3).toMap
     assert(got.size == 11, "every record must survive, empty-bodied or not")
     assert(got("http://e.example/br-trunc") == "")
-    assert(got("http://e.example/br-gzip") == "")
+    assert(got("http://e.example/br-gzip") == "hello brotli")
     assert(got("http://e.example/gzip-gzip") == "twice wrapped")
     assert(got("http://e.example/deflate-gzip") == "layered body")
     assert(got("http://e.example/identity-gzip") == "plain under identity")
     assert(got("http://e.example/empty-gz") == "")
     assert(got("http://e.example/empty-zlib") == "")
-    assert(got("http://e.example/br") == "")
+    assert(got("http://e.example/br") == "hello brotli")
     assert(got("http://e.example/br-lie") == "")
     assert(got("http://e.example/not-br") == "kept as-is")
     assert(got("http://e.example/x-gzip") == "x-gzip body")
@@ -393,18 +391,34 @@ class WarcDocsSpec extends SparkSpec {
       "Content-Type: text/html; charset=ISO-8859-1\r\n" +
         "Content-Encoding: gzip\r\nTransfer-Encoding: chunked",
       chunked(gz(page.getBytes("ISO-8859-1"))))
+    // the same page served Content-Encoding: br — the fastest-growing
+    // CommonCrawl coding; bytes are the REFERENCE encoder's quality-11
+    // output over the identical ISO-8859-1 body, decoded in-repo
+    val brPage = Array(
+      0x1b, 0x70, 0x00, 0x20, 0xc4, 0xf2, 0xd6, 0x9a, 0xfa, 0x93, 0xdd, 0xae,
+      0x48, 0xe9, 0xd9, 0x23, 0xb0, 0xfd, 0x3e, 0x08, 0xb1, 0x0b, 0x99, 0x53,
+      0x0e, 0x1c, 0x5a, 0x12, 0xb4, 0x65, 0x9a, 0xdd, 0xee, 0x70, 0xa5, 0x7b,
+      0xca, 0x42, 0x54, 0x19, 0xa6, 0x3d, 0x9c, 0x9f, 0x68, 0x04, 0x82, 0x59,
+      0x3f, 0x9c, 0x8f, 0x69, 0x6d, 0x88, 0x36, 0xb1, 0x32, 0xab, 0x8e, 0x77,
+      0x93, 0x08, 0x04, 0x17, 0x9c, 0x3d, 0x92, 0xcd, 0xd0, 0x6b, 0xe5, 0x58,
+      0xe7, 0x0f, 0x2d, 0xfe, 0x7e, 0x06, 0x71, 0x06, 0x07).map(_.toByte)
+    val brWire = http(
+      "Content-Type: text/html; charset=ISO-8859-1\r\n" +
+        "Content-Encoding: br\r\nTransfer-Encoding: chunked",
+      chunked(brPage))
     val bytes =
       record("response", "HTTP://Cafe.example:80/menu?utm_source=feed", "2026-03-01T00:00:00Z", wire) ++
-      record("response", "http://cafe.example/menu#today", "2026-03-01T00:00:01Z", wire)
+      record("response", "http://cafe.example/menu#today", "2026-03-01T00:00:01Z", wire) ++
+      record("response", "http://cafe.example:80/menu?", "2026-03-01T00:00:02Z", brWire)
     val dir = Files.createTempDirectory("warc-e2e")
     Files.write(dir.resolve("seg.warc"), bytes)
     try {
       val docs = WarcDocs.read(spark, dir.toString, extractText = true)
       val texts = docs.select("text").collect().map(_.getString(0)).toSeq
-      assert(texts == Seq.fill(2)("Café menu cr&egrave;me brûlée"))
+      assert(texts == Seq.fill(3)("Café menu cr&egrave;me brûlée"))
       val canon = docs.groupBy(expr("graft_canonical_url(source)").as("u")).count().collect()
       assert(canon.map(r => r.getString(0) -> r.getLong(1)).toSeq ==
-        Seq("http://cafe.example/menu" -> 2L))
+        Seq("http://cafe.example/menu" -> 3L))
     } finally {
       dir.toFile.listFiles().foreach(_.delete()); Files.delete(dir)
     }

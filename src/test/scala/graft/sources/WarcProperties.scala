@@ -130,4 +130,15 @@ object WarcProperties extends Properties("WarcDocs") {
       !once.toLowerCase.contains("<script") && !once.contains("<!--") &&
         !once.toLowerCase.contains("<div")
     }
+
+  property("Brotli.decompress is total and bounded on arbitrary bytes") =
+    Prop.forAll(Gen.chooseNum(0, 4096).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 255).map(_.toByte)).map(_.toArray))) { bs =>
+      // hostile/garbage input: must terminate with an error or an output
+      // within the cap — never a throw, hang, or unbounded allocation
+      Brotli.decompress(bs, 1 << 16) match {
+        case Left(msg) => msg.nonEmpty
+        case Right(out) => out.length <= (1 << 16)
+      }
+    }
 }

@@ -112,8 +112,8 @@ def simple_code(w, symbols, alphabet, tree_select=0):
 
 # fixed code for code-length-code lengths: value -> (bitpattern, nbits),
 # bits emitted LSB-first
-CLCL = {0: (0b00, 2), 1: (0b0111, 4), 2: (0b011, 3), 3: (0b01, 2),
-        4: (0b10, 2), 5: (0b1111, 4)}
+CLCL = {0: (0b00, 2), 1: (0b0111, 4), 2: (0b011, 3), 3: (0b10, 2),
+        4: (0b01, 2), 5: (0b1111, 4)}
 CL_ORDER = [1, 2, 3, 4, 0, 5, 17, 6, 16, 7, 8, 9, 10, 11, 12, 13, 14, 15]
 
 
@@ -226,11 +226,14 @@ def craft_dict_ref(length, index, tid, mlen_out):
         ins_extra = (0, 0)
         cp_extra = (0, 0)
     else:
-        # cell 3: insert codes 8..15 (base idx 8), copy codes 8..15
+        # cell 5: insert codes 8..15 (base idx 8), copy codes 8..15
+        # (empirically probed against brotlicffi: cells 0..10 map to
+        # (ins, copy, implicit-dist) = (0,0,T)(0,8,T)(0,0,F)(0,8,F)
+        # (8,0,F)(8,8,F)(0,16,F)(16,0,F)(8,16,F)(16,8,F)(16,16,F))
         # insert len 10 = code 8 (base 10, 2 extra), extra 0
         cc, ce, cn = _copy_code(length)
         assert 8 <= cc <= 15, (length, cc)
-        sym = (3 << 6) | (0 << 3) | (cc - 8)
+        sym = (5 << 6) | (0 << 3) | (cc - 8)
         ins_extra = (0, 2)
         cp_extra = (ce, cn)
     simple_code(w, [sym], 704)
@@ -403,8 +406,12 @@ def craft_context_probe(mode):
             # switch to block 1 for 1 literal: type symbol (0 bits) + count
             w.w(0, 2)  # count symbol 0 extra 0 -> length 1
             # probe literal: tree = cmap[64 + ctx], single-symbol, 0 bits
-            # switch back to block 0 for 2 literals
-            w.w(1, 2)  # count 2
+            # switch back to block 0 for 2 literals — except after the very
+            # last probe: the decoder consumes a switch only when another
+            # literal follows, and an unread 1-bit here breaks final-byte
+            # zero padding (_ERROR_FORMAT_PADDING_2)
+            if not (p1 == 255 and p2 == 255):
+                w.w(1, 2)  # count 2
     return w.bytes()
 
 
@@ -426,11 +433,13 @@ def factor_context(tab, mode):
     """UTF8: ctx = lut0[p1] | lut1[p2] (lut1 in 0..3). Signed:
     ctx = lut2[p1]*8 + lut2s[p2]. Verify factorization exactly."""
     if mode == 2:
-        lut1 = [tab[0][p2] & 3 for p2 in range(256)]
-        lut0 = [tab[p1][0] & ~3 for p1 in range(256)]
-        # p2=0 contributes lut1[0]; subtract it
-        base1 = tab[0][0] & 3
-        assert base1 == lut1[0]
+        # ctx = lut0[p1] | lut1[p2], bits may overlap (continuation-byte
+        # p1 contexts are 1..3). Anchored at tab[0][0]==0 ⇒ lut0[0] ==
+        # lut1[0] == 0, so row/col 0 read the luts off directly; the OR is
+        # then verified exactly over all 65536 pairs.
+        assert tab[0][0] == 0
+        lut1 = [tab[0][p2] for p2 in range(256)]
+        lut0 = [tab[p1][0] for p1 in range(256)]
         for p1 in range(256):
             for p2 in range(256):
                 if tab[p1][p2] != (lut0[p1] | lut1[p2]):
@@ -447,9 +456,61 @@ def factor_context(tab, mode):
     return None
 
 
+def gen_fixtures():
+    """Deterministic (raw, compressed) pairs across qualities, window
+    sizes, and content classes for the Scala decoder's differential spec.
+    Written to src/test/resources/brotli/<name>.{raw,br}."""
+    import random
+    outdir = "src/test/resources/brotli"
+    os.makedirs(outdir, exist_ok=True)
+    rng = random.Random(7932)
+    words = ("the quick brown fox jumps over a lazy dog categories technology "
+             "information available copyright description government").split()
+    html = ("<!DOCTYPE html><html><head><title>Example Domain</title></head>"
+            "<body><div><h1>Example Domain</h1><p>This domain is for use in "
+            "illustrative examples in documents. You may use this domain in "
+            "literature without prior coordination or asking for permission."
+            "</p><p><a href=\"https://www.iana.org/domains/example\">More "
+            "information...</a></p></div></body></html>")
+    corpora = {
+        "empty": b"",
+        "one": b"A",
+        "short": b"hello, brotli world",
+        "html": (html * 40).encode(),
+        "repeat": (b"abcabcabcdabcde" * 2000),
+        "words": (" ".join(rng.choice(words) for _ in range(20000))).encode(),
+        "utf8": ("переводы 翻訳 מתרגם ترجمة — ‘smart’ quotes naïve façade "
+                 "übergroß ñandú " * 800).encode(),
+        "random": bytes(rng.randrange(256) for _ in range(100000)),
+        "binary": bytes(((i * 7 + (i >> 8)) & 0xff) for i in range(150000)),
+        "zeros": b"\x00" * (1 << 20),
+        "mixed": b"".join((html.encode() if i % 3 == 0 else
+                           bytes(rng.randrange(256) for _ in range(500)))
+                          for i in range(100)),
+    }
+    n = 0
+    for name, raw in corpora.items():
+        with open(f"{outdir}/{name}.raw", "wb") as f:
+            f.write(raw)
+        for q in (0, 1, 5, 9, 11):
+            for wb in (10, 16, 22, 24):
+                # keep the matrix affordable: full quality sweep at wb=22,
+                # full window sweep at q=9
+                if wb != 22 and q != 9:
+                    continue
+                comp = brotlicffi.compress(raw, quality=q, lgwin=wb)
+                assert brotlicffi.decompress(comp) == raw
+                with open(f"{outdir}/{name}_q{q}_w{wb}.br", "wb") as f:
+                    f.write(comp)
+                n += 1
+    print(f"{n} fixtures ({len(corpora)} raw corpora) written to {outdir}")
+
+
 def main():
     blob = load_dict()
     cmd = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if cmd in ("all", "fixtures"):
+        gen_fixtures()
     if cmd in ("all", "dict"):
         os.makedirs("src/main/resources/graft", exist_ok=True)
         with open("src/main/resources/graft/brotli_dict.bin", "wb") as f:
