@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Ckpt._
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -329,7 +330,7 @@ object PipelineQueries {
       // the shingle+minhash pass 3×, independent of d12's sharing. At
       // 100 TB the same arithmetic holds harder: the pass is md5 over
       // every shingle, ~3× the corpus in hashed bytes per re-run.
-      .localCheckpoint()
+      .lossTolerantCheckpoint()
   }
 
   def d2MinhashLsh(s: SparkSession, dir: String): DataFrame =
@@ -351,7 +352,7 @@ object PipelineQueries {
     // both sides of the candidate join scan this tiny projection instead of
     // re-deserializing the heavy shingle arrays from the docsh checkpoint
     val bandTab = docsh.select(col("doc_id"), explode(col("bands")).as("bk"))
-      .localCheckpoint()
+      .lossTolerantCheckpoint()
     // skew-aware band join: salts any measured mega-band (see bandCandidates)
     val cand = bandCandidates(bandTab, saltThreshold = 4096L)
     cand
@@ -442,7 +443,7 @@ object PipelineQueries {
         }
       }
       .toDF("doc_id", "o")
-      .localCheckpoint() // read twice (true counts + hit join)
+      .lossTolerantCheckpoint() // read twice (true counts + hit join)
     val nTrue = truePairs.groupBy("doc_id").agg(count(lit(1)).as("n_true"))
     val hits = truePairs.join(candNorm, Seq("doc_id", "o"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
@@ -519,10 +520,10 @@ object PipelineQueries {
   def prepareCorpusIndex(corpus: DataFrame,
       saltThreshold: Long = 4096L): CorpusIndex = {
     val hash = corpus.select(md5(col("text")).as("h"), col("doc_id").as("m"))
-      .localCheckpoint()
+      .lossTolerantCheckpoint()
     val sig = signaturesOf(corpus) // checkpointed inside
     val bands = sig.select(col("doc_id").as("m"), explode(col("bands")).as("bk"))
-      .localCheckpoint()
+      .lossTolerantCheckpoint()
     // histogram probe: one partial-aggregated job; hot keys are by
     // definition few (each exceeds the threshold), so the collect is tiny
     val hot: Seq[Any] = bands.groupBy("bk").agg(count(lit(1)).as("n"))
@@ -726,7 +727,7 @@ object PipelineQueries {
   def d3bSimhashPairs(s: SparkSession, dir: String): DataFrame = {
     // doc_id, simhash — already oracle-matched; checkpointed because the
     // band explode and both verification re-joins read it
-    val sig = d3Simhash(s, dir).localCheckpoint()
+    val sig = d3Simhash(s, dir).lossTolerantCheckpoint()
     // band key = block index and block value fused into one long; a
     // low-entropy corpus can still pile up mega-buckets (all-identical
     // texts share all 4 blocks), so going through bandCandidates gives d3b
@@ -1030,7 +1031,7 @@ object PipelineQueries {
         }
       }
       .toDF("doc_id", "bk")
-      .localCheckpoint()
+      .lossTolerantCheckpoint()
     // band-key candidate join through the measured-skew salting funnel;
     // lang agreement is enforced at verify (a cross-lang band collision is
     // dropped there — cheaper than widening every band key)
@@ -1050,7 +1051,7 @@ object PipelineQueries {
     // (materialize=false = PlanQualitySpec's plan-inspection hook)
     if (!materialize) { g.unpersist(blocking = false); out }
     else {
-      val res = out.localCheckpoint()
+      val res = out.lossTolerantCheckpoint()
       g.unpersist(blocking = false)
       res
     }
@@ -1213,7 +1214,7 @@ object PipelineQueries {
     // table. Real corpora have output ≪ input and pay ~nothing.
     if (!materialize) { g.unpersist(blocking = false); result }
     else {
-      val out = result.localCheckpoint()
+      val out = result.lossTolerantCheckpoint()
       g.unpersist(blocking = false)
       out
     }
@@ -1303,24 +1304,28 @@ object PipelineQueries {
     // both self-join sides derive from ONE clustered frame: the second
     // side's exchange is reused, and the join itself runs at aggP
     val pc = cluster(prefix, col("lang"), col("gram"))
-    // POSITIONAL FILTER (PPJoin proper, Xiao et al. WWW'08 §3.2). `rk` is
-    // each gram's 1-based rank in the doc's FULL gram set under the shared
-    // (df, gram) total order, so shared grams appear in the same relative
-    // order on both sides. Jaccard ≥ 3/5 needs overlap α = ceil(3(na+nb)/8)
-    // (from 5I ≥ 3(na+nb−I)). Two bounds, both exact:
-    //  - per join row (gram matching at ranks ra, rb): overlap ≤
-    //    min(ra,rb)−1 matches before + this gram + min(na−ra, nb−rb) after.
-    //    Applied BEFORE the pair shuffle — kills late-position collisions
-    //    (the shared-prefix-gram multiplicity SCALING.md names) at the
-    //    cheapest point.
-    //  - per pair, at the FIRST match (min rank on both sides — attained by
-    //    the same gram, since shared grams are order-consistent; and any
-    //    shared gram earlier than a both-prefix match is itself in both
-    //    prefixes, so the join's first match IS the globally first shared
-    //    gram, with zero overlap before it): overlap ≤ 1 + min(na−ra, nb−rb).
-    // Qualifying pairs always survive: at their first match both bounds
-    // dominate the true overlap ≥ α. Only never-qualifying candidates are
-    // pruned before the exact-verify join.
+    // POSITIONAL FILTER (PPJoin, Xiao et al. WWW'08 §3.2), per-row form.
+    // `rk` is each gram's 1-based rank in the doc's FULL gram set under the
+    // shared (df, gram) total order. Jaccard ≥ 3/5 needs overlap
+    // α = ceil(3(na+nb)/8) (from 5I ≥ 3(na+nb−I)); a gram matching at
+    // ranks (ra, rb) bounds the overlap by min(ra,rb)−1 possible matches
+    // before + this gram + min(na−ra, nb−rb) after. Rows failing the bound
+    // are dropped INSIDE the join, before the candidate-distinct shuffle —
+    // qualifying pairs always survive (at their first shared gram the
+    // bound dominates the true overlap ≥ α), so exactness is untouched;
+    // only late-position collisions (the shared-prefix-gram multiplicity
+    // term that grows with prefix df) die early.
+    //
+    // MEASURED trade (round-10 same-box A/B vs the unfiltered join): this
+    // per-row form is cost-neutral (sf0.1 templated min-of-3 within noise;
+    // Heaps 10×/100× exponent unchanged at ~1.08 — that corpus's prefix
+    // dfs are 1..7 by design, so multiplicity ≈ 1 and the superlinear term
+    // is fixed-partition spill, not candidates). The textbook tight bound
+    // (group-min first-match ranks, overlap ≤ 1 + min(na−ra, nb−rb)) was
+    // ALSO implemented and measured: carrying (na, nb, ra, rb) through the
+    // candidate exchange + the min-aggregate cost ~5-11% on BOTH corpora
+    // while pruning nothing the per-row bound hadn't — rejected on
+    // measurement, kept here as the record.
     val alphaNeeded = expr("(3L * (na + nb) + 7L) div 8L")
     val cand = cluster(
         pc.select(col("lang"), col("gram"), col("doc_id").as("doc_a"),
@@ -1331,15 +1336,8 @@ object PipelineQueries {
             col("na") * 3 <= col("nb") * 5 && col("nb") * 3 <= col("na") * 5)
           .filter(least(col("ra"), col("rb")) +
             least(col("na") - col("ra"), col("nb") - col("rb")) >= alphaNeeded)
-          .select("lang", "doc_a", "doc_b", "na", "nb", "ra", "rb"),
-        col("doc_a"), col("doc_b"))
-      // grouped min replaces the old distinct — same (doc_a, doc_b)-clustered
-      // exchange (na/nb functionally depend on the docs, so the aggregate
-      // reuses the partitioning), but recovers the first-match ranks
-      .groupBy("lang", "doc_a", "doc_b", "na", "nb")
-      .agg(min("ra").as("ra"), min("rb").as("rb"))
-      .filter(lit(1L) + least(col("na") - col("ra"), col("nb") - col("rb")) >= alphaNeeded)
-      .select("lang", "doc_a", "doc_b")
+          .select("lang", "doc_a", "doc_b"),
+        col("doc_a"), col("doc_b")).distinct()
     cand
       .join(g.select(col("doc_id").as("doc_a"), col("g").as("ga")), Seq("doc_a"))
       .join(g.select(col("doc_id").as("doc_b"), col("g").as("gb")), Seq("doc_b"))
@@ -1532,12 +1530,12 @@ object PipelineQueries {
     // fixpoint.
     val labels: DataFrame = {
       import s.implicits._
-      if (forceDistributed) propagateLabels(withCanon, edges0.localCheckpoint())
+      if (forceDistributed) propagateLabels(withCanon, edges0.lossTolerantCheckpoint())
       else {
         val threshold = d6DriverEdgeThreshold(s)
         val probe = edges0.limit(threshold + 1).as[(Long, Long)].collect()
         if (probe.length <= threshold) unionFindAssign(s, dir, probe)
-        else propagateLabels(withCanon, edges0.localCheckpoint())
+        else propagateLabels(withCanon, edges0.lossTolerantCheckpoint())
       }
     }
 
@@ -1603,7 +1601,7 @@ object PipelineQueries {
     // a narrow node-sized map.
     def rebased(df: DataFrame): DataFrame = {
       val rdd = df.as[(Long, Long)].rdd
-      rdd.localCheckpoint()
+      rdd.lossTolerantCheckpoint()
       rdd.count()
       s.createDataset(rdd).toDF("doc_id", "label")
     }
@@ -1620,7 +1618,7 @@ object PipelineQueries {
         // plan with a projection of itself trips the analyzer's union
         // constraint rewrite; a materialized leaf self-joins cleanly (and
         // each round's plan stays one join deep either way)
-        .localCheckpoint()
+        .lossTolerantCheckpoint()
       // Pointer jump — label(v) ← min(label(v), label(label(v))): every
       // label IS a doc_id in v's own component (canon seeds are doc_ids;
       // both steps only adopt other nodes' labels), so the node-keyed
@@ -1735,13 +1733,13 @@ object PipelineQueries {
     // the broadcast rank join preserves partitioning, so every round's
     // dst-aggregation then runs exchange-free on the checkpoint layout —
     // one up-front exchange replaces one per round
-    val edgeDeg = cluster(edges.join(deg, "src"), col("dst")).localCheckpoint()
+    val edgeDeg = cluster(edges.join(deg, "src"), col("dst")).lossTolerantCheckpoint()
     // seed ranks from the checkpoint, not from `deg`: deg's own plan re-runs
     // the orders⋈lineitem distinct (twice, once per union branch), which the
     // checkpoint already paid for
     var rank = edgeDeg.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1000000L).as("r"))
-      .localCheckpoint()
+      .lossTolerantCheckpoint()
     // Early-stop on EXACT fixed point: with integer-ppm truncating
     // arithmetic, max|r_k − r_{k−1}| == 0 means every later round is the
     // identity map, so stopping early returns bit-identical output to the
@@ -1780,7 +1778,7 @@ object PipelineQueries {
       // broadcast builds re-execute the composed tail). The FINAL round's
       // output is consumed exactly once by the terminal action, so its
       // checkpoint job is pure waste — skip it.
-      val next = if (round < iters) next0.localCheckpoint() else next0
+      val next = if (round < iters) next0.lossTolerantCheckpoint() else next0
       if (willProbe(round)) {
         val probe = next.join(rank.withColumnRenamed("r", "pr"), "node")
           .agg(max(abs(col("r") - col("pr")))).first()
@@ -2498,7 +2496,7 @@ object PipelineQueries {
         (round6(d / (nrm * cn)), cid)
       }.minBy { case (c, cid) => (-c, cid) }
       (id, v, nrm, best._2)
-    }).toDF("vec_id", "v", "nrm", "cell").localCheckpoint()
+    }).toDF("vec_id", "v", "nrm", "cell").lossTolerantCheckpoint()
     VectorIndex(cents, assigned)
   }
 
@@ -3014,7 +3012,7 @@ object PipelineQueries {
       val cell = fxArgmin(v, bcCoarse.value)._1
       val cv = bcCoarse.value.find(_._1 == cell).get._2
       (id, cell, Array.tabulate(v.length)(j => v(j) - cv(j) + Shift))
-    }.localCheckpoint()
+    }.lossTolerantCheckpoint()
     // ---- PQ codebooks over residual subspaces: sim5's two rounds
     val rs = res.toDF("vec_id", "coarse", "r")
       .select(col("vec_id"), col("coarse"), explode(expr(
@@ -3440,7 +3438,7 @@ object PipelineQueries {
           s"i -> concat_ws(' ', slice(w, i+1, $gramLen)))), " +
           "g -> substring(md5(g), 1, 16))"))
       .select(col("doc_id"), col("split"), col("gh"))
-      .localCheckpoint()
+      .lossTolerantCheckpoint()
     val grams = gramArrays.select(col("doc_id"), col("split"), explode(col("gh")).as("gh"))
     val evalGrams = grams.filter(col("split") === "eval").select("gh").distinct()
     grams.filter(col("split") === "train")
@@ -3525,7 +3523,7 @@ object PipelineQueries {
       .repartitionByRange(col("doc_id"))
       .sortWithinPartitions("doc_id")
       .as[(Long, Long)]
-      .localCheckpoint()
+      .lossTolerantCheckpoint()
     val subtotals = toks.rdd
       .mapPartitionsWithIndex { case (pid, it) =>
         Iterator.single((pid, it.map(_._2).sum))
@@ -3603,10 +3601,10 @@ object PipelineQueries {
         "transform(sequence(0, size(w)-2), i -> " +
           "cast(conv(substring(md5(concat_ws(' ', w[i], w[i+1])),1,15),16,10) as bigint))"))
         .as("hk"))
-      .localCheckpoint()
+      .lossTolerantCheckpoint()
     // the model is vocabulary-sized and read three times (hot pick, anti
     // set, cold join) — materialize it too instead of re-aggregating
-    val model = occ.groupBy("hk").agg(count(lit(1)).as("c")).localCheckpoint()
+    val model = occ.groupBy("hk").agg(count(lit(1)).as("c")).lossTolerantCheckpoint()
     val scored =
       if (hotK == 0) occ.join(model, "hk")
       else {
@@ -3668,7 +3666,7 @@ object PipelineQueries {
       .select(col("doc_id"), expr(
         s"transform(array_distinct(transform(sequence(0, size(w)-$k), " +
           s"i -> concat_ws(' ', slice(w, i+1, $k)))), sp -> substring(md5(sp), 1, 16))").as("hks"))
-      .localCheckpoint()
+      .lossTolerantCheckpoint()
     spanArrays.select(col("doc_id"), explode(col("hks")).as("hk"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("hk")))
       .groupBy("doc_id")
@@ -3844,7 +3842,7 @@ object PipelineQueries {
     val hist = w4Funnel(s, dir).filter(col("stage") === 3)
       .select(expr("(purchase_us - view_us) div 1000000L").as("lat_s"))
       .groupBy("lat_s").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // read twice (n + cum): the funnel runs once
+      .lossTolerantCheckpoint() // read twice (n + cum): the funnel runs once
     val nRow = hist.agg(sum("cnt")).first()
     require(!nRow.isNullAt(0), "w8 needs at least one converted user")
     val n = nRow.getLong(0)
@@ -4242,7 +4240,7 @@ object PipelineQueries {
       .filter(col("nsq") > 0)
       // both join sides read the features; without this the probe side's
       // broadcast subtree re-runs the whole decode+pool pipeline
-      .localCheckpoint()
+      .lossTolerantCheckpoint()
     val q = feats.filter(col("doc_id") < 10)
       .select(col("doc_id").as("query_id"), col("features_ppm").as("qv"), col("nsq").as("qsq"))
     val top = Window.partitionBy("query_id")
@@ -4401,7 +4399,7 @@ object PipelineQueries {
           s"doc_id ${im.doc_id} overflows M6VariantOffset=$M6VariantOffset; raise the offset")
         if (im.doc_id % 10 == 0) Seq(im, reencodedVariant(im)) else Seq(im)
       }
-    graft.multimodal.Multimodal.perceptualHashes(withVariants).localCheckpoint()
+    graft.multimodal.Multimodal.perceptualHashes(withVariants).lossTolerantCheckpoint()
   }
 
   /** Image near-dup dedup end-to-end: blobs → SqlCodec decode → noisy
@@ -4495,10 +4493,10 @@ object PipelineQueries {
     "transform(sequence(0, 3), p -> p * 65536L + (shiftright(ahash, 16 * p) & 65535L))"
 
   def prepareImageIndex(corpusSig: DataFrame, saltThreshold: Long = 4096L): ImageIndex = {
-    val sig = corpusSig.localCheckpoint()
+    val sig = corpusSig.lossTolerantCheckpoint()
     val bands = sig.select(col("doc_id").as("m"), col("ahash").as("ah_m"),
         explode(expr(AhashBandsExpr)).as("bk"))
-      .localCheckpoint()
+      .lossTolerantCheckpoint()
     // histogram probe at index-build time (one tiny partial-aggregated job)
     // so every later probe knows the hot buckets without re-measuring
     val hot: Seq[Any] = bands.groupBy("bk").agg(count(lit(1)).as("n"))
@@ -4676,7 +4674,7 @@ object PipelineQueries {
           (col("len") - M8Trim).as("len")))
     // checkpointed because the df cap, the per-video counts, and both
     // join sides read it
-    frameContainmentPairs(videoFrames(vids.select("doc_id", "text")).localCheckpoint())
+    frameContainmentPairs(videoFrames(vids.select("doc_id", "text")).lossTolerantCheckpoint())
   }
 
   /** The m8 pairing rule over ANY distinct (doc_id, fh) frame table — ONE
@@ -4733,7 +4731,7 @@ object PipelineQueries {
     * GIFs); this path is spec-pinned on real fixtures instead.
     */
   def videoDedupDemuxed(blobs: DataFrame): DataFrame =
-    frameContainmentPairs(videoFramesDemuxed(blobs).localCheckpoint())
+    frameContainmentPairs(videoFramesDemuxed(blobs).lossTolerantCheckpoint())
 
   /** The persisted-index half of the video probe — m7's `ImageIndex` for
     * frame sets: the corpus's df-capped frame table (mega-frames dropped at
@@ -4744,13 +4742,13 @@ object PipelineQueries {
   final case class VideoIndex(frames: DataFrame, nf: DataFrame, hotKeys: Seq[Any])
 
   def prepareVideoIndex(corpus: DataFrame, saltThreshold: Long = 4096L): VideoIndex = {
-    val fr = videoFrames(corpus).localCheckpoint()
+    val fr = videoFrames(corpus).lossTolerantCheckpoint()
     val nf = fr.groupBy("doc_id").agg(count(lit(1)).as("nf_m"))
-      .select(col("doc_id").as("m"), col("nf_m")).localCheckpoint()
+      .select(col("doc_id").as("m"), col("nf_m")).lossTolerantCheckpoint()
     val keep = fr.join(
         fr.groupBy("fh").agg(count(lit(1)).as("df"))
           .filter(col("df") <= M8MaxFrameDf).select("fh"), "fh")
-      .select(col("doc_id").as("m"), col("fh")).localCheckpoint()
+      .select(col("doc_id").as("m"), col("fh")).lossTolerantCheckpoint()
     val hot: Seq[Any] = keep.groupBy("fh").agg(count(lit(1)).as("n"))
       .filter(col("n") > saltThreshold).select("fh")
       .collect().map(_.get(0)).toSeq
@@ -4765,7 +4763,7 @@ object PipelineQueries {
     * near_dup with its best source, or novel.
     */
   def videoDedupProbe(batch: DataFrame, index: VideoIndex): DataFrame = {
-    val fr = videoFrames(batch).localCheckpoint()
+    val fr = videoFrames(batch).lossTolerantCheckpoint()
     val nfb = fr.groupBy("doc_id").agg(count(lit(1)).as("nf_b"))
     val r = 16
     val hotKeys = index.hotKeys
@@ -5163,7 +5161,7 @@ object PipelineQueries {
         expr(s"doc_id div ${batch}L").as("file_id"),
         col("doc_id"),
         expr("cast(conv(substring(md5(text),1,15),16,10) as bigint)").as("hk"))
-      .localCheckpoint() // read three times: blooms, probes, truth
+      .lossTolerantCheckpoint() // read three times: blooms, probes, truth
     val sketches = docs.groupBy("file_id")
       .agg(call_function("graft_bloom_agg", col("hk"), lit(batch * 2)).as("bf"))
       .collect()
@@ -5517,7 +5515,7 @@ object PipelineQueries {
           "i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3]))), g -> substring(md5(g), 1, 16)) " +
           "ELSE array() END"))
       .select("doc_id", "split", "n", "hits", "l", "dd", "canon", "gh")
-      .localCheckpoint()
+      .lossTolerantCheckpoint()
     val evalGh = base.filter(col("split") === "eval")
       .select(explode(col("gh")).as("gh")).distinct()
     val survGh = base.filter(col("split") === "train" && col("doc_id") === col("canon"))
@@ -5684,7 +5682,7 @@ object PipelineQueries {
     // wider than what the shard exchange ships anyway
     val enc = encodeWithMerges(docs, X19Merges)
       .select(col("doc_id"), col("n_tokens"))
-      .localCheckpoint()
+      .lossTolerantCheckpoint()
     // x16's corpus-derived shard count, over the rows actually exported
     val nShards = math.max(1L, enc.count() / X16RowsPerShard)
     val key = md5(concat(lit("epoch-0"), lit(":"), col("doc_id").cast("string")))
@@ -6059,7 +6057,7 @@ object PipelineQueries {
     * early if the corpus runs out of pairs (every word one symbol).
     */
   def bpeTrain(s: SparkSession, dir: String, nMerges: Int): Seq[(Int, String, String, String, Long)] = {
-    var words = bpeWordTable(s, dir).localCheckpoint()
+    var words = bpeWordTable(s, dir).lossTolerantCheckpoint()
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -6072,7 +6070,7 @@ object PipelineQueries {
         val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         out += ((r, a, b, a + b, n))
         words = words.withColumn("repr", expr(s"replace(repr, '($a)($b)', '($a$b)')"))
-        if (r % 4 == 0 && r < nMerges) words = words.localCheckpoint()
+        if (r % 4 == 0 && r < nMerges) words = words.lossTolerantCheckpoint()
         r += 1
       }
     }
@@ -6400,7 +6398,7 @@ object PipelineQueries {
           s"transform(w, tk -> cast(conv(substring(md5(tk),1,15),16,10) as bigint) % $X21Buckets)"))
           .as("b"))
       .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .lossTolerantCheckpoint()
     // bucket-count rows, partial-aggregable on top of the per-doc table
     val model = perDoc.groupBy("b").agg(
       sum("cnt").as("cr"),
@@ -6729,7 +6727,7 @@ object PipelineQueries {
         }
       }
       .toDF("doc_id", "y", "x")
-      .localCheckpoint()
+      .lossTolerantCheckpoint()
 
     // Overflow guard, x21 discipline (bound checked BEFORE any product can
     // wrap): per round |w_b| grows by ≤ totalTokens, so after `rounds`
@@ -6996,7 +6994,7 @@ object PipelineQueries {
           "cast(conv(substring(md5(concat_ws(' ', w[i], w[i+1])),1,15),16,10) as bigint))"))
         .as("hk"))
       .groupBy("hk").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .lossTolerantCheckpoint()
     val n = BigInt(model.agg(sum("c")).collect()(0).getLong(0))
     require(n > 0, "Good-Turing needs a non-empty bigram model")
     val spec = model.filter(col("c") <= cap + 1L)
@@ -7211,7 +7209,7 @@ object PipelineQueries {
       .groupBy(col("term"), expr(s"doc_id div ${block}L").as("block"))
       .agg(expr(s"array_sort(collect_list(struct(doc_id % ${block}L as rel, pos)))")
         .as("entries"))
-      .localCheckpoint()
+      .lossTolerantCheckpoint()
 
   def x33PhraseSearch(s: SparkSession, dir: String): DataFrame =
     x33PhraseSearch(s, dir, X23Block)
@@ -7390,7 +7388,7 @@ object PipelineQueries {
         .as("bg"))
       .select(col("bg.w1"), col("bg.w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-      .localCheckpoint() // read once per step: the decode loop's only input
+      .lossTolerantCheckpoint() // read once per step: the decode loop's only input
     var cur = seedRow.getString(0)
     val out = scala.collection.mutable.ArrayBuffer((0L, cur, seedRow.getLong(1)))
     var step = 1
@@ -7462,8 +7460,8 @@ object PipelineQueries {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // read twice (df build + join): one corpus pass ever
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df")).localCheckpoint()
+      .lossTolerantCheckpoint() // read twice (df build + join): one corpus pass ever
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df")).lossTolerantCheckpoint()
     val scored =
       if (hotK == 0) tf.join(df, "term")
       else {
@@ -7655,7 +7653,7 @@ object PipelineQueries {
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("u"), col("b.pk").as("v")),
         col("u"), col("v")).distinct()
-      .localCheckpoint() // degrees AND orientation read it: one pair join, not two
+      .lossTolerantCheckpoint() // degrees AND orientation read it: one pair join, not two
     val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     val lower = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
@@ -7664,14 +7662,14 @@ object PipelineQueries {
       .join(broadcast(deg.select(col("n").as("v"), col("d").as("dv"))), "v")
       .select(when(lower, col("u")).otherwise(col("v")).as("src"),
         when(lower, col("v")).otherwise(col("u")).as("dst"))
-      .localCheckpoint() // read multiple times below; cut the join lineage
+      .lossTolerantCheckpoint() // read multiple times below; cut the join lineage
     val tri =
       if (!forceJoinPath && e.count() <= G2BroadcastEdges) {
         // node-count rows, materialized once so BOTH broadcasts reuse the
         // same aggregation instead of re-running it per broadcast side
         val adj = oriented.groupBy(col("src").as("node"))
           .agg(collect_list(col("dst")).as("nbrs"))
-          .localCheckpoint()
+          .lossTolerantCheckpoint()
         oriented
           .join(broadcast(adj.select(col("node").as("src"), col("nbrs").as("src_nbrs"))), "src")
           .join(broadcast(adj.select(col("node").as("dst"), col("nbrs").as("dst_nbrs"))), "dst")
