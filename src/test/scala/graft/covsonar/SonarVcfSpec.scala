@@ -208,4 +208,103 @@ class SonarVcfSpec extends SparkSpec {
     assert(gotLines.sameElements(plainLines),
       "concatenated shards diverged from the single-file export")
   }
+
+  test("tabix: .tbi over the exported BGZF answers region queries exactly (reference's tabix -p vcf contract)") {
+    // ref: lib/sonartoVCF.py:100 runs `tabix -p vcf` on its bgzip output —
+    // the export contract includes indexed regional access. We emit the
+    // public .tbi format ourselves and prove it by random-accessing
+    // regions through the index and matching a full-scan filter.
+    val dir = Files.createTempDirectory("vcf-tabix").toString
+    SonarVcf.exportVcf(store, s"$dir/all.vcf.gz")
+    val part = new java.io.File(s"$dir/all.vcf.gz").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".gz")).head
+    val vcfGz = s"$dir/merged.vcf.gz"
+    Files.copy(part.toPath, java.nio.file.Paths.get(vcfGz))
+    val n = Tabix.indexVcf(vcfGz, s"$vcfGz.tbi")
+    assert(n > 0, "no records indexed")
+    val idx = Tabix.readTbi(s"$vcfGz.tbi")
+    assert(idx.names == Seq("NC_045512.2"))
+    // ground truth: full decode, data lines only
+    val all = {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(Files.readAllBytes(java.nio.file.Paths.get(vcfGz))), 1 << 16)
+      val bo = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](1 << 16); var r = in.read(buf)
+      while (r >= 0) { bo.write(buf, 0, r); r = in.read(buf) }
+      new String(bo.toByteArray, "UTF-8").split("\n").filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+    }
+    assert(all.size.toLong == n)
+    def truth(beg: Int, end: Int): Seq[String] = all.filter { l =>
+      val c = l.split("\t", 5)
+      val b = c(1).toLong - 1; val e = b + math.max(1, c(3).length)
+      b < end && e > beg
+    }
+    // regions: whole genome, a narrow window around the synthetic site,
+    // an empty window, and prefix/suffix slices
+    for ((beg, end) <- Seq((0, 30000), (4990, 5010), (29990, 30000), (0, 100), (240, 245))) {
+      val got = Tabix.query(vcfGz, idx, "NC_045512.2", beg, end)
+      assert(got.sorted == truth(beg, end).sorted, s"region [$beg,$end) diverged")
+    }
+    assert(Tabix.query(vcfGz, idx, "NO_SUCH_CHROM", 0, 100).isEmpty)
+  }
+
+  test("tabix: multi-block BGZF with block-spanning lines indexes and queries exactly") {
+    // synthetic VCF big enough for many BGZF blocks, with long ALT payloads
+    // so lines straddle block boundaries — exercises cross-block line
+    // reassembly, chunk merging, and the linear index
+    val dir = Files.createTempDirectory("vcf-tabix-big").toString
+    val vcfGz = s"$dir/big.vcf.gz"
+    val pad = "A" * 400
+    val lines = (1 to 4000).map { i =>
+      val pos = i * 7 % 29903 + 1
+      s"NC_045512.2\t$pos\t.\tG\t$pad\t.\t.\t.\tGT\t1"
+    }
+    val fo = new java.io.FileOutputStream(vcfGz)
+    val bg = new BgzfOutputStream(fo)
+    bg.write(("##fileformat=VCFv4.0\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\n" +
+      lines.mkString("", "\n", "\n")).getBytes("US-ASCII"))
+    bg.close()
+    // blocks split on UNCOMPRESSED size (0xff00), so count BGZF members
+    val fixtureBytes = Files.readAllBytes(java.nio.file.Paths.get(vcfGz))
+    var bOff = 0; var nBlocks = 0
+    while (bOff < fixtureBytes.length) {
+      bOff += ((fixtureBytes(bOff + 16) & 0xff) | ((fixtureBytes(bOff + 17) & 0xff) << 8)) + 1
+      nBlocks += 1
+    }
+    assert(nBlocks >= 5, s"fixture too small to be multi-block ($nBlocks blocks)")
+    val n = Tabix.indexVcf(vcfGz, s"$vcfGz.tbi")
+    assert(n == 4000L)
+    val idx = Tabix.readTbi(s"$vcfGz.tbi")
+    def truth(beg: Int, end: Int): Seq[String] = lines.filter { l =>
+      val p = l.split("\t", 3)(1).toLong - 1
+      p < end && p + 1 > beg
+    }
+    for ((beg, end) <- Seq((0, 29903), (1000, 1100), (0, 1), (29000, 29903), (14000, 14001))) {
+      val got = Tabix.query(vcfGz, idx, "NC_045512.2", beg, end)
+      assert(got.sorted == truth(beg, end).sorted, s"region [$beg,$end): got ${got.size}, want ${truth(beg, end).size}")
+    }
+    // reg2bin consistency: the record's own bin is always a candidate bin
+    val rnd = new scala.util.Random(11)
+    (1 to 500).foreach { _ =>
+      val b = rnd.nextInt(1 << 28); val e = b + 1 + rnd.nextInt(1 << 10)
+      assert(Tabix.reg2bins(b, e).contains(Tabix.reg2bin(b, e)), s"($b,$e)")
+    }
+  }
+
+  test("tabix: the sharded export's byte-concatenated parts stay indexable") {
+    val dir = Files.createTempDirectory("vcf-tabix-shard").toString
+    SonarVcf.exportVcfSharded(store, s"$dir/sharded", shards = 4)
+    def parts(sub: String): Seq[java.io.File] =
+      new java.io.File(s"$dir/sharded/$sub").listFiles()
+        .filter(f => f.getName.startsWith("part-")).sortBy(_.getName).toSeq
+    val vcfGz = s"$dir/merged.vcf.gz"
+    val out = new java.io.FileOutputStream(vcfGz)
+    (parts("00-header") ++ parts("01-body")).foreach(f => out.write(Files.readAllBytes(f.toPath)))
+    out.close()
+    val n = Tabix.indexVcf(vcfGz, s"$vcfGz.tbi")
+    assert(n > 0)
+    val idx = Tabix.readTbi(s"$vcfGz.tbi")
+    val got = Tabix.query(vcfGz, idx, "NC_045512.2", 0, 30000)
+    assert(got.size.toLong == n, "whole-range query through the index must see every record")
+  }
 }
