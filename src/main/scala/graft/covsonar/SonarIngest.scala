@@ -1,5 +1,6 @@
 package graft.covsonar
 
+import graft.Ckpt._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -109,7 +110,7 @@ object SonarIngest {
         Genetics.invalidNtChars(r.seq).nonEmpty))
       .toDF("accession", "description", "seqhash", "seq", "is_invalid")
       .join(existing, Seq("accession"), "left") // join strategy left to AQE
-      .localCheckpoint()
+      .lossTolerantCheckpoint()
 
     // One aggregation pass over the checkpoint yields every happy-path
     // count; the rare-path collects (conflict samples, invalid accession
@@ -190,7 +191,7 @@ object SonarIngest {
         ProcessedSeqRow(seqhash, p.dnaDiff, p.aaDiff,
           splitProfile(p.dnaProfile), splitProfile(p.aaProfile), splitProfile(p.fsProfile))
       }
-    }.localCheckpoint() // eager: aligns once, fails fast on paranoid errors
+    }.lossTolerantCheckpoint() // eager: aligns once, fails fast on paranoid errors
 
     val nNewSeqs = processed.count()
 

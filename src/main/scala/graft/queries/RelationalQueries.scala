@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Ckpt._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1355,7 +1356,7 @@ object RelationalQueries {
         expr("cast(conv(substring(md5(source),1,15),16,10) as bigint) % 8"))
       .withColumn("remove_v",
         expr("CASE WHEN n_docs % 3 != 0 THEN add_v + 1L + bytes % 4 END"))
-      .localCheckpoint()
+      .lossTolerantCheckpoint()
 
   /** The inventory's current-version watermark — max version any file was
     * touched at. ONE definition shared by k13 (retention cutoff) and k14
@@ -1493,7 +1494,7 @@ object RelationalQueries {
       .groupBy(expr(s"doc_id div ${batch}L").as("file_id"))
       .agg(count(lit(1)).as("n_docs"),
         min("n_chars").as("min_nc"), max("n_chars").as("max_nc"))
-      .localCheckpoint() // stats read twice (extent + plan): ONE data scan ever
+      .lossTolerantCheckpoint() // stats read twice (extent + plan): ONE data scan ever
     val ext = stats.agg(min("min_nc").as("lo"), max("max_nc").as("hi")).first()
     require(!ext.isNullAt(0), "zone-map planner needs a non-empty table")
     val (gmin, gmax) = (ext.getLong(0), ext.getLong(1))

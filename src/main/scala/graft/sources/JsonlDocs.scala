@@ -1,5 +1,6 @@
 package graft.sources
 
+import graft.Ckpt._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -41,7 +42,7 @@ object JsonlDocs {
       // a JSON line that parses but lacks required fields is also a reject
       .withColumn("_bad", col("_corrupt_record").isNotNull ||
         col("doc_id").isNull || col("text").isNull)
-      .localCheckpoint() // one parse pass feeds both output frames
+      .lossTolerantCheckpoint() // one parse pass feeds both output frames
     val clean = raw.filter(!col("_bad"))
       .select(col("doc_id"), col("text"),
         coalesce(col("lang"), lit("und")).as("lang"),

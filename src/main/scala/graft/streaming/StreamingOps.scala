@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Ckpt._
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -220,7 +221,7 @@ object StreamingOps {
         // signature pass, and the final left joins each act on it, and an
         // unpersisted micro-batch frame would recompute from the source per
         // job
-        val b = batch.select("doc_id", "text").localCheckpoint()
+        val b = batch.select("doc_id", "text").lossTolerantCheckpoint()
         onBatch(graft.queries.PipelineQueries.incrementalDedup(b, index), batchId)
       }
   }
@@ -331,10 +332,10 @@ object StreamingOps {
     */
   def changelogApplyStream(log: DataFrame, initial: DataFrame)(
       onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    var snapshot = initial.select("k", "status").localCheckpoint()
+    var snapshot = initial.select("k", "status").lossTolerantCheckpoint()
     log.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val b = batch.select("k", "op", "new_status").localCheckpoint()
+        val b = batch.select("k", "op", "new_status").lossTolerantCheckpoint()
         // The merge rule is only defined for one NET op per key — a raw
         // Debezium batch can hold I-then-D sequences for one key, and the
         // row set alone carries no order to collapse them by, so applying
@@ -348,7 +349,7 @@ object StreamingOps {
           s"micro-batch $batchId carries multiple ops for one key: collapse " +
             "the CDC feed to net per-key ops (by LSN) before applying")
         snapshot = graft.queries.RelationalQueries
-          .applyChangelog(snapshot, b).localCheckpoint()
+          .applyChangelog(snapshot, b).lossTolerantCheckpoint()
         onBatch(snapshot, batchId)
       }
   }
@@ -383,22 +384,22 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (snapshot == null) { // first batch after (re)start: recover state
           loadChangelogSnapshot(batch.sparkSession, stateDir) match {
-            case Some((df, bid)) => snapshot = df.localCheckpoint(); lastApplied = bid
-            case None => snapshot = initial.select("k", "status").localCheckpoint()
+            case Some((df, bid)) => snapshot = df.lossTolerantCheckpoint(); lastApplied = bid
+            case None => snapshot = initial.select("k", "status").lossTolerantCheckpoint()
           }
         }
         if (batchId <= lastApplied) {
           // replayed batch already folded into the persisted snapshot
           onBatch(snapshot, batchId)
         } else {
-          val b = batch.select("k", "op", "new_status").localCheckpoint()
+          val b = batch.select("k", "op", "new_status").lossTolerantCheckpoint()
           // same net-op precondition as the demo form (see its comment)
           val multi = b.groupBy("k").count().filter(col("count") > 1).limit(1).count()
           require(multi == 0L,
             s"micro-batch $batchId carries multiple ops for one key: collapse " +
               "the CDC feed to net per-key ops (by LSN) before applying")
           snapshot = graft.queries.RelationalQueries
-            .applyChangelog(snapshot, b).localCheckpoint()
+            .applyChangelog(snapshot, b).lossTolerantCheckpoint()
           persistChangelogSnapshot(snapshot, stateDir, batchId)
           lastApplied = batchId
           onBatch(snapshot, batchId)
@@ -523,7 +524,7 @@ object StreamingOps {
         if (version == null) // first batch after (re)start: recover bucket versions
           version = Array.tabulate(nBuckets)(latestBucketVersion(s, stateDir, _))
         val b = batch.select("k", "op", "new_status")
-          .withColumn("bkt", pmod(hash(col("k")), lit(nBuckets))).localCheckpoint()
+          .withColumn("bkt", pmod(hash(col("k")), lit(nBuckets))).lossTolerantCheckpoint()
         // same net-op precondition as the whole-snapshot forms
         val multi = b.groupBy("k").count().filter(col("count") > 1).limit(1).count()
         require(multi == 0L,
@@ -612,7 +613,7 @@ object StreamingOps {
         // checkpoint the batch's (tiny) signature table: the band explode
         // and the left-join spine both read it
         val sig = graft.queries.PipelineQueries
-          .imageSignatures(batch.select("doc_id", "text")).localCheckpoint()
+          .imageSignatures(batch.select("doc_id", "text")).lossTolerantCheckpoint()
         onBatch(graft.queries.PipelineQueries.imageDedupProbe(sig, index), batchId)
       }
   }
@@ -657,7 +658,7 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import batch.sparkSession.implicits._
         val b = batch.select("vec_id", "v", "nrm")
-          .as[(Long, Array[Double], Double)].localCheckpoint()
+          .as[(Long, Array[Double], Double)].lossTolerantCheckpoint()
         onBatch(graft.queries.PipelineQueries.sim7Probe(b, index, nProbe), batchId)
       }
 

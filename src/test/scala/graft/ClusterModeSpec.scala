@@ -103,6 +103,83 @@ class ClusterModeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("stateful streaming twins run green across real executor JVMs: sessionizer, trending top-k, content dedup") {
+    // The stateful twins carry flatMapGroupsWithState state stores and
+    // per-batch closures that, before round 10, had only ever executed in
+    // a shared-heap local[4] session. On local-cluster the state store
+    // providers live in executor JVMs, state rows cross a real
+    // serialization boundary on every update, and the MemoryStream's
+    // driver-side data must broadcast to executors — none of which
+    // local mode exercises.
+    val cluster = clusterSession()
+    try {
+      ClusterHarness.requireMultiJvm(cluster)
+      implicit val sq = cluster.sqlContext
+      import cluster.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      import graft.streaming.{Event, Session, StreamDoc, StreamingOps}
+      val Base = 86400000L
+      def ts(minutes: Long) = new java.sql.Timestamp(Base + minutes * 60000L)
+      def us(minutes: Long): Long = (Base + minutes * 60000L) * 1000L
+
+      // 1. stateful sessionizer (EventTimeTimeout state machine)
+      val sIn = MemoryStream[Event]
+      val sQ = StreamingOps.sessionize(sIn.toDS())
+        .writeStream.format("memory").queryName("cluster_sessions")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        sIn.addData(Event(1, ts(0), 1, "CLICK", 1.0), Event(2, ts(10), 1, "CLICK", 2.0))
+        sQ.processAllAvailable()
+        sIn.addData(Event(3, ts(50), 1, "VIEW", 4.0))
+        sQ.processAllAvailable()
+        val rows = cluster.table("cluster_sessions").as[Session].collect().toSet
+        assert(rows == Set(Session(1, us(0), us(10), 2, 3.0)), s"sessionizer diverged: $rows")
+      } finally sQ.stop()
+
+      // 2. trending top-k (windowed heavy-hitter state + timeout emission)
+      val tIn = MemoryStream[Event]
+      val tQ = StreamingOps.trendingTopK(tIn.toDS())
+        .writeStream.format("memory").queryName("cluster_trending")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        tIn.addData(
+          Event(1, ts(0), 1, "A", 1.0), Event(2, ts(1), 2, "A", 1.0),
+          Event(3, ts(2), 3, "B", 1.0), Event(4, ts(3), 4, "A", 1.0))
+        tQ.processAllAvailable()
+        // push the watermark past window end + delay, then tick the timeouts
+        tIn.addData(Event(5, ts(300), 9, "tick", 0.0)); tQ.processAllAvailable()
+        tIn.addData(Event(6, ts(400), 9, "tick", 0.0)); tQ.processAllAvailable()
+        val got = cluster.table("cluster_trending")
+          .filter(org.apache.spark.sql.functions.col("event_type") =!= "tick")
+          .collect().map(r => (r.getAs[Int]("rank"), r.getAs[String]("event_type"),
+            r.getAs[Long]("n_events"))).toSet
+        assert(got == Set((1, "A", 3L), (2, "B", 1L)), s"trending diverged: $got")
+      } finally tQ.stop()
+
+      // 3. streaming content dedup (watermarked keyed state, first-copy-wins)
+      val dIn = MemoryStream[StreamDoc]
+      val dQ = StreamingOps.dedupByContent(dIn.toDF(), delay = "10 minutes")
+        .writeStream.format("memory").queryName("cluster_dedup")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        dIn.addData(
+          StreamDoc(1, ts(0), "same text"),
+          StreamDoc(2, ts(1), "same text"),
+          StreamDoc(3, ts(2), "other text"))
+        dQ.processAllAvailable()
+        dIn.addData(StreamDoc(4, ts(3), "same text"))
+        dQ.processAllAvailable()
+        val ids = cluster.table("cluster_dedup").collect()
+          .map(_.getAs[Long]("doc_id")).toSet
+        assert(ids == Set(1L, 3L), s"dedup diverged: $ids")
+      } finally dQ.stop()
+    } finally {
+      cluster.stop()
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    }
+  }
+
   test("bucketed changelog MERGE survives a kill-and-restart on real executors") {
     val cluster = clusterSession()
     try {
