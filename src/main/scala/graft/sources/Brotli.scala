@@ -110,15 +110,18 @@ object Brotli {
 
   // ---- prefix-code trees ---------------------------------------------------
 
-  /** Canonical prefix code: bit-by-bit decode over per-length first-code /
+  /** Canonical prefix code: an 8-bit first-level lookup (`lut(peek)` =
+    * `(sym << 4) | len`, 0 when the 8-bit window is not enough) resolves
+    * the overwhelming majority of symbols in one step; longer codes fall
+    * back to the bit-by-bit walk over per-length first-code /
     * symbol-offset arrays (zlib-style). `single >= 0` is a degenerate
     * zero-bit tree.
     */
   private final class Tree(val maxLen: Int, val firstCode: Array[Int],
       val symOff: Array[Int], val count: Array[Int], val syms: Array[Int],
-      val single: Int)
+      val single: Int, val lut: Array[Int])
 
-  private def singleTree(sym: Int): Tree = new Tree(0, null, null, null, null, sym)
+  private def singleTree(sym: Int): Tree = new Tree(0, null, null, null, null, sym, null)
 
   /** Build a canonical tree from per-symbol lengths (0 = absent); codes are
     * assigned shortest-first, ties by symbol order. Requires exact Kraft
@@ -164,7 +167,27 @@ object Brotli {
       if (l > 0) { syms(next(l)) = i; next(l) += 1 }
       i += 1
     }
-    new Tree(maxLen, firstCode, symOff, count, syms, -1)
+    // 8-bit first-level table: stream bits arrive LSB-first while canonical
+    // codes compare first-bit-first, so a code's slot pattern is its
+    // bit-reversal; every peek value sharing those low bits resolves to it
+    val lut = new Array[Int](256)
+    var len = 1
+    while (len <= math.min(8, maxLen)) {
+      var k = 0
+      while (k < count(len)) {
+        val code = firstCode(len) + k
+        val sym = syms(symOff(len) + k)
+        var rev = 0
+        var b = 0
+        while (b < len) { rev = (rev << 1) | ((code >> b) & 1); b += 1 }
+        val entry = (sym << 4) | len
+        var p = rev
+        while (p < 256) { lut(p) = entry; p += 1 << len }
+        k += 1
+      }
+      len += 1
+    }
+    new Tree(maxLen, firstCode, symOff, count, syms, -1, lut)
   }
 
   // ---- bit reader ----------------------------------------------------------
@@ -191,6 +214,18 @@ object Brotli {
     }
 
     def bit(): Int = read(1)
+
+    /** Zero-padded peek of the next 8 bits (no consumption); `avail` is
+      * how many of them are real.
+      */
+    def peek8(): Int = {
+      if (cnt < 8) fill()
+      (buf & 0xff).toInt
+    }
+
+    def avail: Int = { if (cnt < 8) fill(); cnt }
+
+    def drop(n: Int): Unit = { buf >>>= n; cnt -= n }
 
     /** Discard bits to the next byte boundary; error if any were nonzero
       * (brotli requires zero padding at every byte-alignment point).
@@ -224,6 +259,13 @@ object Brotli {
 
   private def readSym(b: Bits, t: Tree): Int = {
     if (t.single >= 0) return t.single
+    val e = t.lut(b.peek8())
+    if (e != 0) {
+      val l = e & 15
+      if (l <= b.avail) { b.drop(l); return e >>> 4 }
+      // fewer real bits than the matched code needs: fall through so the
+      // bit-by-bit walk reports truncation precisely
+    }
     var code = 0
     var len = 0
     while (len < t.maxLen) {
