@@ -118,8 +118,11 @@ object Bench {
     // Failed queries record the numeric sentinel -1 (never a string) so the
     // queries map stays uniformly numeric for strict parsers; the human-readable
     // failure detail lives in the errors map and the failed count.
+    // 1 ms resolution: full double precision triples the line length for
+    // nothing (the per-query noise floor is tens of ms), and an oversized
+    // line is exactly what overflowed the driver's tail capture in r10
     val qs = results.map { case (k, v) =>
-      Json.str(k) + ":" + (if (v < 0) "-1" else v.toString)
+      Json.str(k) + ":" + (if (v < 0) "-1" else f"$v%.3f")
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => Json.str(k) + ":" + Json.str(v) }
       .mkString("{", ",", "}")
@@ -137,7 +140,6 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":${errors.size},"errors":$errJson,$subsetJson,""" +
       s""""calib_pre_sec":$calibPre,"calib_post_sec":$calibPost,"sf":"$sfDir"}"""
-    println(line)
     // Also write to a dedicated file so the artifact survives stdout being
     // interleaved with Spark logs / truncated by the harness.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
@@ -145,6 +147,12 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] write $out: $e") }
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
+    // The JSON line goes out LAST, after spark.stop(): anything printed
+    // after it (shutdown chatter) pushes the line's START out of the
+    // driver's bounded tail capture — r10's BENCH artifact parsed null for
+    // exactly this reason. stdout-only, one line, nothing after it.
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

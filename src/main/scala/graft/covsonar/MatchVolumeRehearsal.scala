@@ -51,8 +51,11 @@ object MatchVolumeRehearsal {
       val alt = "ACGT".filterNot(_ == refBase).charAt(r % 3)
       s"$refBase$pos$alt"
     }.toArray
-    val bcPool = spark.sparkContext.broadcast(pool)
-    val poolToken = udf((r: Int) => bcPool.value(r))
+    // token lookup as a plain array literal + element_at (1-based) — keeps
+    // the synthesis expression fully codegen'd, no udf
+    val poolCol = typedlit(pool.toSeq)
+    def poolToken(idx: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      element_at(poolCol, idx + lit(1))
 
     // ~5% of accessions share the previous accession's sequence (the
     // accession-vs-sequence split the data model exists for)
@@ -63,19 +66,19 @@ object MatchVolumeRehearsal {
       concat(lit("VOL"), col("id")).as("accession"),
       concat(lit("synthetic genome "), col("id")).as("description"),
       col("seqhash"),
-      concat(lit("B.1."), (xxhash64(col("id"), lit(1)) % 400).cast("string")).as("lineage"),
-      format_string("%05d", (xxhash64(col("id"), lit(2)) % 90000 + 10000).cast("int")).as("zip"),
+      concat(lit("B.1."), pmod(xxhash64(col("id"), lit(1)), lit(400)).cast("string")).as("lineage"),
+      format_string("%05d", (pmod(xxhash64(col("id"), lit(2)), lit(90000)) + 10000).cast("int")).as("zip"),
       date_format(date_add(lit("2020-01-01").cast("date"),
-        (xxhash64(col("id"), lit(3)) % 900).cast("int")), "yyyy-MM-dd").as("date"),
+        pmod(xxhash64(col("id"), lit(3)), lit(900)).cast("int")), "yyyy-MM-dd").as("date"),
       date_format(date_add(lit("2020-01-05").cast("date"),
-        (xxhash64(col("id"), lit(3)) % 900).cast("int")), "yyyy-MM-dd").as("submission_date"),
+        pmod(xxhash64(col("id"), lit(3)), lit(900)).cast("int")), "yyyy-MM-dd").as("submission_date"),
       lit("").as("gisaid"), lit("").as("ena"),
-      concat(lit("SRC"), (xxhash64(col("id"), lit(4)) % 20).cast("string")).as("source"),
-      concat(lit("COLL"), (xxhash64(col("id"), lit(5)) % 50).cast("string")).as("collection"),
-      concat(lit("LAB"), (xxhash64(col("id"), lit(6)) % 200).cast("string")).as("lab"),
+      concat(lit("SRC"), pmod(xxhash64(col("id"), lit(4)), lit(20)).cast("string")).as("source"),
+      concat(lit("COLL"), pmod(xxhash64(col("id"), lit(5)), lit(50)).cast("string")).as("collection"),
+      concat(lit("LAB"), pmod(xxhash64(col("id"), lit(6)), lit(200)).cast("string")).as("lab"),
       lit("ILLUMINA").as("technology"), lit("").as("platform"), lit("").as("chemistry"),
       lit("").as("software"), lit("").as("software_version"), lit("").as("material"),
-      (abs(xxhash64(col("id"), lit(7)) % 2000).cast("double") / 100.0 + 10.0).as("ct"),
+      (pmod(xxhash64(col("id"), lit(7)), lit(2000)).cast("double") / 100.0 + 10.0).as("ct"),
       current_timestamp().as("imported"))
 
     val seqs = base.select(col("seqhash"), col("seqid")).distinct()
@@ -83,9 +86,11 @@ object MatchVolumeRehearsal {
     val profiles = seqs
       .select(col("seqhash"),
         transform(sequence(lit(0), lit(29)), j =>
-          poolToken((pow(
-            abs(xxhash64(col("seqid"), j)).cast("double") / lit(Long.MaxValue.toDouble),
-            lit(3.0)) * lit(poolSize.toDouble)).cast("int"))).as("draws"))
+          poolToken(least(
+            floor(pow(
+              pmod(xxhash64(col("seqid"), j), lit(1L << 52)).cast("double") / lit((1L << 52).toDouble),
+              lit(3.0)) * lit(poolSize.toDouble)).cast("int"),
+            lit(poolSize - 1)))).as("draws"))
       .select(col("seqhash"),
         array_sort(array_distinct(col("draws"))).as("dna_profile"),
         array().cast("array<string>").as("aa_profile"),

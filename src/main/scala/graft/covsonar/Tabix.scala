@@ -102,6 +102,9 @@ object Tabix {
       require(readFully(in, trailer, 0, 8), s"truncated trailer at $coffset")
       val isize = (trailer(4) & 0xff) | ((trailer(5) & 0xff) << 8) |
         ((trailer(6) & 0xff) << 16) | ((trailer(7) & 0xff) << 24)
+      // BGZF caps uncompressed block size at 64 KiB — an out-of-range ISIZE
+      // is corruption, not a big block; reject before allocating.
+      require(isize >= 0 && isize <= 0x10000, s"corrupt BGZF ISIZE $isize at $coffset")
       val out = new Array[Byte](isize)
       inflater.reset()
       inflater.setInput(cdata)
@@ -109,6 +112,12 @@ object Tabix {
       while (got < isize && !inflater.finished())
         got += inflater.inflate(out, got, isize - got)
       require(got == isize, s"BGZF block inflated $got of $isize at $coffset")
+      val crcStored = (trailer(0) & 0xffL) | ((trailer(1) & 0xffL) << 8) |
+        ((trailer(2) & 0xffL) << 16) | ((trailer(3) & 0xffL) << 24)
+      val crc = new java.util.zip.CRC32()
+      crc.update(out, 0, isize)
+      require(crc.getValue == crcStored,
+        s"BGZF block CRC mismatch at $coffset (stored $crcStored, computed ${crc.getValue})")
       nextBlock = Block(coffset, out)
       coffset += total
     }
@@ -163,8 +172,11 @@ object Tabix {
       // this block" — equivalent to htslib's next-block-start convention.
       var pending = new java.io.ByteArrayOutputStream()
       var pendingVoff = 0L
+      var lastCoffset = 0L
+      var lastLen = 0
       blocks(in).foreach { blk =>
         val d = blk.data
+        if (d.nonEmpty) { lastCoffset = blk.coffset; lastLen = d.length }
         var lineStart = 0
         var i = 0
         while (i < d.length) {
@@ -185,6 +197,13 @@ object Tabix {
           if (pending.size() == 0) pendingVoff = (blk.coffset << 16) | lineStart
           pending.write(d, lineStart, d.length - lineStart)
         }
+      }
+      // a final data line without a trailing newline still gets indexed —
+      // its end voffset is the end of the last non-empty block
+      if (pending.size() > 0) {
+        val voffEnd = (lastCoffset << 16) | lastLen
+        if (handleLine(pending.toByteArray, pendingVoff, voffEnd, refs))
+          nRecords += 1
       }
     } finally in.close()
 
@@ -349,8 +368,12 @@ object Tabix {
           }
       }
     } finally raf.close()
-    // exact overlap filter (bins are a superset)
-    results.toSeq.distinct.filter { line =>
+    // exact overlap filter (bins are a superset). No dedup needed: the
+    // merged chunk ranges are disjoint in virtual-offset space (the merge
+    // above collapses any overlap), so each record instance is sliced out
+    // exactly once — genuinely identical lines at different file positions
+    // stay distinct, matching htslib tabix.
+    results.toSeq.filter { line =>
       val cols = line.split("\t", 5)
       cols.length >= 4 && cols(0) == chrom && {
         val b = cols(1).toLong - 1

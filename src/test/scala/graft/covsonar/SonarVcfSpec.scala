@@ -307,4 +307,61 @@ class SonarVcfSpec extends SparkSpec {
     val got = Tabix.query(vcfGz, idx, "NC_045512.2", 0, 30000)
     assert(got.size.toLong == n, "whole-range query through the index must see every record")
   }
+
+  test("tabix: final data line without trailing newline is still indexed") {
+    val dir = Files.createTempDirectory("vcf-tabix-noeol").toString
+    val vcfGz = s"$dir/noeol.vcf.gz"
+    val bg = new BgzfOutputStream(new java.io.FileOutputStream(vcfGz))
+    bg.write(("#CHROM\tPOS\tID\tREF\tALT\n" +
+      "NC_045512.2\t100\t.\tA\tT\n" +
+      "NC_045512.2\t200\t.\tG\tC").getBytes("US-ASCII")) // no trailing \n
+    bg.close()
+    val n = Tabix.indexVcf(vcfGz, s"$vcfGz.tbi")
+    assert(n == 2L, "the unterminated final record must be counted")
+    val idx = Tabix.readTbi(s"$vcfGz.tbi")
+    val got = Tabix.query(vcfGz, idx, "NC_045512.2", 150, 250)
+    assert(got == Seq("NC_045512.2\t200\t.\tG\tC"))
+  }
+
+  test("tabix: genuinely identical data lines at different file positions both survive a region query") {
+    // htslib tabix returns every record instance; a content-based dedup
+    // would collapse these two into one
+    val dir = Files.createTempDirectory("vcf-tabix-dup").toString
+    val vcfGz = s"$dir/dup.vcf.gz"
+    val line = "NC_045512.2\t500\t.\tA\tT\t.\t.\t.\tGT\t1"
+    val bg = new BgzfOutputStream(new java.io.FileOutputStream(vcfGz))
+    bg.write(s"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\n$line\n$line\n"
+      .getBytes("US-ASCII"))
+    bg.close()
+    assert(Tabix.indexVcf(vcfGz, s"$vcfGz.tbi") == 2L)
+    val idx = Tabix.readTbi(s"$vcfGz.tbi")
+    assert(Tabix.query(vcfGz, idx, "NC_045512.2", 0, 1000) == Seq(line, line))
+  }
+
+  test("tabix: corrupt BGZF trailer (ISIZE out of range, CRC mismatch) fails loudly, not with OOM/NASE") {
+    val dir = Files.createTempDirectory("vcf-tabix-corrupt").toString
+    val clean = s"$dir/clean.vcf.gz"
+    val bg = new BgzfOutputStream(new java.io.FileOutputStream(clean))
+    bg.write("#CHROM\tPOS\tID\tREF\tALT\nNC_045512.2\t100\t.\tA\tT\n".getBytes("US-ASCII"))
+    bg.close()
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(clean))
+    // first block length from its BC subfield (BSIZE at member offset 16)
+    val blockLen = ((bytes(16) & 0xff) | ((bytes(17) & 0xff) << 8)) + 1
+    def corrupted(mutate: Array[Byte] => Unit): String = {
+      val b = bytes.clone(); mutate(b)
+      val p = s"$dir/corrupt-${b.hashCode}.vcf.gz"
+      Files.write(java.nio.file.Paths.get(p), b)
+      p
+    }
+    // ISIZE = 0xFFFFFFFF (negative as int): must not NegativeArraySizeException
+    val neg = corrupted { b => (1 to 4).foreach(i => b(blockLen - i) = 0xff.toByte) }
+    // ISIZE = 2 MiB: over the 64 KiB BGZF cap, must not allocate it
+    val huge = corrupted { b =>
+      b(blockLen - 4) = 0; b(blockLen - 3) = 0; b(blockLen - 2) = 0x20; b(blockLen - 1) = 0
+    }
+    // flipped CRC byte with intact payload: must be detected
+    val badCrc = corrupted { b => b(blockLen - 8) = (b(blockLen - 8) ^ 0x5a).toByte }
+    for (p <- Seq(neg, huge, badCrc))
+      intercept[IllegalArgumentException] { Tabix.indexVcf(p, s"$p.tbi") }
+  }
 }
