@@ -354,7 +354,25 @@ object SonarMatch {
       case _ => lit(true)
     })
 
-    val filtered = conds.result().foldLeft(store.essence)((df, c) => df.filter(c))
+    // Token-index data skipping (exact-safe): for include-profile queries
+    // with a fresh index, resolve the carrier-seqhash superset and match
+    // over that slice instead of scanning every profile row; the predicate
+    // conjunction below is applied unchanged on top, so results are
+    // byte-identical with the index on, stale, or absent.
+    val carrierCap = store.spark.conf
+      .getOption("spark.graft.match.carrierCap").map(_.toInt)
+      .getOrElse(SonarStore.CarrierPushdownCap)
+    val indexOn = store.spark.conf
+      .getOption("spark.graft.match.tokenIndex").forall(_.trim.toBoolean)
+    val base =
+      (if (indexOn && includeGroups.nonEmpty)
+        TokenIndex.carrierSuperset(store, includeGroups, carrierCap)
+      else None) match {
+        case Some(carriers) => store.essenceForSeqhashes(carriers)
+        case None => store.essence
+      }
+
+    val filtered = conds.result().foldLeft(base)((df, c) => df.filter(c))
 
     val dnaOut =
       if (args.ambig) col("dna_profile")

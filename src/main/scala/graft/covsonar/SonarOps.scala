@@ -236,14 +236,28 @@ object SonarOps {
     * on its join key, so post-optimize the essence/view joins read
     * co-clustered row groups (parquet min/max stats prune seqhash lookups)
     * — the WITHOUT ROWID clustered-PK analog from SURVEY §4.
+    *
+    * Each rewrite also writes a native parquet bloom filter on the cluster
+    * key and (optionally) bounded row groups, then rebuilds the
+    * [[TokenIndex]]: together these are what turn a rare-variant `match`
+    * from a full scan into a carrier lookup — the pushed carrier IN-list is
+    * answered per row group by the bloom, per page by the column index.
+    * `rowGroupBytes` trades metadata volume for skip granularity: at point-
+    * lookup shapes scanned bytes ≈ carriers × row-group size, so population-
+    * scale stores want ~8–16 MB groups rather than the 128 MB default.
     */
-  def optimize(store: SonarStore, maxFilesPerTable: Int = 8): Unit =
+  def optimize(store: SonarStore, maxFilesPerTable: Int = 8,
+      rowGroupBytes: Option[Long] = None): Unit = {
     SonarStore.schemas.keys.foreach { t =>
       if (store.exists(t)) {
         val key = clusterKey(t)
+        val opts = Map(s"parquet.bloom.filter.enabled#$key" -> "true") ++
+          rowGroupBytes.map(b => "parquet.block.size" -> b.toString)
         store.replace(t, store.table(t)
           .repartition(maxFilesPerTable, col(key))
-          .sortWithinPartitions(key))
+          .sortWithinPartitions(key), opts)
       }
     }
+    TokenIndex.build(store, maxFilesPerTable)
+  }
 }

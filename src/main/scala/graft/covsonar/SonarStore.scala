@@ -38,6 +38,13 @@ final class SonarStore(val spark: SparkSession, val dir: String) {
     if (!fs.exists(root)) fs.mkdirs(root)
     // matches PRAGMA user_version=4 (lib/db.sqlite:1)
     if (!fs.exists(versionPath)) writeSchemaVersion(4)
+    // the token-index pruned match path pushes carrier IN-lists (hundreds to
+    // thousands of seqhashes) into the parquet scans; the default threshold
+    // (10) would fall back to a min/max range, which is vacuous for hash
+    // keys. Raising it only changes pushdown shape, never results.
+    val th = "spark.sql.parquet.pushdown.inFilterThreshold"
+    if (spark.conf.get(th, "10").toInt < SonarStore.CarrierPushdownCap)
+      spark.conf.set(th, SonarStore.CarrierPushdownCap.toString)
   }
 
   private def versionPath = new Path(new Path(dir), "SCHEMA_VERSION")
@@ -59,6 +66,8 @@ final class SonarStore(val spark: SparkSession, val dir: String) {
   }
 
   private def tablePath(name: String) = new Path(new Path(dir), name)
+
+  private[covsonar] def tableLocation(name: String): String = tablePath(name).toString
 
   def exists(name: String): Boolean = {
     val p = tablePath(name)
@@ -95,10 +104,15 @@ final class SonarStore(val spark: SparkSession, val dir: String) {
     * checked: a failed swap rolls the old data back instead of deleting the
     * only surviving copy.
     */
-  def replace(name: String, df: DataFrame): Unit = {
+  def replace(name: String, df: DataFrame): Unit = replace(name, df, Map.empty)
+
+  /** `replace` with parquet writer options (e.g. per-column bloom filters,
+    * row-group size) — used by `optimize`'s clustered rewrites.
+    */
+  def replace(name: String, df: DataFrame, options: Map[String, String]): Unit = {
     val live = tablePath(name)
     val staging = new Path(new Path(dir), s".staging-$name-${java.util.UUID.randomUUID}")
-    conform(name, df).write.mode("overwrite").parquet(staging.toString)
+    conform(name, df).write.options(options).mode("overwrite").parquet(staging.toString)
     val trash = new Path(new Path(dir), s".old-$name-${java.util.UUID.randomUUID}")
     val hadLive = fs.exists(live)
     if (hadLive)
@@ -118,6 +132,20 @@ final class SonarStore(val spark: SparkSession, val dir: String) {
   def essence: DataFrame =
     table("genome").join(table("profile"), Seq("seqhash"), "left")
       .select(essenceColumns.map(col): _*)
+
+  /** essence restricted to a known carrier-seqhash superset (the token-index
+    * pruned match path — see [[TokenIndex]]). The IN predicate lands on BOTH
+    * scan sides, where it pushes into parquet (row-group bloom / min-max /
+    * page-index skipping); the join then runs over the carrier slice only,
+    * which AQE turns into a broadcast at any realistic carrier cap.
+    */
+  def essenceForSeqhashes(seqhashes: Seq[String]): DataFrame =
+    if (seqhashes.isEmpty) essence.filter(lit(false)) // folds to an empty LocalRelation
+    else {
+      val p = col("seqhash").isin(seqhashes: _*)
+      table("genome").filter(p).join(table("profile").filter(p), Seq("seqhash"), "left")
+        .select(essenceColumns.map(col): _*)
+    }
 
   /** dna_view = genome ⟕ sequence2dna ⟕ dna (lib/db.sqlite:125-155). */
   def dnaView: DataFrame =
@@ -148,6 +176,12 @@ final class SonarStore(val spark: SparkSession, val dir: String) {
 }
 
 object SonarStore {
+
+  /** Carrier IN-lists up to this size push into parquet scans; the match
+    * planner's default carrier cap (`spark.graft.match.carrierCap`) equals
+    * it so a pruned plan never silently loses its pushdown.
+    */
+  val CarrierPushdownCap = 10000
 
   /** genome columns in essence/view order (lib/db.sqlite:97-119). */
   val metaColumns: Seq[String] = Seq(

@@ -137,4 +137,25 @@ class SonarMatchFuzzSpec extends SparkSpec {
         s"trial $trial diverged for $args\n  missing: ${want -- got}\n  extra: ${got -- want}")
     }
   }
+
+  test("same battery on an optimized store: the token-index pruned path is exact") {
+    val rnd = new Random(20260816L)
+    val (store, gs) = buildStore(rnd, 60)
+    // clustered rewrite + token index → include-profile trials take the
+    // carrier-pruned plan; a tiny carrier cap on some trials forces the
+    // fallback path through the same assertions
+    SonarOps.optimize(store, maxFilesPerTable = 3)
+    (1 to 40).foreach { trial =>
+      if (trial % 7 == 0) spark.conf.set("spark.graft.match.carrierCap", "1")
+      else spark.conf.unset("spark.graft.match.carrierCap")
+      try {
+        val args = randomArgs(rnd)
+        val got = SonarMatch.matchGenomes(store, args)
+          .select("accession").collect().map(_.getString(0)).toSet
+        val want = expected(gs, args)
+        assert(got == want,
+          s"indexed trial $trial diverged for $args\n  missing: ${want -- got}\n  extra: ${got -- want}")
+      } finally spark.conf.unset("spark.graft.match.carrierCap")
+    }
+  }
 }
