@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Dataset
 import org.apache.spark.storage.StorageLevel
 
-/** Loss-tolerant local checkpointing — the ONE policy point for every
+/** Loss-tolerant checkpointing — the ONE policy point for every
   * `localCheckpoint` in the engine.
   *
   * `Dataset.localCheckpoint()` trades fault tolerance for speed: lineage
@@ -14,39 +14,104 @@ import org.apache.spark.storage.StorageLevel
   * cannot lose an executor, which is exactly why the risk stays invisible
   * until a cluster rehearsal kills one (SCALING.md, round 10).
   *
-  * The dial `spark.graft.checkpoint.replicated=true` (set by cluster
-  * deployments; default off so single-JVM plans and benchmarks are
-  * byte-identical to before) stores checkpoint blocks at
-  * MEMORY_AND_DISK_2 — one replica on a second executor — so a single
-  * executor loss degrades to a replica read instead of a dead job. The
-  * cost is one extra network copy per checkpointed partition, paid only
-  * where the dial is on. Multi-executor-loss tolerance needs reliable
-  * `checkpoint()` to shared storage; at that point the job should be
-  * re-run anyway.
+  * Three escalating fault domains, three dials (all default-off so
+  * single-JVM plans and benchmarks are byte-identical to before):
+  *
+  *  1. `spark.graft.checkpoint.replicated=true` — checkpoint blocks stored
+  *     at MEMORY_AND_DISK_2 (one replica on a second executor): a SINGLE
+  *     executor loss degrades to a replica read. Cost: one network copy
+  *     per checkpointed partition.
+  *  2. `spark.graft.checkpoint.reliable=<shared dir>` — every Nth
+  *     checkpoint call (N = `spark.graft.checkpoint.reliable.every`,
+  *     default 1) becomes a RELIABLE `Dataset.checkpoint()` to shared
+  *     storage; intermediate calls persist WITHOUT truncating lineage, so
+  *     they stay recomputable from the last reliable snapshot. Survives
+  *     ANY number of executor losses; lineage depth (and therefore planner
+  *     cost, the reason localCheckpoint exists) is bounded by N rounds.
+  *     Cost: one distributed-FS write per N rounds.
+  *  3. Driver loss: out of scope — re-run the job (the standard contract
+  *     for batch Spark).
+  *
+  * The `every=N` cadence is counted by one global call counter, not per
+  * loop: interleaved loops share the cadence, which only shifts WHICH
+  * calls are reliable, never correctness (every call is either durable or
+  * recomputable from a durable ancestor).
+  *
+  * Rehearsed, not argued: `graft.ClusterKillRehearsal` kills real executor
+  * JVMs mid-query — dial 1 against single kills at swept kill points, a
+  * negative control with all dials off (the job MUST die or diverge from
+  * fresh-cluster recompute… it dying is what proves the dial is
+  * load-bearing), and dial 2 against a simultaneous two-of-three executor
+  * kill.
   */
 object Ckpt {
-  private def replicated(conf: org.apache.spark.SparkConf): Boolean =
-    conf.getOption("spark.graft.checkpoint.replicated")
-      .exists(v => java.lang.Boolean.parseBoolean(v.trim))
+  /** Dial lookup: session conf first (runtime-settable, what tests and
+    * notebooks flip), SparkConf as the fallback (what `--conf` sets).
+    */
+  private final class Dials(session: Option[org.apache.spark.sql.SparkSession],
+      sc: org.apache.spark.SparkContext) {
+    private def get(key: String): Option[String] =
+      session.flatMap(_.conf.getOption(key))
+        .orElse(sc.getConf.getOption(key))
+        .map(_.trim).filter(_.nonEmpty)
+    def replicated: Boolean =
+      get("spark.graft.checkpoint.replicated").exists(java.lang.Boolean.parseBoolean)
+    def reliableDir: Option[String] = get("spark.graft.checkpoint.reliable")
+    def reliableEvery: Int =
+      math.max(1, get("spark.graft.checkpoint.reliable.every").map(_.toInt).getOrElse(1))
+  }
+
+  private val calls = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def ensureCheckpointDir(sc: org.apache.spark.SparkContext, dir: String): Unit =
+    if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
 
   implicit final class DatasetCkpt[T](private val ds: Dataset[T]) extends AnyVal {
-    /** Drop-in for `localCheckpoint()` honoring the replication dial. */
-    def lossTolerantCheckpoint(): Dataset[T] =
-      if (replicated(ds.sparkSession.sparkContext.getConf))
-        ds.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_2)
-      else ds.localCheckpoint()
+    /** Drop-in for `localCheckpoint()` honoring the fault-domain dials. */
+    def lossTolerantCheckpoint(): Dataset[T] = {
+      val sc = ds.sparkSession.sparkContext
+      val dials = new Dials(Some(ds.sparkSession), sc)
+      dials.reliableDir match {
+        case Some(dir) =>
+          ensureCheckpointDir(sc, dir)
+          if (calls.incrementAndGet() % dials.reliableEvery == 0)
+            ds.checkpoint() // eager, to shared storage
+          else {
+            // lineage NOT truncated: recomputable from the last reliable
+            // snapshot; eager materialization matches localCheckpoint's
+            val p = ds.persist(StorageLevel.MEMORY_AND_DISK)
+            p.count()
+            p
+          }
+        case None if dials.replicated =>
+          ds.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_2)
+        case None => ds.localCheckpoint()
+      }
+    }
   }
 
   implicit final class RddCkpt[T](private val rdd: org.apache.spark.rdd.RDD[T]) extends AnyVal {
     /** RDD form: `RDD.localCheckpoint` honors a pre-set storage level
-      * (disk is added, replication preserved), so the dial pre-persists
-      * at MEMORY_AND_DISK_2.
+      * (disk is added, replication preserved), so the replicated dial
+      * pre-persists at MEMORY_AND_DISK_2. Reliable mode mirrors the
+      * Dataset form; RDD checkpoints stay lazy (materialized by the
+      * caller's next action, exactly like `RDD.localCheckpoint`).
       */
     def lossTolerantCheckpoint(): org.apache.spark.rdd.RDD[T] = {
-      if (replicated(rdd.sparkContext.getConf) &&
-          rdd.getStorageLevel == StorageLevel.NONE)
-        rdd.persist(StorageLevel.MEMORY_AND_DISK_2)
-      rdd.localCheckpoint()
+      val dials = new Dials(
+        org.apache.spark.sql.SparkSession.getActiveSession, rdd.sparkContext)
+      dials.reliableDir match {
+        case Some(dir) =>
+          ensureCheckpointDir(rdd.sparkContext, dir)
+          if (rdd.getStorageLevel == StorageLevel.NONE)
+            rdd.persist(StorageLevel.MEMORY_AND_DISK)
+          if (calls.incrementAndGet() % dials.reliableEvery == 0) rdd.checkpoint()
+          rdd
+        case None =>
+          if (dials.replicated && rdd.getStorageLevel == StorageLevel.NONE)
+            rdd.persist(StorageLevel.MEMORY_AND_DISK_2)
+          rdd.localCheckpoint()
+      }
     }
   }
 }

@@ -82,9 +82,15 @@ object MatchVolumeRehearsal {
       current_timestamp().as("imported"))
 
     val seqs = base.select(col("seqhash"), col("seqid")).distinct()
+    // an ultra-rare marker variant carried by exactly 5 sequences — the
+    // u³ Zipf draw gives every pool rank ≥~450 carriers at 10⁶, so the
+    // point-lookup shape (a handful of carriers in a population) has to be
+    // injected explicitly
+    val Marker = "G99999T"
+    val markerIds = Seq(101L, 200002L, 400003L, 600004L, 800005L).filter(_ < n)
     // ~30 Zipf-ish draws per sequence: u³ density concentrates on low ranks
     val profiles = seqs
-      .select(col("seqhash"),
+      .select(col("seqhash"), col("seqid"),
         transform(sequence(lit(0), lit(29)), j =>
           poolToken(least(
             floor(pow(
@@ -92,7 +98,10 @@ object MatchVolumeRehearsal {
               lit(3.0)) * lit(poolSize.toDouble)).cast("int"),
             lit(poolSize - 1)))).as("draws"))
       .select(col("seqhash"),
-        array_sort(array_distinct(col("draws"))).as("dna_profile"),
+        array_sort(array_distinct(
+          when(col("seqid").isInCollection(markerIds),
+            concat(col("draws"), array(lit(Marker)))).otherwise(col("draws"))))
+          .as("dna_profile"),
         array().cast("array<string>").as("aa_profile"),
         array().cast("array<string>").as("fs_profile"))
 
@@ -114,6 +123,7 @@ object MatchVolumeRehearsal {
       "profile_and" -> MatchArgs(profiles = Seq(Seq(common, mid))),
       "profile_or" -> MatchArgs(profiles = Seq(Seq(mid), Seq(rare))),
       "profile_rare" -> MatchArgs(profiles = Seq(Seq(rare))),
+      "profile_ultra" -> MatchArgs(profiles = Seq(Seq(Marker))),
       "profile_exclude" -> MatchArgs(profiles = Seq(Seq(mid)),
         excludeProfiles = Seq(Seq(rare))),
       "metadata_only" -> MatchArgs(zips = Seq("1"), dates = Seq("2020-06-01:2021-06-01"),
@@ -121,25 +131,82 @@ object MatchVolumeRehearsal {
       "combined" -> MatchArgs(profiles = Seq(Seq(mid)), zips = Seq("1"),
         dates = Seq("2020-06-01:2021-06-01"), minCt = Some(15.0), maxCt = Some(25.0)))
 
-    println(f"${"query"}%-18s ${"rows"}%12s ${"sec(min2)"}%10s ${"genomes/s"}%12s")
-    shapes.foreach { case (name, margs) =>
-      def once(): (Long, Double) = {
-        val t = System.nanoTime()
-        val rows = SonarMatch.matchGenomes(store, margs).count()
-        (rows, (System.nanoTime() - t) / 1e9)
-      }
-      val (rows1, s1) = once()
-      val (rows2, s2) = once()
-      require(rows1 == rows2)
-      val s = math.min(s1, s2)
-      println(f"$name%-18s $rows1%12d $s%10.2f ${nGenomes / s}%12.0f")
+    // scan-volume accounting: task input bytes, settled (listener events are
+    // async) by polling the counter to stability between measurements
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null) bytesRead.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+    })
+    def settle(): Long = {
+      var prev = -1L; var cur = bytesRead.get
+      while (cur != prev) { Thread.sleep(200); prev = cur; cur = bytesRead.get }
+      cur
     }
 
-    // plan audit for the flagship: the profile predicate must reach the
-    // scan as an array_contains filter, and the essence join must shuffle
-    // on seqhash once (or broadcast the filtered side)
+    def runShapes(label: String): Map[String, (Long, Double, Long)] = {
+      // untimed warm pass: equalize page-cache / writeback state across
+      // phases (the phase right after OPTIMIZE otherwise pays the rewrite's
+      // cold cache and its timings under-credit the indexed plans)
+      shapes.foreach { case (_, margs) => SonarMatch.matchGenomes(store, margs).count() }
+      shapes.map { case (name, margs) =>
+        def once(): (Long, Double, Long) = {
+          val b0 = settle()
+          val t = System.nanoTime()
+          val rows = SonarMatch.matchGenomes(store, margs).count()
+          val s = (System.nanoTime() - t) / 1e9
+          (rows, s, settle() - b0)
+        }
+        val (rows1, s1, b1) = once()
+        val (rows2, s2, b2) = once()
+        require(rows1 == rows2)
+        val s = math.min(s1, s2)
+        val b = math.min(b1, b2)
+        println(f"$label $name%-18s $rows1%12d $s%10.2f ${nGenomes / s}%12.0f ${b / 1e6}%10.1f MB")
+        name -> ((rows1, s, b))
+      }.toMap
+    }
+
+    println(f"${"phase+query"}%-28s ${"rows"}%12s ${"sec(min2)"}%10s ${"genomes/s"}%12s ${"read"}%13s")
+    val baseline = runShapes("appended ")
+
+    // ---- optimize: clustered rewrite + seqhash blooms + token index ----------
+    val tOpt = System.nanoTime()
+    SonarOps.optimize(store, maxFilesPerTable = 32, rowGroupBytes = Some(8L << 20))
+    println(f"OPTIMIZE (32 files, 8 MB row groups, token index) in ${(System.nanoTime() - tOpt) / 1e9}%.1f s")
+
+    val indexed = runShapes("indexed  ")
+    spark.conf.set("spark.graft.match.tokenIndex", "false")
+    val optScan = runShapes("opt-noidx")
+    spark.conf.unset("spark.graft.match.tokenIndex")
+
+    // rows must agree across all three physical plans
+    shapes.foreach { case (name, _) =>
+      require(baseline(name)._1 == indexed(name)._1 && indexed(name)._1 == optScan(name)._1,
+        s"$name diverged across plans: ${baseline(name)._1}/${indexed(name)._1}/${optScan(name)._1}")
+    }
+    Seq("profile_rare", "profile_ultra", "profile_and").foreach { q =>
+      val (_, sIdx, bIdx) = indexed(q)
+      val (_, sFull, bFull) = optScan(q)
+      println(f"SKIP $q%-14s wall ${sFull / sIdx}%5.1fx  bytes ${bFull.toDouble / math.max(bIdx, 1)}%5.1fx  " +
+        f"(${bIdx / 1e6}%.1f MB vs ${bFull / 1e6}%.1f MB)")
+    }
+
+    // plan audit: the pruned flagship must push the carrier IN-list into
+    // both scans and broadcast the carrier slice
+    val prunedPlan = SonarMatch.matchGenomes(store,
+        MatchArgs(profiles = Seq(Seq(Marker)))).queryExecution.executedPlan.toString
+    println(s"PLAN pruned: inPushdown=${prunedPlan.linesIterator.count(l =>
+      l.contains("PushedFilters") && l.contains("In(seqhash"))} " +
+      s"broadcast=${prunedPlan.contains("BroadcastHashJoin")}")
+
+    // plan audit for the full-scan flagship: the profile predicate must
+    // reach the scan as an array_contains filter, and the essence join must
+    // shuffle on seqhash once (or broadcast the filtered side)
+    // `common` is carried by ~every genome → over the carrier cap → this
+    // audits the unpruned plan even with the index fresh
     val plan = SonarMatch.matchGenomes(store,
-        MatchArgs(profiles = Seq(Seq(mid)), zips = Seq("1")))
+        MatchArgs(profiles = Seq(Seq(common)), zips = Seq("1")))
       .queryExecution.executedPlan.toString
     val pushed = plan.linesIterator.filter(l =>
       l.contains("PushedFilters") || l.contains("array_contains")).take(4).toList

@@ -361,7 +361,7 @@ object SonarMatch {
     // byte-identical with the index on, stale, or absent.
     val carrierCap = store.spark.conf
       .getOption("spark.graft.match.carrierCap").map(_.toInt)
-      .getOrElse(SonarStore.CarrierPushdownCap)
+      .getOrElse(SonarStore.CarrierPlanCap)
     val indexOn = store.spark.conf
       .getOption("spark.graft.match.tokenIndex").forall(_.trim.toBoolean)
     val base =

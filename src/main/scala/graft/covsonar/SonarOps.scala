@@ -24,12 +24,15 @@ object SonarOps {
 
   /** Membership predicate that stays scalable for file-sized lists: short
     * lists become an `isin` (which pushes down to the parquet scan), long
-    * ones a semi/anti join against a parallelized DataFrame — a giant In
-    * literal would blow up Catalyst analysis and codegen.
+    * ones a semi/anti join against a broadcast DataFrame — a giant In
+    * literal would blow up Catalyst analysis and codegen, and between the
+    * pushdown cap and ~1000 values the pushed filter degrades to a vacuous
+    * min/max range whose filtered read path MEASURED more bytes than a
+    * plain scan (see SonarStore.essenceForSeqhashes).
     */
   private[covsonar] def filterByList(
       df: DataFrame, field: String, values: Seq[String], negate: Boolean = false): DataFrame =
-    if (values.size <= 1000) {
+    if (values.size <= SonarStore.CarrierPushdownCap) {
       val c = col(field).isin(values: _*)
       df.filter(if (negate) !c else c)
     } else {
@@ -232,32 +235,59 @@ object SonarOps {
     "dna" -> "varid", "prot" -> "varid")
 
   /** Compaction (reference: VACUUM, lib/sonardb.py:2090-2093): rewrite each
-    * table repartitioned to a bounded file count AND hash-clustered + sorted
-    * on its join key, so post-optimize the essence/view joins read
-    * co-clustered row groups (parquet min/max stats prune seqhash lookups)
-    * — the WITHOUT ROWID clustered-PK analog from SURVEY §4.
+    * table repartitioned to a bounded file count AND RANGE-clustered +
+    * sorted on its join key — the WITHOUT ROWID clustered-PK analog from
+    * SURVEY §4. Range (not hash) clustering is what makes point lookups
+    * prunable: under hash clustering every file spans the full key range,
+    * so row-group min/max never prunes and a carrier IN-list must consult
+    * the BLOOM of every group (O(groups) reads per query — measured 46 MB
+    * of bloom traffic at 10⁷ genomes); under range clustering footer
+    * min/max eliminates all but the matched groups first and blooms are
+    * only read where they can still say no. The essence join is
+    * indifferent — plain parquet has no bucketing metadata either way, so
+    * the join shuffles both layouts identically.
     *
     * Each rewrite also writes a native parquet bloom filter on the cluster
     * key and (optionally) bounded row groups, then rebuilds the
     * [[TokenIndex]]: together these are what turn a rare-variant `match`
-    * from a full scan into a carrier lookup — the pushed carrier IN-list is
-    * answered per row group by the bloom, per page by the column index.
-    * `rowGroupBytes` trades metadata volume for skip granularity: at point-
-    * lookup shapes scanned bytes ≈ carriers × row-group size, so population-
-    * scale stores want ~8–16 MB groups rather than the 128 MB default.
+    * from a full scan into a carrier lookup. `rowGroupBytes` trades
+    * metadata volume for skip granularity: at point-lookup shapes scanned
+    * bytes ≈ carriers × row-group size, so population-scale stores want
+    * ~8–16 MB groups rather than the 128 MB default.
     */
   def optimize(store: SonarStore, maxFilesPerTable: Int = 8,
       rowGroupBytes: Option[Long] = None): Unit = {
     SonarStore.schemas.keys.foreach { t =>
       if (store.exists(t)) {
         val key = clusterKey(t)
-        val opts = Map(s"parquet.bloom.filter.enabled#$key" -> "true") ++
+        // Bloom sizing: without expected NDV parquet-mr writes its max-size
+        // (1 MiB) bloom PER ROW GROUP — a 5-seqhash lookup then read 34 MB
+        // of blooms over 32 files. Size to the rows one row group will
+        // hold: rows/file ÷ estimated groups/file (from the current
+        // on-disk bytes, same compression either side of the rewrite).
+        val rows = graft.Tables.rowCount(store.spark, store.tableLocation(t))
+        val bytes = tableBytes(store, t)
+        val rowsPerFile = math.max(1L, rows / maxFilesPerTable)
+        val groupsPerFile = rowGroupBytes match {
+          case Some(b) => math.max(1L, (bytes / maxFilesPerTable) / math.max(1L, b))
+          case None => math.max(1L, (bytes / maxFilesPerTable) >> 27) // 128 MB default groups
+        }
+        val ndv = math.max(1L, rowsPerFile / groupsPerFile)
+        val opts = Map(
+          s"parquet.bloom.filter.enabled#$key" -> "true",
+          s"parquet.bloom.filter.expected.ndv#$key" -> ndv.toString) ++
           rowGroupBytes.map(b => "parquet.block.size" -> b.toString)
         store.replace(t, store.table(t)
-          .repartition(maxFilesPerTable, col(key))
+          .repartitionByRange(maxFilesPerTable, col(key))
           .sortWithinPartitions(key), opts)
       }
     }
     TokenIndex.build(store, maxFilesPerTable)
+  }
+
+  private def tableBytes(store: SonarStore, t: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(store.tableLocation(t))
+    val fs = p.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
   }
 }

@@ -141,9 +141,24 @@ final class SonarStore(val spark: SparkSession, val dir: String) {
     */
   def essenceForSeqhashes(seqhashes: Seq[String]): DataFrame =
     if (seqhashes.isEmpty) essence.filter(lit(false)) // folds to an empty LocalRelation
-    else {
+    else if (seqhashes.size <= SonarStore.CarrierPushdownCap) {
+      // small set: IN literals push into both parquet scans, where range-
+      // clustered row groups + sized blooms skip carrier-free granules
       val p = col("seqhash").isin(seqhashes: _*)
       table("genome").filter(p).join(table("profile").filter(p), Seq("seqhash"), "left")
+        .select(essenceColumns.map(col): _*)
+    } else {
+      // mid-size set: a pushed IN would fall back to a vacuous min/max
+      // range (random hashes span everything) that MEASURED 5× the bytes
+      // of an unfiltered scan (the filtered read path re-reads pages it
+      // can't skip); a broadcast semi-join keeps the scan plain and the
+      // filter a hash probe
+      val spark = this.spark
+      import spark.implicits._
+      val carriers = broadcast(seqhashes.toDF("seqhash"))
+      table("genome").join(carriers, Seq("seqhash"), "left_semi")
+        .join(table("profile").join(carriers, Seq("seqhash"), "left_semi"),
+          Seq("seqhash"), "left")
         .select(essenceColumns.map(col): _*)
     }
 
@@ -177,11 +192,21 @@ final class SonarStore(val spark: SparkSession, val dir: String) {
 
 object SonarStore {
 
-  /** Carrier IN-lists up to this size push into parquet scans; the match
-    * planner's default carrier cap (`spark.graft.match.carrierCap`) equals
-    * it so a pruned plan never silently loses its pushdown.
+  /** Carrier IN-lists up to this size push into parquet scans as row-group
+    * filters. Spark lowers a pushed `In` to a left-deep OR chain whose
+    * parquet-mr visitor recurses once per value: a measured probe on this
+    * JVM (default task stack) overflows between 1000 and 1500 values, so
+    * 512 keeps ≥2× headroom. Larger carrier sets still take the pruned
+    * broadcast-join plan (up to [[CarrierPlanCap]]); they just decode the
+    * scan without byte skipping — the InSet row filter runs in codegen.
     */
-  val CarrierPushdownCap = 10000
+  val CarrierPushdownCap = 512
+
+  /** Carrier sets up to this size switch `match` onto the pruned plan
+    * (`spark.graft.match.carrierCap` overrides). Above it, a full essence
+    * scan is the right plan anyway: 10⁴ point lookups stop being "rare".
+    */
+  val CarrierPlanCap = 10000
 
   /** genome columns in essence/view order (lib/db.sqlite:97-119). */
   val metaColumns: Seq[String] = Seq(

@@ -10,14 +10,15 @@ import org.apache.spark.sql.functions._
   * profile row in SQLite; at 10⁹ genomes that is a batch job, not a query).
   *
   * Layout (under `<store>/_token_index/`):
-  *   - `tokens/`  parquet (token string, seqhash string), range-clustered and
+  *   - `tokens/`  parquet, ONE ROW PER TOKEN: (token, n, carriers
+  *     array<string> — NULL above the build cap), range-clustered and
   *     sorted by token, so a token-list lookup prunes files and row groups
   *     through ordinary parquet min/max stats — the index read is itself
-  *     sublinear.
-  *   - `META`     the profile table's listing signature at build time. Any
-  *     later append/replace of `profile` changes the signature and the index
-  *     silently degrades to the full-scan plan (exactly the reference's
-  *     contract: `optimize` refreshes derived structures).
+  *     sublinear, and pricing touches only the two skinny columns.
+  *   - `META`     build cap + the profile table's listing signature at build
+  *     time. Any later append/replace of `profile` changes the signature and
+  *     the index silently degrades to the full-scan plan (exactly the
+  *     reference's contract: `optimize` refreshes derived structures).
   *
   * Match-time use (see [[SonarMatch.matchGenomes]]): for include-profile
   * queries, resolve a *carrier superset* — a seqhash set that provably
@@ -43,7 +44,7 @@ import org.apache.spark.sql.functions._
 object TokenIndex {
 
   val DirName = "_token_index"
-  private val MetaVersion = 1
+  private val MetaVersion = 2
 
   private def indexRoot(store: SonarStore) = new Path(new Path(store.dir), DirName)
   private def tokensPath(store: SonarStore) = new Path(indexRoot(store), "tokens")
@@ -57,12 +58,25 @@ object TokenIndex {
 
   // ---- build -----------------------------------------------------------------
 
-  /** Build (or rebuild) the index from the CURRENT profile table. One
-    * explode + one range-partitioned sort — shuffle volume is the exploded
-    * token-pair count, the same order as a single profile scan. Called by
+  /** Build (or rebuild) the index from the CURRENT profile table.
+    *
+    * Layout: ONE ROW PER TOKEN — `(token, n, carriers array<string>)`,
+    * carriers NULL for tokens with more than `buildCap` carriers (those can
+    * never serve a pruned plan, so materializing their seqhash lists would
+    * only bloat the index — the first pair-per-row layout measured 7×
+    * LARGER than the profile table it indexed, because it repeats each
+    * 32-byte seqhash once per token while the source stores it once per
+    * ~25). Pricing reads just the two skinny columns (token, n); the
+    * carrier fetch reads exact arrays for the chosen tokens, row-group- and
+    * page-pruned through the token sort order.
+    *
+    * One explode + two aggregations; hot tokens are counted but excluded
+    * from the collect via a broadcast anti-join, so no group ever
+    * accumulates more than buildCap seqhashes. Called by
     * `SonarOps.optimize` after the table rewrites.
     */
-  def build(store: SonarStore, nFiles: Int = 8): Unit = {
+  def build(store: SonarStore, nFiles: Int = 8,
+      buildCap: Int = SonarStore.CarrierPlanCap): Unit = {
     if (!store.exists("profile")) { drop(store); return }
     val spark = store.spark
     // Signature BEFORE reading: if profile is rewritten mid-build the stored
@@ -70,22 +84,48 @@ object TokenIndex {
     val sig = graft.Tables.listingSignature(spark, store.tableLocation("profile"))
 
     val empty = typedlit(Seq.empty[String])
-    val toks = store.table("profile").select(
+    val pairs = store.table("profile").select(
       col("seqhash"),
       explode(concat(
         transform(coalesce(col("dna_profile"), empty), t => concat(lit("d:"), t)),
         transform(coalesce(col("aa_profile"), empty), t => concat(lit("a:"), t))
       )).as("token"))
 
+    // counts is vocabulary-sized (small); persisted because it feeds the
+    // hot-token collect, the anti-join, and the final left join
+    val counts = pairs.groupBy("token").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // tokens too hot to ever prune with — typically a handful of
+    // lineage-defining variants carried by most of the population
+    val hot = counts.filter(col("n") > buildCap).select("token")
+    val carriers = pairs
+      .join(broadcast(hot), Seq("token"), "left_anti")
+      .groupBy("token")
+      .agg(sort_array(collect_set(col("seqhash"))).as("carriers"))
+    val idx = counts.join(carriers, Seq("token"), "left")
+
     val fs = indexRoot(store).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(indexRoot(store))
     val staging = new Path(indexRoot(store), s".staging-${java.util.UUID.randomUUID}")
-    // range-cluster by token (seqhash as a secondary key splits hot tokens
-    // across consecutive partitions without breaking token min/max pruning)
-    toks.repartitionByRange(nFiles, col("token"), col("seqhash"))
-      .sortWithinPartitions("token", "seqhash")
+    idx.repartitionByRange(nFiles, col("token"))
+      .sortWithinPartitions("token")
       .write
       .option("parquet.bloom.filter.enabled#token", "true")
+      // Small row groups are what make a one-token lookup cheap: carrier
+      // arrays run up to buildCap × 33 B per ROW, and a scan reads whole
+      // row groups of that column when page-level skipping degrades on
+      // nested data (measured: 75-130 MB per lookup at default 128 MB
+      // groups over a 10⁷-genome index; 2 MB groups bound the same lookup
+      // by ~2 MB + footer). Min/max token stats per group stay exact.
+      // The row-check knobs matter as much as the size: parquet-mr only
+      // CONSIDERS cutting a page OR group every `page.size.row.check.min`
+      // records (default 100; InternalParquetRecordWriter floors its block
+      // check on the same property), and 100 near-cap carrier rows ≈ 15 MB
+      // — measured, the "2 MB" groups never materialized without these.
+      .option("parquet.block.size", (2L << 20).toString)
+      .option("parquet.page.size", (256 << 10).toString)
+      .option("parquet.page.size.row.check.min", "4")
+      .option("parquet.page.size.row.check.max", "64")
       .mode("overwrite").parquet(staging.toString)
 
     val live = tokensPath(store)
@@ -98,8 +138,17 @@ object TokenIndex {
     }
     if (hadLive) fs.delete(trash, true)
 
+    // Hot tokens (carriers > buildCap) into META: a match whose every cover
+    // touches one is unprunable, and the driver can see that without any
+    // Spark job — the common-variant query (the most frequent real-world
+    // unindexable shape) then pays zero index overhead. The list is small
+    // by construction: tokens carried by >buildCap genomes are the
+    // lineage-defining handful, not the long tail.
+    val hotTokens = hot.collect().map(_.getString(0)).sorted
+    counts.unpersist()
     val out = fs.create(metaPath(store), true)
-    out.write(s"v=$MetaVersion\n$sig\n".getBytes("UTF-8"))
+    out.write((s"v=$MetaVersion\ncap=$buildCap\n$sig\n" +
+      hotTokens.mkString("\n")).getBytes("UTF-8"))
     out.close()
   }
 
@@ -108,8 +157,11 @@ object TokenIndex {
     fs.delete(indexRoot(store), true)
   }
 
-  /** The signature stored at build time, if an index exists. */
-  private def storedSignature(store: SonarStore): Option[String] = {
+  private[covsonar] final case class Meta(buildCap: Int, signature: String,
+      hotTokens: Set[String])
+
+  /** Build-time metadata, if an index of the current version exists. */
+  private def storedMeta(store: SonarStore): Option[Meta] = {
     val fs = metaPath(store).getFileSystem(store.spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(metaPath(store))) None
     else {
@@ -117,7 +169,8 @@ object TokenIndex {
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
         finally in.close()
       lines match {
-        case v :: sig :: _ if v == s"v=$MetaVersion" => Some(sig)
+        case v :: cap :: sig :: hot if v == s"v=$MetaVersion" && cap.startsWith("cap=") =>
+          Some(Meta(cap.stripPrefix("cap=").toInt, sig, hot.filter(_.nonEmpty).toSet))
         case _ => None // unknown version: treat as absent, never mis-prune
       }
     }
@@ -127,10 +180,12 @@ object TokenIndex {
     * listing (file names, mtimes, lengths, footer lengths). Costs one
     * 8-byte ranged read per profile file — interactive-query overhead.
     */
-  def isFresh(store: SonarStore): Boolean =
-    storedSignature(store).exists { sig =>
+  def isFresh(store: SonarStore): Boolean = freshMeta(store).isDefined
+
+  private def freshMeta(store: SonarStore): Option[Meta] =
+    storedMeta(store).filter { m =>
       store.exists("profile") &&
-        graft.Tables.listingSignature(store.spark, store.tableLocation("profile")) == sig
+        graft.Tables.listingSignature(store.spark, store.tableLocation("profile")) == m.signature
     }
 
   // ---- match-time carrier resolution ------------------------------------------
@@ -163,35 +218,76 @@ object TokenIndex {
   }
 
   /** Resolve the carrier-seqhash superset for the include groups, or None
-    * when pruning is unavailable (no/stale index, no effective groups, or
-    * the carrier bound exceeds `cap` — at that selectivity the full scan is
-    * the right plan anyway). Two index jobs, both token-range-pruned:
-    * per-token counts to price covers, then the chosen tokens' carriers.
+    * when pruning is unavailable (no/stale index, no effective groups, a
+    * hot token in every cover of some group, or the carrier bound exceeds
+    * `cap` — at that selectivity the full scan is the right plan anyway).
+    * One token-range-pruned index job for the ≤64-token common case
+    * (pricing + fetch together); two for degenerate many-token queries.
     */
   def carrierSuperset(store: SonarStore, groups: Seq[SonarMatch.ExplicitGroup],
       cap: Int): Option[Seq[String]] = {
     // Mirror profileGroupsCondition: token-less groups drop out of the OR;
     // if ALL groups are token-less there is no include condition to prune on.
-    val effective = groups.map(coversFor).filter(_.nonEmpty)
-    if (effective.isEmpty || !isFresh(store)) return None
+    val effective0 = groups.map(coversFor).filter(_.nonEmpty)
+    if (effective0.isEmpty) return None
+    val meta = freshMeta(store).getOrElse(return None)
+
+    // Hot-token short-circuit: a cover touching a hot (over-build-cap)
+    // token can never be fetched. Dropping those covers driver-side means
+    // the commonest unindexable shape — "match -i <lineage-defining
+    // variant>" — bails to the full scan with ZERO Spark jobs spent.
+    val effective = effective0.map(_.filterNot(_.exists(meta.hotTokens.contains)))
+    if (effective.exists(_.isEmpty)) return None
 
     val spark = store.spark
     val idx = spark.read.parquet(tokensPath(store).toString)
     val allTokens = effective.flatten.flatten.distinct
-    val counts: Map[String, Long] = idx
-      .filter(col("token").isin(allTokens: _*))
-      .groupBy("token").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // absent token → 0 carriers → its cover is free and prunes to nothing
+
+    // Typical queries name a handful of tokens (X/N ambiguity expansion
+    // tops out around a few dozen): ONE index job prices and fetches
+    // together — over-cap tokens store NULL carrier arrays, so pulling the
+    // carriers column for every candidate costs no array bytes for them.
+    // Degenerate many-token queries fall back to the two-phase form whose
+    // fetch pulls only the chosen covers.
+    val singlePass = allTokens.size <= 64
+    val rows =
+      if (singlePass)
+        idx.filter(col("token").isin(allTokens: _*))
+          .select("token", "n", "carriers").collect()
+      else
+        idx.filter(col("token").isin(allTokens: _*))
+          .select("token", "n").collect()
+    val counts: Map[String, Long] =
+      rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    // absent token → 0 carriers → its cover is free and prunes to nothing;
+    // tokens hotter than the BUILD cap have no stored carrier list and can
+    // never be fetched, so covers using them are invalid
     def cost(cover: Seq[String]): Long = cover.map(counts.getOrElse(_, 0L)).sum
-    val chosen = effective.map(covers => covers.minBy(cost))
+    def valid(cover: Seq[String]): Boolean =
+      cover.forall(t => counts.getOrElse(t, 0L) <= meta.buildCap)
+    val chosen = effective.map { covers =>
+      val usable = covers.filter(valid)
+      if (usable.isEmpty) return None
+      usable.minBy(cost)
+    }
     // Σ of per-cover costs over-counts shared carriers — still a sound bound
     if (chosen.map(cost).sum > cap) return None
 
-    val lookup = chosen.flatten.distinct
-    val carriers = idx.filter(col("token").isin(lookup: _*))
-      .select("seqhash").distinct()
-      .collect().map(_.getString(0)).toSeq
-    Some(carriers)
+    val lookup = chosen.flatten.distinct.filter(counts.contains) // absent → no row, no carriers
+    if (lookup.isEmpty) return Some(Nil)
+    val fetched =
+      if (singlePass) rows.filter(r => lookup.contains(r.getString(0)))
+        .map(r => r.getString(0) -> r.getSeq[String](2))
+      else idx.filter(col("token").isin(lookup: _*))
+        .select("token", "carriers")
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1))
+    // hard invariant, never silent: every priced-as-fetchable token must
+    // come back with its materialized list
+    val byToken = fetched.toMap
+    lookup.foreach { t =>
+      require(byToken.get(t).exists(_ != null),
+        s"token index inconsistent for $t — rebuild with SonarOps.optimize")
+    }
+    Some(lookup.flatMap(byToken(_)).distinct)
   }
 }

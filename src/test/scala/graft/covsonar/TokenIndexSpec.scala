@@ -135,6 +135,21 @@ class TokenIndexSpec extends SparkSpec {
     assert(accs(SonarMatch.matchGenomes(store, MatchArgs(profiles = Seq(Seq(Absent))))).isEmpty)
   }
 
+  test("over-pushdown-cap carrier sets take the broadcast semi-join branch, same rows") {
+    val store = buildStore()
+    SonarOps.optimize(store, 4)
+    // 600 carriers (> CarrierPushdownCap=512): 40 real + fakes — the
+    // semi-join plan must agree with the plain filtered essence
+    val hashes = (0 until 40).map(i => f"hash$i%03d") ++ (0 until 560).map(i => s"nope$i")
+    val semi = store.essenceForSeqhashes(hashes)
+    val plan = semi.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.toLowerCase.contains("leftsemi"),
+      s"expected broadcast semi join for ${hashes.size} carriers:\n$plan")
+    val expect = store.essence.filter(col("seqhash").isInCollection(hashes))
+      .collect().map(_.toString).sorted.toSeq
+    assert(semi.collect().map(_.toString).sorted.toSeq == expect)
+  }
+
   test("carrier IN list is pushed into both parquet scans") {
     val store = buildStore()
     SonarOps.optimize(store, 4)
