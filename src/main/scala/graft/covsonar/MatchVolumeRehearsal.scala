@@ -23,34 +23,32 @@ import org.apache.spark.sql.functions._
   */
 object MatchVolumeRehearsal {
 
-  def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
-    val dir = args.lift(1).getOrElse("target/match-volume-store")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors.toString)
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    graft.Tables.configure(spark)
+  /** Ultra-rare marker variant carried by exactly 5 sequences — the u³
+    * Zipf draw gives every pool rank ≥~450 carriers at 10⁶, so the
+    * point-lookup shape (a handful of carriers in a population) has to be
+    * injected explicitly.
+    */
+  val Marker = "G99999T"
 
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-    val store = new SonarStore(spark, dir)
-
-    // ---- synthetic population ------------------------------------------------
+  /** 20k-SNP pool over real reference bases; token rank r is drawn with
+    * Zipf-ish density (common variants shared by most genomes, a long
+    * rare tail) — the shape real lineage-defining vs private mutations have.
+    */
+  lazy val pool: Array[String] = {
     val ref = Reference.sarsCov2.refSeq
-    // 20k-SNP pool over real reference bases; token rank r is drawn with
-    // Zipf-ish density (common variants shared by most genomes, a long
-    // rare tail) — the shape real lineage-defining vs private mutations have
-    val poolSize = 20000
-    val pool: Array[String] = (0 until poolSize).map { r =>
+    (0 until 20000).map { r =>
       val pos = 1 + ((r.toLong * 2654435761L) % ref.length).toInt // 1-based
       val refBase = ref.charAt(pos - 1)
       val alt = "ACGT".filterNot(_ == refBase).charAt(r % 3)
       s"$refBase$pos$alt"
     }.toArray
+  }
+
+  /** Synthesize the population: (genomes, seqs(seqhash, seqid), profiles).
+    * Shared by the single-JVM volume rehearsal and the local-cluster twin.
+    */
+  def synthesize(spark: SparkSession, n: Long): (DataFrame, DataFrame, DataFrame) = {
+    val poolSize = pool.length
     // token lookup as a plain array literal + element_at (1-based) — keeps
     // the synthesis expression fully codegen'd, no udf
     val poolCol = typedlit(pool.toSeq)
@@ -82,11 +80,6 @@ object MatchVolumeRehearsal {
       current_timestamp().as("imported"))
 
     val seqs = base.select(col("seqhash"), col("seqid")).distinct()
-    // an ultra-rare marker variant carried by exactly 5 sequences — the
-    // u³ Zipf draw gives every pool rank ≥~450 carriers at 10⁶, so the
-    // point-lookup shape (a handful of carriers in a population) has to be
-    // injected explicitly
-    val Marker = "G99999T"
     val markerIds = Seq(101L, 200002L, 400003L, 600004L, 800005L).filter(_ < n)
     // ~30 Zipf-ish draws per sequence: u³ density concentrates on low ranks
     val profiles = seqs
@@ -104,21 +97,28 @@ object MatchVolumeRehearsal {
           .as("dna_profile"),
         array().cast("array<string>").as("aa_profile"),
         array().cast("array<string>").as("fs_profile"))
+    (genomes, seqs, profiles)
+  }
 
-    val t0 = System.nanoTime()
+  /** Build a store at `dir` (wiped first) from the synthesized population. */
+  def buildStore(spark: SparkSession, dir: String, n: Long): SonarStore = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val store = new SonarStore(spark, dir)
+    val (genomes, seqs, profiles) = synthesize(spark, n)
     store.append("genome", genomes)
     store.append("sequence", seqs.select("seqhash"))
     store.append("profile", profiles)
-    val buildS = (System.nanoTime() - t0) / 1e9
-    val nGenomes = store.table("genome").count()
-    val nSeqs = store.table("sequence").count()
-    println(f"BUILD n=$nGenomes seqs=$nSeqs in $buildS%.1f s")
+    store
+  }
 
-    // ---- the golden match shapes ----------------------------------------------
+  /** The golden match shapes over the synthesized population. */
+  def goldenShapes: Seq[(String, MatchArgs)] = {
     val common = pool(2)      // rank 2: carried by most genomes
     val mid = pool(1000)
     val rare = pool(15000)
-    val shapes: Seq[(String, MatchArgs)] = Seq(
+    Seq(
       "full_scan_count" -> MatchArgs(),
       "profile_and" -> MatchArgs(profiles = Seq(Seq(common, mid))),
       "profile_or" -> MatchArgs(profiles = Seq(Seq(mid), Seq(rare))),
@@ -130,6 +130,28 @@ object MatchVolumeRehearsal {
         labs = Seq("LAB7")),
       "combined" -> MatchArgs(profiles = Seq(Seq(mid)), zips = Seq("1"),
         dates = Seq("2020-06-01:2021-06-01"), minCt = Some(15.0), maxCt = Some(25.0)))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val dir = args.lift(1).getOrElse("target/match-volume-store")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Tables.configure(spark)
+
+    val t0 = System.nanoTime()
+    val store = buildStore(spark, dir, n)
+    val buildS = (System.nanoTime() - t0) / 1e9
+    val nGenomes = store.table("genome").count()
+    val nSeqs = store.table("sequence").count()
+    println(f"BUILD n=$nGenomes seqs=$nSeqs in $buildS%.1f s")
+
+    val shapes = goldenShapes
+    val common = pool(2)
 
     // scan-volume accounting: task input bytes, settled (listener events are
     // async) by polling the counter to stability between measurements

@@ -33,10 +33,12 @@ run() {
 run kill-rehearsal    sbt -batch "runMain graft.ClusterKillRehearsal /root/testdata/sf0.001 1024"
 run cluster-sweep     sbt -batch "runMain graft.ClusterSweep /root/testdata/sf0.001 1024"
 run match-volume-1e5  sbt -batch "runMain graft.covsonar.MatchVolumeRehearsal 100000 target/rehearsal-match-store"
+run match-cluster-1e5 sbt -batch "runMain graft.covsonar.MatchClusterRehearsal 100000 1024"
 
 if [ "$MODE" = "full" ]; then
   run cluster-sweep-sf01 sbt -batch "runMain graft.ClusterSweep /root/testdata/sf0.1 2048"
   run match-volume-1e6   sbt -batch "runMain graft.covsonar.MatchVolumeRehearsal 1000000 target/rehearsal-match-store"
+  run match-cluster-1e6  sbt -batch "runMain graft.covsonar.MatchClusterRehearsal 1000000 2048"
 fi
 
 rm -rf target/rehearsal-match-store
