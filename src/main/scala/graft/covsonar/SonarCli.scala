@@ -170,7 +170,13 @@ object SonarCli {
           out.println(f"   $f%-17s information: $c ($pct%.2f%%)")
         }
 
-      case "optimize" => SonarOps.optimize(store)
+      case "optimize" =>
+        // tuning knobs beyond the reference's bare VACUUM: file count per
+        // table and row-group size (point-lookup bytes ≈ carriers × group
+        // size — see SCALING.md); defaults match SonarOps.optimize
+        SonarOps.optimize(store,
+          maxFilesPerTable = one("files").map(_.toInt).getOrElse(8),
+          rowGroupBytes = one("row-group-mb").map(_.toLong << 20))
 
       case "db-upgrade" => SonarOps.dbUpgrade(store, out.println)
 

@@ -99,6 +99,17 @@ class SonarCliSpec extends SparkSpec {
     assert(lines.exists(!_.startsWith("#")))
   }
 
+  test("optimize CLI flags rewrite the store clustered and build a fresh token index") {
+    cli("optimize", "--db", db, "--files", "2", "--row-group-mb", "4")
+    val store = new SonarStore(spark, db)
+    assert(TokenIndex.isFresh(store), "optimize must leave a fresh token index")
+    assert(store.table("genome").inputFiles.length <= 2,
+      "files flag must bound the rewritten file count")
+    // the rewritten store still matches (flags change layout, never results)
+    val (matchOut, _) = cli("match", "--db", db, "--count")
+    assert(matchOut.trim.toLong > 0)
+  }
+
   test("store-local lineage closure overrides the bundled map") {
     val dir = Files.createTempDirectory("linstore").toString
     val s2 = new SonarStore(spark, dir)
