@@ -161,6 +161,42 @@ class TokenIndexSpec extends SparkSpec {
     assert(scansWithIn >= 2, s"expected carrier IN pushed to genome AND profile scans:\n$plan")
   }
 
+  test("property fuzz: carrier superset ⊇ true matching seqhashes for random groups") {
+    // the load-bearing invariant: for ANY include-group structure (AND
+    // groups, N/X search_all flips, ambiguity expansions, absent tokens),
+    // the derived carrier set must contain every seqhash whose profile
+    // satisfies the group condition — a miss here silently drops matches
+    val store = buildStore()
+    SonarOps.optimize(store, 4)
+    val rnd = new scala.util.Random(20260816L)
+    val tokenPool = Vector(Rare, Mid, Common, Absent, RareAa, Del, "A100N", "S:N501X", "C241T")
+    val profByHash: Map[String, (Set[String], Set[String])] =
+      store.table("profile").collect().map { r =>
+        r.getString(0) -> ((r.getSeq[String](1).toSet, r.getSeq[String](2).toSet))
+      }.toMap
+    (1 to 60).foreach { trial =>
+      val groups0 = Seq.fill(1 + rnd.nextInt(3))(
+        Seq.fill(1 + rnd.nextInt(3))(tokenPool(rnd.nextInt(tokenPool.size))).distinct)
+      val explicit = SonarMatch.fixXNSearch(groups0).map(SonarMatch.makeExplicit)
+      TokenIndex.carrierSuperset(store, explicit, cap = 10000).foreach { carriers =>
+        // reference evaluation of the include condition per profile row
+        def sideOk(have: Set[String], want: Seq[String], searchAllMark: Char): Boolean =
+          if (want.isEmpty) true
+          else if (want.exists(t => t.nonEmpty && t.last == searchAllMark))
+            want.exists(have.contains)
+          else want.forall(have.contains)
+        val trueMatches = profByHash.collect {
+          case (h, (dna, aa)) if explicit.exists(g =>
+            (g.dna.nonEmpty || g.aa.nonEmpty) &&
+              sideOk(dna, g.dna, 'N') && sideOk(aa, g.aa, 'X')) => h
+        }.toSet
+        val missed = trueMatches -- carriers.toSet
+        assert(missed.isEmpty,
+          s"trial $trial: carrier superset missed $missed for $groups0")
+      }
+    }
+  }
+
   test("fuzz battery stays reference-exact on an optimized (indexed) store") {
     // reuse the golden shapes over a store whose tables went through the
     // clustered rewrite + bloom options — guards the physical layout path
