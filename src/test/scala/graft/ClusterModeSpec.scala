@@ -180,6 +180,38 @@ class ClusterModeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("token-indexed match reproduces the full scan across real executor JVMs") {
+    // the round-11 match planner: carrier collect from executor-side index
+    // reads, carrier IN-slice pushdown, and the semi-join fallback all
+    // cross a real serialization boundary here (MatchClusterRehearsal runs
+    // this at 10⁶; this is the CI-fast pin so `sbt test` guards it too)
+    import graft.covsonar._
+    val cluster = clusterSession()
+    try {
+      ClusterHarness.requireMultiJvm(cluster)
+      val store = MatchVolumeRehearsal.buildStore(
+        cluster, java.nio.file.Files.createTempDirectory("cluster-tokidx").toString, 5000L)
+      SonarOps.optimize(store, maxFilesPerTable = 4)
+      assert(TokenIndex.isFresh(store))
+      val shapes = Seq(
+        MatchArgs(profiles = Seq(Seq(MatchVolumeRehearsal.Marker))), // point lookup
+        MatchArgs(profiles = Seq(Seq(MatchVolumeRehearsal.pool(15000)))), // rare
+        MatchArgs(profiles = Seq(Seq(MatchVolumeRehearsal.pool(2))))) // hot → full scan
+      shapes.foreach { args =>
+        val indexed = SonarMatch.matchGenomes(store, args)
+          .collect().map(r => ClusterHarness.canonValue(r)).sorted.toSeq
+        cluster.conf.set("spark.graft.match.tokenIndex", "false")
+        val full = try SonarMatch.matchGenomes(store, args)
+          .collect().map(r => ClusterHarness.canonValue(r)).sorted.toSeq
+        finally cluster.conf.unset("spark.graft.match.tokenIndex")
+        assert(indexed == full, s"indexed≠full on cluster for $args")
+      }
+    } finally {
+      cluster.stop()
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    }
+  }
+
   test("bucketed changelog MERGE survives a kill-and-restart on real executors") {
     val cluster = clusterSession()
     try {
