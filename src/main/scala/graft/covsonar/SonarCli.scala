@@ -169,6 +169,11 @@ object SonarCli {
           val pct = if (r.genomes == 0) 0.0 else c.toDouble / r.genomes * 100
           out.println(f"   $f%-17s information: $c ($pct%.2f%%)")
         }
+        // beyond the reference's report: whether rare-variant matches are
+        // currently index-accelerated, and the actionable fix when not
+        out.println("token index:                " +
+          (if (TokenIndex.isFresh(store)) "fresh (rare-variant match accelerated)"
+           else "stale or absent (run optimize to rebuild)"))
 
       case "optimize" =>
         // tuning knobs beyond the reference's bare VACUUM: file count per

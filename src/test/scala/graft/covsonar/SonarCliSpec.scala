@@ -92,6 +92,7 @@ class SonarCliSpec extends SparkSpec {
     val (info, _) = cli("info", "--db", db)
     assert(info.contains("genomes:"))
     assert(info.contains("unique sequences:"))
+    assert(info.contains("token index:"), "info must report index freshness")
     val out = Files.createTempDirectory("cli-vcf").toString + "/o.vcf"
     cli("var2vcf", "--db", db, "-o", out)
     val lines = spark.read.text(out).collect().map(_.getString(0))
