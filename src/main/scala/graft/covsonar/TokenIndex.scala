@@ -23,17 +23,17 @@ import org.apache.spark.sql.functions._
   * Match-time use (see [[SonarMatch.matchGenomes]]): for include-profile
   * queries, resolve a *carrier superset* — a seqhash set that provably
   * contains every matching genome — from the index, and when it is small
-  * (≤ `spark.graft.match.carrierCap`, default 10000), plan the match as
-  *
-  *   genome.filter(seqhash IN carriers) ⟕ profile.filter(seqhash IN carriers)
-  *
-  * instead of the full essence scan. The IN list is pushed to the parquet
-  * scans (the store raises `spark.sql.parquet.pushdown.inFilterThreshold`
-  * accordingly), where row-group seqhash bloom filters (written by
-  * `optimize`), min/max stats and column-index page skipping drop granules
-  * containing no carrier. Scanned bytes become O(carriers × granule size) —
-  * flat in table size — and the essence join collapses to a broadcast of the
-  * carrier slice.
+  * (≤ `spark.graft.match.carrierCap`, default 10000), match over the
+  * carrier slice instead of the full essence scan
+  * ([[SonarStore.essenceForSeqhashes]]): up to
+  * [[SonarStore.CarrierPushdownCap]] carriers as IN literals pushed into
+  * both parquet scans — where row-group seqhash bloom filters (written by
+  * `optimize`), min/max stats over the range-clustered layout, and
+  * column-index page skipping drop granules containing no carrier, making
+  * scanned bytes O(carriers × granule size), flat in table size — and as
+  * a broadcast semi-join above that bound (a pushed IN would degrade to a
+  * vacuous min/max range whose filtered read path measured 5× a plain
+  * scan). Either way the essence join collapses to the carrier slice.
   *
   * Exactness: the carrier set is a SUPERSET of matches by construction (no
   * bloom false-negative argument needed — the index is the exploded profile
