@@ -33,6 +33,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // JDK17 G1's GCLocker retry default is 2: with 32 task threads inside
+  // native (zlib/parquet) JNI critical sections, an allocating thread can
+  // throw a SPURIOUS OutOfMemoryError ("Retried waiting for GCLocker too
+  // often allocating 4 words") with gigabytes free — hit reproducibly by
+  // the sf10 bench at stage ~1909 (g1's checkpoint unroll) and gone with
+  // a sane retry budget.
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=64",
 )
 // Surface deprecation sites explicitly (the default only counts them).
 scalacOptions += "-deprecation"

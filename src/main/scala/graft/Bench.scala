@@ -79,12 +79,28 @@ object Bench {
       // every later .persist pays a scan over stale InMemoryRelations.
       spark.sqlContext.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      // Broadcast blocks have no unpersist-all hook: the ContextCleaner
+      // reclaims them only after a GC collects their weak refs, and at
+      // sf10 the backlog across ~270 query executions (stop-gram maps,
+      // hot-head dictionaries, …) outgrew a 16 GiB heap faster than
+      // ad-hoc GCs drained it — g1's checkpoint unroll then OOMed in
+      // pass 1 while the same query runs clean standalone. One explicit
+      // GC per untimed gap keeps the cleaner current; on a real cluster
+      // each query's session teardown does this implicitly.
+      System.gc()
     }
+    // SPARK_GRAFT_BENCH_TRACE=1: name each query on stderr before running
+    // it — the only way to attribute a failure that kills the JVM outright
+    // (a task-thread OOM halts local mode via SparkUncaughtExceptionHandler
+    // before the per-query catch below can record anything).
+    val trace = sys.env.get("SPARK_GRAFT_BENCH_TRACE").contains("1")
+    def traced(name: String): Unit = if (trace) System.err.println(s"[bench] >> $name")
     // Untimed warm-up pass: first execution of each plan pays one-time JVM
     // costs (encoder/codegen Janino compilation, JIT) that a long-running
     // cluster amortizes to zero; the timed pass below measures steady-state
     // engine speed.
     queries.foreach { case (name, fn) =>
+      traced(name)
       try { fn(spark, sfDir).count(); sweepBlocks() } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -96,6 +112,7 @@ object Bench {
     // pauses and stats-collection jitter; the min of two is the steady-state
     // number a long-running cluster sees.
     def timedPass(): Map[String, Double] = queries.map { case (name, fn) =>
+      traced(name)
       if (errors.contains(name)) name -> -1.0
       else {
         val t0 = System.nanoTime()

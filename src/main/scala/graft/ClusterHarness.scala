@@ -66,7 +66,10 @@ object ClusterHarness {
     "java.base/java.util.concurrent.atomic",
     "java.base/sun.nio.ch", "java.base/sun.nio.cs",
     "java.base/sun.security.action", "java.base/sun.util.calendar",
-  ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+  ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ") +
+    // JDK17 G1 GCLocker retry budget — same spurious-OOM guard build.sbt
+    // applies to the driver/local JVM (see the comment there)
+    " -XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64"
 
   /** Multi-JVM session on `local-cluster[executors,coresPerExec,memMb]`.
     * `extraConf` lets a caller raise task retry counts for the
