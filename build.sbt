@@ -17,6 +17,14 @@ run / fork := true
 // run-scoped setting silently leaves `sbt "runMain graft.Bench"` prefixed.
 outputStrategy := Some(OutputStrategy.StdoutOutput)
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Suppress sbt's "[success] Total time: …" trailer: Bench prints its JSON
+// artifact line LAST, and any sbt chatter after it lands inside the
+// driver's bounded tail capture and defeats last-line JSON parsing (the
+// r10/r11 `parsed: null` artifacts). This makes the JSON line genuinely
+// the final stdout line no matter how sbt is invoked.
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task — lint can't see that
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

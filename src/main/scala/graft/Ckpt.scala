@@ -32,10 +32,16 @@ import org.apache.spark.storage.StorageLevel
   *  3. Driver loss: out of scope — re-run the job (the standard contract
   *     for batch Spark).
   *
-  * The `every=N` cadence is counted by one global call counter, not per
-  * loop: interleaved loops share the cadence, which only shifts WHICH
-  * calls are reliable, never correctness (every call is either durable or
-  * recomputable from a durable ancestor).
+  * The `every=N` cadence is counted PER CALL SITE (class + method + line,
+  * resolved once per call via StackWalker): interleaved loops each get
+  * their own durable rhythm, so a chatty secondary loop can never consume
+  * the primary loop's every-Nth slots and stretch its recompute window.
+  * Each site's FIRST call is durable, then every Nth after — every chain
+  * starts from a durable snapshot and lineage depth between durable
+  * points is bounded by N rounds at that site. Correctness is unchanged
+  * under any counting scheme (every call is either durable or
+  * recomputable from a durable ancestor); the keying only bounds WHOSE
+  * recompute window can grow.
   *
   * Rehearsed, not argued: `graft.ClusterKillRehearsal` kills real executor
   * JVMs mid-query — dial 1 against single kills at swept kill points, a
@@ -61,7 +67,55 @@ object Ckpt {
       math.max(1, get("spark.graft.checkpoint.reliable.every").map(_.toInt).getOrElse(1))
   }
 
-  private val calls = new java.util.concurrent.atomic.AtomicLong(0)
+  /** Per-call-site reliable-cadence counters. The site key is the nearest
+    * stack frame outside this object (class + method + line), so two
+    * checkpointing loops — even in the same method — count independently.
+    * Bounded: one entry per textual `lossTolerantCheckpoint()` call site
+    * in the program.
+    */
+  private val siteCalls =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  private def callSite(): String = {
+    val walker = java.lang.StackWalker.getInstance()
+    walker.walk { frames =>
+      val it = frames.iterator()
+      var site = "?"
+      var found = false
+      while (!found && it.hasNext) {
+        val f = it.next()
+        val cn = f.getClassName
+        // skip this object and its value-class extension wrappers —
+        // graft.Ckpt$, graft.Ckpt$DatasetCkpt$, graft.Ckpt$RddCkpt$ — via
+        // the "graft.Ckpt$" prefix (the trailing $ matters: a bare
+        // "graft.Ckpt" prefix would also swallow CALLER classes whose name
+        // merely begins with Ckpt, collapsing their distinct sites into
+        // whatever frame lies above them) plus the walker plumbing
+        if (!cn.startsWith("graft.Ckpt$") && !cn.startsWith("java.lang.StackWalker")) {
+          site = cn + "." + f.getMethodName + ":" + f.getLineNumber
+          found = true
+        }
+      }
+      site
+    }
+  }
+
+  /** Reset every site's cadence counter — rehearsal/pricing plumbing so
+    * back-to-back measured runs in one driver JVM each start at "first
+    * call durable" instead of inheriting the previous run's phase. Never
+    * needed for correctness (any phase is safe); only for comparability.
+    */
+  private[graft] def resetCadence(): Unit = siteCalls.clear()
+
+  /** True iff this call at this site should be a DURABLE checkpoint: the
+    * site's first call always is (every chain starts from a durable
+    * snapshot), then every Nth after.
+    */
+  private def durableTurn(every: Int): Boolean =
+    (siteCalls.computeIfAbsent(callSite(),
+      _ => new java.util.concurrent.atomic.AtomicLong(0))
+      .incrementAndGet() - 1) % every == 0
+
 
   private def ensureCheckpointDir(sc: org.apache.spark.SparkContext, dir: String): Unit =
     if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
@@ -74,7 +128,7 @@ object Ckpt {
       dials.reliableDir match {
         case Some(dir) =>
           ensureCheckpointDir(sc, dir)
-          if (calls.incrementAndGet() % dials.reliableEvery == 0)
+          if (durableTurn(dials.reliableEvery))
             ds.checkpoint() // eager, to shared storage
           else {
             // lineage NOT truncated: recomputable from the last reliable
@@ -105,7 +159,7 @@ object Ckpt {
           ensureCheckpointDir(rdd.sparkContext, dir)
           if (rdd.getStorageLevel == StorageLevel.NONE)
             rdd.persist(StorageLevel.MEMORY_AND_DISK)
-          if (calls.incrementAndGet() % dials.reliableEvery == 0) rdd.checkpoint()
+          if (durableTurn(dials.reliableEvery)) rdd.checkpoint()
           rdd
         case None =>
           if (dials.replicated && rdd.getStorageLevel == StorageLevel.NONE)

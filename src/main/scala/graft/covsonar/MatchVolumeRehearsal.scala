@@ -46,8 +46,11 @@ object MatchVolumeRehearsal {
 
   /** Synthesize the population: (genomes, seqs(seqhash, seqid), profiles).
     * Shared by the single-JVM volume rehearsal and the local-cluster twin.
+    * A non-zero `offset` yields rows disjoint from the base population
+    * (fresh accessions and seqhashes) — the nightly-increment shape for the
+    * incremental index-merge phase.
     */
-  def synthesize(spark: SparkSession, n: Long): (DataFrame, DataFrame, DataFrame) = {
+  def synthesize(spark: SparkSession, n: Long, offset: Long = 0L): (DataFrame, DataFrame, DataFrame) = {
     val poolSize = pool.length
     // token lookup as a plain array literal + element_at (1-based) — keeps
     // the synthesis expression fully codegen'd, no udf
@@ -57,7 +60,7 @@ object MatchVolumeRehearsal {
 
     // ~5% of accessions share the previous accession's sequence (the
     // accession-vs-sequence split the data model exists for)
-    val base = spark.range(n)
+    val base = spark.range(offset, offset + n)
       .withColumn("seqid", when(col("id") % 20 === 19, col("id") - 1).otherwise(col("id")))
       .withColumn("seqhash", md5(concat(lit("seq"), col("seqid"))))
     val genomes = base.select(
@@ -135,6 +138,11 @@ object MatchVolumeRehearsal {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
     val dir = args.lift(1).getOrElse("target/match-volume-store")
+    // "fast": skip the pre-optimize baseline phase — at the 10⁸ decade the
+    // un-clustered full scans are the bulk of the wall and prove nothing
+    // new (appended-vs-optimized row agreement is pinned at 10⁵..10⁷); the
+    // indexed-vs-full-scan agreement still runs on the optimized store.
+    val fast = args.lift(2).contains("fast")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder().master(s"local[$cpus]")
@@ -190,7 +198,8 @@ object MatchVolumeRehearsal {
     }
 
     println(f"${"phase+query"}%-28s ${"rows"}%12s ${"sec(min2)"}%10s ${"genomes/s"}%12s ${"read"}%13s")
-    val baseline = runShapes("appended ")
+    val baseline = if (fast) Map.empty[String, (Long, Double, Long)]
+      else runShapes("appended ")
 
     // ---- optimize: clustered rewrite + seqhash blooms + token index ----------
     val tOpt = System.nanoTime()
@@ -202,10 +211,11 @@ object MatchVolumeRehearsal {
     val optScan = runShapes("opt-noidx")
     spark.conf.unset("spark.graft.match.tokenIndex")
 
-    // rows must agree across all three physical plans
+    // rows must agree across all (run) physical plans
     shapes.foreach { case (name, _) =>
-      require(baseline(name)._1 == indexed(name)._1 && indexed(name)._1 == optScan(name)._1,
-        s"$name diverged across plans: ${baseline(name)._1}/${indexed(name)._1}/${optScan(name)._1}")
+      require(baseline.get(name).forall(_._1 == indexed(name)._1) &&
+          indexed(name)._1 == optScan(name)._1,
+        s"$name diverged across plans: ${baseline.get(name).map(_._1)}/${indexed(name)._1}/${optScan(name)._1}")
     }
     Seq("profile_rare", "profile_ultra", "profile_and").foreach { q =>
       val (_, sIdx, bIdx) = indexed(q)
@@ -236,6 +246,51 @@ object MatchVolumeRehearsal {
     val joins = plan.linesIterator.count(l =>
       l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin") || l.contains("ShuffledHashJoin"))
     println(s"PLAN joins=$joins broadcast=${plan.contains("BroadcastHashJoin")}")
+
+    // ---- incremental maintenance: nightly append, NO optimize ----------------
+    // A 1% increment (two of its sequences carrying the ultra-rare marker)
+    // is appended and MERGED into the live index. Gate: the index must stay
+    // fresh, the pruned plan must FIND the new carriers (profile_ultra rows
+    // +2), every shape must agree with the full scan, and the point-lookup
+    // latency must stay at indexed levels — all without the full-store
+    // optimize rewrite (whose cost is printed above for comparison).
+    val nInc = math.max(n / 100, 1000L)
+    val preSig = graft.Tables.listingSignature(spark, store.dir + "/profile")
+    val (gInc, sInc, pInc0) = synthesize(spark, nInc, offset = n)
+    val newCarriers = pInc0.select("seqhash").orderBy("seqhash").limit(2)
+      .collect().map(_.getString(0)).toSeq
+    val pInc = pInc0.withColumn("dna_profile",
+      when(col("seqhash").isin(newCarriers: _*),
+        array_sort(array_union(col("dna_profile"), array(lit(Marker)))))
+        .otherwise(col("dna_profile")))
+    store.append("genome", gInc)
+    store.append("sequence", sInc.select("seqhash"))
+    store.append("profile", pInc)
+    // a carrier SEQUENCE maps to 1..2 accessions (~5% are shared), so the
+    // expected match growth is counted over the increment's genome rows
+    val newAccessions = gInc.filter(col("seqhash").isin(newCarriers: _*)).count()
+    val tM = System.nanoTime()
+    val mergedOk = TokenIndex.merge(store, pInc, preSig)
+    val mergeS = (System.nanoTime() - tM) / 1e9
+    println(f"MERGE increment=$nInc ok=$mergedOk in $mergeS%.1f s (vs full optimize above)")
+    require(mergedOk && TokenIndex.isFresh(store), "merge must keep the index fresh")
+
+    val merged = runShapes("merged   ")
+    require(merged("profile_ultra")._1 == indexed("profile_ultra")._1 + newAccessions,
+      s"merged index must serve the NEW carriers: ${merged("profile_ultra")._1} " +
+        s"vs ${indexed("profile_ultra")._1} + $newAccessions")
+    spark.conf.set("spark.graft.match.tokenIndex", "false")
+    val mergedScan = runShapes("mrg-noidx")
+    spark.conf.unset("spark.graft.match.tokenIndex")
+    shapes.foreach { case (name, _) =>
+      require(merged(name)._1 == mergedScan(name)._1,
+        s"$name diverged post-merge: ${merged(name)._1} vs ${mergedScan(name)._1}")
+    }
+    Seq("profile_rare", "profile_ultra").foreach { q =>
+      println(f"POST-MERGE SKIP $q%-14s wall ${mergedScan(q)._2 / merged(q)._2}%5.1fx  " +
+        f"bytes ${mergedScan(q)._3.toDouble / math.max(merged(q)._3, 1)}%5.1fx  " +
+        f"(${merged(q)._3 / 1e6}%.1f MB vs ${mergedScan(q)._3 / 1e6}%.1f MB)")
+    }
     spark.stop()
   }
 }

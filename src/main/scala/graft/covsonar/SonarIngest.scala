@@ -219,6 +219,12 @@ object SonarIngest {
         col("v.ref").as("ref"), col("v.alt").as("alt"))
       .withColumn("varid", SonarStore.protVarId)
       .cache()
+    // Pre-append profile signature: the proof TokenIndex.merge needs that
+    // the live index covers exactly the table the increment lands on. On a
+    // fresh store (no profile yet) the signature is the empty-dir form;
+    // merge will simply find no META and skip.
+    val preIdxSig = scala.util.Try(
+      graft.Tables.listingSignature(spark, store.tableLocation("profile"))).getOrElse("")
     locally {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
@@ -253,6 +259,22 @@ object SonarIngest {
       .withColumn("material", lit(""))
       .withColumn("ct", lit(null: java.lang.Double))
       .withColumn("imported", current_timestamp())
+    // Incremental token-index maintenance: without this, the first nightly
+    // append silently degrades every rare-variant `match` to a full scan
+    // until the next full-store `optimize` (a complete corpus rewrite).
+    // The merge reads only the lineage-free `processed` checkpoint (exactly
+    // the rows the profile append wrote) plus the vocabulary-sized tokens
+    // table; on a store without a live fresh index it is one file-existence
+    // check, and when the append left the listing untouched it is a no-op.
+    // Unconditional — even an all-duplicates batch may have appended empty
+    // part files, and re-stamping the signature there is what keeps the
+    // index fresh. Runs after the profile append it indexes, before
+    // `sequence` — the crash-ordering sentinel — so a retried batch redoes
+    // it coherently.
+    TokenIndex.merge(store,
+      processed.select(col("seqhash"), col("dna_profile"), col("aa_profile")),
+      preIdxSig)
+
     store.append("genome", genomeRows)
     store.append("sequence", processed.select(col("seqhash")))
 

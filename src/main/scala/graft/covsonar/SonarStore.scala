@@ -38,13 +38,6 @@ final class SonarStore(val spark: SparkSession, val dir: String) {
     if (!fs.exists(root)) fs.mkdirs(root)
     // matches PRAGMA user_version=4 (lib/db.sqlite:1)
     if (!fs.exists(versionPath)) writeSchemaVersion(4)
-    // the token-index pruned match path pushes carrier IN-lists (hundreds to
-    // thousands of seqhashes) into the parquet scans; the default threshold
-    // (10) would fall back to a min/max range, which is vacuous for hash
-    // keys. Raising it only changes pushdown shape, never results.
-    val th = "spark.sql.parquet.pushdown.inFilterThreshold"
-    if (spark.conf.get(th, "10").toInt < SonarStore.CarrierPushdownCap)
-      spark.conf.set(th, SonarStore.CarrierPushdownCap.toString)
   }
 
   private def versionPath = new Path(new Path(dir), "SCHEMA_VERSION")
@@ -142,6 +135,18 @@ final class SonarStore(val spark: SparkSession, val dir: String) {
   def essenceForSeqhashes(seqhashes: Seq[String]): DataFrame =
     if (seqhashes.isEmpty) essence.filter(lit(false)) // folds to an empty LocalRelation
     else if (seqhashes.size <= SonarStore.CarrierPushdownCap) {
+      // The pushed IN must arrive at parquet as an In filter: above
+      // `spark.sql.parquet.pushdown.inFilterThreshold` (default 10) it
+      // degrades to a min/max range, vacuous for hash keys. Raised here,
+      // at the point the pruned plan is built, NOT in the constructor —
+      // and deliberately as a SESSION-level setting (Spark reads it at
+      // scan planning, which happens lazily at action time, so a
+      // set-and-restore around this builder would be a race). It only
+      // changes pushdown shape, never results, and 512-value INs stay
+      // ≥2× under the parquet filter visitor's measured stack bound.
+      val th = "spark.sql.parquet.pushdown.inFilterThreshold"
+      if (spark.conf.get(th, "10").toInt < SonarStore.CarrierPushdownCap)
+        spark.conf.set(th, SonarStore.CarrierPushdownCap.toString)
       // small set: IN literals push into both parquet scans, where range-
       // clustered row groups + sized blooms skip carrier-free granules
       val p = col("seqhash").isin(seqhashes: _*)

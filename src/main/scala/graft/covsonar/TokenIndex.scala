@@ -16,9 +16,14 @@ import org.apache.spark.sql.functions._
   *     through ordinary parquet min/max stats — the index read is itself
   *     sublinear, and pricing touches only the two skinny columns.
   *   - `META`     build cap + the profile table's listing signature at build
-  *     time. Any later append/replace of `profile` changes the signature and
-  *     the index silently degrades to the full-scan plan (exactly the
-  *     reference's contract: `optimize` refreshes derived structures).
+  *     time + the hot-token list (bounded — see [[HotListCap]]). Any
+  *     append/replace of `profile` that is not routed through [[merge]]
+  *     changes the signature and the index silently degrades to the
+  *     full-scan plan (exactly the reference's contract: `optimize`
+  *     refreshes derived structures). Nightly appends through
+  *     [[SonarIngest.add]] are merged incrementally — the index stays fresh
+  *     at the cost of one vocabulary-sized tokens rewrite, never a corpus
+  *     re-read.
   *
   * Match-time use (see [[SonarMatch.matchGenomes]]): for include-profile
   * queries, resolve a *carrier superset* — a seqhash set that provably
@@ -39,12 +44,32 @@ import org.apache.spark.sql.functions._
   * bloom false-negative argument needed — the index is the exploded profile
   * content itself), and the original `array_contains` predicates still run
   * on top, so results are byte-identical to the unpruned plan. Verified by
-  * TokenIndexSpec against the full-scan path on every golden shape.
+  * TokenIndexSpec against the full-scan path on every golden shape, and
+  * after incremental merges.
+  *
+  * Crash-consistency of every (re)write: tokens staging is written first,
+  * then META is DELETED, then the tokens swap, then META is written through
+  * its own staging+rename as the final activation step. A crash anywhere in
+  * that window reads as "index absent" (full scan) — never as an old META
+  * validating a new tokens table.
   */
 object TokenIndex {
 
   val DirName = "_token_index"
-  private val MetaVersion = 2
+  private val MetaVersion = 3
+
+  /** Bound on the hot-token list stored in META (and re-read by every
+    * `match` freshness check on the interactive path). Realistic profiles
+    * keep the over-cap set to a lineage-defining handful, but an
+    * adversarial corpus can make most of a huge vocabulary hot (#hot ≤
+    * totalPairs/buildCap ≈ 2.5 M at 10⁹ genomes × ~25 tokens). Past this
+    * cap META records only the count: the zero-job driver-side hot-token
+    * short-circuit is disabled and hot covers are instead rejected by the
+    * pricing job itself (stored n > buildCap ⇒ carriers NULL ⇒ cover
+    * invalid) — one bounded index probe instead of an unbounded META read,
+    * results unchanged.
+    */
+  val HotListCap = 100000
 
   private def indexRoot(store: SonarStore) = new Path(new Path(store.dir), DirName)
   private def tokensPath(store: SonarStore) = new Path(indexRoot(store), "tokens")
@@ -57,6 +82,20 @@ object TokenIndex {
   private def prefixed(level: String, token: String): String = level + ":" + token
 
   // ---- build -----------------------------------------------------------------
+
+  /** (seqhash, token) pairs exploded from profile-shaped rows — shared by
+    * the full build and the incremental merge so both index exactly the
+    * same token derivation.
+    */
+  private def explodedPairs(profileRows: DataFrame): DataFrame = {
+    val empty = typedlit(Seq.empty[String])
+    profileRows.select(
+      col("seqhash"),
+      explode(concat(
+        transform(coalesce(col("dna_profile"), empty), t => concat(lit("d:"), t)),
+        transform(coalesce(col("aa_profile"), empty), t => concat(lit("a:"), t))
+      )).as("token"))
+  }
 
   /** Build (or rebuild) the index from the CURRENT profile table.
     *
@@ -76,21 +115,15 @@ object TokenIndex {
     * `SonarOps.optimize` after the table rewrites.
     */
   def build(store: SonarStore, nFiles: Int = 8,
-      buildCap: Int = SonarStore.CarrierPlanCap): Unit = {
+      buildCap: Int = SonarStore.CarrierPlanCap,
+      hotListCap: Int = HotListCap): Unit = {
     if (!store.exists("profile")) { drop(store); return }
     val spark = store.spark
     // Signature BEFORE reading: if profile is rewritten mid-build the stored
     // signature won't match the new listing and the index self-invalidates.
     val sig = graft.Tables.listingSignature(spark, store.tableLocation("profile"))
 
-    val empty = typedlit(Seq.empty[String])
-    val pairs = store.table("profile").select(
-      col("seqhash"),
-      explode(concat(
-        transform(coalesce(col("dna_profile"), empty), t => concat(lit("d:"), t)),
-        transform(coalesce(col("aa_profile"), empty), t => concat(lit("a:"), t))
-      )).as("token"))
-
+    val pairs = explodedPairs(store.table("profile"))
     // counts is vocabulary-sized (small); persisted because it feeds the
     // hot-token collect, the anti-join, and the final left join
     val counts = pairs.groupBy("token").agg(count(lit(1)).as("n"))
@@ -104,7 +137,119 @@ object TokenIndex {
       .agg(sort_array(collect_set(col("seqhash"))).as("carriers"))
     val idx = counts.join(carriers, Seq("token"), "left")
 
+    // Hot tokens into META: a match whose every cover touches one is
+    // unprunable, and the driver can see that without any Spark job — the
+    // common-variant query (the most frequent real-world unindexable shape)
+    // then pays zero index overhead. Bounded pull: past hotListCap the META
+    // stores only the count (see HotListCap).
+    val hotPulled = hot.limit(hotListCap + 1).collect().map(_.getString(0))
+    val hotForMeta: Either[Long, Seq[String]] =
+      if (hotPulled.length > hotListCap) Left(counts.filter(col("n") > buildCap).count())
+      else Right(hotPulled.sorted.toSeq)
+
+    writeTokensAndMeta(store, idx, nFiles, buildCap, sig, hotForMeta)
+    counts.unpersist()
+  }
+
+  /** Merge an appended profile increment into a LIVE index without
+    * re-reading the corpus — the nightly-ingest path (the reference's `add`
+    * cadence, ref:sonar.py:511-702): a full rebuild is a complete
+    * corpus re-read (linear in store size — hours at 10⁹ genomes), while
+    * this touches only the increment and the vocabulary-sized tokens table.
+    *
+    * Same increment-vs-index discipline as the engine's d10/k16 operators:
+    * explode the increment's (token, seqhash) pairs, full-outer-merge into
+    * the tokens table (counts added; carrier sets unioned; tokens crossing
+    * `buildCap` — and tokens already hot — keep NULL carriers), update the
+    * META hot list and stamp the CURRENT profile listing signature.
+    *
+    * Exact-safety: the merge only proceeds when the stored META's signature
+    * equals `preAppendSignature` — the caller's proof that the live index
+    * covered exactly the pre-append table, so old ∪ increment covers the
+    * current one. Any mismatch (stale index, racing writer, no index)
+    * returns false and leaves the index stale — degraded to full scans,
+    * never a mis-prune. A writer racing the merge itself is caught the same
+    * way: the new signature is captured before the merge reads anything,
+    * so a concurrent append leaves a mismatched stamp behind.
+    *
+    * @param increment exactly the profile rows that were appended (any
+    *   superset of columns including seqhash/dna_profile/aa_profile)
+    * @param preAppendSignature `profile`'s listing signature captured
+    *   BEFORE the increment was appended
+    * @return true iff the index was merged and is fresh again
+    */
+  def merge(store: SonarStore, increment: DataFrame, preAppendSignature: String,
+      hotListCap: Int = HotListCap): Boolean = {
+    val meta = storedMeta(store) match {
+      case Some(m) if m.signature == preAppendSignature => m
+      case _ => return false
+    }
+    val spark = store.spark
+    val sig = graft.Tables.listingSignature(spark, store.tableLocation("profile"))
+    if (sig == preAppendSignature) return true // nothing was actually appended
+    val cap = meta.buildCap
+
+    val pairs = explodedPairs(increment)
+    val dCounts = pairs.groupBy("token").agg(count(lit(1)).as("dn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // same bounded-group discipline as build: an increment token that is
+    // over-cap BY ITSELF never accumulates its carrier list
+    val dHot = dCounts.filter(col("dn") > cap).select("token")
+    val dCarriers = pairs
+      .join(broadcast(dHot), Seq("token"), "left_anti")
+      .groupBy("token")
+      .agg(sort_array(collect_set(col("seqhash"))).as("dcarriers"))
+    val delta = dCounts.join(dCarriers, Seq("token"), "left")
+
+    val old = spark.read.parquet(tokensPath(store).toString)
+      .select(col("token"), col("n").as("o_n"), col("carriers").as("o_carriers"))
+    val joined = old.join(delta, Seq("token"), "full_outer")
+
+    val empty = typedlit(Seq.empty[String])
+    val wasHot = col("o_n").isNotNull && col("o_carriers").isNull
+    val deltaHot = col("dn").isNotNull && col("dcarriers").isNull
+    val pairTotal = coalesce(col("o_n"), lit(0L)) + coalesce(col("dn"), lit(0L))
+    val unioned = array_sort(array_distinct(concat(
+      coalesce(col("o_carriers"), empty), coalesce(col("dcarriers"), empty))))
+    // a token is (or becomes) hot when it was hot, its increment alone is
+    // hot, or the merged carrier bound crosses the cap — append-only means
+    // hotness is monotone, so no rebuild is ever needed for a hot-list change
+    val carriers = when(wasHot || deltaHot || pairTotal > cap,
+      lit(null).cast("array<string>")).otherwise(unioned)
+    // persisted: the hot pull below and the tokens write both consume it
+    val merged = joined.select(
+      col("token"),
+      // exact carrier count where the list is materialized; the pair total
+      // (a sound upper bound for pricing) where it is not
+      when(carriers.isNotNull, size(carriers).cast("long"))
+        .otherwise(pairTotal).as("n"),
+      carriers.as("carriers"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // keep the live layout's file count so repeated nightly merges don't
+    // drift the index's file geometry
     val fs = indexRoot(store).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nFiles = math.max(1,
+      fs.listStatus(tokensPath(store)).count(_.getPath.getName.endsWith(".parquet")))
+
+    val hotDf = merged.filter(col("carriers").isNull).select("token")
+    val hotPulled = hotDf.limit(hotListCap + 1).collect().map(_.getString(0))
+    val hotForMeta: Either[Long, Seq[String]] =
+      if (hotPulled.length > hotListCap) Left(hotDf.count())
+      else Right(hotPulled.sorted.toSeq)
+
+    writeTokensAndMeta(store, merged, nFiles, cap, sig, hotForMeta)
+    merged.unpersist(); dCounts.unpersist()
+    true
+  }
+
+  /** Write the tokens table + META with the crash-consistent ordering
+    * documented at the top: staging write → META delete → tokens swap →
+    * META staging+rename.
+    */
+  private def writeTokensAndMeta(store: SonarStore, idx: DataFrame, nFiles: Int,
+      buildCap: Int, sig: String, hot: Either[Long, Seq[String]]): Unit = {
+    val fs = indexRoot(store).getFileSystem(store.spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(indexRoot(store))
     val staging = new Path(indexRoot(store), s".staging-${java.util.UUID.randomUUID}")
     idx.repartitionByRange(nFiles, col("token"))
@@ -128,6 +273,11 @@ object TokenIndex {
       .option("parquet.page.size.row.check.max", "64")
       .mode("overwrite").parquet(staging.toString)
 
+    // META goes away FIRST: from here to the final META rename the index
+    // reads as absent, so a crash can never leave an old META that passes
+    // the freshness check against a different tokens table.
+    fs.delete(metaPath(store), false)
+
     val live = tokensPath(store)
     val trash = new Path(indexRoot(store), s".old-${java.util.UUID.randomUUID}")
     val hadLive = fs.exists(live)
@@ -138,18 +288,16 @@ object TokenIndex {
     }
     if (hadLive) fs.delete(trash, true)
 
-    // Hot tokens (carriers > buildCap) into META: a match whose every cover
-    // touches one is unprunable, and the driver can see that without any
-    // Spark job — the common-variant query (the most frequent real-world
-    // unindexable shape) then pays zero index overhead. The list is small
-    // by construction: tokens carried by >buildCap genomes are the
-    // lineage-defining handful, not the long tail.
-    val hotTokens = hot.collect().map(_.getString(0)).sorted
-    counts.unpersist()
-    val out = fs.create(metaPath(store), true)
-    out.write((s"v=$MetaVersion\ncap=$buildCap\n$sig\n" +
-      hotTokens.mkString("\n")).getBytes("UTF-8"))
+    val hotBody = hot match {
+      case Right(tokens) => "hot=ok\n" + tokens.mkString("\n")
+      case Left(count) => s"hot=overflow:$count\n"
+    }
+    val metaStaging = new Path(indexRoot(store), s".meta-${java.util.UUID.randomUUID}")
+    val out = fs.create(metaStaging, true)
+    out.write(s"v=$MetaVersion\ncap=$buildCap\n$sig\n$hotBody".getBytes("UTF-8"))
     out.close()
+    require(fs.rename(metaStaging, metaPath(store)),
+      s"cannot activate token index META (staging at $metaStaging)")
   }
 
   def drop(store: SonarStore): Unit = {
@@ -158,9 +306,13 @@ object TokenIndex {
   }
 
   private[covsonar] final case class Meta(buildCap: Int, signature: String,
-      hotTokens: Set[String])
+      hotTokens: Set[String], hotOverflow: Boolean)
 
-  /** Build-time metadata, if an index of the current version exists. */
+  /** Build-time metadata, if an index of the current version exists. Any
+    * malformed line — torn write, unknown version, non-numeric cap — reads
+    * as "no index": degrade to the full-scan plan, never throw on the
+    * interactive path and never mis-prune.
+    */
   private def storedMeta(store: SonarStore): Option[Meta] = {
     val fs = metaPath(store).getFileSystem(store.spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(metaPath(store))) None
@@ -169,9 +321,19 @@ object TokenIndex {
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
         finally in.close()
       lines match {
-        case v :: cap :: sig :: hot if v == s"v=$MetaVersion" && cap.startsWith("cap=") =>
-          Some(Meta(cap.stripPrefix("cap=").toInt, sig, hot.filter(_.nonEmpty).toSet))
-        case _ => None // unknown version: treat as absent, never mis-prune
+        case v :: cap :: sig :: hotLine :: hotRest
+            if v == s"v=$MetaVersion" && cap.startsWith("cap=") && hotLine.startsWith("hot=") =>
+          scala.util.Try {
+            val buildCap = cap.stripPrefix("cap=").trim.toInt
+            if (hotLine == "hot=ok")
+              Meta(buildCap, sig, hotRest.filter(_.nonEmpty).toSet, hotOverflow = false)
+            else {
+              // validate the count even though only its presence matters
+              hotLine.stripPrefix("hot=overflow:").trim.toLong
+              Meta(buildCap, sig, Set.empty, hotOverflow = true)
+            }
+          }.toOption
+        case _ => None
       }
     }
   }
@@ -187,6 +349,13 @@ object TokenIndex {
       store.exists("profile") &&
         graft.Tables.listingSignature(store.spark, store.tableLocation("profile")) == m.signature
     }
+
+  /** The hot (over-build-cap) token list of a FRESH index whose META stored
+    * it in full — introspection/CI helper; empty when absent, stale, or
+    * overflowed.
+    */
+  def hotTokens(store: SonarStore): Set[String] =
+    freshMeta(store).map(_.hotTokens).getOrElse(Set.empty)
 
   // ---- match-time carrier resolution ------------------------------------------
 
@@ -236,7 +405,11 @@ object TokenIndex {
     // token can never be fetched. Dropping those covers driver-side means
     // the commonest unindexable shape — "match -i <lineage-defining
     // variant>" — bails to the full scan with ZERO Spark jobs spent.
-    val effective = effective0.map(_.filterNot(_.exists(meta.hotTokens.contains)))
+    // With an overflowed hot list the short-circuit is unavailable and the
+    // pricing job below rejects hot covers instead (stored n > buildCap).
+    val effective =
+      if (meta.hotOverflow) effective0
+      else effective0.map(_.filterNot(_.exists(meta.hotTokens.contains)))
     if (effective.exists(_.isEmpty)) return None
 
     val spark = store.spark

@@ -192,7 +192,16 @@ class ClusterModeSpec extends AnyFunSuite with BeforeAndAfterAll {
       val store = MatchVolumeRehearsal.buildStore(
         cluster, java.nio.file.Files.createTempDirectory("cluster-tokidx").toString, 5000L)
       SonarOps.optimize(store, maxFilesPerTable = 4)
+      // pool(2) carries ~hundreds at n=5000 — far below the default
+      // buildCap (10000), so the default index would take the pruned plan
+      // for it and never exercise the hot-token full-scan fallback in CI.
+      // Rebuild with a buildCap under its carrier count: pool(2) lands on
+      // the META hot list (full-scan branch genuinely covered) while the
+      // marker/rare shapes stay well under 100 carriers and stay pruned.
+      TokenIndex.build(store, 4, buildCap = 100)
       assert(TokenIndex.isFresh(store))
+      assert(TokenIndex.hotTokens(store).contains("d:" + MatchVolumeRehearsal.pool(2)),
+        "pool(2) must be hot under buildCap=100 or the fallback branch is untested")
       val shapes = Seq(
         MatchArgs(profiles = Seq(Seq(MatchVolumeRehearsal.Marker))), // point lookup
         MatchArgs(profiles = Seq(Seq(MatchVolumeRehearsal.pool(15000)))), // rare

@@ -197,6 +197,150 @@ class TokenIndexSpec extends SparkSpec {
     }
   }
 
+  private def profileSig(store: SonarStore): String =
+    graft.Tables.listingSignature(spark, store.dir + "/profile")
+
+  private def appendRows(store: SonarStore, rows: Seq[Row]): Unit = {
+    store.append("profile", spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), SonarStore.schemas("profile")))
+    rows.foreach { r =>
+      store.append("genome", store.table("genome").limit(1)
+        .withColumn("accession", lit("acc_" + r.getString(0)))
+        .withColumn("seqhash", lit(r.getString(0))))
+    }
+  }
+
+  test("incremental merge: append stays indexed without a full optimize") {
+    val store = buildStore()
+    SonarOps.optimize(store, 4)
+    val preSig = profileSig(store)
+    // one new carrier of Rare, one brand-new token never seen at build time
+    appendRows(store, Seq(
+      Row("hashNEW", Seq(Rare, "T7777A").sorted, Seq(RareAa), Seq.empty[String])))
+    assert(!TokenIndex.isFresh(store), "append must invalidate before the merge")
+    assert(TokenIndex.merge(store,
+      store.table("profile").filter(col("seqhash") === "hashNEW"), preSig))
+    assert(TokenIndex.isFresh(store), "merge must restore freshness")
+    // the merged index must resolve the NEW carrier (a stale-superset index
+    // would merely not lose rows; the merge must actually gain them)
+    val groups = SonarMatch.fixXNSearch(Seq(Seq(Rare))).map(SonarMatch.makeExplicit)
+    val carriers = TokenIndex.carrierSuperset(store, groups, cap = 10000).get
+    assert(carriers.toSet == Set("hash000", "hash001", "hash002", "hashNEW"))
+    val fresh = SonarMatch.fixXNSearch(Seq(Seq("T7777A"))).map(SonarMatch.makeExplicit)
+    assert(TokenIndex.carrierSuperset(store, fresh, cap = 10000).get == Seq("hashNEW"))
+    // and results stay byte-identical to the full scan
+    Seq(MatchArgs(profiles = Seq(Seq(Rare))),
+        MatchArgs(profiles = Seq(Seq("T7777A"))),
+        MatchArgs(profiles = Seq(Seq(Rare, RareAa)))).foreach { args =>
+      val pruned = SonarMatch.matchGenomes(store, args)
+        .collect().map(_.toString).sorted.toSeq
+      assert(pruned == withIndexOff(SonarMatch.matchGenomes(store, args)
+        .collect().map(_.toString).sorted.toSeq), s"pruned≠full after merge for $args")
+    }
+  }
+
+  test("incremental merge: a token crossing the build cap becomes hot, monotonically") {
+    val store = buildStore()
+    SonarOps.optimize(store, 4)
+    TokenIndex.build(store, 4, buildCap = 15) // Mid has 14 ≤ 15 carriers: indexed
+    val preSig = profileSig(store)
+    assert(TokenIndex.carrierSuperset(store,
+      SonarMatch.fixXNSearch(Seq(Seq(Mid))).map(SonarMatch.makeExplicit), 10000).isDefined)
+    // two new Mid carriers push it to 16 > 15 → hot after the merge
+    appendRows(store, Seq(
+      Row("hashM1", Seq(Mid), Seq.empty[String], Seq.empty[String]),
+      Row("hashM2", Seq(Mid), Seq.empty[String], Seq.empty[String])))
+    assert(TokenIndex.merge(store,
+      store.table("profile").filter(col("seqhash").isin("hashM1", "hashM2")), preSig))
+    assert(TokenIndex.isFresh(store))
+    assert(TokenIndex.hotTokens(store).contains("d:" + Mid),
+      "crossing token must land on the META hot list without a rebuild")
+    assert(TokenIndex.carrierSuperset(store,
+      SonarMatch.fixXNSearch(Seq(Seq(Mid))).map(SonarMatch.makeExplicit), 10000).isEmpty,
+      "hot token in every cover → no pruning")
+    val args = MatchArgs(profiles = Seq(Seq(Mid)))
+    assert(accs(SonarMatch.matchGenomes(store, args)) ==
+      withIndexOff(accs(SonarMatch.matchGenomes(store, args))))
+    assert(accs(SonarMatch.matchGenomes(store, args)).contains("acc_hashM1"))
+  }
+
+  test("merge refuses when the stored index doesn't cover the pre-append table") {
+    val store = buildStore()
+    SonarOps.optimize(store, 4)
+    // an UN-merged append lands first (external writer, crashed batch):
+    // the live index covers neither it nor anything after. A later ingest
+    // that captures its own (correct) pre-append signature must be refused
+    // — merging its increment alone would stamp fresh over a hole.
+    appendRows(store, Seq(Row("hashA1", Seq(Rare), Seq.empty[String], Seq.empty[String])))
+    val sig1 = profileSig(store) // correct pre-append signature for batch 2
+    appendRows(store, Seq(Row("hashA2", Seq(Rare), Seq.empty[String], Seq.empty[String])))
+    assert(!TokenIndex.merge(store,
+      store.table("profile").filter(col("seqhash") === "hashA2"), sig1),
+      "stored signature predates sig1 — merge must refuse")
+    assert(!TokenIndex.isFresh(store))
+    // full-scan fallback still returns everything
+    val got = accs(SonarMatch.matchGenomes(store, MatchArgs(profiles = Seq(Seq(Rare)))))
+    assert(got.contains("acc_hashA1") && got.contains("acc_hashA2"))
+  }
+
+  test("hot-list overflow: META stays bounded, pricing rejects hot covers, results exact") {
+    val store = buildStore()
+    SonarOps.optimize(store, 4)
+    // buildCap=1: every multi-carrier token is hot (adversarial all-hot
+    // vocabulary); hotListCap=2 forces the overflow form
+    TokenIndex.build(store, 4, buildCap = 1, hotListCap = 2)
+    assert(TokenIndex.isFresh(store), "overflowed META must still parse as fresh")
+    assert(TokenIndex.hotTokens(store).isEmpty, "overflow stores no token list")
+    val metaLines = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(store.dir, TokenIndex.DirName, "META")), "UTF-8")
+      .linesIterator.toList
+    assert(metaLines.count(_.nonEmpty) == 4 && metaLines.exists(_.startsWith("hot=overflow:")),
+      s"overflowed META must be count-only (no token lines): $metaLines")
+    // Common (40 carriers > 1) must be rejected by PRICING, not the META list
+    assert(TokenIndex.carrierSuperset(store,
+      SonarMatch.fixXNSearch(Seq(Seq(Common))).map(SonarMatch.makeExplicit), 10000).isEmpty)
+    // and matches stay exact across shapes under the overflowed index
+    Seq(MatchArgs(profiles = Seq(Seq(Common))),
+        MatchArgs(profiles = Seq(Seq(Rare))),
+        MatchArgs(profiles = Seq(Seq(Rare), Seq(Mid)))).foreach { args =>
+      assert(accs(SonarMatch.matchGenomes(store, args)) ==
+        withIndexOff(accs(SonarMatch.matchGenomes(store, args))), s"diverged for $args")
+    }
+    // merge under an overflowed META keeps working and stays overflowed
+    val preSig = profileSig(store)
+    appendRows(store, Seq(Row("hashOV", Seq(Rare), Seq.empty[String], Seq.empty[String])))
+    assert(TokenIndex.merge(store,
+      store.table("profile").filter(col("seqhash") === "hashOV"), preSig, hotListCap = 2))
+    assert(TokenIndex.isFresh(store))
+    val args = MatchArgs(profiles = Seq(Seq(Rare)))
+    assert(accs(SonarMatch.matchGenomes(store, args)) ==
+      withIndexOff(accs(SonarMatch.matchGenomes(store, args))))
+  }
+
+  test("SonarIngest.add keeps a fresh index fresh end-to-end (merge wired in)") {
+    val store = buildStore()
+    SonarOps.optimize(store, 4)
+    assert(TokenIndex.isFresh(store))
+    // a real FASTA-shaped ingest: one novel sequence → new profile rows.
+    // Position 100 sits in the 5' UTR (ORF1ab starts at 266): a clean SNP,
+    // no aa/frameshift side effects.
+    val seq = Reference.sarsCov2.refSeq
+    val refBase = seq.charAt(99)
+    val alt = if (refBase == 'T') 'G' else 'T'
+    val token = s"${refBase}100$alt"
+    val mutated = seq.substring(0, 99) + alt + seq.substring(100)
+    val recs = SonarIngest.fromSequences(spark, Seq(("ING1", "ING1 via add", mutated)))
+    val report = SonarIngest.add(store, recs)
+    assert(report.genomesAdded == 1 && report.sequencesAdded == 1)
+    assert(TokenIndex.isFresh(store),
+      "add() must merge the increment instead of leaving the index stale")
+    // the ingested genome's variant is immediately index-served
+    val got = SonarMatch.matchGenomes(store, MatchArgs(profiles = Seq(Seq(token))))
+    assert(accs(got).contains("ING1"))
+    assert(accs(got) == withIndexOff(accs(SonarMatch.matchGenomes(store,
+      MatchArgs(profiles = Seq(Seq(token)))))))
+  }
+
   test("fuzz battery stays reference-exact on an optimized (indexed) store") {
     // reuse the golden shapes over a store whose tables went through the
     // clustered rewrite + bloom options — guards the physical layout path
