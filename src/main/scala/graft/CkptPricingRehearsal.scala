@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** PRICE the fault-domain ladder the kill rehearsal proves: the same
+  * checkpoint-heavy queries ([[ClusterKillRehearsal.ReliableQueries]] —
+  * d6b's pointer-jumped label propagation, g1's unrolled pagerank) run on
+  * real executor JVMs under every rung of the [[Ckpt]] dial —
+  *
+  *   default · replicated · reliable every={16,4,1}
+  *
+  * — recording wall seconds (min of 2 after an untimed warm pass), durable
+  * bytes written to the reliable dir, and the durable snapshot count. The
+  * kill rehearsal gives each rung its survival column; this gives it the
+  * cost column, so `every=N` can be tuned as recompute-window-vs-write-cost
+  * instead of picked blind.
+  *
+  * Methodology notes:
+  *   - ONE cluster session serves all rungs ([[Ckpt]] reads its dials from
+  *     runtime conf at call time), so JVM warm-up and page cache are shared
+  *     and the deltas isolate the dial.
+  *   - [[Ckpt.resetCadence]] runs before every measured run: each run
+  *     starts at "first call durable" instead of inheriting the previous
+  *     run's per-site phase, making `every=N` runs byte-comparable.
+  *   - results are asserted identical across rungs (same digests the kill
+  *     rehearsal uses) — a dial that changed answers would price garbage.
+  *
+  * Run: `sbt "runMain graft.CkptPricingRehearsal [sfDir] [execMemMb]"`.
+  * Prints one `PRICE` row per (query, rung); exits 1 on any divergence.
+  */
+object CkptPricingRehearsal {
+
+  private final case class Rung(name: String, conf: Map[String, String])
+
+  private def digestOf(df: org.apache.spark.sql.DataFrame): (Long, String) = {
+    val rows = df.collect()
+    val schema = df.columns.mkString("<", "|", ">")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.map(r => schema + ClusterHarness.canonValue(r)).sorted
+      .foreach(l => md.update(l.getBytes("UTF-8")))
+    (rows.length.toLong, md.digest().map(b => f"$b%02x").mkString)
+  }
+
+  private def dirStats(dir: java.io.File): (Long, Int) = {
+    if (!dir.exists()) return (0L, 0)
+    var bytes = 0L; var snaps = 0
+    val stack = scala.collection.mutable.Stack[java.io.File](dir)
+    while (stack.nonEmpty) {
+      val f = stack.pop()
+      if (f.isDirectory) {
+        if (f.getName.startsWith("rdd-")) snaps += 1
+        Option(f.listFiles()).foreach(_.foreach(stack.push))
+      } else bytes += f.length()
+    }
+    (bytes, snaps)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("target/testdata/sf1")
+    val memMb = args.lift(1).map(_.toInt).getOrElse(2048)
+    val queries = ClusterKillRehearsal.ReliableQueries
+    val reliableDir = new java.io.File("target/reliable-price").getAbsoluteFile
+    val rel = reliableDir.toString
+    val rungs = Seq(
+      Rung("default", Map.empty),
+      Rung("replicated", Map("spark.graft.checkpoint.replicated" -> "true")),
+      Rung("reliable-16", Map("spark.graft.checkpoint.reliable" -> rel,
+        "spark.graft.checkpoint.reliable.every" -> "16")),
+      Rung("reliable-4", Map("spark.graft.checkpoint.reliable" -> rel,
+        "spark.graft.checkpoint.reliable.every" -> "4")),
+      Rung("reliable-1", Map("spark.graft.checkpoint.reliable" -> rel,
+        "spark.graft.checkpoint.reliable.every" -> "1")))
+
+    val spark = ClusterHarness.clusterSession("graft-ckpt-pricing",
+      executors = 3, coresPerExec = 2, memMb = memMb)
+    var bad = 0
+    try {
+      val jvms = ClusterHarness.requireMultiJvm(spark)
+      println(s"PRICING executors: ${jvms.mkString(", ")}  sf=$sfDir")
+      println(f"${"query+rung"}%-38s ${"sec(min2)"}%10s ${"durableMB"}%10s ${"snaps"}%6s ${"rows"}%8s")
+
+      queries.foreach { q =>
+        var expect: Option[(Long, String)] = None
+        // one untimed warm per query under the default rung: page cache,
+        // codegen, and broadcast warm-up paid once, outside every window
+        SparkEntry.queries(q)(spark, sfDir).count()
+        rungs.foreach { r =>
+          def once(): (Double, Long, Int, (Long, String)) = {
+            r.conf.foreach { case (k, v) => spark.conf.set(k, v) }
+            org.apache.commons.io.FileUtils.deleteQuietly(reliableDir)
+            Ckpt.resetCadence()
+            try {
+              val t = System.nanoTime()
+              val d = digestOf(SparkEntry.queries(q)(spark, sfDir))
+              val w = (System.nanoTime() - t) / 1e9
+              val (bytes, snaps) = dirStats(reliableDir)
+              (w, bytes, snaps, d)
+            } finally r.conf.keys.foreach(spark.conf.unset)
+          }
+          val (w1, b1, s1, d1) = once()
+          val (w2, b2, s2, d2) = once()
+          require(d1 == d2 && b1 == b2 && s1 == s2,
+            s"$q/${r.name} not reproducible: $d1/$b1/$s1 vs $d2/$b2/$s2")
+          val ok = expect.forall(_ == d1)
+          if (!ok) { bad += 1 }
+          expect = expect.orElse(Some(d1))
+          println(f"PRICE $q%-24s ${r.name}%-12s ${math.min(w1, w2)}%8.2f ${b1 / 1e6}%10.1f $s1%6d ${d1._1}%8d${if (ok) "" else "  DIVERGED"}")
+        }
+      }
+    } finally {
+      spark.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(reliableDir)
+    }
+    println(if (bad == 0) "CKPT-PRICING OK" else s"CKPT-PRICING FAILED: $bad diverged")
+    if (bad > 0) sys.exit(1)
+  }
+}
