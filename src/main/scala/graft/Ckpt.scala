@@ -18,9 +18,20 @@ import org.apache.spark.storage.StorageLevel
   * single-JVM plans and benchmarks are byte-identical to before):
   *
   *  1. `spark.graft.checkpoint.replicated=true` — checkpoint blocks stored
-  *     at MEMORY_AND_DISK_2 (one replica on a second executor): a SINGLE
-  *     executor loss degrades to a replica read. Cost: one network copy
-  *     per checkpointed partition.
+  *     at MEMORY_AND_DISK_SER_2 (one replica on a second executor): a
+  *     SINGLE executor loss degrades to a replica read. Cost: one network
+  *     copy per checkpointed partition — and a MEASURED SCOPE LIMIT: this
+  *     rung is for node-sized state (rank vectors, cluster labels), not
+  *     fact-table-wide checkpoints. CkptPricingRehearsal at sf1 on
+  *     local-cluster[3,2,*]: replicating g1's 11.7M-row edge-list
+  *     checkpoint OOM-killed executors at every heap size tried (2–16
+  *     GiB), deserialized and serialized storage alike, on a clean block
+  *     store — while the SAME query under `reliable every=N` completes at
+  *     a 20-33% wall premium at every cadence. SER (not plain _2) is kept
+  *     because it stores the compact form and ships those bytes without a
+  *     serialize-the-block heap spike; the hazard it does not remove is
+  *     replication's second full copy of a wide dataset living in
+  *     executor memory pools.
   *  2. `spark.graft.checkpoint.reliable=<shared dir>` — every Nth
   *     checkpoint call (N = `spark.graft.checkpoint.reliable.every`,
   *     default 1) becomes a RELIABLE `Dataset.checkpoint()` to shared
@@ -138,7 +149,7 @@ object Ckpt {
             p
           }
         case None if dials.replicated =>
-          ds.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_2)
+          ds.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER_2)
         case None => ds.localCheckpoint()
       }
     }
@@ -147,7 +158,7 @@ object Ckpt {
   implicit final class RddCkpt[T](private val rdd: org.apache.spark.rdd.RDD[T]) extends AnyVal {
     /** RDD form: `RDD.localCheckpoint` honors a pre-set storage level
       * (disk is added, replication preserved), so the replicated dial
-      * pre-persists at MEMORY_AND_DISK_2. Reliable mode mirrors the
+      * pre-persists at MEMORY_AND_DISK_SER_2. Reliable mode mirrors the
       * Dataset form; RDD checkpoints stay lazy (materialized by the
       * caller's next action, exactly like `RDD.localCheckpoint`).
       */
@@ -163,7 +174,7 @@ object Ckpt {
           rdd
         case None =>
           if (dials.replicated && rdd.getStorageLevel == StorageLevel.NONE)
-            rdd.persist(StorageLevel.MEMORY_AND_DISK_2)
+            rdd.persist(StorageLevel.MEMORY_AND_DISK_SER_2)
           rdd.localCheckpoint()
       }
     }

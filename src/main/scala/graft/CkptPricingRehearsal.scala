@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   *
   *   default · replicated · reliable every={16,4,1}
   *
-  * — recording wall seconds (min of 2 after an untimed warm pass), durable
+  * — recording wall seconds (min of 3 after an untimed warm pass), durable
   * bytes written to the reliable dir, and the durable snapshot count. The
   * kill rehearsal gives each rung its survival column; this gives it the
   * cost column, so `every=N` can be tuned as recompute-window-vs-write-cost
@@ -57,8 +57,11 @@ object CkptPricingRehearsal {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("target/testdata/sf1")
-    val memMb = args.lift(1).map(_.toInt).getOrElse(2048)
-    val queries = ClusterKillRehearsal.ReliableQueries
+    val memMb = args.lift(1).map(_.toInt).getOrElse(8192)
+    val queries = args.lift(2) match {
+      case Some(q) => Seq(q) // targeted re-measure / debugging
+      case None => ClusterKillRehearsal.ReliableQueries
+    }
     val reliableDir = new java.io.File("target/reliable-price").getAbsoluteFile
     val rel = reliableDir.toString
     val rungs = Seq(
@@ -73,11 +76,14 @@ object CkptPricingRehearsal {
 
     val spark = ClusterHarness.clusterSession("graft-ckpt-pricing",
       executors = 3, coresPerExec = 2, memMb = memMb)
+    // `debug` as the 4th arg: INFO logging, so a failing stage can be
+    // attributed to its call site (DAGScheduler's "Submitting ... at" line)
+    if (args.lift(3).contains("debug")) spark.sparkContext.setLogLevel("INFO")
     var bad = 0
     try {
       val jvms = ClusterHarness.requireMultiJvm(spark)
       println(s"PRICING executors: ${jvms.mkString(", ")}  sf=$sfDir")
-      println(f"${"query+rung"}%-38s ${"sec(min2)"}%10s ${"durableMB"}%10s ${"snaps"}%6s ${"rows"}%8s")
+      println(f"${"query+rung"}%-38s ${"sec(min3)"}%10s ${"durableMB"}%10s ${"snaps"}%6s ${"rows"}%8s")
 
       queries.foreach { q =>
         var expect: Option[(Long, String)] = None
@@ -88,6 +94,15 @@ object CkptPricingRehearsal {
           def once(): (Double, Long, Int, (Long, String)) = {
             r.conf.foreach { case (k, v) => spark.conf.set(k, v) }
             org.apache.commons.io.FileUtils.deleteQuietly(reliableDir)
+            // Drop every lingering checkpoint/persist block from earlier
+            // runs: localCheckpoint blocks are freed only when the DRIVER
+            // GCs their RDD handles (ContextCleaner), so back-to-back runs
+            // in one session otherwise accumulate dead copies of the edge
+            // list on the executors until replication's extra replicas tip
+            // them into OOM — and each run should price against an empty
+            // store anyway.
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = true))
             Ckpt.resetCadence()
             try {
               val t = System.nanoTime()
@@ -97,14 +112,29 @@ object CkptPricingRehearsal {
               (w, bytes, snaps, d)
             } finally r.conf.keys.foreach(spark.conf.unset)
           }
-          val (w1, b1, s1, d1) = once()
-          val (w2, b2, s2, d2) = once()
-          require(d1 == d2 && b1 == b2 && s1 == s2,
-            s"$q/${r.name} not reproducible: $d1/$b1/$s1 vs $d2/$b2/$s2")
-          val ok = expect.forall(_ == d1)
-          if (!ok) { bad += 1 }
-          expect = expect.orElse(Some(d1))
-          println(f"PRICE $q%-24s ${r.name}%-12s ${math.min(w1, w2)}%8.2f ${b1 / 1e6}%10.1f $s1%6d ${d1._1}%8d${if (ok) "" else "  DIVERGED"}")
+          // min-of-3: reliable rungs pay durable-write stage tails whose
+          // scheduling jitter at sf1 is ±2-3 s, larger than some deltas.
+          // A rung that cannot complete (e.g. an OOM wall) is ITSELF a
+          // price — record it as a FAILED row and keep pricing the rest.
+          val runs = try Seq(once(), once(), once()) catch {
+            case e: Exception =>
+              bad += 1
+              println(f"PRICE $q%-24s ${r.name}%-12s ${"FAILED"}%8s  " +
+                e.toString.linesIterator.next().take(120))
+              Seq.empty
+          }
+          if (runs.nonEmpty) {
+            val (_, _, s1, d1) = runs.head
+            // digests and snapshot COUNTS must reproduce; serialized snapshot
+            // BYTES jitter by ~100s of bytes run-to-run (compression block
+            // boundaries), so report the max rather than asserting equality
+            require(runs.forall(x => x._4 == d1 && x._3 == s1),
+              s"$q/${r.name} not reproducible: ${runs.map(x => (x._3, x._4))}")
+            val ok = expect.forall(_ == d1)
+            if (!ok) { bad += 1 }
+            expect = expect.orElse(Some(d1))
+            println(f"PRICE $q%-24s ${r.name}%-12s ${runs.map(_._1).min}%8.2f ${runs.map(_._2).max / 1e6}%10.1f $s1%6d ${d1._1}%8d${if (ok) "" else "  DIVERGED"}")
+          }
         }
       }
     } finally {
