@@ -137,17 +137,7 @@ object TokenIndex {
       .agg(sort_array(collect_set(col("seqhash"))).as("carriers"))
     val idx = counts.join(carriers, Seq("token"), "left")
 
-    // Hot tokens into META: a match whose every cover touches one is
-    // unprunable, and the driver can see that without any Spark job — the
-    // common-variant query (the most frequent real-world unindexable shape)
-    // then pays zero index overhead. Bounded pull: past hotListCap the META
-    // stores only the count (see HotListCap).
-    val hotPulled = hot.limit(hotListCap + 1).collect().map(_.getString(0))
-    val hotForMeta: Either[Long, Seq[String]] =
-      if (hotPulled.length > hotListCap) Left(counts.filter(col("n") > buildCap).count())
-      else Right(hotPulled.sorted.toSeq)
-
-    writeTokensAndMeta(store, idx, nFiles, buildCap, sig, hotForMeta)
+    writeTokensAndMeta(store, idx, nFiles, buildCap, sig, hotListCap)
     counts.unpersist()
   }
 
@@ -216,15 +206,20 @@ object TokenIndex {
     // hotness is monotone, so no rebuild is ever needed for a hot-list change
     val carriers = when(wasHot || deltaHot || pairTotal > cap,
       lit(null).cast("array<string>")).otherwise(unioned)
-    // persisted: the hot pull below and the tokens write both consume it
+    // NEVER persisted: Dataset caching builds 10⁴-row columnar batches
+    // regardless of storage level (ColumnBuilder), and rows here carry
+    // carrier arrays up to buildCap × 33 B — one batch is gigabytes, and
+    // caching this dataset OOM'd the 10⁷-genome rehearsal at every storage
+    // level tried. The staging parquet write below IS the single
+    // materializing pass; the hot pull reads the staged skinny columns.
     val merged = joined.select(
       col("token"),
       // exact carrier count where the list is materialized; the pair total
-      // (a sound upper bound for pricing) where it is not
+      // (a sound upper bound for pricing) where it is not — either way the
+      // hotness invariant holds: carriers IS NULL ⇔ n > buildCap
       when(carriers.isNotNull, size(carriers).cast("long"))
         .otherwise(pairTotal).as("n"),
       carriers.as("carriers"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // keep the live layout's file count so repeated nightly merges don't
     // drift the index's file geometry
@@ -232,23 +227,25 @@ object TokenIndex {
     val nFiles = math.max(1,
       fs.listStatus(tokensPath(store)).count(_.getPath.getName.endsWith(".parquet")))
 
-    val hotDf = merged.filter(col("carriers").isNull).select("token")
-    val hotPulled = hotDf.limit(hotListCap + 1).collect().map(_.getString(0))
-    val hotForMeta: Either[Long, Seq[String]] =
-      if (hotPulled.length > hotListCap) Left(hotDf.count())
-      else Right(hotPulled.sorted.toSeq)
-
-    writeTokensAndMeta(store, merged, nFiles, cap, sig, hotForMeta)
-    merged.unpersist(); dCounts.unpersist()
+    writeTokensAndMeta(store, merged, nFiles, cap, sig, hotListCap)
+    dCounts.unpersist()
     true
   }
 
   /** Write the tokens table + META with the crash-consistent ordering
     * documented at the top: staging write → META delete → tokens swap →
     * META staging+rename.
+    *
+    * The META hot list is derived from the STAGED parquet's two skinny
+    * columns via the invariant both producers maintain — carriers IS NULL
+    * ⇔ n > buildCap — so the wide carrier arrays are written exactly once
+    * (streamed through the parquet writer) and never cached, re-computed,
+    * or re-read: Dataset caching batches 10⁴ rows per columnar block
+    * whatever the storage level, which is gigabytes when rows carry
+    * near-cap carrier arrays (measured OOM at 10⁷ genomes).
     */
   private def writeTokensAndMeta(store: SonarStore, idx: DataFrame, nFiles: Int,
-      buildCap: Int, sig: String, hot: Either[Long, Seq[String]]): Unit = {
+      buildCap: Int, sig: String, hotListCap: Int): Unit = {
     val fs = indexRoot(store).getFileSystem(store.spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(indexRoot(store))
     val staging = new Path(indexRoot(store), s".staging-${java.util.UUID.randomUUID}")
@@ -272,6 +269,19 @@ object TokenIndex {
       .option("parquet.page.size.row.check.min", "4")
       .option("parquet.page.size.row.check.max", "64")
       .mode("overwrite").parquet(staging.toString)
+
+    // Hot tokens into META: a match whose every cover touches one is
+    // unprunable, and the driver can see that without any Spark job — the
+    // common-variant query (the most frequent real-world unindexable
+    // shape) then pays zero index overhead. Bounded pull: past hotListCap
+    // the META stores only the count (see HotListCap). Read column-pruned
+    // from the staged file — (token, n) only, no array bytes.
+    val hotDf = store.spark.read.parquet(staging.toString)
+      .filter(col("n") > buildCap).select("token")
+    val hotPulled = hotDf.limit(hotListCap + 1).collect().map(_.getString(0))
+    val hot: Either[Long, Seq[String]] =
+      if (hotPulled.length > hotListCap) Left(hotDf.count())
+      else Right(hotPulled.sorted.toSeq)
 
     // META goes away FIRST: from here to the final META rename the index
     // reads as absent, so a crash can never leave an old META that passes
