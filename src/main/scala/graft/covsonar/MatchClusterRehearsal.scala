@@ -138,15 +138,28 @@ object MatchClusterRehearsal {
       }
 
       // ---- mid-band carrier plan, measured across real executors ------------
-      // pool(1000) carries ~3.7k sequences at 10⁶ — inside the
-      // (CarrierPushdownCap, CarrierPlanCap] band where the pruned plan is
-      // a broadcast semi-join of the carrier slice, the one plan tier whose
-      // win was argued (byte-neutral single-box) but never measured
-      // multi-JVM. min-of-2 after an untimed warm pass, both plans.
-      val midArgs = MatchArgs(profiles = Seq(Seq(MatchVolumeRehearsal.pool(1000))))
+      // The (CarrierPushdownCap, CarrierPlanCap] band is where the pruned
+      // plan is a broadcast semi-join of the carrier slice — the one plan
+      // tier whose win was argued (byte-neutral single-box) but never
+      // measured multi-JVM. Which pool rank lands in that band depends on
+      // the population size (rank 1000 is ~3.7k carriers at 10⁶ but ~37k at
+      // 10⁷), so pick the probe token FROM THE INDEX: the heaviest token
+      // still inside the band — the worst case for the pruned plan.
+      // min-of-2 after an untimed warm pass, both plans.
+      val midToken = cluster.read
+        .parquet(dir + "/" + TokenIndex.DirName + "/tokens")
+        .filter(col("n") > SonarStore.CarrierPushdownCap &&
+          col("n") <= SonarStore.CarrierPlanCap &&
+          col("token").startsWith("d:"))
+        .orderBy(desc("n")).select("token")
+        .head().getString(0).stripPrefix("d:")
+      val midArgs = MatchArgs(profiles = Seq(Seq(midToken)))
       val groups = SonarMatch.fixXNSearch(midArgs.profiles).map(SonarMatch.makeExplicit)
       val carriers = TokenIndex.carrierSuperset(store, groups, SonarStore.CarrierPlanCap)
         .map(_.size).getOrElse(-1)
+      require(carriers > SonarStore.CarrierPushdownCap,
+        s"mid-band probe $midToken resolved $carriers carriers — not in the " +
+          s"semi-join band; the measurement would be vacuous")
       val meter = new TaskBytes
       cluster.sparkContext.addSparkListener(meter)
       def timed(label: String): (Double, Long, Long) = {
