@@ -62,11 +62,21 @@ object SonarOps {
       .distinct().cache()
     orphaned.count() // materialize before any table is swapped out
 
+    // Pre-rewrite profile signature: the proof TokenIndex.restamp needs
+    // that the live index covered the pre-remove table. Removal-only
+    // rewrites keep the index exact (carriers stay supersets), so the
+    // index survives a delete with a driver-side stamp instead of the
+    // full-store optimize it would otherwise force.
+    val preSig = scala.util.Try(
+      graft.Tables.listingSignature(store.spark, store.tableLocation("profile")))
+      .getOrElse("")
+
     Seq("sequence", "profile", "sequence2dna", "sequence2prot").foreach { t =>
       store.replace(t, store.table(t).join(orphaned, Seq("seqhash"), "left_anti"))
     }
     store.replace("genome", surviving)
     orphaned.unpersist()
+    TokenIndex.restamp(store, preSig)
   }
 
   /** Apply metadata updates (reference: update_genome,

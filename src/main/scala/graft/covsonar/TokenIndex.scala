@@ -23,7 +23,8 @@ import org.apache.spark.sql.functions._
   *     refreshes derived structures). Nightly appends through
   *     [[SonarIngest.add]] are merged incrementally — the index stays fresh
   *     at the cost of one vocabulary-sized tokens rewrite, never a corpus
-  *     re-read.
+  *     re-read — and `SonarOps.remove` re-stamps via [[restamp]] (removal
+  *     keeps carriers a superset, so only the freshness stamp moves).
   *
   * Match-time use (see [[SonarMatch.matchGenomes]]): for include-profile
   * queries, resolve a *carrier superset* — a seqhash set that provably
@@ -298,10 +299,23 @@ object TokenIndex {
     }
     if (hadLive) fs.delete(trash, true)
 
+    writeMetaFile(store, buildCap, sig, hot)
+  }
+
+  /** Stage + rename a META describing the CURRENT tokens table. Callers
+    * guarantee the tokens table already matches (`hot` derived from it);
+    * any pre-existing META is deleted first so the rename lands on a free
+    * path — a crash in the window reads as "index absent", never as a
+    * mismatched stamp.
+    */
+  private def writeMetaFile(store: SonarStore, buildCap: Int, sig: String,
+      hot: Either[Long, Seq[String]]): Unit = {
+    val fs = indexRoot(store).getFileSystem(store.spark.sparkContext.hadoopConfiguration)
     val hotBody = hot match {
       case Right(tokens) => "hot=ok\n" + tokens.mkString("\n")
       case Left(count) => s"hot=overflow:$count\n"
     }
+    fs.delete(metaPath(store), false)
     val metaStaging = new Path(indexRoot(store), s".meta-${java.util.UUID.randomUUID}")
     val out = fs.create(metaStaging, true)
     out.write(s"v=$MetaVersion\ncap=$buildCap\n$sig\n$hotBody".getBytes("UTF-8"))
@@ -310,13 +324,50 @@ object TokenIndex {
       s"cannot activate token index META (staging at $metaStaging)")
   }
 
+  /** Re-stamp a live index over a REMOVAL-ONLY profile rewrite — the
+    * `SonarOps.remove` path (reference delete_genome,
+    * lib/sonardb.py:1470-1504). Row removal cannot break the index's one
+    * exactness obligation: stored carrier lists remain a SUPERSET of each
+    * token's carriers (removed seqhashes simply match nothing in the essence
+    * scans, and the original predicates still run on top), and stored counts
+    * become sound UPPER bounds — pricing may conservatively decline a prune
+    * that would now fit, never mis-prune. Hot tokens likewise stay hot
+    * (conservative). So the tokens table needs no rewrite at all: only the
+    * freshness stamp moves, a driver-side META rewrite with zero Spark jobs
+    * — vs the full-store `optimize` a removal otherwise forces (linear in
+    * store size). Counts/hotness are re-tightened by the next `optimize`.
+    *
+    * Exact-safety mirrors [[merge]]: proceeds only when the stored META's
+    * signature equals `preRemoveSignature` — the caller's proof the live
+    * index covered the pre-remove table (a superset of the post-remove one).
+    * Any mismatch returns false and leaves the index stale (full scans).
+    *
+    * @param preRemoveSignature `profile`'s listing signature captured BEFORE
+    *   the removal rewrite
+    * @return true iff the index was re-stamped and is fresh again
+    */
+  def restamp(store: SonarStore, preRemoveSignature: String): Boolean = {
+    val meta = storedMeta(store) match {
+      case Some(m) if m.signature == preRemoveSignature => m
+      case _ => return false
+    }
+    if (!store.exists("profile")) { drop(store); return false }
+    val sig = graft.Tables.listingSignature(store.spark, store.tableLocation("profile"))
+    if (sig == preRemoveSignature) return true // nothing was actually rewritten
+    val hot: Either[Long, Seq[String]] =
+      if (meta.hotOverflow) Left(meta.hotOverflowCount)
+      else Right(meta.hotTokens.toSeq.sorted)
+    writeMetaFile(store, meta.buildCap, sig, hot)
+    true
+  }
+
   def drop(store: SonarStore): Unit = {
     val fs = indexRoot(store).getFileSystem(store.spark.sparkContext.hadoopConfiguration)
     fs.delete(indexRoot(store), true)
   }
 
   private[covsonar] final case class Meta(buildCap: Int, signature: String,
-      hotTokens: Set[String], hotOverflow: Boolean)
+      hotTokens: Set[String], hotOverflow: Boolean, hotOverflowCount: Long = 0L)
 
   /** Build-time metadata, if an index of the current version exists. Any
     * malformed line — torn write, unknown version, non-numeric cap — reads
@@ -338,9 +389,8 @@ object TokenIndex {
             if (hotLine == "hot=ok")
               Meta(buildCap, sig, hotRest.filter(_.nonEmpty).toSet, hotOverflow = false)
             else {
-              // validate the count even though only its presence matters
-              hotLine.stripPrefix("hot=overflow:").trim.toLong
-              Meta(buildCap, sig, Set.empty, hotOverflow = true)
+              val n = hotLine.stripPrefix("hot=overflow:").trim.toLong
+              Meta(buildCap, sig, Set.empty, hotOverflow = true, hotOverflowCount = n)
             }
           }.toOption
         case _ => None

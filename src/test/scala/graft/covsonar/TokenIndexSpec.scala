@@ -341,6 +341,50 @@ class TokenIndexSpec extends SparkSpec {
       MatchArgs(profiles = Seq(Seq(token)))))))
   }
 
+  test("remove restamps: index survives a delete without rebuild, results exact") {
+    val store = buildStore()
+    SonarOps.optimize(store, 4)
+    assert(TokenIndex.isFresh(store))
+    // remove two Rare carriers (acc0/acc1 → orphaned hash000/hash001: their
+    // profile rows leave the table; the index keeps stale supersets)
+    SonarOps.remove(store, Seq("acc0", "acc1"))
+    assert(TokenIndex.isFresh(store),
+      "remove must restamp the index, not leave it stale")
+    val groups = SonarMatch.fixXNSearch(Seq(Seq(Rare))).map(SonarMatch.makeExplicit)
+    // carriers stay a SUPERSET (stale hash000/hash001 retained) — exactness
+    // comes from the essence scans finding nothing for removed seqhashes
+    val carriers = TokenIndex.carrierSuperset(store, groups, cap = 10000).get
+    assert(Set("hash000", "hash001", "hash002").subsetOf(carriers.toSet))
+    val args = MatchArgs(profiles = Seq(Seq(Rare)))
+    val got = accs(SonarMatch.matchGenomes(store, args))
+    assert(got == Set("acc2"), s"only the surviving carrier remains: $got")
+    assert(got == withIndexOff(accs(SonarMatch.matchGenomes(store, args))))
+    // and a subsequent APPEND still merges on top of the restamped index
+    val preSig = profileSig(store)
+    appendRows(store, Seq(
+      Row("hashRM1", Seq(Rare), Seq.empty[String], Seq.empty[String])))
+    assert(TokenIndex.merge(store,
+      store.table("profile").filter(col("seqhash") === "hashRM1"), preSig))
+    val got2 = accs(SonarMatch.matchGenomes(store, args))
+    assert(got2 == Set("acc2", "acc_hashRM1"))
+    assert(got2 == withIndexOff(accs(SonarMatch.matchGenomes(store, args))))
+  }
+
+  test("remove refuses the restamp when the index was already stale") {
+    val store = buildStore()
+    SonarOps.optimize(store, 4)
+    // un-merged external append → stale BEFORE the remove
+    appendRows(store, Seq(Row("hashST", Seq(Rare), Seq.empty[String], Seq.empty[String])))
+    assert(!TokenIndex.isFresh(store))
+    SonarOps.remove(store, Seq("acc0"))
+    assert(!TokenIndex.isFresh(store),
+      "restamp over a stale index would stamp fresh over a hole")
+    // full-scan fallback still exact
+    val args = MatchArgs(profiles = Seq(Seq(Rare)))
+    val got = accs(SonarMatch.matchGenomes(store, args))
+    assert(got == Set("acc1", "acc2", "acc_hashST"))
+  }
+
   test("fuzz battery stays reference-exact on an optimized (indexed) store") {
     // reuse the golden shapes over a store whose tables went through the
     // clustered rewrite + bloom options — guards the physical layout path
