@@ -291,6 +291,41 @@ object MatchVolumeRehearsal {
         f"bytes ${mergedScan(q)._3.toDouble / math.max(merged(q)._3, 1)}%5.1fx  " +
         f"(${merged(q)._3 / 1e6}%.1f MB vs ${mergedScan(q)._3 / 1e6}%.1f MB)")
     }
+
+    // ---- removal maintenance: delete survives via RESTAMP, no optimize -------
+    // Remove every increment marker accession plus ~1000 ordinary increment
+    // rows. remove() rewrites four tables (anti-join), then re-stamps the
+    // index META driver-side — ZERO Spark jobs for the index itself. Gates:
+    // index stays FRESH, the pruned plan drops exactly the removed marker
+    // accessions (back to the pre-increment count), and every shape agrees
+    // with the full scan. Honest-layout note: remove's rewrite does not
+    // re-apply optimize's bloom/row-group options, so post-remove skip
+    // ratios measure the DEGRADED layout the next optimize re-tightens.
+    val markerAccs = gInc.filter(col("seqhash").isin(newCarriers: _*))
+      .select("accession").collect().map(_.getString(0)).toSeq
+    val rmAccs = (markerAccs ++ (0L until 1000L).map(i => s"VOL${n + i}")).distinct
+    val tRm = System.nanoTime()
+    SonarOps.remove(store, rmAccs)
+    val rmS = (System.nanoTime() - tRm) / 1e9
+    println(f"REMOVE ${rmAccs.size} accessions in $rmS%.1f s " +
+      f"(4-table anti-join rewrite; index restamped fresh=${TokenIndex.isFresh(store)})")
+    require(TokenIndex.isFresh(store), "remove must restamp the index, not strand it stale")
+    val removed = runShapes("removed  ")
+    require(removed("profile_ultra")._1 == indexed("profile_ultra")._1,
+      s"restamped index must drop the removed carriers: ${removed("profile_ultra")._1} " +
+        s"vs pre-increment ${indexed("profile_ultra")._1}")
+    spark.conf.set("spark.graft.match.tokenIndex", "false")
+    val removedScan = runShapes("rm-noidx ")
+    spark.conf.unset("spark.graft.match.tokenIndex")
+    shapes.foreach { case (name, _) =>
+      require(removed(name)._1 == removedScan(name)._1,
+        s"$name diverged post-remove: ${removed(name)._1} vs ${removedScan(name)._1}")
+    }
+    Seq("profile_rare", "profile_ultra").foreach { q =>
+      println(f"POST-REMOVE SKIP $q%-13s wall ${removedScan(q)._2 / removed(q)._2}%5.1fx  " +
+        f"bytes ${removedScan(q)._3.toDouble / math.max(removed(q)._3, 1)}%5.1fx  " +
+        f"(${removed(q)._3 / 1e6}%.1f MB vs ${removedScan(q)._3 / 1e6}%.1f MB)")
+    }
     spark.stop()
   }
 }
