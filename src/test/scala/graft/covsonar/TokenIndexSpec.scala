@@ -370,6 +370,38 @@ class TokenIndexSpec extends SparkSpec {
     assert(got2 == withIndexOff(accs(SonarMatch.matchGenomes(store, args))))
   }
 
+  test("repeated and no-op removes keep restamping; empty carrier tokens stay exact") {
+    val store = buildStore()
+    SonarOps.optimize(store, 4)
+    // two successive removes take out every Rare carrier
+    SonarOps.remove(store, Seq("acc0"))
+    SonarOps.remove(store, Seq("acc1", "acc2"))
+    assert(TokenIndex.isFresh(store))
+    val args = MatchArgs(profiles = Seq(Seq(Rare)))
+    assert(accs(SonarMatch.matchGenomes(store, args)).isEmpty)
+    assert(withIndexOff(accs(SonarMatch.matchGenomes(store, args))).isEmpty)
+    // a remove that matches nothing still rewrites the tables (new listing)
+    // and must restamp rather than strand the index
+    SonarOps.remove(store, Seq("no-such-accession"))
+    assert(TokenIndex.isFresh(store),
+      "no-op remove rewrites files; the restamp must follow the new listing")
+    val mid = MatchArgs(profiles = Seq(Seq(Mid)))
+    assert(accs(SonarMatch.matchGenomes(store, mid)) ==
+      withIndexOff(accs(SonarMatch.matchGenomes(store, mid))))
+  }
+
+  test("removing every genome drops the index; empty store matches stay exact") {
+    val store = buildStore()
+    SonarOps.optimize(store, 4)
+    SonarOps.remove(store, (0 until 40).map(i => s"acc$i"))
+    // an empty profile table reads as "no index" territory: whether the
+    // empty rewrite left part files or not, matches must be exact and empty
+    val args = MatchArgs(profiles = Seq(Seq(Rare)))
+    assert(accs(SonarMatch.matchGenomes(store, args)).isEmpty)
+    assert(withIndexOff(accs(SonarMatch.matchGenomes(store, args))).isEmpty)
+    assert(accs(SonarMatch.matchGenomes(store, MatchArgs())).isEmpty)
+  }
+
   test("remove refuses the restamp when the index was already stale") {
     val store = buildStore()
     SonarOps.optimize(store, 4)
