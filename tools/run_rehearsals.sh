@@ -39,6 +39,7 @@ if [ "$MODE" = "full" ]; then
   run cluster-sweep-sf01 sbt -batch "runMain graft.ClusterSweep /root/testdata/sf0.1 2048"
   run match-volume-1e6   sbt -batch "runMain graft.covsonar.MatchVolumeRehearsal 1000000 target/rehearsal-match-store"
   run match-cluster-1e6  sbt -batch "runMain graft.covsonar.MatchClusterRehearsal 1000000 2048"
+  run date-partition-1e7 sbt -batch "runMain graft.covsonar.DatePartitionProbe 10000000 target/rehearsal-datepart"
 fi
 
 rm -rf target/rehearsal-match-store
