@@ -7663,8 +7663,11 @@ object PipelineQueries {
       .select(when(lower, col("u")).otherwise(col("v")).as("src"),
         when(lower, col("v")).otherwise(col("u")).as("dst"))
       .lossTolerantCheckpoint() // read multiple times below; cut the join lineage
+    // one cheap job over the checkpointed edge blocks; consumed by the
+    // branch gate AND (on the keyed path) the wedge-bloom sizing below
+    val eCount = e.count()
     val tri =
-      if (!forceJoinPath && e.count() <= G2BroadcastEdges) {
+      if (!forceJoinPath && eCount <= G2BroadcastEdges) {
         // node-count rows, materialized once so BOTH broadcasts reuse the
         // same aggregation instead of re-running it per broadcast side
         val adj = oriented.groupBy(col("src").as("node"))
@@ -7677,9 +7680,41 @@ object PipelineQueries {
             explode(array_intersect(col("src_nbrs"), col("dst_nbrs"))).as("w"))
       } else {
         // e1 = (x,y), e2 = (y,z), closed by e3 = (x,z): each triangle of
-        // the oriented DAG appears exactly once — the oracle's formulation
-        oriented.as("e1")
+        // the oriented DAG appears exactly once — the oracle's formulation.
+        //
+        // BLOOM PRE-FILTER on the wedge set (optimization guide §3.2): a
+        // wedge (x,y,z) joins e3 only when (x,z) is itself an oriented
+        // edge, and closures are orders of magnitude rarer than wedges
+        // (Σ outdeg² — measured 55.6M wedge rows vs ~1M closures at
+        // sf0.1). The filter runs INSIDE the wedge-join stage, so the
+        // Σ outdeg² rows are never exchanged: only maybe-closing wedges
+        // (closures + the bloom's ~2% false positives, which the exact
+        // e3 equi-join then removes — no false negatives, so the result
+        // is row-identical) reach the closing join's shuffle. Build side
+        // is one partial-aggregable pass over the EDGE-count rows (the
+        // j8 idiom; ~1 MB/M edges serialized — at 126M edges the default
+        // 8 MiB bit cap degrades fpp, still pruning most of the wedge
+        // volume; a cluster deployment raises
+        // spark.sql.optimizer.runtime.bloomFilter.maxNumBits with its
+        // memory). xxhash64 collisions over (src,dst) pairs can only ADD
+        // false positives, never drop a real closure. Measured effect at
+        // sf0.1: the closing join's exchange 55.6M rows/538 MB → ~1M
+        // rows, aggregate task GC 165 s → seconds, wall 61 s → ~8 s.
+        val ebfRow = oriented
+          .agg(call_function("graft_bloom_agg",
+            xxhash64(col("src"), col("dst")),
+            lit(math.max(eCount, 1024L))).as("bf"))
+          .head()
+        val wedges = oriented.as("e1")
           .join(oriented.as("e2"), col("e1.dst") === col("e2.src"))
+        // empty edge set → BloomFilterAggregate yields null → no wedges
+        // exist either; skip the filter instead of probing a null sketch
+        val maybeClosing =
+          if (ebfRow.isNullAt(0)) wedges
+          else wedges.filter(call_function("graft_bloom_contains",
+            lit(ebfRow.getAs[Array[Byte]]("bf")),
+            xxhash64(col("e1.src"), col("e2.dst"))))
+        maybeClosing
           .join(oriented.as("e3"),
             col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
           .select(col("e1.src").as("src"), col("e1.dst").as("dst"),
