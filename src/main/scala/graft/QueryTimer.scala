@@ -65,6 +65,16 @@ object QueryTimer {
         println(s"METRICS $q ${agg.snapshotAndReset()}")
       }
       if (explain) df.explain("formatted")
+      // Bench's between-query block sweep (see Bench.sweepBlocks): without
+      // it, persisted gram sets / localCheckpoint blocks from earlier
+      // queries pile heap pressure onto later ones — measured d4c going
+      // 5.7 s (bench, swept) → 104 s (unswept multi-query timer run, 73 s
+      // of GC). Same isolation as the bench, outside the timed window.
+      if (sys.env.getOrElse("SPARK_GRAFT_TIMER_SWEEP", "1") != "0") {
+        spark.sqlContext.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        System.gc()
+      }
     }
     spark.stop()
   }

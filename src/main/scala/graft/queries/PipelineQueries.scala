@@ -891,20 +891,18 @@ object PipelineQueries {
   private[queries] def d4cCore(s: SparkSession, docs: DataFrame,
       materialize: Boolean = true): DataFrame = {
     import s.implicits._
-    // Pass 1: distinct char-4-grams per doc (d4's gram rule exactly),
+    // Pass 1: distinct char-4-grams per doc (d4's gram rule exactly, in
+    // d4's packed-long representation — [[packedGrams]], bijective),
     // cached — the hot-gram probe, the signature pass, and the exact
-    // verify all reuse it.
+    // verify all reuse it. The signature pass unpacks each gram back to
+    // its 4-char substring before md5, so the MinHash arithmetic (and the
+    // oracle's replay of it) is byte-identical to the string form.
     val g = docs
       .as[(Long, String, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, lang, text) =>
-          if (text == null || text.length < 4) None
-          else {
-            val seen = new java.util.LinkedHashSet[String]()
-            var i = 0
-            while (i + 4 <= text.length) { seen.add(text.substring(i, i + 4)); i += 1 }
-            Some((id, lang, seen.toArray(new Array[String](0)).toSeq))
-          }
+          val grams = packedGrams(text)
+          if (grams == null) None else Some((id, lang, grams))
         }
       }
       .toDF("doc_id", "lang", "g")
@@ -938,10 +936,10 @@ object PipelineQueries {
       .groupBy("lang", "gram").agg(count(lit(1)).as("df"))
       .filter(col("df") > lit(D4cDfCap))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hotPairs: Array[(String, String)] = try {
+    val hotPairs: Array[(String, Long)] = try {
     val hotN = hotFrame.count()
       if (hotN < budget)
-        hotFrame.select("lang", "gram").as[(String, String)].collect()
+        hotFrame.select("lang", "gram").as[(String, Long)].collect()
       else if (overCapMode == "fail")
         throw new IllegalArgumentException(
           s"d4c stop-gram set has $hotN entries, exceeding the broadcast " +
@@ -967,7 +965,7 @@ object PipelineQueries {
             s"to the ${budget - 1} hottest grams (overCapMode=degrade)")
         hotFrame.orderBy(col("df").desc, col("lang").asc, col("gram").asc)
           .limit((budget - 1).toInt)
-          .select("lang", "gram").as[(String, String)].collect()
+          .select("lang", "gram").as[(String, Long)].collect()
       }
     } catch { case t: Throwable =>
       // the fail-mode refusal must not leak the gram/df caches into a
@@ -977,7 +975,7 @@ object PipelineQueries {
       throw t
     }
     hotFrame.unpersist(blocking = false)
-    val hot: Map[String, Set[String]] =
+    val hot: Map[String, Set[Long]] =
       hotPairs.groupBy(_._1).map { case (l, gs) => l -> gs.map(_._2).toSet }
     val hotB = s.sparkContext.broadcast(hot)
 
@@ -992,22 +990,26 @@ object PipelineQueries {
     // numeric min). Docs with no rare grams emit no bands: all-template
     // documents have no identity to band on (their pairs are d1's job).
     val bandTab = g.select(col("doc_id"), col("lang"), col("g"))
-      .as[(Long, String, Seq[String])]
+      .as[(Long, String, Seq[Long])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         val utf8 = java.nio.charset.StandardCharsets.UTF_8
         val hotSets = hotB.value
         it.flatMap { case (id, lang, grams) =>
-          val hotSet = hotSets.getOrElse(lang, Set.empty[String])
+          val hotSet = hotSets.getOrElse(lang, Set.empty[Long])
           val mins = Array.fill(MinhashPerms)(0x100000000L)
           var any = false
           grams.foreach { gram =>
             if (!hotSet.contains(gram)) {
               any = true
+              // unpack to the ORIGINAL 4-char substring before md5 —
+              // signature arithmetic (and the oracle's replay of it) must
+              // see the exact bytes the string form hashed
+              val gs = unpackGram(gram)
               md.reset()
-              val d1 = md.digest(gram.getBytes(utf8))
+              val d1 = md.digest(gs.getBytes(utf8))
               md.reset()
-              val d2 = md.digest((gram + "!").getBytes(utf8))
+              val d2 = md.digest((gs + "!").getBytes(utf8))
               var p = 0
               while (p < MinhashPerms) {
                 val d = if (p < 4) d1 else d2
@@ -1100,6 +1102,73 @@ object PipelineQueries {
       .select("doc_id", "lang", "text")
   }
 
+  /** Distinct char-4-grams of `text`, each PACKED into one long (4 UTF-16
+    * code units, first unit in the high 16 bits) — the d4 family's gram
+    * representation since the round-12 optimization pass. The packing is
+    * BIJECTIVE with the 4-char substring, so set sizes, intersections and
+    * document frequencies are identical to the string form; every d4
+    * output (doc pairs + exact Jaccard over full gram sets) is therefore
+    * unchanged, and d4c unpacks the 4 chars back to the exact substring
+    * before md5 so its signature arithmetic (and the DuckDB oracle replay)
+    * sees the original bytes. What changes is the cost: gram rows shuffle
+    * and compare as one word instead of a heap string, per-doc sets build
+    * in an allocation-free open-addressed probe instead of a
+    * LinkedHashSet of String (measured: the d4b/d4c bench pair spends
+    * multi-second aggregate GC on gram-string churn at sf0.1 — guide §2.3
+    * "narrower types"). First-seen order is preserved (downstream
+    * semantics never depend on array order; determinism is just tidier).
+    * NOTE the PPJoin prefix order becomes (df, packed-gram): prefix
+    * filtering is exact under ANY shared total order of grams, so ranks
+    * shifting relative to the string order cannot change the verified
+    * pair set — and for this corpus (code units < 0x8000) the signed-long
+    * order equals the string order anyway.
+    *
+    * Returns null when the text has no 4-gram (caller drops the row, the
+    * exact contract the string form had).
+    */
+  private[queries] def packedGrams(text: String): Array[Long] = {
+    if (text == null || text.length < 4) return null
+    val nGrams = text.length - 3
+    // open-addressed table sized to the worst case (all grams distinct),
+    // power-of-two, linear probing; 0 is the empty sentinel — a packed
+    // gram of four NUL chars cannot occur in these corpora, but handle it
+    // anyway via a side flag so the helper is total
+    var capBits = 3
+    while ((1 << capBits) < nGrams * 2) capBits += 1
+    val table = new Array[Long](1 << capBits)
+    val mask = table.length - 1
+    val out = new Array[Long](nGrams)
+    var n = 0
+    var sawZero = false
+    var i = 0
+    while (i + 4 <= text.length) {
+      val v = ((text.charAt(i).toLong & 0xffffL) << 48) |
+        ((text.charAt(i + 1).toLong & 0xffffL) << 32) |
+        ((text.charAt(i + 2).toLong & 0xffffL) << 16) |
+        (text.charAt(i + 3).toLong & 0xffffL)
+      if (v == 0L) {
+        if (!sawZero) { sawZero = true; out(n) = 0L; n += 1 }
+      } else {
+        var slot = ((v * 0x9E3779B97F4A7C15L) >>> (64 - capBits)).toInt & mask
+        var cur = table(slot)
+        while (cur != 0L && cur != v) { slot = (slot + 1) & mask; cur = table(slot) }
+        if (cur == 0L) { table(slot) = v; out(n) = v; n += 1 }
+      }
+      i += 1
+    }
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+  }
+
+  /** Unpack [[packedGrams]]' encoding back to the exact 4-char substring. */
+  private[queries] def unpackGram(v: Long): String = {
+    val cs = new Array[Char](4)
+    cs(0) = ((v >>> 48) & 0xffffL).toChar
+    cs(1) = ((v >>> 32) & 0xffffL).toChar
+    cs(2) = ((v >>> 16) & 0xffffL).toChar
+    cs(3) = (v & 0xffffL).toChar
+    new String(cs)
+  }
+
   /** `forcePrefixPath` is a test hook: testdata vocabularies always take the
     * bitmap branch, so the spec forces the PPJoin branch to assert both
     * paths produce identical pairs (same pattern as d6's two paths).
@@ -1114,29 +1183,27 @@ object PipelineQueries {
       forcePrefixPath: Boolean, knownDocs: Option[Long] = None,
       materialize: Boolean = true): DataFrame = {
     import s.implicits._
-    // Distinct char-4-grams per doc in one typed pass (tight JVM loop over a
-    // LinkedHashSet; the interpreted transform/array_distinct HOF pair cost
-    // ~2s alone at sf0.1). Cached once: the dict pass, the bitmap/prefix
-    // build, and the verification all reuse it. MEMORY_AND_DISK persist,
-    // NOT localCheckpoint: the gram set is data-sized (~80 bytes × grams),
-    // and localCheckpoint pins it as deserialized row blocks in the JVM —
-    // at 100× bench volume that alone is ~half the heap and the rehearsal
-    // OOM'd; the columnar cache compresses and spills per-batch, which is
-    // also the shape that degrades gracefully on a cluster executor.
-    // Documents are ASCII (or, for the d4b view, BMP codepoints that JVM
-    // chars and the oracle's codepoint slicing agree on) so JVM char
-    // slicing equals the oracle's.
+    // Distinct char-4-grams per doc in one typed pass, PACKED to longs
+    // ([[packedGrams]] — bijective, so every downstream count/intersection
+    // is unchanged while gram rows stop being heap strings; the earlier
+    // interpreted transform/array_distinct HOF pair cost ~2s alone at
+    // sf0.1, and the string LinkedHashSet form it replaced still paid
+    // multi-second GC on gram churn). Cached once: the dict pass, the
+    // bitmap/prefix build, and the verification all reuse it.
+    // MEMORY_AND_DISK persist, NOT localCheckpoint: the gram set is
+    // data-sized, and localCheckpoint pins it as deserialized row blocks
+    // in the JVM — at 100× bench volume that alone is ~half the heap and
+    // the rehearsal OOM'd; the columnar cache compresses and spills
+    // per-batch, which is also the shape that degrades gracefully on a
+    // cluster executor. Documents are ASCII (or, for the d4b view, BMP
+    // codepoints that JVM chars and the oracle's codepoint slicing agree
+    // on) so JVM char slicing equals the oracle's.
     val g = docs
       .select(col("doc_id"), col("lang"), col("text"))
       .as[(Long, String, String)]
       .mapPartitions(_.flatMap { case (id, lang, text) =>
-        if (text.length < 4) None
-        else {
-          val seen = new java.util.LinkedHashSet[String]()
-          var i = 0
-          while (i + 4 <= text.length) { seen.add(text.substring(i, i + 4)); i += 1 }
-          Some((id, lang, seen.toArray(new Array[String](0)).toSeq))
-        }
+        val grams = packedGrams(text)
+        if (grams == null) None else Some((id, lang, grams))
       })
       .toDF("doc_id", "lang", "g")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1159,11 +1226,11 @@ object PipelineQueries {
     val cap = 64 * 128
     import scala.collection.mutable
     val setsByLang = g.select(col("lang"), col("g")).rdd
-      .treeAggregate(mutable.Map.empty[String, mutable.HashSet[String]])(
+      .treeAggregate(mutable.Map.empty[String, mutable.HashSet[Long]])(
         (acc, row) => {
           val set = acc.getOrElseUpdate(row.getString(0), mutable.HashSet.empty)
           if (set.size <= cap) {
-            val it = row.getSeq[String](1).iterator
+            val it = row.getSeq[Long](1).iterator
             while (it.hasNext && set.size <= cap) set.add(it.next())
           }
           acc
@@ -1233,12 +1300,12 @@ object PipelineQueries {
     * explode → dict-join → double-groupBy formulation shuffled every gram
     * occurrence and cost ~1 s of the operator's 2.7 s at sf0.1.
     */
-  private def d4BitmapPath(g: DataFrame, dictByLang: Map[String, Map[String, Int]]): DataFrame = {
+  private def d4BitmapPath(g: DataFrame, dictByLang: Map[String, Map[Long, Int]]): DataFrame = {
     val s = g.sparkSession
     import s.implicits._
     val dictB = s.sparkContext.broadcast(dictByLang)
     val bm = g.select(col("doc_id"), col("lang"), col("g"))
-      .as[(Long, String, Seq[String])]
+      .as[(Long, String, Seq[Long])]
       .mapPartitions { it =>
         val dicts = dictB.value
         it.map { case (id, lang, grams) =>
@@ -1291,12 +1358,22 @@ object PipelineQueries {
       math.min(4096L, knownDocs.getOrElse(0L) / 5000L).toInt)
     def cluster(df: DataFrame, c: Column*): DataFrame =
       if (aggP > s.sparkContext.defaultParallelism) df.repartition(aggP, c: _*) else df
-    val exN = ex.join(g.select(col("doc_id"), size(col("g")).cast("long").as("n")), Seq("doc_id"))
     val byDoc = Window.partitionBy("doc_id").orderBy("df", "gram")
-    // pre-clustering by doc_id at aggP satisfies the window's required
-    // distribution, so the rank sort runs at aggP with no extra exchange
+    // `n` (each doc's distinct-gram count) as an unordered window count over
+    // the SAME doc_id partitioning the rank window needs, not a join against
+    // per-doc sizes: the join formulation exchanged the full gram-occurrence
+    // table an extra time (by doc_id for the size join, again by (lang,gram)
+    // for the df join) — one full-data Exchange removed, and the df join's
+    // exchange of `ex` by (lang,gram) is the same exchange dfreq's groupBy
+    // already performs, so Catalyst reuses it (ReusedExchange in the plan).
+    // Equality: `ex` explodes exactly g's distinct gram set and the df join
+    // is inner against frequencies computed FROM ex, so count(*) over the
+    // doc partition equals size(g) row-for-row.
+    // pre-clustering by doc_id at aggP satisfies both windows' required
+    // distribution, so the count+rank run at aggP with no extra exchange
     val prefix = cluster(
-        exN.join(dfreq.select("lang", "gram", "df"), Seq("lang", "gram")), col("doc_id"))
+        ex.join(dfreq.select("lang", "gram", "df"), Seq("lang", "gram")), col("doc_id"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")).cast("long"))
       .withColumn("rk", row_number().over(byDoc))
       // prefix length n - ceil(0.6n) + 1; ceil(3n/5) = (3n+4) div 5 exactly
       .filter(col("rk") <= col("n") - expr("(3L * n + 4L) div 5L") + lit(1))
