@@ -1676,14 +1676,24 @@ object PipelineQueries {
     // statistics, so per-round driver cost stays flat at any round count;
     // the RDD localCheckpoint still cuts lineage, and the row↔tuple hop is
     // a narrow node-sized map.
-    def rebased(df: DataFrame): DataFrame = {
+    def rebased(df: DataFrame): (DataFrame, Long) = {
       val rdd = df.as[(Long, Long)].rdd
       rdd.lossTolerantCheckpoint()
-      rdd.count()
-      s.createDataset(rdd).toDF("doc_id", "label")
+      // The materializing action doubles as the convergence probe: Σ label
+      // folded per-partition on the driver — one scheduled job per round
+      // where count + a separate agg job were two (measured: the loop is
+      // pure per-round job latency at bench scale, 12 MB input / 2 MB
+      // shuffle / 0 GC — guide §1.2, per-task work after plan shape). NOT
+      // an accumulator: a retried task recomputes its partition sum from
+      // the checkpointed blocks deterministically, so executor loss under
+      // the kill rehearsal cannot double-count.
+      val sm = rdd.mapPartitions(
+        it => { var acc = 0L; while (it.hasNext) acc += it.next()._2; Iterator.single(acc) },
+        preservesPartitioning = true).fold(0L)(_ + _)
+      (s.createDataset(rdd).toDF("doc_id", "label"), sm)
     }
-    var labels = rebased(withCanon.select(col("doc_id"), col("canon").as("label")))
-    var prevSum = labels.agg(sum("label")).first().getLong(0)
+    var (labels, prevSum) =
+      rebased(withCanon.select(col("doc_id"), col("canon").as("label")))
     var converged = false
     var rounds = 0
     while (!converged && rounds < 64) {
@@ -1706,16 +1716,16 @@ object PipelineQueries {
       // the property that makes the distributed path safe on adversarial
       // graphs, not just the star/chain shapes near-dup corpora produce.
       // One extra NODE-sized equi-join per round, nothing edge-sized.
-      val jumped = rebased(prop
+      // Σ labels strictly decreases until the JOINT fixpoint: both steps
+      // are non-increasing, so an unchanged sum means neither changed any
+      // label — and a neighbor-min fixpoint is constant across every edge,
+      // i.e. per-component, with the min node pinning the value. The sum
+      // arrives from rebased's materializing action, not a separate job.
+      val (jumped, s2) = rebased(prop
         .join(prop.select(col("doc_id").as("label"), col("label").as("label2")),
           Seq("label"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("label2"), col("label"))).as("label")))
-      // Σ labels strictly decreases until the JOINT fixpoint: both steps
-      // are non-increasing, so an unchanged sum means neither changed any
-      // label — and a neighbor-min fixpoint is constant across every edge,
-      // i.e. per-component, with the min node pinning the value.
-      val s2 = jumped.agg(sum("label")).first().getLong(0)
       converged = s2 == prevSum
       prevSum = s2
       labels = jumped
