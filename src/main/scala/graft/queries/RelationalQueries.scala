@@ -1122,8 +1122,16 @@ object RelationalQueries {
       rootFs.listStatus(dsRoot).foreach { st =>
         if (st.getPath.getName != sig) rootFs.delete(st.getPath, true)
       }
+    // repartition ON the partition column before every partitionBy write
+    // (guide §6, REBALANCE-before-write): without it each upstream task
+    // fans out across all touched bucket dirs — tasks × buckets small
+    // files (measured 196 in the state dir at sf0.1, with the parquet
+    // writer churn charged as multi-second task GC), and the read-back
+    // pays per-file open cost every run. Clustered, each bucket lands in
+    // one file; rows within a bucket are identical either way.
     if (!rootFs.exists(new org.apache.hadoop.fs.Path(s"$seedPath/_SUCCESS")))
       old.withColumn("bkt", pmod(col("k"), lit(nB.toLong)))
+        .repartition(col("bkt"))
         .write.mode("overwrite").partitionBy("bkt").parquet(seedPath)
     // explicit schema on every read-back: a zero-row partitionBy write
     // emits only _SUCCESS, and schema inference over no files throws —
@@ -1149,6 +1157,7 @@ object RelationalQueries {
           .select(col("k"), col("status"))
         applyChangelog(touchedRows, log)
           .withColumn("bkt", pmod(col("k"), lit(nB.toLong)))
+          .repartition(col("bkt")) // see the seed write: one file per bucket
           .write.mode("overwrite").partitionBy("bkt").parquet(s"$stateDir/merged")
         // the report reads back the REAL layout: merged buckets + pruned seed
         s.read.schema(layout).parquet(s"$stateDir/merged")
