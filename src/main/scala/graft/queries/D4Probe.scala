@@ -35,13 +35,8 @@ object D4Probe {
         .select(col("doc_id"), col("lang"), col("text"))
         .as[(Long, String, String)]
         .mapPartitions(_.flatMap { case (id, lang, text) =>
-          if (text.length < 4) None
-          else {
-            val seen = new java.util.LinkedHashSet[String]()
-            var i = 0
-            while (i + 4 <= text.length) { seen.add(text.substring(i, i + 4)); i += 1 }
-            Some((id, lang, seen.toArray(new Array[String](0)).toSeq))
-          }
+          val grams = PipelineQueries.packedGrams(text)
+          if (grams == null) None else Some((id, lang, grams))
         })
         .toDF("doc_id", "lang", "g")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -50,11 +45,11 @@ object D4Probe {
         val cap = 64 * 128
         import scala.collection.mutable
         g.select(col("lang"), col("g")).rdd
-          .treeAggregate(mutable.Map.empty[String, mutable.HashSet[String]])(
+          .treeAggregate(mutable.Map.empty[String, mutable.HashSet[Long]])(
             (acc, row) => {
               val set = acc.getOrElseUpdate(row.getString(0), mutable.HashSet.empty)
               if (set.size <= cap) {
-                val it = row.getSeq[String](1).iterator
+                val it = row.getSeq[Long](1).iterator
                 while (it.hasNext && set.size <= cap) set.add(it.next())
               }
               acc

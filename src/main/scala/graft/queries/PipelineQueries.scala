@@ -1089,17 +1089,50 @@ object PipelineQueries {
       .withColumn("text", expr(
         "array_join(slice(split(text, ' '), 1, " +
           "cast((4 * size(split(text, ' ')) + 4) div 5 as int)), ' ')"))
-    // nested transform so each word's md5 is computed ONCE, not once per
-    // salt char (8× fewer digests; the emitted text is identical)
-    val saltChars = (0 until 8).map(i =>
-      s"chr(161 + cast(conv(substring(p.h, ${1 + 2 * i}, 2), 16, 10) as int) % 94)")
-      .mkString(", ")
+    // The salting pass is a typed JVM loop over digest BYTES, not the
+    // Catalyst expression chain it replaces (nested transform of
+    // struct(w, md5 hex) + 8 × substring/conv/chr + array_join): salt
+    // char i is chr(161 + (digest byte i as unsigned) % 94) — exactly
+    // what substring(hex, 1+2i, 2) → conv(…,16,10) → chr computes, since
+    // two hex chars ARE one digest byte — so the emitted text is
+    // byte-identical (HeapsViewParitySpec pins this against the original
+    // expression form row-for-row), while skipping the per-word 32-char
+    // hex string, the struct row, the per-salt-char substring/conv
+    // allocations and the array_join. Measured: the view alone cost
+    // 2.2-3.4 s at sf0.1 inside EVERY d4b/d4c run (guide §1.2 step 2 —
+    // per-task work; the md5-per-word rule itself is the oracle's
+    // definition and unchanged).
+    import s.implicits._
     base.unionByName(planted)
-      .withColumn("text", expr(
-        "array_join(transform(" +
-          "transform(split(text, ' '), w -> struct(w AS w, md5(concat(w, '#', cls)) AS h)), " +
-          s"p -> concat(p.w, $saltChars)), ' ')"))
-      .select("doc_id", "lang", "text")
+      .select(col("doc_id"), col("lang"), col("text"), col("cls"))
+      .as[(Long, String, String, Long)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        it.map { case (id, lang, text, cls) =>
+          val words = text.split(" ", -1) // keep empties: split(text, ' ') does
+          val clsBytes = ("#" + cls).getBytes(utf8)
+          val sb = new java.lang.StringBuilder(text.length + 9 * words.length)
+          var i = 0
+          while (i < words.length) {
+            if (i > 0) sb.append(' ')
+            val w = words(i)
+            sb.append(w)
+            md.reset()
+            md.update(w.getBytes(utf8))
+            md.update(clsBytes)
+            val d = md.digest()
+            var j = 0
+            while (j < 8) {
+              sb.append((161 + (d(j) & 0xff) % 94).toChar)
+              j += 1
+            }
+            i += 1
+          }
+          (id, lang, sb.toString)
+        }
+      }
+      .toDF("doc_id", "lang", "text")
   }
 
   /** Distinct char-4-grams of `text`, each PACKED into one long (4 UTF-16
