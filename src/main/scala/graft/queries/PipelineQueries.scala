@@ -7768,7 +7768,16 @@ object PipelineQueries {
       math.min(4096L, knownRows.getOrElse(memberships.count()) * 4 / 500000L).toInt)
     def cluster(df: DataFrame, c: Column*): DataFrame =
       if (aggP > s.sparkContext.defaultParallelism) df.repartition(aggP, c: _*) else df
-    val li = cluster(memberships.select("ok", "pk"), col("ok"), col("pk")).distinct()
+    // The distinct is keyed by ok ALONE (hash(ok) clusters (ok, pk) —
+    // a subset key satisfies the aggregation's required distribution), so
+    // ONE exchange serves both the dedup and the pair self-join on ok
+    // (guide §2.4, shared exchanges): the previous (ok, pk) clustering
+    // deduped and then re-exchanged the whole membership table by ok for
+    // the join. Explicit repartition rather than the conditional
+    // `cluster` so the sharing also holds at bench scale; partition count
+    // still scales with measured volume via aggP. Group sizes are
+    // per-order (bounded fan-out), so keying by ok cannot skew.
+    val li = memberships.select("ok", "pk").repartition(aggP, col("ok")).distinct()
     val e = cluster(li.as("a").join(li.as("b"),
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("u"), col("b.pk").as("v")),
