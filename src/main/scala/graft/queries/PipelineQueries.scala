@@ -1391,26 +1391,39 @@ object PipelineQueries {
       math.min(4096L, knownDocs.getOrElse(0L) / 5000L).toInt)
     def cluster(df: DataFrame, c: Column*): DataFrame =
       if (aggP > s.sparkContext.defaultParallelism) df.repartition(aggP, c: _*) else df
-    val byDoc = Window.partitionBy("doc_id").orderBy("df", "gram")
-    // `n` (each doc's distinct-gram count) as an unordered window count over
-    // the SAME doc_id partitioning the rank window needs, not a join against
-    // per-doc sizes: the join formulation exchanged the full gram-occurrence
-    // table an extra time (by doc_id for the size join, again by (lang,gram)
-    // for the df join) — one full-data Exchange removed, and the df join's
-    // exchange of `ex` by (lang,gram) is the same exchange dfreq's groupBy
-    // already performs, so Catalyst reuses it (ReusedExchange in the plan).
-    // Equality: `ex` explodes exactly g's distinct gram set and the df join
-    // is inner against frequencies computed FROM ex, so count(*) over the
-    // doc partition equals size(g) row-for-row.
-    // pre-clustering by doc_id at aggP satisfies both windows' required
-    // distribution, so the count+rank run at aggP with no extra exchange
+    // `n` (each doc's distinct-gram count) comes from the per-doc group
+    // itself, not a join against per-doc sizes: the join formulation
+    // exchanged the full gram-occurrence table an extra time (by doc_id
+    // for the size join, again by (lang,gram) for the df join) — one
+    // full-data Exchange removed, and the df join's exchange of `ex` by
+    // (lang,gram) is the same exchange dfreq's groupBy already performs,
+    // so Catalyst reuses it (ReusedExchange in the plan). Equality: `ex`
+    // explodes exactly g's distinct gram set and the df join is inner
+    // against frequencies computed FROM ex, so the group size equals
+    // size(g) row-for-row.
+    // pre-clustering by doc_id at aggP satisfies the aggregation's required
+    // distribution, so the per-doc rank runs at aggP with no extra exchange.
+    //
+    // The rank is computed by PER-DOC ARRAY SORT, not a window: the window
+    // form sorted every partition's full gram-occurrence slice (~10M rows
+    // at sf0.1) to rank within ~400-row doc groups. Grams are packed longs
+    // (round 12), so (df, gram) is a struct of two longs and array_sort's
+    // field-order comparison IS the window's orderBy("df", "gram") — the
+    // order is strict (grams unique per doc), so sorted position + 1 equals
+    // row_number exactly, and `n` is the array size (both windows gone; the
+    // exchange is unchanged, the partition-wide sort is replaced by row-
+    // local sorts of ~400-element arrays). Prefix length
+    // n - ceil(0.6n) + 1, ceil(3n/5) = (3n+4) div 5 exactly, sliced before
+    // the explode so non-prefix grams never become rows.
     val prefix = cluster(
         ex.join(dfreq.select("lang", "gram", "df"), Seq("lang", "gram")), col("doc_id"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")).cast("long"))
-      .withColumn("rk", row_number().over(byDoc))
-      // prefix length n - ceil(0.6n) + 1; ceil(3n/5) = (3n+4) div 5 exactly
-      .filter(col("rk") <= col("n") - expr("(3L * n + 4L) div 5L") + lit(1))
-      .select("lang", "gram", "doc_id", "n", "rk")
+      .groupBy("doc_id", "lang")
+      .agg(array_sort(collect_list(struct(col("df"), col("gram")))).as("gs"))
+      .withColumn("n", size(col("gs")).cast("long"))
+      .select(col("doc_id"), col("lang"), col("n"),
+        posexplode(expr("slice(gs, 1, cast(n - (3L * n + 4L) div 5L + 1L as int))")))
+      .select(col("lang"), col("col.gram").as("gram"), col("doc_id"), col("n"),
+        (col("pos") + 1).as("rk"))
     // both self-join sides derive from ONE clustered frame: the second
     // side's exchange is reused, and the join itself runs at aggP
     val pc = cluster(prefix, col("lang"), col("gram"))
