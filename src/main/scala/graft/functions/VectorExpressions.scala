@@ -124,6 +124,81 @@ case class PopcountAnd(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Intersection cardinality of two SORTED, DISTINCT `array<bigint>`
+  * columns: a two-pointer merge — zero allocation, zero hashing, one pass.
+  * Contract (private kernel, enforced by its call sites, not at runtime):
+  * both arrays ascending with no duplicate elements — exactly what
+  * [[graft.queries.PipelineQueries.packedGrams]] emits — under which the
+  * merge count equals `size(array_intersect(a, b))`, which builds a hash
+  * set AND materializes the intersection array per pair only to take its
+  * length (measured on d4b's verify stage: millions of candidate pairs ×
+  * one array allocation each, visible as aggregate task GC). Same
+  * rationale as [[PopcountAnd]]: the fused loop runs at memory speed
+  * inside whole-stage codegen.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_sorted_intersect_count requires two array<bigint> arguments, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val m = y.numElements()
+    var i = 0
+    var j = 0
+    var s = 0L
+    while (i < n && j < m) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else { s += 1; i += 1; j += 1 }
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val s = ctx.freshName("s")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = $x.numElements();
+         |int $m = $y.numElements();
+         |int $i = 0; int $j = 0; long $s = 0L;
+         |while ($i < $n && $j < $m) {
+         |  long $xv = $x.getLong($i);
+         |  long $yv = $y.getLong($j);
+         |  if ($xv < $yv) { $i++; }
+         |  else if ($xv > $yv) { $j++; }
+         |  else { $s++; $i++; $j++; }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Probe of a serialized Count-Min sketch: `graft_cms_estimate(cms, key)` →
   * the sketch's (over-)estimate of key's frequency. The sketch argument must
   * be foldable (a binary literal produced by `count_min_sketch(...)` and
@@ -201,6 +276,8 @@ object VectorExpressions {
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
     "graft_popcnt_and" -> (exprs => PopcountAnd(exprs(0), exprs(1))),
+    "graft_sorted_intersect_count" -> (exprs =>
+      SortedIntersectCount(exprs(0), exprs(1))),
     "graft_bloom_agg" -> (exprs =>
       new org.apache.spark.sql.catalyst.expressions.aggregate
         .BloomFilterAggregate(exprs(0), exprs(1))),

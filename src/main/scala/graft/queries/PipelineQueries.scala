@@ -1042,7 +1042,11 @@ object PipelineQueries {
       .join(g.select(col("doc_id").as("doc_a"), col("lang"), col("g").as("ga")), Seq("doc_a"))
       .join(g.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("g").as("gb")), Seq("doc_b"))
       .filter(col("lang") === col("lang_b"))
-      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      // packedGrams emits sorted distinct arrays, so the intersection
+      // CARDINALITY (all the Jaccard needs) comes from the two-pointer
+      // kernel — no per-pair hash set, no materialized intersection array
+      .withColumn("inter",
+        call_function("graft_sorted_intersect_count", col("ga"), col("gb")))
       .withColumn("uni", (size(col("ga")) + size(col("gb"))).cast("long") - col("inter"))
       .filter(col("inter") * 5 >= col("uni") * 3)
       .select(col("doc_a"), col("doc_b"), col("lang"),
@@ -1148,8 +1152,12 @@ object PipelineQueries {
     * in an allocation-free open-addressed probe instead of a
     * LinkedHashSet of String (measured: the d4b/d4c bench pair spends
     * multi-second aggregate GC on gram-string churn at sf0.1 — guide §2.3
-    * "narrower types"). First-seen order is preserved (downstream
-    * semantics never depend on array order; determinism is just tidier).
+    * "narrower types"). The array is returned SORTED ascending (downstream
+    * semantics never depend on array order — explode, per-element hashing,
+    * dict lookup and set intersection are all order-free — and sortedness
+    * lets the verify stages count intersections with the zero-allocation
+    * two-pointer kernel `graft_sorted_intersect_count` instead of
+    * materializing `array_intersect` per candidate pair).
     * NOTE the PPJoin prefix order becomes (df, packed-gram): prefix
     * filtering is exact under ANY shared total order of grams, so ranks
     * shifting relative to the string order cannot change the verified
@@ -1189,7 +1197,9 @@ object PipelineQueries {
       }
       i += 1
     }
-    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    val res = if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    java.util.Arrays.sort(res)
+    res
   }
 
   /** Unpack [[packedGrams]]' encoding back to the exact 4-char substring. */
@@ -1464,7 +1474,10 @@ object PipelineQueries {
     cand
       .join(g.select(col("doc_id").as("doc_a"), col("g").as("ga")), Seq("doc_a"))
       .join(g.select(col("doc_id").as("doc_b"), col("g").as("gb")), Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      // sorted-distinct gram arrays → two-pointer intersection count (see
+      // d4cCore's verify): no per-pair hash set or intersection array
+      .withColumn("inter",
+        call_function("graft_sorted_intersect_count", col("ga"), col("gb")))
       .withColumn("uni", (size(col("ga")) + size(col("gb"))).cast("long") - col("inter"))
       .filter(col("inter") * 5 >= col("uni") * 3)
       .select(col("doc_a"), col("doc_b"), col("lang"),

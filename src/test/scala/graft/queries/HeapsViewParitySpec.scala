@@ -73,4 +73,15 @@ class HeapsViewParitySpec extends SparkSpec {
     assert(salted2.split(" ", -1).forall(_.nonEmpty),
       "every split slot must carry at least its salt chars")
   }
+
+  test("packedGrams emits sorted distinct arrays — graft_sorted_intersect_count's contract") {
+    val texts = Seq("abcdabcd", "the quick brown fox", "aaaaaa", "xyz", "", "abcde")
+    texts.foreach { t =>
+      val g = PipelineQueries.packedGrams(t)
+      if (g != null)
+        assert(g.toSeq == g.toSeq.distinct.sorted, s"not sorted-distinct for '$t'")
+    }
+    assert(PipelineQueries.packedGrams("xyz") == null &&
+      PipelineQueries.packedGrams("") == null)
+  }
 }
