@@ -153,9 +153,15 @@ object Bench {
       s""""n_ran":${queries.size},"n_registered":${SparkEntry.queries.size}""" +
       only.map(o => s""","only":${o.toSeq.sorted.map(Json.str).mkString("[", ",", "]")}""").getOrElse("") +
       (if (skip.nonEmpty) s""","skip":${skip.toSeq.sorted.map(Json.str).mkString("[", ",", "]")}""" else "")
+    // cpus + master make the artifact SELF-DESCRIBING: the driver's scaling
+    // check compares runs at different $SPARK_GRAFT_CPUS, and without these
+    // fields the artifact cannot prove which core count actually ran (the
+    // r12 `suspect_cpus_ignored` flag fired on exactly that gap).
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":${errors.size},"errors":$errJson,$subsetJson,""" +
+      s""""cpus":${scala.util.Try(cpus.trim.toInt.toString).getOrElse(Json.str(cpus))},""" +
+      s""""master":${Json.str(s"local[$cpus]")},""" +
       s""""calib_pre_sec":$calibPre,"calib_post_sec":$calibPost,"sf":"$sfDir"}"""
     // Also write to a dedicated file so the artifact survives stdout being
     // interleaved with Spark logs / truncated by the harness.

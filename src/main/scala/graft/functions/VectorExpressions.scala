@@ -140,13 +140,20 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
+    // containsNull arrays are REJECTED at analysis, not silently mangled:
+    // the kernel's getLong on a null element reads garbage/0 and would
+    // undercount where array_intersect raises a type-level error. The
+    // sorted/distinct precondition itself is not checkable statically —
+    // the registry docstring and the call sites own it.
     def ok(dt: DataType): Boolean = dt match {
-      case ArrayType(LongType, _) => true
+      case ArrayType(LongType, false) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_sorted_intersect_count requires two array<bigint> arguments, got " +
+      s"graft_sorted_intersect_count requires two array<bigint> arguments " +
+        s"with non-null elements (and each array SORTED ascending and " +
+        s"DISTINCT — unsorted/duplicated input silently undercounts), got " +
         s"${left.dataType.sql} and ${right.dataType.sql}")
   }
   override def dataType: DataType = LongType

@@ -484,6 +484,12 @@ object StreamingOps {
     require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
     initial.select(col("k"), col("status"))
       .withColumn("bkt", pmod(hash(col("k")), lit(nBuckets)))
+      // repartition ON the partition column before the partitionBy write
+      // (guide §6, the k10b seed's treatment): without it every upstream
+      // task fans out across all bucket dirs — tasks × nBuckets splinter
+      // files whose per-file open cost every later bucket read pays.
+      // Clustered, each bucket is one file; rows are identical either way.
+      .repartition(col("bkt"))
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$stateDir/seed")
   }
 
